@@ -1,0 +1,88 @@
+"""Math function family (SURVEY.md §2.8 fn_math / fn_cast).
+
+DuckDB parity traps: single-arg ``log`` is log10 in DuckDB but ln in
+Spark — the oracle uses ``ln``/``log10`` explicitly. ``round`` is
+excluded from the verified columns (half-even vs half-up divergence,
+SURVEY.md §5); floor/ceil cover integer rounding deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               floor(l_extendedprice)                 AS price_floor,
+               ceil(l_extendedprice)                  AS price_ceil,
+               abs(l_discount - 0.05)                 AS disc_dev,
+               pow(l_quantity, 2)                     AS qty_sq,
+               sqrt(l_extendedprice)                  AS price_sqrt,
+               ln(l_extendedprice + 1)                AS price_ln,
+               log10(l_extendedprice + 1)             AS price_log10,
+               exp(l_discount)                        AS disc_exp,
+               CAST(l_quantity AS BIGINT) % 7         AS qty_mod7,
+               sign(l_discount - 0.05)                AS disc_sign
+        FROM lineitem
+    """,
+    phase="P2",
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """floor/ceil/abs/pow/sqrt/ln/log10/exp/mod/sign."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.log(F.col("l_extendedprice") + 1).alias("price_ln"),
+        F.log10(F.col("l_extendedprice") + 1).alias("price_log10"),
+        F.exp("l_discount").alias("disc_exp"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+               CAST(o_orderkey AS DOUBLE)        AS key_double,
+               CAST(o_orderkey AS VARCHAR)       AS key_str,
+               CAST(o_orderdate AS DATE)         AS order_date,
+               CAST('42' AS BIGINT)              AS const_int,
+               CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_roundtrip
+        FROM orders
+    """,
+    phase="P2",
+    tags=("function", "cast"),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across int/double/string/date/timestamp.
+
+    double→string is deliberately absent: Spark and DuckDB format
+    doubles differently (scientific-notation thresholds), so that cast
+    can never be hash-verified. int→string is format-stable.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        # floor first: DuckDB's double→int cast rounds, Spark's truncates
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("double").alias("key_double"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.lit("42").cast("bigint").alias("const_int"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("date_roundtrip"),
+    )

@@ -1,0 +1,74 @@
+"""String function family (SURVEY.md §2.8 fn_string).
+
+One composite query covering the family; all expressions are JVM
+built-ins inside whole-stage codegen — never Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name)                              AS name_upper,
+               lower(c_mktsegment)                        AS seg_lower,
+               trim(concat('  ', c_name, '  '))           AS name_trimmed,
+               substring(c_name, 1, 8)                    AS name_prefix,
+               concat_ws('|', c_name, c_mktsegment)       AS name_seg,
+               length(c_name)                             AS name_len,
+               replace(c_name, 'Customer', 'Cust')        AS name_short,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0')  AS key_padded,
+               regexp_extract(c_name, '([0-9]+)', 1)      AS name_digits,
+               regexp_replace(c_name, '[0-9]', '#', 'g')  AS name_masked,
+               CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+        FROM customer
+    """,
+    phase="P2",
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/concat/length/replace/lpad/regexp."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    )
+
+
+@query(
+    "fn_split_explode",
+    oracle="""
+        SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+        FROM part
+    """,
+    phase="P3",
+    tags=("function", "string", "explode"),
+)
+def fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode — one output row per word (UDTF-shaped)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.explode(F.split(F.col("p_type"), " ")).alias("type_word"),
+    )

@@ -1,0 +1,169 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Every grouped aggregation here compiles to partial (map-side)
+HashAggregate → shuffle on the group keys → final HashAggregate, which is
+the shape that scales: the shuffle moves one row per (partition, group),
+not one per input row. Group-by keys are low-cardinality fixture columns,
+so at 100 TB the exchange is tiny regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "agg_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    phase="P1",
+    tags=("agg", "flagship"),
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query (entry())."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+        SELECT sum(l_quantity) AS total_qty,
+               avg(l_extendedprice) AS avg_price,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship,
+               count(*) AS n_rows
+        FROM lineitem
+    """,
+    phase="P1",
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — single-row result, fully map-side partial."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    phase="P2",
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-stage aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 5
+    """,
+    phase="P2",
+    tags=("agg", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               stddev_samp(l_extendedprice) AS sd_price,
+               var_samp(l_discount) AS var_disc,
+               corr(l_extendedprice, l_quantity) AS corr_price_qty,
+               covar_samp(l_extendedprice, l_discount) AS cov_price_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    phase="P2",
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — stddev/variance/corr/covar."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("sd_price"),
+        F.var_samp("l_discount").alias("var_disc"),
+        F.corr("l_extendedprice", "l_quantity").alias("corr_price_qty"),
+        F.covar_samp("l_extendedprice", "l_discount").alias("cov_price_disc"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific → rows-only check
+    phase="P3",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality estimate of l_partkey per returnflag.
+
+    At 100 TB this replaces exact COUNT(DISTINCT) (whose shuffle carries
+    every distinct key) with a constant-size sketch merged map-side.
+    pytest asserts the estimate is within rsd of the exact count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )

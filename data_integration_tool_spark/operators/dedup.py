@@ -1,0 +1,226 @@
+"""Deduplication operators over documents (SURVEY.md §2.10).
+
+Scale design:
+- ``dedup_exact``: hash-groupBy on md5(text) — one shuffle keyed on the
+  digest, map-side partial agg; at 100 TB the shuffle carries one row
+  per distinct digest, not per document.
+- ``dedup_minhash``: MinHash + LSH banding. Candidate generation is
+  band-bucket join (linear in docs × bands), never the naive O(n²)
+  all-pairs compare; the exact-Jaccard confirmation only runs on
+  bucket-collision candidates.
+- ``dedup_simhash``: 64-bit SimHash from token hashes; near-dups share
+  the same value on most bits — grouped here by exact signature, banded
+  by 16-bit chunks for hamming-neighbor candidates in pytest.
+All hashing is Spark's xxhash64/md5 (JVM, codegen) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+N_MINHASH = 32  # minhash signature length
+N_BANDS = 8  # LSH bands → rows per band = 32/8 = 4
+
+
+def _tokens(col: str = "text"):
+    """Distinct lowercase whitespace tokens (the doc's shingle set)."""
+    return F.array_distinct(F.filter(F.split(F.lower(col), " "), lambda t: t != ""))
+
+
+def minhash_signature(tokens_col, n_hashes: int = N_MINHASH):
+    """MinHash signature: per seed i, min over tokens of xxhash64(token, i).
+
+    xxhash64 is deterministic and JVM-side; the transform/array_min pair
+    keeps the whole signature computation inside codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(tokens_col, lambda t, i=i: F.xxhash64(t, F.lit(i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text)     AS text_hash,
+               count(*)      AS n_copies,
+               min(doc_id)   AS canonical_doc_id
+        FROM documents
+        GROUP BY md5(text)
+        HAVING count(*) >= 1
+    """,
+    phase="P2",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content digest, keeping min doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    """,
+    phase="P3",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (≥0.8) within a source.
+
+    The source-key equi-join bounds the pair blowup (25 docs/source in
+    the fixtures); at scale the blocking key would be an LSH band
+    (dedup_minhash) instead of a metadata column.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", _tokens().alias("toks"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "dedup_minhash",
+    oracle=None,  # hash-seed-specific signatures → rows-only + pytest recall
+    phase="P3",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with signature similarity.
+
+    Pipeline: token set → 32-hash MinHash signature → 8 bands × 4 rows
+    → band-bucket self-join on (band_idx, band_hash) → distinct pairs →
+    estimated Jaccard = fraction of agreeing minhashes ≥ 0.5.
+    Linear-time candidate generation: the join key is the band hash, so
+    only same-bucket docs ever meet. pytest checks recall vs the exact
+    Jaccard pairs.
+    """
+    d = load(spark, sf_dir, "documents")
+    rows_per_band = N_MINHASH // N_BANDS
+    sig = d.select("doc_id", minhash_signature(_tokens()).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # hash-specific → rows-only + pytest on planted dups
+    phase="P3",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + exact-signature dup groups.
+
+    Each token votes its hash bits ±1; the signature sign-packs the
+    vote sums. Computed with transform/aggregate over the token array —
+    one pass, no shuffle until the final group.
+    """
+    d = load(spark, sf_dir, "documents")
+    # One row per (doc, token) → 64 conditional vote-sums in a single
+    # map-side-combinable aggregate; each bit b uses a literal shift so
+    # everything stays in whole-stage codegen.
+    ex = d.select("doc_id", F.explode(_tokens()).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        packed = packed + F.shiftleft(bit, b)
+    sim = votes.select("doc_id", packed.alias("simhash"))
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical"))
+        .filter(F.col("n_docs") >= 1)
+    )

@@ -1,0 +1,342 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes for scale:
+- Equi-joins on TPC-H keys shuffle both sides on the key; AQE converts
+  to broadcast when one side is small at runtime. Dimension tables
+  (region/nation/supplier) are explicitly broadcast — at 100 TB a
+  fact-side shuffle for a 25-row dim is pure waste.
+- Semi/anti joins ship only the join keys of the small side — always
+  prefer them to ``IN (subquery)``-style materialization.
+- The as-of and interval joins bound the probe range BEFORE the window
+  dedup so the intermediate never blows up to O(events × orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    phase="P1",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_orders,
+               sum(o.o_totalprice) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    phase="P2",
+    tags=("join", "multiway"),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join region→nation→customer→orders, dims broadcast.
+
+    Join order is smallest-first so each intermediate stays dim-sized
+    until the fact table joins last against an already-broadcast map.
+    """
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    """,
+    phase="P2",
+    tags=("join", "outer"),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause
+    so non-matching customers survive with nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, q.l_suppkey, q.big_qty
+        FROM supplier s
+        FULL OUTER JOIN (
+            SELECT l_suppkey, sum(l_quantity) AS big_qty
+            FROM lineitem GROUP BY l_suppkey HAVING sum(l_quantity) > 100000
+        ) q ON q.l_suppkey = s.s_suppkey
+    """,
+    phase="P2",
+    tags=("join", "outer"),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join supplier vs an aggregated lineitem slice."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("big_qty"))
+        .filter(F.col("big_qty") > 100000)
+    )
+    return s.join(q, q.l_suppkey == s.s_suppkey, "full").select(
+        "s_suppkey", "s_name", "l_suppkey", "big_qty"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    phase="P2",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order.
+
+    Semi join ships only o_custkey of the filtered side — no payload
+    columns cross the shuffle, and duplicates never multiply rows.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
+    phase="P2",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders (every customer
+    has SOME order in the fixtures, so the filtered variant keeps the
+    result non-trivial)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT n.n_name, count(*) AS n_customers, sum(c.c_acctbal) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    phase="P2",
+    tags=("join", "broadcast"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join against the 25-row nation dim —
+    zero shuffle on the fact side (the groupBy shuffles 25 rows/task)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, p.p_partkey, p.p_retailprice
+        FROM supplier s JOIN part p
+          ON p.p_retailprice BETWEEN s.s_acctbal / 10 AND s.s_acctbal / 10 + 50
+    """,
+    phase="P3",
+    tags=("join", "theta"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join. Spark plans BroadcastNestedLoopJoin with
+    the small supplier side broadcast — O(|part| × |supplier|) compare,
+    acceptable only because supplier is dim-sized; a fact×fact theta
+    join would need banding (see join_asof) instead."""
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    cond = (p.p_retailprice >= s.s_acctbal / 10) & (
+        p.p_retailprice <= s.s_acctbal / 10 + 50
+    )
+    return F.broadcast(s).join(p, cond).select(
+        "s_suppkey", "s_name", "p_partkey", "p_retailprice"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT a.r_name AS from_region, b.r_name AS to_region
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    phase="P3",
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the 5-row region table with itself."""
+    r = load(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") != F.col("b.r_regionkey"))
+        .select(
+            F.col("a.r_name").alias("from_region"),
+            F.col("b.r_name").alias("to_region"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        SELECT o_orderkey, o_custkey, event_id AS last_event_id, ts AS last_event_ts
+        FROM (
+            SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts,
+                   row_number() OVER (PARTITION BY o.o_orderkey
+                                      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+            FROM orders o
+            JOIN events e
+              ON e.user_id = o.o_custkey % 150
+             AND e.ts <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL (o.o_orderkey % 14) DAY
+        ) WHERE rn = 1
+    """,
+    phase="P3",
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's cutoff, per key.
+
+    Spark has no native as-of physical operator, so this is the scalable
+    composition: range equi-join on the key (shuffle co-locates key
+    groups) + row_number() dedup to keep the latest match. The per-key
+    match set is bounded by the key's event count; for 100 TB streams,
+    pre-bucket both sides by (key, coarse time bucket) to bound it
+    further. Cutoff is derived deterministically from o_orderkey since
+    orders (1995-2001) and events (2024) don't overlap in time.
+    """
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp") + (
+        F.col("o_orderkey") % 14
+    ).cast("int") * F.expr("INTERVAL 1 DAY")
+    joined = o.withColumn("cutoff", cutoff).join(
+        e,
+        (e.user_id == o.o_custkey % 150) & (e.ts <= F.col("cutoff")),
+        "inner",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_event_ts"),
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+        SELECT e1.event_id AS click_id, e2.event_id AS purchase_id,
+               e1.user_id, e1.ts AS click_ts, e2.ts AS purchase_ts
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+    phase="P3",
+    tags=("join", "interval"),
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 1 hour after a click, same user.
+
+    Equi-join on user_id carries the shuffle; the time-band predicate
+    is evaluated post-shuffle per key group. At stream scale, bucketing
+    by (user_id, hour(ts)) and joining adjacent buckets bounds the
+    candidate set.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (clicks.user_id == buys.p_user_id)
+        & (buys.purchase_ts > clicks.click_ts)
+        & (buys.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(buys, cond).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    )

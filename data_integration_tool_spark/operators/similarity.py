@@ -1,0 +1,225 @@
+"""Vector similarity search over embeddings (SURVEY.md §2.10).
+
+All vector math is array-expression based (zip_with/aggregate), cast to
+double BEFORE arithmetic on BOTH engines so in-order accumulation is
+bit-identical with the DuckDB oracle — the top-k boundary then cannot
+flip between engines.
+
+Scale design: brute-force cosine is the correctness baseline (scan ×
+broadcast query — embarrassingly parallel, no shuffle). The scale path
+is LSH bucketing (``sim_ann_lsh``): random-hyperplane sign bits bucket
+the vectors, so probes only touch one bucket — candidate set shrinks
+~2^n_planes-fold; pytest measures recall vs the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def dot(a, b) -> Column:
+    """In-order double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# DuckDB twin of cosine(): identical op order (multiply-as-double, left
+# fold, sqrt of self-dot), so results are bit-exact across engines.
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    d_ab = _DUCK_DOT.format(a=a, b=b)
+    d_aa = _DUCK_DOT.format(a=a, b=a)
+    d_bb = _DUCK_DOT.format(a=b, b=b)
+    return f"({d_ab} / (sqrt({d_aa}) * sqrt({d_bb})))"
+
+
+@query(
+    "sim_knn_exact",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               {_duck_cosine('e.embedding', 'q.qe')} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """,
+    phase="P2",
+    tags=("similarity", "knn"),
+)
+def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vector 0 (brute force baseline).
+
+    The 1-row query side is broadcast; the scan side never shuffles —
+    TakeOrderedAndProject keeps 10 rows per partition. This shape holds
+    at any scale: cost is one pass over the vectors.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+    phase="P3",
+    tags=("similarity", "pairs"),
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-label pairs with cosine ≥ 0.3 (fixture vectors are
+    near-orthogonal: within-label max cosine ≈ 0.47).
+
+    The label equi-join is the blocking key bounding the pair count
+    (the all-pairs version is O(n²) and deliberately not offered); at
+    scale the blocking key becomes an LSH bucket (sim_ann_lsh).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@query(
+    "cluster_assign",
+    oracle=f"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce
+                      FROM embeddings WHERE vec_id < 10)
+        SELECT vec_id, label, cent_id AS nearest_centroid, cosine
+        FROM (
+            SELECT e.vec_id, e.label, c.cent_id,
+                   {_duck_cosine('e.embedding', 'c.ce')} AS cosine,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_duck_cosine('e.embedding', 'c.ce')} DESC, c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    """,
+    phase="P3",
+    tags=("similarity", "cluster"),
+)
+def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest of 10 fixed centroids
+    (vectors 0..9) by cosine — one k-means assignment step.
+
+    Centroids broadcast; argmin via row_number over a per-vector window.
+    The scan side stays partition-parallel at any scale.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        )
+    )
+    cos = cosine(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
+    return (
+        e.crossJoin(cent)
+        .select("vec_id", "label", "cent_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cent_id").alias("nearest_centroid"), "cosine")
+    )
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=None,  # approximate → rows-only; pytest measures recall vs exact
+    phase="P4",
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vector 0 via random-hyperplane LSH.
+
+    8 deterministic pseudo-hyperplanes (elements derived from xxhash64
+    of (plane, dim) — no RNG state, reproducible anywhere) → 8 sign
+    bits → bucket id. Only vectors in the query's bucket are scored:
+    ~2^8-fold candidate reduction at scale. pytest asserts recall vs
+    sim_knn_exact.
+    """
+    e = load(spark, sf_dir, "embeddings")
+
+    def plane(p: int) -> Column:
+        # deterministic pseudo-random hyperplane in [-1, 1]^64
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63)))
+            ),
+        )
+
+    def bucket(vec) -> Column:
+        bits = [
+            F.when(dot(vec, plane(p)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            for p in range(8)
+        ]
+        acc = F.lit(0).cast("long")
+        for i, bit in enumerate(bits):
+            acc = acc + F.shiftleft(bit, i)
+        return acc
+
+    hashed = e.select("vec_id", "label", "embedding", bucket("embedding").alias("bucket"))
+    q = F.broadcast(
+        hashed.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        hashed.join(q, F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qe")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

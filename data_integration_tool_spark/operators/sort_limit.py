@@ -1,0 +1,112 @@
+"""Sort / limit / top-k / sample operators (SURVEY.md §2.6).
+
+Top-k keeps ``orderBy().limit()`` adjacent so Spark plans
+TakeOrderedAndProject — each task keeps a k-row heap and only k rows per
+partition reach the driver-side merge, instead of a full global sort.
+Every LIMIT query totally orders on a unique key so results are
+deterministic (hash-stability rule, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "sort_multi",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_or_null
+        FROM orders
+        ORDER BY status_or_null NULLS FIRST, o_orderpriority DESC, o_totalprice ASC, o_orderkey
+        LIMIT 500
+    """,
+    phase="P1",
+    tags=("sort",),
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, mixed asc/desc, explicit NULLS FIRST placement.
+
+    LIMIT 500 with a unique final tiebreaker (o_orderkey) makes the
+    result set deterministic for the order-insensitive hash compare.
+    """
+    o = load(spark, sf_dir, "orders")
+    status_or_null = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    return (
+        o.withColumn("status_or_null", status_or_null)
+        .orderBy(
+            F.asc_nulls_first("status_or_null"),
+            F.desc("o_orderpriority"),
+            F.asc("o_totalprice"),
+            F.asc("o_orderkey"),
+        )
+        .limit(500)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "status_or_null")
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    phase="P1",
+    tags=("sort", "topk"),
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price — plans as TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 100
+    """,
+    phase="P3",
+    tags=("sort", "offset"),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination over a deterministic total order."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "sample_bernoulli",
+    oracle=None,  # sampling is engine-specific → rows-only check
+    phase="P4",
+    tags=("sample",),
+)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of lineitem (~10%).
+
+    Sampling happens at scan time per partition — no shuffle, no
+    materialization; pytest asserts the fraction lands near 10%.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,213 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.10;
+mandated LLM-data-pipeline surface, BASELINE.json:6).
+
+All tokenization is expression-based (split/explode/regexp) — the hot
+path never leaves the JVM. At 100 TB these run as scan → map-side
+expressions → one shuffle for the aggregate; nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# Shared stopword list for quality scoring (deterministic, tiny).
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+
+
+@query(
+    "text_tokenize_tf",
+    oracle="""
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    phase="P2",
+    tags=("text", "tokenize"),
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization → corpus term & document frequencies."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+        SELECT source,
+               count(*)                 AS n_docs,
+               avg(n_chars)             AS avg_chars,
+               count(DISTINCT lang)     AS n_langs,
+               min(n_chars)             AS min_chars,
+               max(n_chars)             AS max_chars
+        FROM documents
+        GROUP BY source
+    """,
+    phase="P2",
+    tags=("text", "stats"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens_ws,
+               length(text)                 AS n_chars_actual,
+               len(regexp_split_to_array(text, '[a-z]+')) - 1 AS n_word_matches
+        FROM documents
+    """,
+    phase="P2",
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word-ish matches.
+
+    The regex count emulates a BPE-ish pre-tokenizer pass (count of
+    maximal letter runs) without any Python in the loop.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+        F.length("text").alias("n_chars_actual"),
+        (F.size(F.split("text", "[a-z]+")) - 1).alias("n_word_matches"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               n_tokens,
+               n_stopwords,
+               CAST(n_stopwords AS DOUBLE) / n_tokens          AS stopword_ratio,
+               CAST(n_distinct AS DOUBLE) / n_tokens           AS distinct_ratio,
+               CASE WHEN n_tokens >= 20
+                     AND CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM (
+            SELECT doc_id,
+                   len(toks)                                                    AS n_tokens,
+                   len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stopwords,
+                   len(list_distinct(toks))                                     AS n_distinct
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        )
+    """,
+    phase="P2",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token counts, stopword ratio,
+    vocabulary diversity, and a pass/fail gate — the classic pre-training
+    corpus filter, computed entirely with array expressions."""
+    d = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stopwords"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        F.when(
+            (F.col("n_tokens") >= 20) & stop_ratio.between(0.01, 0.6), 1
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN text LIKE '%the%' OR text LIKE '%query%' THEN 1 ELSE 0 END) AS n_englishy
+        FROM documents
+        GROUP BY lang
+    """,
+    phase="P2",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language distribution + a trivial n-gram language cue count.
+
+    (The fixture vocabulary is shared across langs, so real n-gram
+    language ID is exercised in pytest on planted samples; here the
+    verified surface is the marker-count aggregation shape.)
+    """
+    d = load(spark, sf_dir, "documents")
+    englishy = (
+        F.when(
+            F.col("text").like("%the%") | F.col("text").like("%query%"), 1
+        ).otherwise(0)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(englishy).alias("n_englishy"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               hash(list_aggregate(list_sort(list_distinct(string_split(lower(text), ' '))), 'string_agg', ' ')) IS NOT NULL AS has_fp,
+               len(list_distinct(string_split(lower(text), ' '))) AS vocab_size
+        FROM documents
+    """,
+    phase="P3",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the sorted distinct-token bag.
+
+    Hash values are engine-specific, so the verified columns are the
+    fingerprint's presence + vocab size; equality-of-fingerprint
+    semantics are verified in dedup_exact (md5) and pytest.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = F.array_distinct(F.split(F.lower("text"), " "))
+    fp = F.hash(F.concat_ws(" ", F.sort_array(vocab)))
+    return d.select(
+        "doc_id",
+        fp.isNotNull().alias("has_fp"),
+        F.size(vocab).alias("vocab_size"),
+    )

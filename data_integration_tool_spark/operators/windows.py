@@ -1,0 +1,244 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Every window carries a unique tiebreaker in its ORDER BY (event_id /
+o_orderkey) so results are deterministic and hash-comparable across
+engines. A window's partitionBy is its shuffle key: all windows here
+partition on real entity keys (customer/user), never on constants —
+an empty partitionBy pulls the whole table into one task and cannot
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank()       OVER w AS price_rank,
+               dense_rank() OVER w AS price_dense_rank,
+               row_number() OVER w AS price_row_number
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    phase="P2",
+    tags=("window", "rank"),
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number of orders by price per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(w).alias("price_row_number"),
+    )
+
+
+@query(
+    "win_topk_pergroup",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    phase="P2",
+    tags=("window", "topk"),
+)
+def win_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number filter.
+
+    Scale note: Spark pushes a per-partition rank limit down into the
+    sort (WindowGroupLimit in Spark ≥3.5), so each task keeps only 3
+    rows per key before the shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               value - lag(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    phase="P2",
+    tags=("window", "lag"),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event value per user in event-time order."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               sum(value)   OVER w AS running_sum,
+               count(*)     OVER w AS running_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    phase="P2",
+    tags=("window", "running"),
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/count of value per user."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("value").over(w).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_sliding_rows",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg5
+        FROM events
+    """,
+    phase="P3",
+    tags=("window", "sliding"),
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 5 rows per user."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.avg("value").over(w).alias("moving_avg5"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper
+        FROM orders
+    """,
+    phase="P3",
+    tags=("window", "range"),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: orders within $50k below each order's price.
+
+    count(*) over a RANGE frame is tie-stable (all peers share a frame),
+    so no tiebreaker is needed — unlike row-framed windows.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+    )
+
+
+@query(
+    "win_ntile_cume",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               ntile(4)       OVER w AS quartile,
+               cume_dist()    OVER w AS cume,
+               percent_rank() OVER w AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    phase="P3",
+    tags=("window", "ntile"),
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles + cumulative distribution per order status."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               first_value(value) OVER w AS first_val,
+               last_value(value)  OVER w AS last_val_so_far
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    phase="P3",
+    tags=("window", "firstlast"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last value in a growing frame per user."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val_so_far"),
+    )

@@ -1,0 +1,212 @@
+"""Event-time window operators, batch-verified on the events table
+(SURVEY.md §2.9).
+
+These are the batch twins of the Structured Streaming operators in
+``structured.py``: identical event-time semantics (tumbling/sliding
+windows, sessionization, dedup), expressed so a DuckDB oracle can verify
+them. The streaming layer reuses the same groupings with
+``readStream`` + watermarks.
+
+events.ts is timestamp[ns] in parquet; Spark truncates to µs on read,
+so every oracle casts ts to plain TIMESTAMP first (SURVEY.md §7e).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               count(*)   AS n_events,
+               sum(value) AS total_value,
+               avg(value) AS avg_value
+        FROM events
+        GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    """,
+    phase="P2",
+    tags=("streaming", "window"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums per event_type.
+
+    Uses F.window (the same operator Structured Streaming uses with a
+    watermark); window.start == date_trunc('hour', ts) for aligned
+    1-hour tumbling windows.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+        SELECT window_start,
+               count(*)   AS n_events,
+               sum(value) AS total_value
+        FROM (
+            SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                     - to_minutes(15 * g.i) AS window_start,
+                   value
+            FROM events, (SELECT unnest(range(4)) AS i) g
+        )
+        GROUP BY window_start
+    """,
+    phase="P3",
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4).
+
+    F.window with a slide assigns each event to ceil(window/slide)
+    overlapping windows map-side — no self-join, unlike the SQL oracle
+    emulation.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, event_id, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               min(ts)    AS session_start,
+               max(ts)    AS session_end,
+               count(*)   AS n_events,
+               sum(value) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    phase="P3",
+    tags=("streaming", "session"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user with a 30-minute inactivity gap.
+
+    Batch form of F.session_window: gap-and-cumsum — lag() finds session
+    starts, a running sum numbers them. One shuffle on user_id; the
+    streaming twin uses F.session_window with a watermark.
+    """
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+    ).cast("int")
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+        SELECT user_id, event_type, event_id, ts AS first_ts
+        FROM (
+            SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    phase="P2",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type).
+
+    Batch twin of streaming dropDuplicates-with-watermark, but
+    deterministic: row_number over event time (dropDuplicates keeps an
+    arbitrary row, which can't be hash-verified).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.col("ts").alias("first_ts"))
+    )
+
+
+@query(
+    "stream_late",
+    oracle="""
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >=
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY
+    """,
+    phase="P4",
+    tags=("streaming", "watermark"),
+)
+def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch emulation of watermark late-data filtering: keep events
+    within 7 days of the max event time (the 'watermark')."""
+    e = load(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .select("event_id", "user_id", "ts")
+    )

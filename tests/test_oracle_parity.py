@@ -1,0 +1,41 @@
+"""The core gate: every registered query with an oracle must match its
+DuckDB twin on the same parquet (row count + columns + values). Queries
+without an oracle must at least execute and return a stable schema.
+
+Run with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full
+driver-scale check (default sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_tool_spark import registry
+
+from .conftest import TEST_SF_DIR
+from .oracle_check import compare_frames, duck_connect
+
+SPECS = registry.specs()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connect(TEST_SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_parity(name, spark, sf_dir, duck):
+    spec = SPECS[name]
+    df = spec.builder(spark, sf_dir)
+    if spec.oracle is None:
+        # rows-only contract: runs, has a schema, row count is sane
+        n = df.count()
+        assert n >= 0
+        assert df.columns
+        return
+    sp = df.toPandas()
+    du = duck.execute(spec.oracle).fetchdf()
+    problems = compare_frames(sp, du, name)
+    assert not problems, "\n".join(problems)
