@@ -41,6 +41,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    from .shipping import ship_package
+
+    ship_package(spark)
     if table == "events":
         from pyspark.sql import functions as F
 

@@ -167,3 +167,156 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*)        AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    phase="P3",
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status), (flag), () — null-filled
+    grouping columns mark subtotal rows, matching ANSI ROLLUP."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice) AS sum_price,
+               count(*)             AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    phase="P3",
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations of (flag, status)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               grouping(l_returnflag)  AS g_flag,
+               grouping(l_linestatus)  AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    phase="P3",
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with grouping() indicator columns
+    (disambiguates 'null because subtotal' from 'null in data')."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS median_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price,
+               quantile_cont(o_totalprice, 0.99) AS p99_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    phase="P3",
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linear interpolation).
+
+    Scale note: exact percentile shuffles all values per group; at
+    100 TB swap in approx_percentile (t-digest) — kept exact here
+    because the oracle must hash-match.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+        SELECT o_custkey,
+               list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    phase="P3",
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group array of order keys — sorted on both engines because
+    array element order is part of the value (SURVEY.md §5)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+        FROM events
+        GROUP BY user_id
+    """,
+    phase="P3",
+    tags=("agg", "pivot"),
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type → columns of per-user counts.
+
+    The pivot value list is explicit: Spark otherwise runs a distinct
+    scan to discover values (an extra job), and stable output columns
+    are required for the oracle compare anyway. Missing combinations
+    are 0-filled to match SQL count(CASE ...).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .fillna(0, subset=list(_EVENT_TYPES))
+    )

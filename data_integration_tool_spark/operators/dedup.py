@@ -31,6 +31,14 @@ def _tokens(col: str = "text"):
     return F.array_distinct(F.filter(F.split(F.lower(col), " "), lambda t: t != ""))
 
 
+def _seeded_hash(i: int):
+    """Single-arg lambda factory: F.transform treats a TWO-parameter
+    lambda as (element, index) and silently passes the array index as
+    the second arg — a closure default would be overridden. Keep the
+    seed bound via a factory so each of the k hash functions differs."""
+    return lambda t: F.xxhash64(t, F.lit(i))
+
+
 def minhash_signature(tokens_col, n_hashes: int = N_MINHASH):
     """MinHash signature: per seed i, min over tokens of xxhash64(token, i).
 
@@ -39,9 +47,7 @@ def minhash_signature(tokens_col, n_hashes: int = N_MINHASH):
     """
     return F.array(
         *[
-            F.array_min(
-                F.transform(tokens_col, lambda t, i=i: F.xxhash64(t, F.lit(i)))
-            )
+            F.array_min(F.transform(tokens_col, _seeded_hash(i)))
             for i in range(n_hashes)
         ]
     )

@@ -174,6 +174,10 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 8  # OR-ed hash tables (recall lever)
+BITS_PER_TABLE = 4  # AND-ed sign bits per table (precision lever)
+
+
 @query(
     "sim_ann_lsh",
     oracle=None,  # approximate → rows-only; pytest measures recall vs exact
@@ -181,45 +185,60 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vector 0 via random-hyperplane LSH.
+    """Approximate top-10 neighbors of vector 0 via multi-table
+    random-hyperplane LSH.
 
-    8 deterministic pseudo-hyperplanes (elements derived from xxhash64
-    of (plane, dim) — no RNG state, reproducible anywhere) → 8 sign
-    bits → bucket id. Only vectors in the query's bucket are scored:
-    ~2^8-fold candidate reduction at scale. pytest asserts recall vs
-    sim_knn_exact.
+    8 tables x 4 sign bits: a vector collides with the query if it
+    matches ALL 4 bits in ANY table (AND within a table for precision,
+    OR across tables for recall -- the standard hyperplane-LSH layout).
+    Hyperplanes are deterministic pseudo-random (xxhash64 of
+    (table, bit, dim) -- no RNG state, reproducible on any cluster).
+
+    Scale shape: vectors carry an 8-slot bucket array; the probe is a
+    broadcast of the 1-row query side, and candidates shrink to roughly
+    n_tables/2^bits of the corpus. For batch probes at scale, explode
+    to (table, bucket) keys and equi-join instead of the broadcast.
+    pytest measures recall vs sim_knn_exact.
     """
     e = load(spark, sf_dir, "embeddings")
 
-    def plane(p: int) -> Column:
+    def plane(t: int, b: int) -> Column:
         # deterministic pseudo-random hyperplane in [-1, 1]^64
         return F.transform(
             F.sequence(F.lit(0), F.lit(63)),
             lambda d: (
-                (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63)))
+                F.xxhash64(F.lit(t), F.lit(b), d).cast("double")
+                / F.lit(float(2**63))
             ),
         )
 
-    def bucket(vec) -> Column:
-        bits = [
-            F.when(dot(vec, plane(p)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            for p in range(8)
-        ]
+    def table_bucket(vec, t: int) -> Column:
         acc = F.lit(0).cast("long")
-        for i, bit in enumerate(bits):
-            acc = acc + F.shiftleft(bit, i)
+        for b in range(BITS_PER_TABLE):
+            bit = (
+                F.when(dot(vec, plane(t, b)) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            acc = acc + F.shiftleft(bit, b)
         return acc
 
-    hashed = e.select("vec_id", "label", "embedding", bucket("embedding").alias("bucket"))
+    buckets = F.array(*[table_bucket("embedding", t) for t in range(N_TABLES)])
+    hashed = e.select("vec_id", "label", "embedding", buckets.alias("buckets"))
     q = F.broadcast(
         hashed.filter(F.col("vec_id") == 0).select(
-            F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+            F.col("embedding").alias("qe"), F.col("buckets").alias("qbuckets")
         )
     )
+    collide = F.exists(
+        F.zip_with("buckets", "qbuckets", lambda x, y: x == y), lambda v: v
+    )
     return (
-        hashed.join(q, F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qe")).alias("cosine"))
+        hashed.crossJoin(q)
+        .filter((F.col("vec_id") != 0) & collide)
+        .select(
+            "vec_id", "label", cosine(F.col("embedding"), F.col("qe")).alias("cosine")
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )

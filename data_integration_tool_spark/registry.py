@@ -45,6 +45,9 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.functions.math_fns",
     "data_integration_tool_spark.functions.arrays",
     "data_integration_tool_spark.functions.json_fns",
+    "data_integration_tool_spark.functions.maps",
+    "data_integration_tool_spark.operators.udfs",
+    "data_integration_tool_spark.sources.multimodal",
     "data_integration_tool_spark.streaming.event_windows",
     "data_integration_tool_spark.operators.text",
     "data_integration_tool_spark.operators.dedup",

@@ -1,0 +1,123 @@
+"""Multimodal (binary) column support (SURVEY.md §2.10 / BASELINE.json
+mandate).
+
+Model: image/audio/video payloads are opaque ``binary`` columns with
+typed metadata beside them. Everything Spark-side is real — schema,
+partitioning, Arrow batch flow, UDF signatures; only the codec call
+itself is stubbed (no image/audio libraries in this container) behind
+``decode_stub``, which produces a deterministic fake feature vector so
+the plumbing is testable end-to-end.
+
+At scale: payload bytes ride the scan (parquet binary / binaryFile
+source); feature extraction is mapInPandas (no shuffle), so the cost is
+one decode pass co-located with the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_len", T.LongType()),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame) -> DataFrame:
+    """Derive a deterministic binary payload column from text (stand-in
+    for real image/audio bytes; the engine treats it as opaque)."""
+    payload = F.col("text").cast("binary")
+    return df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("bigint").alias("payload_len"),
+    )
+
+
+def decode_stub(payload: bytes) -> np.ndarray:
+    """STUB for the real codec (PIL/librosa/ffmpeg are not in this
+    container). Deterministic fake: FEATURE_DIM floats derived from the
+    payload digest. Replace with a real decode at deployment; the
+    signature (bytes → fixed-dim float vector) is the contract."""
+    digest = hashlib.sha256(payload).digest()
+    return np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32).astype(
+        np.float64
+    ) / np.float64(2**32)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+               octet_length(encode(text)) AS payload_len
+        FROM documents
+    """,
+    phase="P4",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: payload byte length + media type.
+
+    Verifies the binary plumbing end-to-end (cast → BinaryType →
+    byte-length) against DuckDB's encode/octet_length.
+    """
+    d = load(spark, sf_dir, "documents")
+    return attach_fake_payload(d).select("doc_id", "media_type", "payload_len")
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # decode is a stub → pytest checks shape/determinism
+    phase="P4",
+    tags=("multimodal", "mapinpandas"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Real Arrow batch flow, stubbed codec: each batch of payload bytes
+    becomes FEATURE_DIM-float vectors. This is the exact shape a real
+    image-embedding pass takes at 100 TB (decode co-located with the
+    scan, no shuffle, constant memory per batch).
+    """
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d)
+
+    def extract(batches):
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: decode_stub(bytes(b)).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return media.mapInPandas(extract, schema=out_schema)

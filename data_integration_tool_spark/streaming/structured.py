@@ -1,0 +1,119 @@
+"""True Structured Streaming layer (SURVEY.md §2.9 P4).
+
+The batch operators in ``event_windows.py`` define the verified
+semantics; this module runs the same event-time logic as real streams:
+``readStream`` source → watermark → windowed/sessionized aggregation →
+sink. Tested with availableNow + memory sink (pytest), which exercises
+the actual streaming engine (incremental state store, watermark
+advancement), not a batch re-run.
+
+The parquet streaming source cannot read the fixtures' TIMESTAMP(NANOS)
+column even with nanosAsLong, so streams are driven from a re-typed
+copy of events (helper ``stage_events_stream``) — at deployment the
+source would be Kafka/files with µs timestamps anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+
+def stage_events_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4
+) -> None:
+    """Materialize events as a multi-file µs-timestamp parquet directory
+    usable as a file-stream source (each file becomes a micro-batch
+    under maxFilesPerTrigger=1)."""
+    load(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+
+
+def read_events_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """Open the staged events directory as a streaming source."""
+    schema = spark.read.parquet(stage_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of batch ``stream_tumbling``: 1-hour event-time
+    tumbling windows with late-data handling via watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via session_window (the native stateful
+    operator; batch twin is the gap-and-cumsum in event_windows.py)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with bounded state:
+    the watermark lets the state store evict old keys — without it,
+    state grows forever at 100 TB."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, table_name: str, mode: str = "append"
+) -> None:
+    """Drain the stream into an in-memory sink (availableNow: process
+    everything staged, then stop — the batch-parity harness)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def run_foreach_batch(
+    spark: SparkSession, streaming_df: DataFrame, batch_fn, mode: str = "update"
+) -> None:
+    """foreachBatch sink: each micro-batch arrives as a regular
+    DataFrame for arbitrary batch-side logic (upserts, multi-sink)."""
+    q = (
+        streaming_df.writeStream.foreachBatch(batch_fn)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -1,0 +1,201 @@
+"""Algorithm-quality checks for the non-oracled (rows-only) operators:
+recall for approximate methods vs their exact baselines, tolerance
+checks for sketches, and UDF-vs-builtin twin comparisons."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_tool_spark.io import load
+from data_integration_tool_spark.operators import dedup, similarity, udfs
+from data_integration_tool_spark.operators.aggregates import agg_approx_distinct
+from data_integration_tool_spark.operators.sort_limit import sample_bernoulli
+from data_integration_tool_spark.functions.maps import fn_map
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    """MinHash candidate pairs' estimated Jaccard must be close to the
+    true token-set Jaccard (signature of 32 → stderr ≈ 0.09)."""
+    cand = dedup.dedup_minhash(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", dedup._tokens().alias("toks"))
+    a = tok.alias("ta")
+    b = tok.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    joined = (
+        cand.join(a, cand.doc_a == F.col("ta.doc_id"))
+        .join(b, cand.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", "est_jaccard", (inter / union).alias("true_jaccard"))
+        .collect()
+    )
+    assert joined, "minhash produced no candidate pairs"
+    errs = [abs(r.est_jaccard - r.true_jaccard) for r in joined]
+    assert sum(errs) / len(errs) < 0.2
+
+
+def test_minhash_recall_vs_exact_pairs(spark, sf_dir):
+    """Every exact near-dup pair (token Jaccard ≥ 0.9) must be found by
+    the LSH candidate generation (8 bands × 4 rows: P(miss at j=0.9) =
+    (1-0.9^4)^8 ≈ 5%; fixture pairs at j≈1 are essentially never missed).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", dedup._tokens().alias("toks"))
+    a = tok.alias("ta")
+    b = tok.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .select(
+            F.col("ta.doc_id").alias("doc_a"),
+            F.col("tb.doc_id").alias("doc_b"),
+            (inter / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash(spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.9, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    one = {r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    two = {r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    assert one == two and one
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Bucketed ANN must recover a reasonable fraction of the true
+    top-10 (single-bucket probe over 8 planes is intentionally coarse;
+    pytest pins the floor so regressions surface)."""
+    exact = [r.vec_id for r in similarity.sim_knn_exact(spark, sf_dir).collect()]
+    approx = {r.vec_id for r in similarity.sim_ann_lsh(spark, sf_dir).collect()}
+    assert approx, "ANN probe returned nothing (bucket empty?)"
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall {recall}"
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    for k, exact_n in exact.items():
+        assert abs(approx[k] - exact_n) / exact_n < 0.1
+
+
+def test_sample_fraction(spark, sf_dir):
+    li_n = load(spark, sf_dir, "lineitem").count()
+    n = sample_bernoulli(spark, sf_dir).count()
+    assert 0.05 * li_n < n < 0.15 * li_n
+
+
+def test_pandas_udf_norm_matches_builtin(spark, sf_dir):
+    from data_integration_tool_spark.functions.arrays import fn_array_hof
+
+    udf_norms = {
+        r.vec_id: r.l2_norm_udf
+        for r in udfs.udf_pandas_norm(spark, sf_dir).collect()
+    }
+    builtin = {
+        r.vec_id: r.l2_norm for r in fn_array_hof(spark, sf_dir).collect()
+    }
+    assert udf_norms.keys() == builtin.keys()
+    for k in builtin:
+        assert math.isclose(udf_norms[k], builtin[k], rel_tol=1e-9)
+
+
+def test_pandas_udaf_matches_builtin(spark, sf_dir):
+    built = {
+        r.l_returnflag: r.weighted_avg_price
+        for r in udfs.udf_grouped_agg(spark, sf_dir).collect()
+    }
+    pand = {
+        r.l_returnflag: r.weighted_avg_price
+        for r in udfs.grouped_agg_pandas(spark, sf_dir).collect()
+    }
+    assert built.keys() == pand.keys()
+    for k in built:
+        assert math.isclose(built[k], pand[k], rel_tol=1e-9)
+
+
+def test_apply_in_pandas_gap_stats(spark, sf_dir):
+    rows = udfs.udf_apply_in_pandas(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    assert len(rows) == e.select("user_id").distinct().count()
+    total = sum(r.n_events for r in rows)
+    assert total == e.count()
+    for r in rows:
+        if r.n_events > 1:
+            assert r.mean_gap_sec is not None and r.mean_gap_sec >= 0
+            assert r.max_gap_sec >= r.mean_gap_sec
+
+
+def test_map_in_pandas_matches_expression_twin(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_tokens, r.uniq_ratio)
+        for r in udfs.udf_map_in_pandas(spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    twin = {
+        r.doc_id: (r.n, r.u)
+        for r in d.select(
+            "doc_id",
+            F.size(toks).alias("n"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double").alias("u"),
+        ).collect()
+    }
+    assert got.keys() == twin.keys()
+    for k in twin:
+        assert got[k][0] == twin[k][0]
+        assert math.isclose(got[k][1], twin[k][1], rel_tol=1e-9)
+
+
+def test_fn_map_values(spark, sf_dir):
+    rows = fn_map(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events")
+    click_avg = {
+        r.user_id: r.a
+        for r in e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("a"))
+        .collect()
+    }
+    for r in rows:
+        assert r.types == sorted(r.types)
+        if r.user_id in click_avg:
+            assert math.isclose(r.click_avg, click_avg[r.user_id], rel_tol=1e-9)
+
+
+def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    from data_integration_tool_spark.sources import multimodal
+
+    rows = multimodal.multimodal_features(spark, sf_dir).collect()
+    d_n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == d_n
+    for r in rows[:20]:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    again = multimodal.multimodal_features(spark, sf_dir).collect()
+    assert {r.doc_id: tuple(r.feature) for r in rows} == {
+        r.doc_id: tuple(r.feature) for r in again
+    }

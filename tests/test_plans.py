@@ -1,0 +1,77 @@
+"""Plan-shape regression guards: the queries must not just be correct —
+they must compile to the physical plans that survive 100× scale
+(pushdown at the scan, broadcast for dims, TakeOrderedAndProject for
+top-k, whole-stage codegen in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_tool_spark.io import load
+from data_integration_tool_spark.operators.filters import filter_cmp
+from data_integration_tool_spark.operators.joins import join_broadcast, join_multiway
+from data_integration_tool_spark.operators.scans import scan_projected
+from data_integration_tool_spark.operators.sort_limit import topk
+from data_integration_tool_spark.plans import tuning
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = filter_cmp(spark, sf_dir)
+    assert tuning.has_pushed_filter(df, "GreaterThan(l_discount"), tuning.explain_str(df)
+    assert tuning.has_pushed_filter(df, "LessThan(l_shipdate"), tuning.explain_str(df)
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = scan_projected(spark, sf_dir)
+    schema = tuning.scan_read_schema(df)
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema, schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert tuning.uses_broadcast_join(join_broadcast(spark, sf_dir))
+    assert tuning.uses_broadcast_join(join_multiway(spark, sf_dir))
+
+
+def test_topk_fuses_sort_limit(spark, sf_dir):
+    assert tuning.uses_take_ordered(topk(spark, sf_dir))
+
+
+def test_flagship_uses_codegen_and_partial_agg(spark, sf_dir):
+    from data_integration_tool_spark.operators.aggregates import agg_group
+
+    plan = tuning.explain_str(agg_group(spark, sf_dir), mode="simple", run=True)
+    # simple mode marks whole-stage-codegen spans with "*(n)"
+    assert "*(" in plan, plan
+    # two-phase aggregate: partial before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    plain = (
+        o.join(n, o.o_custkey == n.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        tuning.salted_join(
+            o.withColumnRenamed("o_custkey", "c_custkey"), n, "c_custkey"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.c_nationkey, r.n) for r in plain.collect()} == {
+        (r.c_nationkey, r.n) for r in salted.collect()
+    }
+
+
+def test_colocate_reuses_partitioning(spark, sf_dir):
+    o = tuning.colocate(load(spark, sf_dir, "orders"), "o_custkey", n=8)
+    agged = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    # groupBy on the same key reuses the repartition exchange: no second
+    # hash-partitioning exchange on o_custkey above the aggregate
+    plan = tuning.explain_str(agged, mode="simple")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
