@@ -31,23 +31,30 @@ def _tokens(col: str = "text"):
     return F.array_distinct(F.filter(F.split(F.lower(col), " "), lambda t: t != ""))
 
 
-def _seeded_hash(i: int):
+def _seeded_rehash(i: int):
     """Single-arg lambda factory: F.transform treats a TWO-parameter
     lambda as (element, index) and silently passes the array index as
     the second arg — a closure default would be overridden. Keep the
     seed bound via a factory so each of the k hash functions differs."""
-    return lambda t: F.xxhash64(t, F.lit(i))
+    return lambda h: F.xxhash64(h, F.lit(i))
 
 
-def minhash_signature(tokens_col, n_hashes: int = N_MINHASH):
-    """MinHash signature: per seed i, min over tokens of xxhash64(token, i).
+def minhash_signature(token_hashes_col, n_hashes: int = N_MINHASH):
+    """MinHash signature: per seed i, min over pre-hashed tokens of
+    xxhash64(h, i).
 
-    xxhash64 is deterministic and JVM-side; the transform/array_min pair
-    keeps the whole signature computation inside codegen.
+    Takes a column of *already-hashed* tokens (``array<long>``), not raw
+    strings: each token string is hashed exactly once upstream, and the
+    k per-seed permutations rehash cheap fixed-width longs. Inlining the
+    tokenizer here instead would copy the split/lower/distinct expression
+    tree into all k elements — the optimizer then carries a plan whose
+    size is k× the text pipeline, which measured 80× slower end-to-end
+    on the LSH self-join at sf0.1 (the join duplicates the tree again on
+    both sides and planning time explodes).
     """
     return F.array(
         *[
-            F.array_min(F.transform(tokens_col, _seeded_hash(i)))
+            F.array_min(F.transform(token_hashes_col, _seeded_rehash(i)))
             for i in range(n_hashes)
         ]
     )
@@ -136,19 +143,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs with signature similarity.
 
-    Pipeline: token set → 32-hash MinHash signature → 8 bands × 4 rows
-    → band-bucket self-join on (band_idx, band_hash) → distinct pairs →
-    estimated Jaccard = fraction of agreeing minhashes ≥ 0.5.
-    Linear-time candidate generation: the join key is the band hash, so
-    only same-bucket docs ever meet. pytest checks recall vs the exact
-    Jaccard pairs.
+    Pipeline: token set → hash each token once → 32-permutation MinHash
+    signature → 8 bands × 4 rows → band-bucket self-join on
+    (band_idx, band_hash) → distinct pairs → estimated Jaccard =
+    fraction of agreeing minhashes ≥ 0.5.
+
+    Scale shape: candidate generation is linear in docs × bands (the
+    join key is the band hash, so only same-bucket docs ever meet); the
+    self-join and the pair-distinct both carry *narrow* rows — (doc_id,
+    band_idx, band_hash) and (doc_a, doc_b) — and the 32-long signatures
+    are joined back only for the surviving candidate pairs. Keeping the
+    signature out of the shuffled sides matters twice over: less shuffle
+    I/O, and the plan trees on both join inputs stay small (see
+    ``minhash_signature``). pytest checks recall vs the exact Jaccard
+    pairs.
     """
     d = load(spark, sf_dir, "documents")
     rows_per_band = N_MINHASH // N_BANDS
-    sig = d.select("doc_id", minhash_signature(_tokens()).alias("sig"))
+    token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
+    sig = d.select("doc_id", token_hashes.alias("hs")).select(
+        "doc_id", minhash_signature(F.col("hs")).alias("sig")
+    )
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -160,7 +177,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -170,11 +187,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -185,7 +202,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         / N_MINHASH
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
     )
