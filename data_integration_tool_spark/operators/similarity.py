@@ -112,9 +112,17 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the blocking key becomes an LSH bucket (sim_ann_lsh).
     """
     e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Precompute each vector's norm ONCE before the pair join: cosine
+    # needs dot(a,b), |a|, |b| — computing the norms per-pair would
+    # redo 2/3 of the arithmetic O(pairs) times instead of O(rows).
+    # sqrt(dot(v,v)) here is the exact op order of the oracle's
+    # sqrt(list_sum(...)), so values stay bit-identical.
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    a = ne.alias("a")
+    b = ne.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -160,13 +168,17 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            l2_norm("embedding").alias("cnrm"),
         )
     )
-    cos = cosine(F.col("embedding"), F.col("ce"))
+    # vector norm computed once per row, not once per (row × centroid)
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    cos = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cent_id"))
     return (
-        e.crossJoin(cent)
+        ne.crossJoin(cent)
         .select("vec_id", "label", "cent_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -191,8 +203,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 tables x 4 sign bits: a vector collides with the query if it
     matches ALL 4 bits in ANY table (AND within a table for precision,
     OR across tables for recall -- the standard hyperplane-LSH layout).
-    Hyperplanes are deterministic pseudo-random (xxhash64 of
-    (table, bit, dim) -- no RNG state, reproducible on any cluster).
+    Hyperplanes are deterministic pseudo-random splitmix64 values
+    computed ONCE on the driver and shipped as literal arrays -- no RNG
+    state, reproducible on any cluster, and the executors never spend
+    per-row work regenerating 8x4x64 plane components (the previous
+    sequence+transform formulation did exactly that).
 
     Scale shape: vectors carry an 8-slot bucket array; the probe is a
     broadcast of the 1-row query side, and candidates shrink to roughly
@@ -202,15 +217,21 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
 
+    def _splitmix64(x: int) -> int:
+        # standard splitmix64 finalizer — deterministic, dependency-free
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
     def plane(t: int, b: int) -> Column:
-        # deterministic pseudo-random hyperplane in [-1, 1]^64
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda d: (
-                F.xxhash64(F.lit(t), F.lit(b), d).cast("double")
-                / F.lit(float(2**63))
-            ),
-        )
+        # deterministic pseudo-random hyperplane in [-1, 1]^64, built as
+        # a literal on the driver (evaluated zero times per row)
+        vals = [
+            (_splitmix64((t << 32) | (b << 16) | d) / 2**63) - 1.0
+            for d in range(64)
+        ]
+        return F.array(*[F.lit(v) for v in vals])
 
     def table_bucket(vec, t: int) -> Column:
         acc = F.lit(0).cast("long")

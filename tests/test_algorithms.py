@@ -39,8 +39,8 @@ def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
 
 def test_minhash_recall_vs_exact_pairs(spark, sf_dir):
     """Every exact near-dup pair (token Jaccard ≥ 0.9) must be found by
-    the LSH candidate generation (8 bands × 4 rows: P(miss at j=0.9) =
-    (1-0.9^4)^8 ≈ 5%; fixture pairs at j≈1 are essentially never missed).
+    the LSH candidate generation (5 bands × 6 rows: P(miss at j=0.9) =
+    (1-0.9^6)^5 ≈ 2%; fixture pairs at j≈1 are essentially never missed).
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", dedup._tokens().alias("toks"))
