@@ -272,3 +272,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical"))
         .filter(F.col("n_docs") >= 1)
     )
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+
+EMB_DUP_THRESHOLD = 0.3  # fixture vectors are near-orthogonal (within-
+# label p99 cosine ~0.295, max ~0.475): 0.3 exercises real group-forming
+# while staying a pure cosine-threshold dedup — on a real corpus the
+# same plan runs with ~0.95.
+
+_DEDUP_EMB_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DEDUP_EMB_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DEDUP_EMB_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id, a.label,
+           min(b.vec_id) AS canonical_id,
+           count(*)      AS n_neighbors
+    FROM e a JOIN e b
+      ON a.label = b.label
+     AND ({_DEDUP_EMB_DOT.format(a='a.embedding', b='b.embedding')}
+          / (a.nrm * b.nrm)) >= {EMB_DUP_THRESHOLD}
+    GROUP BY a.vec_id, a.label
+"""
+
+
+@query(
+    "dedup_embedding",
+    oracle=_DEDUP_EMB_ORACLE,
+    phase="P3",
+    tags=("dedup", "embedding", "similarity"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup groups: each vector maps to the minimum
+    vec_id among its cosine-neighbors (≥ threshold, same label), i.e.
+    the canonical representative its dedup group keeps.
+
+    Blocking key is the label (at 100 TB: an LSH/IVF bucket column —
+    same plan shape, see sim_ann_ivf); norms are computed once per row
+    so the pair join only evaluates the cross dot product. The self-pair
+    (cosine = 1) is intentionally included: every vector belongs to its
+    own group, so singletons survive with canonical_id = vec_id.
+    """
+    from .similarity import dot, l2_norm
+
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    a = ne.alias("a")
+    b = ne.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (cos >= EMB_DUP_THRESHOLD))
+        .groupBy(F.col("a.vec_id").alias("vec_id"), F.col("a.label").alias("label"))
+        .agg(
+            F.min(F.col("b.vec_id")).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )

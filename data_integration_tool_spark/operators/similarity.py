@@ -263,3 +263,124 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- IVF approximate nearest neighbor ------------------------------------
+
+IVF_NLIST = 10  # coarse centroids (vectors 0..9, as in cluster_assign)
+IVF_NPROBE = 2  # inverted lists scanned per probe
+
+# cosine twin over precomputed norm columns — keeps the DuckDB oracle's
+# op order identical to the Spark side (dot as double left-fold, norms
+# via sqrt of self-dot computed once per row)
+_DUCK_COS_NRM = "({dot} / ({na} * {nb}))"
+
+
+def _duck_cos_nrm(a: str, b: str, na: str, nb: str) -> str:
+    return _DUCK_COS_NRM.format(dot=_DUCK_DOT.format(a=a, b=b), na=na, nb=nb)
+
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < {IVF_NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding, nrm, cent_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, e.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos_nrm('e.embedding', 'c.ce', 'e.nrm', 'c.cnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe, nrm AS qnrm FROM e WHERE vec_id = 0),
+    probes AS (
+        SELECT cent_id FROM (
+            SELECT c.cent_id,
+                   row_number() OVER (
+                       ORDER BY {_duck_cos_nrm('c.ce', 'q.qe', 'c.cnrm', 'q.qnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM cent c CROSS JOIN q
+        ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label,
+           {_duck_cos_nrm('a.embedding', 'q.qe', 'a.nrm', 'q.qnrm')} AS cosine
+    FROM assigned a JOIN probes p ON a.cent_id = p.cent_id CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=_IVF_ORACLE,
+    phase="P4",
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vector 0 via IVF (inverted file):
+    assign every vector to its nearest of 10 coarse centroids, probe
+    only the query's 2 nearest inverted lists, exact-rescore candidates.
+
+    This is the classic IVF-Flat layout re-expressed relationally:
+    the "inverted lists" are just a cent_id column (at scale: the
+    partitioning/bucketing key of the vector table, so a probe prunes
+    ~nprobe/nlist of the data via partition pruning instead of a scan).
+    Everything is deterministic — centroid assignment and probe
+    selection use row_number with explicit tiebreakers — so unlike
+    hash-seeded LSH this ANN variant gets a full value-hash oracle.
+    Recall vs sim_knn_exact is additionally pinned in pytest.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "label", "embedding", "nrm", "cent_id", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "cent_id")
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
+        )
+    )
+    cos_q = dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm"))
+    w_probe = Window.orderBy(F.desc("cos_q"), F.asc("cent_id"))
+    probes = F.broadcast(
+        cent.crossJoin(q)
+        .select("cent_id", cos_q.alias("cos_q"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("cent_id")
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        assigned.join(probes, "cent_id")
+        .crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", rescore.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -199,3 +199,24 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     assert {r.doc_id: tuple(r.feature) for r in rows} == {
         r.doc_id: tuple(r.feature) for r in again
     }
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=2/nlist=10 must recover most of the true top-10
+    (deterministic probe selection -> stable recall, floor pinned)."""
+    exact = [r.vec_id for r in similarity.sim_knn_exact(spark, sf_dir).collect()]
+    approx = {r.vec_id for r in similarity.sim_ann_ivf(spark, sf_dir).collect()}
+    assert len(approx) == 10
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_dedup_embedding_groups(spark, sf_dir):
+    """Every vector appears exactly once, canonical <= vec_id, and the
+    canonical assignment is consistent with self-membership."""
+    rows = dedup.dedup_embedding(spark, sf_dir).collect()
+    e_n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == e_n
+    for r in rows:
+        assert r.canonical_id <= r.vec_id
+        assert r.n_neighbors >= 1
