@@ -97,6 +97,28 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+        FROM orders o RIGHT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    """,
+    phase="P2",
+    tags=("join", "outer"),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left with the preserved side on
+    the right — planner-wise Spark canonicalizes it to a left join with
+    swapped inputs, which the oracle's RIGHT JOIN matches exactly)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000)
+    return o.join(c, cond, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
     "join_full",
     oracle="""
         SELECT s.s_suppkey, s.s_name, q.l_suppkey, q.big_qty
