@@ -30,6 +30,9 @@ def _run(df) -> None:
 
 def main() -> None:
     os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    # one session, ~90 queries: persist each base table once instead of
+    # re-scanning parquet per query (io.load honors this flag)
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
     spark = get_spark(app_name="bench", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
 
