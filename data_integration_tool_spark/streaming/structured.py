@@ -117,3 +117,69 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination(120)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals (event count, value sum, last-seen ts) carried across
+    micro-batches in the state store.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (per-key custom accumulators, decaying
+    counters, model state). State is per user_id — at 100 TB the state
+    store shards by the grouping key across executors, so the pattern
+    scales horizontally; the emitted row per key per batch keeps output
+    bounded. Arrow moves each group's batch rows as pandas DataFrames.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                last_us = max(last_us, int(batch_max.value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

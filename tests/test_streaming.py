@@ -5,11 +5,13 @@ micro-batches through the incremental engine)."""
 
 from __future__ import annotations
 
+import math
 import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
+from data_integration_tool_spark.io import load
 from data_integration_tool_spark.streaming import structured
 from data_integration_tool_spark.streaming.event_windows import stream_tumbling
 
@@ -74,3 +76,40 @@ def test_foreach_batch_collects_all_rows(spark, staged):
     structured.run_foreach_batch(spark, stream.select("event_id"), sink, mode="append")
     assert len(seen) >= 2, "expected multiple micro-batches (maxFilesPerTrigger=1)"
     assert sum(seen) == 1000 or sum(seen) > 0
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState totals after draining all micro-batches
+    must equal the batch groupBy totals (state carried across batches:
+    the staged source has 4 files -> 4 micro-batches per user)."""
+    from data_integration_tool_spark.streaming import structured
+
+    stage = str(tmp_path / "events_stateful")
+    structured.stage_events_stream(spark, sf_dir, stage)
+    stream = structured.read_events_stream(spark, stage)
+    structured.run_to_memory(
+        spark, structured.stateful_user_totals(stream), "stateful_totals",
+        mode="update",
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM stateful_totals) WHERE rn = 1
+            """
+        ).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9)
