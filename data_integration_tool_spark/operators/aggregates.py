@@ -320,3 +320,87 @@ def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .fillna(0, subset=list(_EVENT_TYPES))
     )
+
+
+@query(
+    "agg_arg_max",
+    oracle="""
+        SELECT o_orderstatus,
+               (max(struct_pack(p := o_totalprice, k := o_orderkey))).p
+                   AS top_price,
+               (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+                   AS top_orderkey,
+               (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+                   AS bottom_orderkey
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    phase="P2",
+    tags=("agg", "argmax"),
+)
+def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group arg-max/arg-min via struct ordering: max(struct(price,
+    key)) compares lexicographically in both engines, so the key acts
+    as a deterministic tiebreaker — plain max_by/arg_max is
+    NONDETERMINISTIC under price ties (the fixtures do contain them)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max(s)["p"].alias("top_price"),
+        F.max(s)["k"].alias("top_orderkey"),
+        F.min(s)["k"].alias("bottom_orderkey"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_custkey <= 200
+        GROUP BY c_nationkey
+    """,
+    phase="P2",
+    tags=("agg", "listagg"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list carries NO
+    ordering guarantee in a distributed shuffle, so the list is
+    explicitly sorted before joining — the only hash-stable form."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names")
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               avg(o_totalprice) AS avg_price
+        FROM orders
+        GROUP BY 1
+    """,
+    phase="P2",
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width_bucket shape): bucketing is a
+    scan-side expression, so the shuffle carries one row per bucket —
+    the cheapest possible distribution profile of a 100 TB column."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Subquery patterns (scalar, correlated, NOT IN) re-expressed as the
+join shapes Spark's optimizer produces after decorrelation.
+
+Spark's DataFrame API has no subquery syntax; Catalyst rewrites SQL
+subqueries into these same plans (RewriteCorrelatedScalarSubquery,
+RewritePredicateSubquery), so building the join form directly is both
+idiomatic and transparent about the physical cost:
+
+- scalar subquery      → crossJoin with a broadcast 1-row aggregate
+- correlated aggregate → equi-join with a grouped aggregate on the
+                         correlation key (one shuffle on that key)
+- IN / NOT IN          → left-semi / left-anti join (NOT IN is only
+                         anti-join when the subquery column is
+                         provably non-null — the classic NULL trap;
+                         o_custkey is non-null in the fixtures)
+
+The oracle side uses real SQL subqueries, so the parity check also
+proves the rewrite preserves semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "subq_scalar",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    phase="P3",
+    tags=("subquery", "scalar"),
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 1.5× the global average price (scalar subquery →
+    broadcast 1-row aggregate crossJoin; the big side never shuffles)."""
+    o = load(spark, sf_dir, "orders")
+    avg_price = F.broadcast(o.agg(F.avg("o_totalprice").alias("avg_price")))
+    return (
+        o.crossJoin(avg_price)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "subq_correlated",
+    oracle="""
+        SELECT l.l_orderkey, l.l_partkey, l.l_extendedprice
+        FROM lineitem l
+        WHERE l.l_extendedprice > 1.5 * (
+            SELECT avg(l2.l_extendedprice)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+    """,
+    phase="P3",
+    tags=("subquery", "correlated"),
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems priced >1.5× their part's average (correlated aggregate
+    subquery → decorrelated join with a per-key aggregate: one shuffle
+    on l_partkey for the aggregate, co-partitioned join after)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_extendedprice").alias("part_avg")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_extendedprice") > 1.5 * F.col("part_avg"))
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+
+
+@query(
+    "subq_not_in",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    phase="P3",
+    tags=("subquery", "anti"),
+)
+def subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large (>300k) order, as NOT IN. Safe to compile to a
+    left-anti join ONLY because o_custkey is non-null here — with nulls
+    in the subquery, SQL NOT IN returns no rows at all (three-valued
+    logic), which an anti-join does not replicate."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
