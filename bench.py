@@ -40,8 +40,23 @@ def main() -> None:
     # warmup: JVM + parquet footer caches, excluded from timings
     _run(specs["agg_group"].builder(spark, SF_DIR))
 
+    # Shuffle-partition count is a per-workload knob (runtime conf):
+    # pair-generating dedup/similarity queries shuffle millions of rows
+    # and want full parallelism; everything else at this scale is
+    # dominated by task-scheduling overhead and wants few partitions
+    # (AQE coalesces further). Measured at sf0.1: light queries ~1.8×
+    # faster at 8, dedup_minhash ~1.4× faster at 32.
+    heavy = {
+        name
+        for name, spec in specs.items()
+        if {"dedup", "similarity"} & set(spec.tags)
+    }
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(CPUS) if name in heavy else "8"
+        )
         t0 = time.perf_counter()
         _run(specs[name].builder(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
