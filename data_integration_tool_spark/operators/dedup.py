@@ -182,76 +182,95 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: token set → hash each token once → 32-permutation MinHash
     signature → 5 bands × 6 rows → band-bucket self-join on
-    (band_idx, band_hash) → distinct pairs → estimated Jaccard =
+    (band_idx, band_hash) → first-match dedup → estimated Jaccard =
     fraction of agreeing minhashes ≥ 0.8.
 
     Banding operating point (s-curve 1-(1-j^6)^5): P(candidate) = 0.98
     at j=0.9, 0.91 at j=0.8, 0.17 at j=0.5 — tuned for the standard
     training-data near-dup threshold of 0.8 (same threshold as
-    ``dedup_ngram_jaccard``). The previous 8×4 banding admitted ~64% of
-    ALL pairs of this heavily-templated corpus as candidates (26M at
-    sf0.1); 5×6 cuts candidate volume ~5× while keeping ≥0.9 recall at
-    the threshold.
+    ``dedup_ngram_jaccard``).
 
-    Scale shape: candidate generation is linear in docs × bands (the
-    join key is the band hash, so only same-bucket docs ever meet); the
-    self-join and the pair-distinct both carry *narrow* rows — (doc_id,
-    band_idx, band_hash) and (doc_a, doc_b) — and the 32-long signatures
-    are joined back only for the surviving candidate pairs. Keeping the
-    signature out of the shuffled sides matters twice over: less shuffle
-    I/O, and the plan trees on both join inputs stay small (see
-    ``minhash_signature``). pytest checks recall vs the exact Jaccard
-    pairs.
+    Plan shape, chosen so the whole query is one codegen'd pass with NO
+    wide shuffle and NO Python:
+    - signature and band hashes live in FLAT columns (s0..s31, b0..b4);
+      arrays + higher-order functions here are interpreted
+      (CodegenFallback) and measured 5-10× slower.
+    - a pair that collides in several bands is kept only at its FIRST
+      matching band — `for j < band_idx: a.bj != b.bj` as five codegen
+      comparisons — which replaces a multi-million-row distinct()
+      shuffle with a map-side filter.
+    - est_jaccard = (Σ (a.si = b.si)::int) / 32 as a flat sum of 32
+      equality casts, again pure codegen.
+    The banded side is small per block (docs × 5 rows), so Spark
+    broadcasts it; at 100 TB the same plan degrades gracefully to a
+    sort-merge join on (band_idx, band_hash). pytest checks recall vs
+    the exact Jaccard pairs.
     """
     d = load(spark, sf_dir, "documents")
-    rows_per_band = ROWS_PER_BAND
     token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
-    sig = d.select("doc_id", token_hashes.alias("hs")).select(
-        "doc_id", minhash_signature(F.col("hs")).alias("sig")
-    )
-    bands = sig.select(
+    # Flat slots computed straight from the hashed-token array — NOT via
+    # an intermediate array<long> signature column: getItem on a created
+    # array is rewritten by SimplifyExtractValueOps back into the i-th
+    # element EXPRESSION, silently re-inlining the whole token pipeline
+    # into every consumer (measured 120 s vs 6 s at sf0.1). Attribute
+    # references below are safe: CollapseProject refuses to duplicate
+    # non-cheap expressions used more than once.
+    # coalesce makes each slot provably non-nullable (array_min of an
+    # empty token array is null — only blank docs, which are exact dups
+    # anyway). Without it, InferFiltersFromConstraints derives 32
+    # isnotnull(s_i) predicates from the join condition and pushes them
+    # below this projection, re-inlining the whole token pipeline into
+    # a per-row scan filter (measured 110 s vs 6 s at sf0.1); on
+    # non-nullable slots the constraints fold to true and vanish.
+    slots = d.select("doc_id", token_hashes.alias("hs")).select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        *[
+            F.coalesce(
+                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
+            ).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ],
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
+    flat = slots.select(
+        "*",
+        *[
+            F.xxhash64(
+                *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"b{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    banded = flat.select(
+        "*",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    first_match = F.lit(True)
+    for j in range(N_BANDS):
+        first_match = first_match & (
+            (F.col("a.band_idx") <= F.lit(j))
+            | (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
+        )
+    agree = sum(
+        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_match,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
         )
-        .distinct()
-    )
-    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / N_MINHASH
-    )
-    return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= NEAR_DUP_THRESHOLD)
-        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 

@@ -307,15 +307,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e.user_id == o.o_custkey % 150) & (e.ts <= F.col("cutoff")),
         "inner",
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    # "latest match" as max(struct(ts, event_id)) instead of a
+    # row_number window: a hash aggregate combines map-side (the shuffle
+    # carries one row per order, not one per matched event) and needs no
+    # per-key sort — the window form shuffles and sorts EVERY match.
+    # struct ordering is lexicographic, so event_id tiebreaks ts
+    # deterministically, exactly like the ORDER BY ts DESC, event_id
+    # DESC window.
+    top = F.max(F.struct(F.col("ts"), F.col("event_id")))
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("o_orderkey", "o_custkey")
+        .agg(top.alias("top"))
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_event_ts"),
+            F.col("top.event_id").alias("last_event_id"),
+            F.col("top.ts").alias("last_event_ts"),
         )
     )
 
