@@ -75,3 +75,44 @@ def test_colocate_reuses_partitioning(spark, sf_dir):
     # hash-partitioning exchange on o_custkey above the aggregate
     plan = tuning.explain_str(agged, mode="simple")
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+
+
+def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
+    """Every registered query must compile to a distributed plan:
+    - BatchEvalPython (row-at-a-time Python UDF) is forbidden outright —
+      the engine's design rule allows only Arrow-batched Python
+      (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas).
+    - CartesianProduct (non-broadcast cross product) is forbidden: the
+      deliberate tiny-side cross joins must plan as
+      BroadcastNestedLoopJoin, which caps the replicated side."""
+    from data_integration_tool_spark import registry
+
+    for name, spec in registry.specs().items():
+        plan = (
+            spec.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, f"{name}: row-python in plan"
+        assert "CartesianProduct" not in plan, f"{name}: unbroadcast cartesian"
+
+
+def test_no_collect_inside_operators():
+    """Operators are lazy plan builders: nothing in the package may
+    materialize results on the driver (collect/toPandas/toLocalIterator
+    outside tests/bench)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for py in (root / "data_integration_tool_spark").rglob("*.py"):
+        if py.parent.name == "plans":
+            # plans/tuning.py is the diagnostics module: explain_str
+            # deliberately executes a frame to finalize AQE plans
+            continue
+        src = py.read_text()
+        for bad in (".collect(", ".toPandas(", ".toLocalIterator("):
+            if bad in src:
+                offenders.append(f"{py.name}:{bad}")
+    assert not offenders, offenders
