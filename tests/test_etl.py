@@ -96,3 +96,106 @@ def test_bad_format_rejected(spark, tmpdir):
         etl.read_any(spark, tmpdir, "xml")
     with pytest.raises(ValueError, match="unsupported"):
         etl.write_any(spark.range(1), tmpdir, "avro")
+
+
+def test_pipeline_spec_roundtrips_as_json(spark, sf_dir, tmp_path):
+    """A pipeline is pure data: json-serialize, reload, run — and the
+    result matches the hand-written DataFrame program."""
+    import json
+
+    from data_integration_tool_spark.sources import pipeline
+
+    spec = {
+        "source": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+        "steps": [
+            {"op": "filter", "predicate": "n_chars > 100"},
+            {
+                "op": "with_columns",
+                "mapping": {"n_tokens": "size(split(lower(text), ' '))"},
+            },
+            {"op": "dedup", "keys": ["text"], "order_by": ["doc_id"]},
+            {
+                "op": "aggregate",
+                "group_by": ["source", "lang"],
+                "aggs": {
+                    "n_docs": "count(*)",
+                    "avg_tokens": "avg(n_tokens)",
+                },
+            },
+            {"op": "sort", "by": ["source", "lang"]},
+        ],
+        "sink": {"path": str(tmp_path / "out"), "format": "json"},
+    }
+    spec = json.loads(json.dumps(spec))  # prove serializability
+    pipeline.run(spark, spec)
+
+    got = spark.read.json(str(tmp_path / "out"))
+    d = load(spark, sf_dir, "documents").filter("n_chars > 100")
+    d = d.withColumn("n_tokens", F.expr("size(split(lower(text), ' '))"))
+    w_first = d.groupBy("text").agg(
+        F.min(F.struct("doc_id", *[c for c in d.columns if c != "text" and c != "doc_id"])).alias("f")
+    ).select("text", "f.*")
+    want = (
+        w_first.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("n_tokens").alias("avg_tokens"))
+    )
+    got_rows = {(r.source, r.lang): (r.n_docs, round(r.avg_tokens, 9)) for r in got.collect()}
+    want_rows = {(r.source, r.lang): (r.n_docs, round(r.avg_tokens, 9)) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+
+
+def test_pipeline_join_and_format_conversion(spark, sf_dir, tmp_path):
+    """parquet source joined to a csv dim, written as partitioned orc."""
+    import json
+
+    from data_integration_tool_spark.sources import etl, pipeline
+
+    nation_csv = str(tmp_path / "nation_csv")
+    etl.convert(spark, f"{sf_dir}/nation.parquet", "parquet", nation_csv, "csv")
+    spec = {
+        "source": {"path": f"{sf_dir}/customer.parquet", "format": "parquet"},
+        "steps": [
+            {
+                "op": "join",
+                "source": {
+                    "path": nation_csv,
+                    "format": "csv",
+                    "options": {"inferSchema": "true"},
+                },
+                "on": "c_nationkey = n_nationkey",
+                "how": "inner",
+            },
+            {
+                "op": "map",
+                "mapping": {
+                    "c_custkey": "c_custkey",
+                    "nation": "n_name",
+                    "acctbal": "c_acctbal",
+                },
+            },
+        ],
+        "sink": {
+            "path": str(tmp_path / "out_orc"),
+            "format": "orc",
+            "partition_by": ["nation"],
+        },
+    }
+    pipeline.run(spark, json.loads(json.dumps(spec)))
+    back = spark.read.orc(str(tmp_path / "out_orc"))
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert back.count() == n_cust
+    assert set(back.columns) == {"c_custkey", "nation", "acctbal"}
+    # partition pruning works on the partitioned sink
+    one = back.filter(F.col("nation") == back.select("nation").first()[0])
+    assert one.count() > 0
+
+
+def test_pipeline_unknown_op_fails_fast(spark, sf_dir):
+    from data_integration_tool_spark.sources import pipeline
+
+    spec = {
+        "source": {"path": f"{sf_dir}/nation.parquet", "format": "parquet"},
+        "steps": [{"op": "explode_everything"}],
+    }
+    with pytest.raises(ValueError, match="unknown op"):
+        pipeline.build(spark, spec)
