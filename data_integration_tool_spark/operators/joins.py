@@ -369,3 +369,38 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(buys, cond).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+    """,
+    phase="P3",
+    tags=("join", "lateral"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a correlated LATERAL subquery —
+    the join shape a plain equi-join cannot express (the LIMIT applies
+    per outer row). Spark 4's DataFrame lateralJoin plans this as a
+    correlated subquery the optimizer decorrelates into a partitioned
+    window under the hood; the oracle runs DuckDB's native LATERAL."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    o = load(spark, sf_dir, "orders")
+    top2 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top2).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )

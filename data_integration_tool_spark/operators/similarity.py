@@ -244,11 +244,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 tables x 4 sign bits: a vector collides with the query if it
     matches ALL 4 bits in ANY table (AND within a table for precision,
     OR across tables for recall -- the standard hyperplane-LSH layout).
-    Hyperplanes are deterministic pseudo-random splitmix64 values
-    computed ONCE on the driver and shipped as literal arrays -- no RNG
-    state, reproducible on any cluster, and the executors never spend
-    per-row work regenerating 8x4x64 plane components (the previous
-    sequence+transform formulation did exactly that).
+    Hyperplanes are deterministic pseudo-random splitmix64 values -- no
+    RNG state, reproducible on any cluster.
+
+    The 32 plane projections per vector are one numpy matmul per Arrow
+    batch (``mapInPandas``): as expression trees they were 32
+    interpreted higher-order-function folds per row (~3 s at sf0.1 for
+    2 000 vectors; CodegenFallback). Sign-bit bucketing is insensitive
+    to summation order except on exact zero crossings, and the op is
+    rows-only + recall-pinned, so the BLAS path is safe here (unlike
+    the oracle-hashed cosine kernels).
 
     Scale shape: vectors carry an 8-slot bucket array; the probe is a
     broadcast of the 1-row query side, and candidates shrink to roughly
@@ -256,6 +261,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (table, bucket) keys and equi-join instead of the broadcast.
     pytest measures recall vs sim_knn_exact.
     """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     e = load(spark, sf_dir, "embeddings")
 
     def _splitmix64(x: int) -> int:
@@ -265,28 +282,44 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
         return x ^ (x >> 31)
 
-    def plane(t: int, b: int) -> Column:
-        # deterministic pseudo-random hyperplane in [-1, 1]^64, built as
-        # a literal on the driver (evaluated zero times per row)
-        vals = [
-            (_splitmix64((t << 32) | (b << 16) | d) / 2**63) - 1.0
+    # (64 x 32) plane matrix, one column per (table, bit)
+    planes = np.array(
+        [
+            [
+                (_splitmix64((t << 32) | (b << 16) | d) / 2**63) - 1.0
+                for t in range(N_TABLES)
+                for b in range(BITS_PER_TABLE)
+            ]
             for d in range(64)
         ]
-        return F.array(*[F.lit(v) for v in vals])
+    )
+    bit_weights = np.tile(1 << np.arange(BITS_PER_TABLE), N_TABLES)
 
-    def table_bucket(vec, t: int) -> Column:
-        acc = F.lit(0).cast("long")
-        for b in range(BITS_PER_TABLE):
-            bit = (
-                F.when(dot(vec, plane(t, b)) > 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long")
-            )
-            acc = acc + F.shiftleft(bit, b)
-        return acc
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("buckets", ArrayType(LongType())),
+        ]
+    )
 
-    buckets = F.array(*[table_bucket("embedding", t) for t in range(N_TABLES)])
-    hashed = e.select("vec_id", "label", "embedding", buckets.alias("buckets"))
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (A @ planes) > 0  # n x (tables*bits)
+            codes = (bits * bit_weights).reshape(
+                len(pdf), N_TABLES, BITS_PER_TABLE
+            ).sum(axis=2)
+            pdf = pdf[["vec_id", "label", "embedding"]].copy()
+            pdf["buckets"] = list(codes)
+            yield pdf
+
+    hashed = e.select("vec_id", "label", "embedding").mapInPandas(
+        bucketize, out_schema
+    )
     q = F.broadcast(
         hashed.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qe"), F.col("buckets").alias("qbuckets")

@@ -210,3 +210,54 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("cutoff"))
         .select("event_id", "user_id", "ts")
     )
+
+
+@query(
+    "stream_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket,
+                   count(*) AS n_events,
+                   sum(value) AS total_value
+            FROM events GROUP BY 1
+        ),
+        series AS (
+            SELECT unnest(generate_series(
+                (SELECT min(date_trunc('hour', ts)) FROM events),
+                (SELECT max(date_trunc('hour', ts)) FROM events),
+                INTERVAL 1 HOUR)) AS bucket
+        )
+        SELECT s.bucket,
+               coalesce(h.n_events, 0) AS n_events,
+               coalesce(h.total_value, 0.0) AS total_value
+        FROM series s LEFT JOIN hourly h ON s.bucket = h.bucket
+    """,
+    phase="P3",
+    tags=("stream", "gapfill"),
+)
+def stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series over the event span with zero-filled gaps —
+    the hypertable-rollup/time-bucket-gapfill shape: aggregate sparse
+    buckets, generate the full bucket range from the observed min/max
+    (sequence + explode, one 1-row subplan), left-join and coalesce.
+    The series side is tiny at any data scale (hours in the span), so
+    the join broadcasts; the event scan aggregates map-side."""
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(hour.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    bounds = e.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    series = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    return series.join(hourly, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
