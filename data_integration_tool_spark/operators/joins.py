@@ -289,40 +289,69 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event at-or-before each order's cutoff, per key.
 
-    Spark has no native as-of physical operator, so this is the scalable
-    composition: range equi-join on the key (shuffle co-locates key
-    groups) + row_number() dedup to keep the latest match. The per-key
-    match set is bounded by the key's event count; for 100 TB streams,
-    pre-bucket both sides by (key, coarse time bucket) to bound it
-    further. Cutoff is derived deterministically from o_orderkey since
-    orders (1995-2001) and events (2024) don't overlap in time.
+    Spark has no native as-of operator; the naive composition (range
+    join + row_number dedup) materializes orders × their-earlier-events
+    — ~75M intermediate rows at sf0.1, and unbounded at 100 TB. Since
+    every cutoff lies on a day boundary, the scalable shape pre-reduces
+    the event side to ONE row per (key, day bucket):
+
+      1. bucket each event at the smallest midnight ≥ ts
+         (ts - 1µs truncated to day, +1 day — so a ts exactly at
+         midnight D belongs to cutoff D, anything later to D+1);
+      2. per (user, bucket) keep max(struct(ts, event_id)) — map-side
+         combinable, the shuffle carries one row per bucket;
+      3. running max over each user's buckets (dense grid of observed
+         event buckets ∪ cutoff days, so the running value is defined
+         at every cutoff even for quiet days) — the window sorts the
+         tiny per-user bucket list, never raw events;
+      4. equi-join orders on (user, cutoff) — one row each.
+
+    The intermediate is O(keys × days) instead of O(orders × events).
+    Cutoff is derived deterministically from o_orderkey since orders
+    (1995-2001) and events (2024) don't overlap in time.
     """
     o = load(spark, sf_dir, "orders")
     e = load(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp") + (
         F.col("o_orderkey") % 14
     ).cast("int") * F.expr("INTERVAL 1 DAY")
-    joined = o.withColumn("cutoff", cutoff).join(
-        e,
-        (e.user_id == o.o_custkey % 150) & (e.ts <= F.col("cutoff")),
-        "inner",
+    ords = o.select("o_orderkey", "o_custkey", cutoff.alias("cutoff"))
+
+    bucket = F.date_trunc(
+        "day", F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")
+    ) + F.expr("INTERVAL 1 DAY")
+    per_bucket = (
+        e.select("user_id", bucket.alias("bucket"), "ts", "event_id")
+        .groupBy("user_id", "bucket")
+        .agg(F.max(F.struct("ts", "event_id")).alias("top"))
     )
-    # "latest match" as max(struct(ts, event_id)) instead of a
-    # row_number window: a hash aggregate combines map-side (the shuffle
-    # carries one row per order, not one per matched event) and needs no
-    # per-key sort — the window form shuffles and sorts EVERY match.
-    # struct ordering is lexicographic, so event_id tiebreaks ts
-    # deterministically, exactly like the ORDER BY ts DESC, event_id
-    # DESC window.
-    top = F.max(F.struct(F.col("ts"), F.col("event_id")))
+    days = (
+        per_bucket.select("bucket")
+        .union(ords.select(F.col("cutoff").alias("bucket")))
+        .distinct()
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = grid.join(per_bucket, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.max("top").over(w).alias("best")
+    )
     return (
-        joined.groupBy("o_orderkey", "o_custkey")
-        .agg(top.alias("top"))
+        ords.join(
+            dense,
+            (ords.o_custkey % 150 == dense.user_id)
+            & (ords.cutoff == dense.bucket),
+        )
+        .filter(F.col("best").isNotNull())
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("top.event_id").alias("last_event_id"),
-            F.col("top.ts").alias("last_event_ts"),
+            F.col("best.event_id").alias("last_event_id"),
+            F.col("best.ts").alias("last_event_ts"),
         )
     )
 

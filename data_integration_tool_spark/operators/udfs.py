@@ -100,26 +100,28 @@ def grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "applyinpandas"),
 )
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas: per-user event gap statistics (mean seconds
-    between consecutive events) — a whole-group computation that
-    genuinely needs imperative code.
+    """Per-user event gap statistics (mean/max seconds between
+    consecutive events) — a whole-group computation that genuinely
+    needs imperative code.
 
-    Each group arrives as ONE pandas DataFrame; groups stream through
-    executors in parallel, so this scales as long as no single key is
-    huge (events are user-keyed — bounded)."""
-    e = load(spark, sf_dir, "events")
+    Implementation note: the obvious form — groupBy(user).applyInPandas
+    with a per-group kernel — pays one Arrow round trip per group
+    (~3.5 ms × 1500 users ≈ the whole query). With many small groups
+    the scalable shape is repartition by key + sortWithinPartitions +
+    ONE vectorized pandas groupby per partition: same rows, same
+    grouping guarantee (repartition co-locates each user), thousands of
+    groups amortized into one Arrow batch stream. The per-group
+    applyInPandas pattern is still the right call for FEW, LARGE groups
+    — see the pairwise similarity kernels.
 
-    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "mean_gap_sec": [float(gaps.mean()) if len(gaps) else None],
-                "max_gap_sec": [float(gaps.max()) if len(gaps) else None],
-            }
-        )
+    Columns are pruned BEFORE the exchange: Catalyst cannot see inside
+    a Python UDF, so without the explicit select every event column —
+    including the wide JSON props strings — would cross the Arrow
+    boundary just to be ignored.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
 
     out_schema = T.StructType(
         [
@@ -129,7 +131,28 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("max_gap_sec", T.DoubleType()),
         ]
     )
-    return e.groupBy("user_id").applyInPandas(gap_stats, schema=out_schema)
+
+    def gaps_fn(batches):
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        gap = pdf["ts"].diff().dt.total_seconds()
+        # first row of each user must not inherit the previous user's gap
+        first = pdf.groupby("user_id", sort=False).cumcount() == 0
+        gap[first.to_numpy()] = np.nan
+        stats = (
+            pd.DataFrame({"user_id": pdf["user_id"], "gap": gap})
+            .groupby("user_id", sort=False)["gap"]
+            .agg(n_events="size", mean_gap_sec="mean", max_gap_sec="max")
+            .reset_index()
+        )
+        # all-NaN groups (single event) must surface as SQL NULL
+        stats = stats.astype(object).where(pd.notna(stats), None)
+        yield stats
+
+    return e.repartition("user_id").mapInPandas(gaps_fn, out_schema)
 
 
 @query(
