@@ -42,6 +42,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.setops",
     "data_integration_tool_spark.operators.subqueries",
     "data_integration_tool_spark.operators.reshape",
+    "data_integration_tool_spark.operators.analytics",
     "data_integration_tool_spark.functions.strings",
     "data_integration_tool_spark.functions.dates",
     "data_integration_tool_spark.functions.math_fns",
