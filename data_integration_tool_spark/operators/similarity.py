@@ -458,3 +458,60 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+_KNN_BATCH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.query_id, e.vec_id,
+               {_duck_cos_nrm('e.embedding', 'q.qe', 'e.nrm', 'q.qnrm')} AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe', 'e.nrm', 'q.qnrm')} DESC,
+                            e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ) WHERE rn <= 3
+"""
+
+
+@query(
+    "sim_knn_batch",
+    oracle=_KNN_BATCH_ORACLE,
+    phase="P3",
+    tags=("similarity", "knn", "batch"),
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 neighbors for EACH of 20 query vectors — the batch
+    probe shape of a real retrieval workload. The query side broadcasts
+    (probe batches are small by construction); the corpus side streams
+    once through the cross product, and the per-query window ranks
+    only corpus × batch rows. At 100 TB: corpus stays partitioned, the
+    probe batch replicates, and the top-k per query reduces before the
+    final exchange (partial TakeOrdered inside each partition)."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cos = dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cosine")
+    )

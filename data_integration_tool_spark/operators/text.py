@@ -211,3 +211,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.isNotNull().alias("has_fp"),
         F.size(vocab).alias("vocab_size"),
     )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents
+        )
+        SELECT bigram, count(*) AS freq
+        FROM (
+            SELECT doc_id,
+                   ts[i] || ' ' || ts[i + 1] AS bigram
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+        )
+        GROUP BY bigram
+        HAVING count(*) >= 5
+    """,
+    phase="P3",
+    tags=("text", "ngram"),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram language-model counts): zip
+    each token array with itself shifted by one — a narrow per-row
+    transform, so the only shuffle is the final count per bigram
+    (map-side combinable; at 100 TB the exchange carries one row per
+    distinct bigram)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )

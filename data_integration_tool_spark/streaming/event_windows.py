@@ -261,3 +261,95 @@ def stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'
+        ),
+        converted AS (
+            SELECT DISTINCT c.user_id, c.click_ts
+            FROM clicks c JOIN events p
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts > c.click_ts
+             AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+        )
+        SELECT (SELECT count(*) FROM clicks)     AS n_clicks,
+               (SELECT count(*) FROM converted)  AS n_converted,
+               CAST((SELECT count(*) FROM converted) AS DOUBLE)
+                   / (SELECT count(*) FROM clicks) AS conversion_rate
+    """,
+    phase="P3",
+    tags=("stream", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: fraction of clicks followed by a purchase
+    from the same user within one hour.
+
+    The range join is bounded per user (both sides shuffle on user_id,
+    the interval predicate prunes inside each key group), and the
+    left-semi form counts each click once no matter how many purchases
+    land in its window — no fan-out, no distinct over a blowup.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return clicks.agg(F.count(F.lit(1)).alias("n_clicks")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    ).select(
+        "n_clicks",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_clicks")).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+                   AS day_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    phase="P3",
+    tags=("stream", "cohort"),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted as active per day offset. The first-seen aggregate is one
+    shuffle on user_id; the activity join is co-partitioned on the same
+    key, so AQE can pipeline them without a second full exchange."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
