@@ -242,3 +242,45 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_val"),
         F.last("value").over(w).alias("last_val_so_far"),
     )
+
+
+@query(
+    "win_share",
+    oracle="""
+        SELECT n.n_name,
+               sum(o.o_totalprice) AS nation_revenue,
+               sum(o.o_totalprice) / sum(sum(o.o_totalprice)) OVER () AS revenue_share,
+               rank() OVER (ORDER BY sum(o.o_totalprice) DESC, n.n_name) AS revenue_rank
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    phase="P3",
+    tags=("window", "share"),
+)
+def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per nation (ratio_to_report): a windowed aggregate
+    OVER () on top of a grouped aggregate. The unpartitioned window
+    runs on the 25-row post-aggregation result — a single-partition
+    sort of dim-cardinality data, fine at any input scale because the
+    heavy reduction already happened in the grouped agg below it."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("nation_revenue"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("nation_revenue"), F.asc("n_name"))
+    return per_nation.select(
+        "n_name",
+        "nation_revenue",
+        (F.col("nation_revenue") / F.sum("nation_revenue").over(w_all)).alias(
+            "revenue_share"
+        ),
+        F.rank().over(w_rank).alias("revenue_rank"),
+    )

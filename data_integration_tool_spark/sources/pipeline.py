@@ -93,20 +93,25 @@ def _apply_step(
             if not order_by:
                 return df.dropDuplicates(keys)
             # keep the first row per key under order_by, WITHOUT a
-            # sort-based window: min(struct(order_cols..., rest...))
-            # combines map-side. '-col' orders descending (flip via
-            # struct of negated sort rank is not portable, so desc
-            # columns use max on a single-key struct chain).
+            # sort-based window: min/max(struct(order_cols..., rest...))
+            # combines map-side. '-col' orders that column descending;
+            # all order columns must share a direction (mixed asc/desc
+            # would need per-column negation, which isn't portable
+            # across types).
+            directions = {c.startswith("-") for c in order_by}
+            if len(directions) > 1:
+                raise ValueError(
+                    "dedup order_by must be all ascending or all "
+                    "descending (mix of 'col' and '-col' given)"
+                )
+            desc = directions.pop()
+            order_cols = [c.lstrip("-") for c in order_by]
             payload = [c for c in df.columns if c not in keys]
-            asc = [c for c in order_by if not c.startswith("-")]
-            if asc != order_by:
-                raise ValueError("dedup order_by supports ascending only")
-            s = F.struct(*[F.col(c) for c in order_by],
-                         *[F.col(c) for c in payload if c not in order_by])
-            agg = df.groupBy(*keys).agg(F.min(s).alias("_first"))
-            kept = [c for c in order_by] + [
-                c for c in payload if c not in order_by
-            ]
+            s = F.struct(*[F.col(c) for c in order_cols],
+                         *[F.col(c) for c in payload if c not in order_cols])
+            picked = (F.max if desc else F.min)(s).alias("_first")
+            agg = df.groupBy(*keys).agg(picked)
+            kept = order_cols + [c for c in payload if c not in order_cols]
             return agg.select(
                 *keys, *[F.col(f"_first.{c}").alias(c) for c in kept]
             )

@@ -199,3 +199,37 @@ def test_pipeline_unknown_op_fails_fast(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="unknown op"):
         pipeline.build(spark, spec)
+
+
+def test_pipeline_dedup_desc_keeps_latest(spark, sf_dir):
+    """'-col' order in the dedup step keeps the max-ordered row per key."""
+    from data_integration_tool_spark.sources import pipeline
+
+    spec = {
+        "source": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"},
+        "steps": [
+            {"op": "select", "columns": ["o_custkey", "o_orderkey", "o_totalprice"]},
+            {"op": "dedup", "keys": ["o_custkey"], "order_by": ["-o_orderkey"]},
+        ],
+    }
+    got = {r.o_custkey: r.o_orderkey for r in pipeline.build(spark, spec).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r.o_custkey: r.m
+        for r in o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_pipeline_dedup_mixed_order_rejected(spark, sf_dir):
+    from data_integration_tool_spark.sources import pipeline
+
+    spec = {
+        "source": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"},
+        "steps": [
+            {"op": "dedup", "keys": ["o_custkey"],
+             "order_by": ["o_orderdate", "-o_orderkey"]},
+        ],
+    }
+    with pytest.raises(ValueError, match="all ascending or all descending"):
+        pipeline.build(spark, spec)
