@@ -164,3 +164,47 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, q.total_qty
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        ) q ON q.l_orderkey = o.o_orderkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with very large orders. The HAVING
+    aggregate reduces lineitem to qualifying orderkeys BEFORE any join
+    (semi-join-like pre-reduction — the order/customer joins only see
+    the few large orders), then top-100 by price."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(q, q.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -116,3 +116,17 @@ def test_no_collect_inside_operators():
             if bad in src:
                 offenders.append(f"{py.name}:{bad}")
     assert not offenders, offenders
+
+
+def test_tpch_composites_broadcast_dims_and_take_ordered(spark, sf_dir):
+    """The composite analytics plans must broadcast their dimension
+    sides and fuse sort+limit into TakeOrderedAndProject."""
+    from data_integration_tool_spark.operators import analytics
+
+    q5 = analytics.tpch_q5_local_supplier_volume(spark, sf_dir)
+    plan5 = tuning.explain_str(q5, mode="simple")
+    assert plan5.count("BroadcastHashJoin") >= 3, plan5
+    q3 = analytics.tpch_q3_shipping_priority(spark, sf_dir)
+    assert tuning.uses_take_ordered(q3)
+    q18 = analytics.tpch_q18_large_orders(spark, sf_dir)
+    assert tuning.uses_take_ordered(q18)
