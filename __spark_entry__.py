@@ -20,14 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_integration_tool_spark import registry  # noqa: E402
-from data_integration_tool_spark.operators.aggregates import agg_group  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
-    return agg_group(spark, SMOKE_SF_DIR)
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001.
+
+    Looked up via the registry (not an eager module import) so the
+    dict order of ``queries()`` is exactly ``registry._DRIVER_PRIORITY``
+    — the round-1 driver only recorded the first 50 entries.
+    """
+    return registry.queries()["agg_group"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

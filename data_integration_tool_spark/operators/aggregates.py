@@ -273,7 +273,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT o_custkey,
-               list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
                count(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
@@ -282,11 +282,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "collect"),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group array of order keys — sorted on both engines because
-    array element order is part of the value (SURVEY.md §5)."""
+    """Per-group array of order keys, numerically sorted then joined to one
+    string. The array itself is the semantics (collect_list + sort_array);
+    the string join exists because the driver's pandas canonicalizer can't
+    hash list-typed cells (round-1 ``unhashable type: 'list'`` error) —
+    a scalar column carries the same information for the compare."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -59,6 +59,85 @@ _QUERY_MODULES: tuple[str, ...] = (
 
 _loaded = False
 
+# Driver-facing ordering. The round-1 driver recorded CORRECTNESS rows for
+# only the FIRST 50 entries of queries() (dict insertion order) — every
+# query past the cut got no row at all (VERDICT.md round 1). This list
+# front-loads the queries that have never been driver-verified, with
+# oracle-bearing ones before rows-only ones so the strongest checks land
+# inside any per-round cap; the 47 already-green queries from round 1 go
+# last. Names absent from this list keep registration order after it.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    "agg_collect",  # r1 driver row was a canonicalizer error — re-prove first
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_knn_exact",
+    "sim_knn_batch",
+    "sim_pairs_threshold",
+    "sim_ann_ivf",
+    "cluster_assign",
+    "text_tokenize_tf",
+    "text_stats",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_ngram_freq",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_late",
+    "stream_gapfill",
+    "funnel_conversion",
+    "retention_cohort",
+    "subq_scalar",
+    "subq_correlated",
+    "subq_not_in",
+    "fn_string",
+    "fn_split_explode",
+    "fn_date",
+    "fn_date_bucket",
+    "fn_math",
+    "fn_cast",
+    "fn_array",
+    "fn_array_hof",
+    "fn_explode",
+    "fn_json",
+    "fn_json_agg",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    "unpivot_melt",
+    "udf_grouped_agg",
+    "multimodal_meta",
+    # rows-only below the oracle-bearing block
+    "dedup_minhash",
+    "sim_ann_lsh",
+    "dedup_simhash",
+    "fn_map",
+    "udf_pandas_norm",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "multimodal_features",
+)
+
+
+def _driver_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Registry re-keyed so _DRIVER_PRIORITY names come first."""
+    out: dict[str, QuerySpec] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in reg:
+            out[name] = reg[name]
+    for name, spec in reg.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
 
 def query(
     name: str, oracle: str | None = None, phase: str = "", tags: tuple[str, ...] = ()
@@ -86,7 +165,7 @@ def load_all_modules() -> None:
 
 def specs() -> dict[str, QuerySpec]:
     load_all_modules()
-    return dict(_REGISTRY)
+    return _driver_order(_REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:
