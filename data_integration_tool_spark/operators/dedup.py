@@ -117,9 +117,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The source is the blocking key bounding the pair blowup; at scale
     the blocking key would be an LSH band (dedup_minhash) instead of a
-    metadata column, sub-chunked when a block outgrows one Arrow batch.
+    metadata column. Blocks are tiled via ``tile_pair_blocks`` so one
+    kernel invocation never holds more than 2×MAX_PAIR_BLOCK_ROWS docs:
+    a skewed source can't OOM the incidence matrix, and since jaccard of
+    a pair depends only on the two docs (integer math, order-free), the
+    tiled union is identical to the unchunked kernel.
 
-    Each block is one ``applyInPandas`` group: tokenize, build the
+    Each tile is one ``applyInPandas`` group: tokenize, build the
     doc×vocab 0/1 incidence matrix, and get ALL pairwise intersection
     sizes from one BLAS matmul. This is numerically EXACT — the matmul
     sums 0/1 products, and integer-valued float64 sums never round, so
@@ -135,7 +139,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from .pair_blocks import owned_pair_mask, tile_pair_blocks
+
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tiled = tile_pair_blocks(d, ["source"], "doc_id")
     out_schema = StructType(
         [
             StructField("doc_a", LongType()),
@@ -146,6 +153,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def jac_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy()
+        ck = pdf["_ck"].to_numpy()
+        ca, cb = int(pdf["_ca"].iloc[0]), int(pdf["_cb"].iloc[0])
         # same tokenization as _tokens(): split on single spaces, drop
         # empties, distinct, lowercase
         tok_sets = [{t for t in txt.lower().split(" ") if t} for txt in pdf["text"]]
@@ -163,12 +172,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz = M.sum(axis=1)
         union = sz[:, None] + sz[None, :] - inter
         jac = inter / union
-        ia, ib = np.where((jac >= 0.8) & (ids[:, None] < ids[None, :]))
+        keep = (
+            (jac >= 0.8)
+            & (ids[:, None] < ids[None, :])
+            & owned_pair_mask(ck, ca, cb)
+        )
+        ia, ib = np.where(keep)
         return pd.DataFrame(
             {"doc_a": ids[ia], "doc_b": ids[ib], "jaccard": jac[ia, ib]}
         )
 
-    return d.groupBy("source").applyInPandas(jac_fn, out_schema)
+    return tiled.groupBy("source", "_ca", "_cb").applyInPandas(jac_fn, out_schema)
 
 
 @query(
@@ -355,14 +369,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical representative its dedup group keeps.
 
     Blocking key is the label (at 100 TB: an LSH/IVF bucket column —
-    same plan shape, see sim_ann_ivf, sub-chunked when a block's O(n²)
-    cosine matrix outgrows executor memory). The self-pair (cosine = 1)
-    is intentionally included: every vector belongs to its own group,
-    so singletons survive with canonical_id = vec_id. Each label group
-    runs as one Arrow batch through ``pairwise_cosine_exact`` (oracle-
-    identical fp order, so the ≥-threshold boundary decisions match the
-    SQL twin bit-for-bit); only one small row per vector returns from
-    Python.
+    same plan shape, see sim_ann_ivf). The self-pair (cosine = 1) is
+    intentionally included: every vector belongs to its own group, so
+    singletons survive with canonical_id = vec_id.
+
+    Skew safety: the label block is tiled (``tile_pair_blocks``), so
+    each kernel invocation bounds its cosine matrix; because the output
+    here is a PER-ROW aggregate (min neighbor id, neighbor count) and a
+    row's neighbors are spread across its tiles, the kernel emits
+    per-tile PARTIALS over the tile's owned pairs and a final
+    co-partitioned groupBy(vec_id) combines them — min of mins / sum of
+    counts, exact because each neighbor pair is owned by exactly one
+    tile and cosine is pair-local with fixed fp order
+    (``pairwise_cosine_exact``, oracle-identical boundary decisions).
     """
     import numpy as np
     import pandas as pd
@@ -374,32 +393,47 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from .pair_blocks import owned_pair_mask, tile_pair_blocks
     from .similarity import pairwise_cosine_exact
 
-    e = load(spark, sf_dir, "embeddings")
-    out_schema = StructType(
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    tiled = tile_pair_blocks(e, ["label"], "vec_id")
+    partial_schema = StructType(
         [
             StructField("vec_id", LongType()),
             StructField("label", IntegerType()),
-            StructField("canonical_id", LongType()),
-            StructField("n_neighbors", LongType()),
+            StructField("p_canonical", LongType()),
+            StructField("p_neighbors", LongType()),
         ]
     )
 
-    def groups_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partials_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
+        ck = pdf["_ck"].to_numpy()
+        ca, cb = int(pdf["_ca"].iloc[0]), int(pdf["_cb"].iloc[0])
         A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         cos = pairwise_cosine_exact(A)
-        mask = cos >= EMB_DUP_THRESHOLD
+        # owned mask covers both orientations of a pair, so row i sees
+        # neighbor j exactly once across all tiles (and itself on the
+        # diagonal tile)
+        mask = (cos >= EMB_DUP_THRESHOLD) & owned_pair_mask(ck, ca, cb)
         ids_b = np.broadcast_to(ids[None, :], mask.shape)
-        canonical = np.where(mask, ids_b, np.iinfo(np.int64).max).min(axis=1)
+        p_canon = np.where(mask, ids_b, np.iinfo(np.int64).max).min(axis=1)
+        n = mask.sum(axis=1)
+        keep = n > 0  # rows with no owned neighbors in this tile add nothing
         return pd.DataFrame(
             {
-                "vec_id": ids,
+                "vec_id": ids[keep],
                 "label": pdf["label"].iloc[0],
-                "canonical_id": canonical,
-                "n_neighbors": mask.sum(axis=1),
+                "p_canonical": p_canon[keep],
+                "p_neighbors": n[keep],
             }
         )
 
-    return e.groupBy("label").applyInPandas(groups_fn, out_schema)
+    partials = tiled.groupBy("label", "_ca", "_cb").applyInPandas(
+        partials_fn, partial_schema
+    )
+    return partials.groupBy("vec_id", "label").agg(
+        F.min("p_canonical").alias("canonical_id"),
+        F.sum("p_neighbors").alias("n_neighbors"),
+    )

@@ -135,12 +135,17 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label is the blocking key bounding the pair count (the all-pairs
     version is O(n²) and deliberately not offered); at scale the
     blocking key becomes an LSH bucket (sim_ann_lsh). Each label group
-    is computed as one Arrow batch through ``pairwise_cosine_exact`` —
+    is computed as Arrow batches through ``pairwise_cosine_exact`` —
     d vectorized numpy passes with oracle-identical fp order, ~5×
     faster than the interpreted higher-order-function pair join. Only
-    the (tiny) qualifying pairs cross back from Python. At 100 TB the
-    per-group O(n²) matrix bounds the block size: sub-chunk the
-    blocking key (label, block_a, block_b) before this kernel.
+    the (tiny) qualifying pairs cross back from Python.
+
+    Skew safety: blocks are tiled via ``tile_pair_blocks`` so no kernel
+    invocation sees more than 2×MAX_PAIR_BLOCK_ROWS rows — a skewed
+    label cannot OOM an executor; each pair is owned by exactly one
+    tile (``owned_pair_mask``) and per-pair values are tile-independent,
+    so the union over tiles is bit-identical to the unchunked kernel
+    (pinned by tests/test_algorithms.py).
     """
     import numpy as np
     import pandas as pd
@@ -153,7 +158,10 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    e = load(spark, sf_dir, "embeddings")
+    from .pair_blocks import owned_pair_mask, tile_pair_blocks
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    tiled = tile_pair_blocks(e, ["label"], "vec_id")
     out_schema = StructType(
         [
             StructField("vec_a", LongType()),
@@ -165,9 +173,16 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
+        ck = pdf["_ck"].to_numpy()
+        ca, cb = int(pdf["_ca"].iloc[0]), int(pdf["_cb"].iloc[0])
         A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         cos = pairwise_cosine_exact(A)
-        ia, ib = np.where((cos >= 0.3) & (ids[:, None] < ids[None, :]))
+        keep = (
+            (cos >= 0.3)
+            & (ids[:, None] < ids[None, :])
+            & owned_pair_mask(ck, ca, cb)
+        )
+        ia, ib = np.where(keep)
         return pd.DataFrame(
             {
                 "vec_a": ids[ia],
@@ -177,7 +192,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return e.groupBy("label").applyInPandas(pairs_fn, out_schema)
+    return tiled.groupBy("label", "_ca", "_cb").applyInPandas(pairs_fn, out_schema)
 
 
 @query(

@@ -339,17 +339,30 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day,
-    counted as active per day offset. The first-seen aggregate is one
-    shuffle on user_id; the activity join is co-partitioned on the same
-    key, so AQE can pipeline them without a second full exchange."""
+    counted as active per day offset.
+
+    Plan shape (round-2 rewrite, VERDICT r1 #4): pre-reduce events to
+    user-day grain FIRST — ``distinct(user_id, day)`` collapses the event
+    fan-in (|events| rows) to |user-days| before anything else touches it.
+    ``firsts`` is then a cheap re-aggregate of that same reduced relation
+    (min over user-days == min over events), the cohort join is
+    co-partitioned on user_id, and because (user_id, day) is already
+    unique the final count is a plain ``count(*)`` — no countDistinct
+    expand over the raw event stream. At 100 TB the distinct is the only
+    pass over the full table and it map-side combines on user_id×day."""
     e = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    user_days = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    firsts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        e.join(firsts, "user_id")
+        user_days.join(firsts, "user_id")
         .groupBy(
             "cohort_day",
-            F.datediff(day, F.col("cohort_day")).cast("bigint").alias("day_offset"),
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )

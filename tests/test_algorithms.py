@@ -211,6 +211,30 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_pair_block_tiling_matches_unchunked(spark, sf_dir, monkeypatch):
+    """Force every block to split into many sub-chunk tiles (max 13 rows
+    per chunk vs 25-50 row fixture blocks) and assert all three pairwise
+    kernels produce IDENTICAL results to the effectively-unchunked
+    default — the tile union must cover each pair exactly once with
+    unchanged values (pair_blocks.tile_pair_blocks contract)."""
+    from data_integration_tool_spark.operators import pair_blocks
+
+    def snap_pairs(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    builders = [
+        dedup.dedup_ngram_jaccard,
+        dedup.dedup_embedding,
+        similarity.sim_pairs_threshold,
+    ]
+    base = [snap_pairs(b(spark, sf_dir)) for b in builders]
+    monkeypatch.setattr(pair_blocks, "MAX_PAIR_BLOCK_ROWS", 13)
+    chunked = [snap_pairs(b(spark, sf_dir)) for b in builders]
+    for b, got, want in zip(builders, chunked, base):
+        assert got == want, f"{b.__name__} changed under tiling"
+        assert want, f"{b.__name__} produced no rows — vacuous comparison"
+
+
 def test_dedup_embedding_groups(spark, sf_dir):
     """Every vector appears exactly once, canonical <= vec_id, and the
     canonical assignment is consistent with self-membership."""
