@@ -188,3 +188,99 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return d.mapInPandas(score_batches, schema=out_schema)
+
+
+CHUNK_SIZE = 32  # tokens per chunk (LLM context-window chunking shape)
+CHUNK_STRIDE = 24  # overlap of CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+@query(
+    "udtf_chunk_docs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+                        ELSE CAST(ceil((len(toks) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+                   END AS nchunks
+            FROM tok
+        ), ks AS (
+            SELECT doc_id, toks, n, unnest(range(nchunks)) AS k
+            FROM c
+        )
+        SELECT doc_id,
+               k AS chunk_idx,
+               array_to_string(
+                   list_slice(toks, k * {CHUNK_STRIDE} + 1, k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '
+               ) AS chunk_text,
+               least(k * {CHUNK_STRIDE} + {CHUNK_SIZE}, n) - k * {CHUNK_STRIDE} AS n_tokens
+        FROM ks
+    """,
+    phase="P4",
+    tags=("udf", "udtf", "text"),
+)
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF splitting each document into overlapping token-window
+    chunks (size 32, stride 24) — the LLM-ingest chunking shape, and the
+    one SURVEY §2.11 row that genuinely wants a table function: one input
+    row yields a variable number of typed output rows.
+
+    Arrow-optimized (``useArrow=True``) so batches cross the Python
+    boundary columnar; invoked via SQL LATERAL, which is how a UDTF
+    composes with the rest of a query plan (per-partition, no shuffle —
+    the lateral fan-out never leaves the scan task). An explode-shaped
+    expression twin exists (tests/test_algorithms.py) proving the same
+    result is expressible without Python; the UDTF form is the API
+    surface a user would reach for when the chunker is a real tokenizer.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id: bigint, chunk_idx: bigint, chunk_text: string, n_tokens: bigint"
+        ),
+        useArrow=True,
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            toks = [t for t in text.lower().split(" ") if t]
+            n = len(toks)
+            if n <= CHUNK_SIZE:
+                nchunks = 1
+            else:
+                nchunks = -((n - CHUNK_SIZE) // -CHUNK_STRIDE) + 1
+            for k in range(nchunks):
+                lo = k * CHUNK_STRIDE
+                hi = min(lo + CHUNK_SIZE, n)
+                yield doc_id, k, " ".join(toks[lo:hi]), hi - lo
+
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs, LATERAL chunk_docs(doc_id, text) AS c"
+    )
+
+
+def chunk_docs_explode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only twin of udtf_chunk_docs (pytest cross-check):
+    sequence() over chunk starts + slice() of the token array."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    nchunks = F.when(F.col("n") <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - CHUNK_SIZE) / float(CHUNK_STRIDE)).cast("long") + 1
+    )
+    t = t.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1))
+    )
+    lo = F.col("chunk_idx").cast("int") * CHUNK_STRIDE
+    n_tok = F.least(lo + CHUNK_SIZE, F.col("n")) - lo
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("toks", lo + 1, CHUNK_SIZE), " ").alias("chunk_text"),
+        n_tok.cast("long").alias("n_tokens"),
+    )

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_rows",
     "unpivot_melt",
     "udf_grouped_agg",
+    "udtf_chunk_docs",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
     "dedup_minhash",

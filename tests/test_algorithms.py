@@ -211,6 +211,19 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_udtf_chunks_match_explode_twin(spark, sf_dir):
+    """The Python UDTF chunker and the expression-only explode twin must
+    produce identical (doc_id, chunk_idx, chunk_text, n_tokens) rows."""
+    got = sorted(tuple(r) for r in udfs.udtf_chunk_docs(spark, sf_dir).collect())
+    twin = sorted(
+        tuple(r) for r in udfs.chunk_docs_explode_twin(spark, sf_dir).collect()
+    )
+    assert got == twin
+    assert got, "no chunks produced"
+    # multi-chunk docs must exist for the overlap logic to be exercised
+    assert any(r[1] > 0 for r in got)
+
+
 def test_pair_block_tiling_matches_unchunked(spark, sf_dir, monkeypatch):
     """Force every block to split into many sub-chunk tiles (max 13 rows
     per chunk vs 25-50 row fixture blocks) and assert all three pairwise
