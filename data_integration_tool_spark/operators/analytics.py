@@ -208,3 +208,446 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (fixture adaptation: the schema has no commit/receipt
+    dates, so "late" = a lineitem shipped >30 days after the order
+    date): order counts per priority for orders with at least one late
+    line. The EXISTS is a left-semi join — each order counted once no
+    matter how many late lines — and the quarter filter reaches the
+    orders scan before the join."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT sum(l_extendedprice * l_discount) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side aggregation — every predicate pushes to
+    the parquet scan, no join, no wide shuffle (one-row global agg). At
+    100 TB this is the query that proves filter pushdown works: the plan
+    must show PushedFilters on shipdate/discount/quantity."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Both nation dims broadcast; the disjunctive nation-pair predicate is
+    applied right after those broadcasts so non-qualifying rows die
+    before the fact-fact shuffle join."""
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+        SELECT o_year,
+               sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                   / sum(volume) AS mkt_share
+        FROM (
+            SELECT year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional volume in a part type,
+    by order year. Eight-table join where every dimension broadcasts;
+    part-type and region filters prune before the fact-fact shuffle —
+    the only exchange left is lineitem⋈orders on orderkey."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_regionkey").alias("n1_region"),
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q12_late_lines",
+    oracle="""
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (fixture adaptation: no shipmode column, so the group
+    dimension is returnflag and "late" = shipped >60 days after order
+    date): high/low-priority line counts among late shipments. The
+    year filter is scan-pushed; the lateness predicate rides the join."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-type share of one month's revenue. Part is
+    broadcast (it joins the already-month-filtered lineitem), and the
+    conditional sum folds into one partial-aggregated pass."""
+    p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+        SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND p.p_size < 10
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (fixture adaptation: p_size < 10 replaces the absent
+    container column): revenue lost to small-quantity orders of one
+    brand's small parts. The correlated scalar avg is decorrelated into
+    a per-part aggregate joined back — but computed ONLY over parts that
+    survive the brand/size filter (semi-reduced before the avg), so the
+    per-part aggregate never scans quantities for parts the outer query
+    will drop."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    filtered = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avgq = filtered.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    ).withColumnRenamed("l_partkey", "avg_partkey")
+    return (
+        filtered.join(
+            F.broadcast(avgq), F.col("l_partkey") == F.col("avg_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+        SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates over a
+    part⋈lineitem join. The per-table halves of the OR are derivable by
+    Catalyst (constraint propagation pushes brand∈{...} to the part scan
+    and quantity ranges to the lineitem scan); the residual disjunction
+    evaluates on the broadcast-joined rows."""
+    p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    between = lambda c, lo, hi: (F.col(c) >= lo) & (F.col(c) <= hi)  # noqa: E731
+    cond = (
+        (F.col("p_brand") == "Brand#1") & between("p_size", 1, 15) & between("l_quantity", 1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & between("p_size", 10, 30) & between("l_quantity", 10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & between("p_size", 20, 50) & between("l_quantity", 20, 40)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, count(*) AS numcust, sum(c.c_acctbal) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (fixture adaptations: nationkey replaces the absent
+    phone country code, and "idle" means no order since 2000 — every
+    fixture customer has SOME order, so the literal never-ordered form
+    returns zero rows and proves nothing): above-average-balance
+    customers gone idle. The global average is a one-row broadcast
+    cross join; the NOT EXISTS is a left-anti join against the
+    date-filtered orders keys (filter pushed to the orders scan)."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

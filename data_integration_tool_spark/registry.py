@@ -84,9 +84,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_ngram_freq",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
