@@ -55,6 +55,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.text",
     "data_integration_tool_spark.operators.dedup",
     "data_integration_tool_spark.operators.similarity",
+    "data_integration_tool_spark.operators.docprep",
 )
 
 _loaded = False
@@ -124,6 +125,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_melt",
     "udf_grouped_agg",
     "udtf_chunk_docs",
+    "pipeline_docs_prep",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
     "dedup_minhash",
