@@ -72,3 +72,33 @@ def fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.explode(F.split(F.col("p_type"), " ")).alias("type_word"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle=r"""
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_num,
+               regexp_replace(c_name, '^Customer#0*', '') AS short_name,
+               regexp_matches(c_name, '00$') AS ends_00
+        FROM customer
+        WHERE regexp_matches(c_name, '[0-9]{2}$')
+    """,
+    phase="P3",
+    tags=("fn", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract a capture group, strip a prefix, boolean
+    match, and an rlike filter. Patterns are kept in the common subset
+    of Java regex (Spark) and RE2 (DuckDB) — digit classes, anchors,
+    bounded repetition — so both engines agree byte-for-byte. All four
+    expressions evaluate inside whole-stage codegen on the scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("[0-9]{2}$")).select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .cast("bigint")
+        .alias("name_num"),
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("short_name"),
+        F.col("c_name").rlike("00$").alias("ends_00"),
+    )

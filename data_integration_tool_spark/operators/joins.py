@@ -433,3 +433,92 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.lateralJoin(top2).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+N_SALT = 8  # salt fan-out for the skew-mitigation patterns
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_totalprice > 400000
+    """,
+    phase="P3",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join — the skew-mitigation pattern written
+    out as a verifiable operator. The build side (filtered orders)
+    replicates each row N_SALT times with salt 0..N-1; the probe side
+    (lineitem) derives a DETERMINISTIC salt from a non-join column
+    (xxhash64 of linenumber), so every probe row meets exactly one
+    replica and the result is provably identical to the plain join —
+    the oracle IS the plain join. One hot orderkey now spreads over
+    N_SALT shuffle partitions instead of one straggler task.
+
+    At 100 TB: you'd gate this on observed key skew (or let AQE's
+    skewJoin do it adaptively — enabled in session.py); this operator
+    exists so the manual pattern is exercised and hash-verified, not
+    guessed at during an incident.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load(spark, sf_dir, "lineitem")
+    o_salted = o.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    li_salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_SALT)).cast("int")
+    )
+    return (
+        o_salted.join(
+            li_salted,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (o_salted["_salt"] == li_salted["_salt"]),
+        )
+        .select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "agg_skew_twophase",
+    oracle="""
+        SELECT l_returnflag,
+               sum(l_quantity)      AS sum_qty,
+               count(*)             AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    phase="P3",
+    tags=("agg", "skew"),
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation written out: phase 1 groups by
+    (key, salt) so one hot key spreads over N_SALT reducers, phase 2
+    re-aggregates the per-salt partials to the final key grain. The
+    oracle is the plain GROUP BY — the decomposition must be invisible
+    in the result (sum of sums, sum of counts).
+
+    Spark's hash aggregate already does map-side partials, so at this
+    scale the pattern is redundant — it exists for the 3-distinct-key
+    case like this one (l_returnflag), where partial aggregation alone
+    still funnels each key through ONE final reducer and a hot key can
+    dominate; the salt bounds that reducer's input at |partials| =
+    N_SALT regardless of row skew.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    phase1 = (
+        li.withColumn(
+            "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(N_SALT)).cast("int")
+        )
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum("l_quantity").alias("_sum_qty"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("_sum_qty").alias("sum_qty"),
+        F.sum("_n").alias("n_rows"),
+    )

@@ -119,6 +119,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_explode",
     "fn_json",
     "fn_json_agg",
+    "fn_regex",
+    "join_skew_salted",
+    "agg_skew_twophase",
     "set_intersect",
     "set_except",
     "distinct_rows",
