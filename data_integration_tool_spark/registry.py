@@ -108,6 +108,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "subq_scalar",
     "subq_correlated",
     "subq_not_in",
+    "pipeline_docs_prep",
+    "udtf_chunk_docs",
+    "join_skew_salted",
+    "agg_skew_twophase",
     "fn_string",
     "fn_split_explode",
     "fn_date",
