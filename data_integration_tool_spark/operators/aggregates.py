@@ -409,3 +409,26 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("o_totalprice").alias("avg_price"),
         )
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch estimates are engine-specific → rows-only +
+    # pytest accuracy bound vs the exact percentile
+    phase="P3",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy
+    10000): per-returnflag p50/p90/p99 of extended price. The sketch is
+    map-side mergeable — at 100 TB each partition builds one bounded
+    sketch and the shuffle carries sketches, not rows, unlike exact
+    percentile which must see all values per group. pytest pins the
+    estimate within the sketch's rank-error bound of the exact values
+    (tests/test_algorithms.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        )
+    )

@@ -135,6 +135,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_docs_prep",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
+    "agg_approx_percentile",
     "dedup_minhash",
     "sim_ann_lsh",
     "dedup_simhash",

@@ -257,3 +257,28 @@ def test_dedup_embedding_groups(spark, sf_dir):
     for r in rows:
         assert r.canonical_id <= r.vec_id
         assert r.n_neighbors >= 1
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000) guarantees rank error <=
+    1/10000; on fixture group sizes that means near-exact. Allow a
+    loose 1% relative value tolerance to stay robust to ties."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_approx_percentile,
+    )
+
+    approx = {
+        r.l_returnflag: r.approx_pcts
+        for r in agg_approx_percentile(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("pcts"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / abs(e) < 0.01, (k, a, e)
