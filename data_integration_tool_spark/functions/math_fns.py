@@ -86,3 +86,64 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("42").cast("bigint").alias("const_int"),
         F.col("o_orderdate").cast("date").cast("timestamp").alias("date_roundtrip"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey,
+               l_orderkey & 255                  AS k_and,
+               l_orderkey | 4096                 AS k_or,
+               xor(l_orderkey, l_partkey)        AS k_xor,
+               l_linenumber << 3                 AS ln_shl,
+               l_orderkey >> 2                   AS k_shr,
+               ~l_orderkey                       AS k_not
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+    """,
+    phase="P3",
+    tags=("fn", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift/NOT over integer keys — all codegen
+    expressions evaluated in the scan stage."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("k_and"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("k_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("k_xor"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("k_shr"),
+        F.bitwise_not(F.col("l_orderkey")).alias("k_not"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING')   AS status_filled,
+               greatest(o_totalprice, 100000.0)                  AS price_floor,
+               least(o_totalprice, 400000.0)                     AS price_cap,
+               if(o_orderpriority = '1-URGENT', 1, 0)            AS is_urgent
+        FROM orders
+    """,
+    phase="P3",
+    tags=("fn", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: coalesce/nullif/greatest/least/if —
+    the null-handling surface every mapping spec leans on."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_filled"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+    )

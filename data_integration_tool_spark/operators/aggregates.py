@@ -432,3 +432,45 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_pcts"
         )
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        )
+        SELECT c_mktsegment,
+               max(struct_pack(n := n, neg := 0 - ord(o_orderpriority),
+                               v := o_orderpriority)).v AS mode_priority,
+               max(n) AS mode_count
+        FROM counts
+        GROUP BY c_mktsegment
+    """,
+    phase="P3",
+    tags=("agg", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment modal order priority with a DETERMINISTIC tie-break
+    (lexicographically smallest value wins among equal counts — encoded
+    as max over (count, -ord(first char), value) on both engines,
+    because neither engine's native mode() defines tie order). Two
+    map-side-combinable aggregates; no window, no sort."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pick = F.struct(
+        F.col("n").alias("n"),
+        (F.lit(0) - F.ascii("o_orderpriority")).alias("neg"),
+        F.col("o_orderpriority").alias("v"),
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.max(pick).getField("v").alias("mode_priority"),
+        F.max("n").alias("mode_count"),
+    )

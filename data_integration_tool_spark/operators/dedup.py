@@ -437,3 +437,67 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_canonical").alias("canonical_id"),
         F.sum("p_neighbors").alias("n_neighbors"),
     )
+
+
+@query(
+    "dedup_minhash_groups",
+    oracle=None,  # hash-seed-specific buckets → rows-only + pytest group checks
+    phase="P3",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-output MinHash-LSH dedup: each doc maps to the minimum
+    doc_id over all its band-bucket mates (one-hop canonical) — the
+    operational form of corpus dedup at 100 TB.
+
+    ``dedup_minhash`` (the pair-emitting form) is inherently quadratic
+    in cluster size: this fixture's templated corpus yields 2.9M
+    candidate pairs from 5k docs, and a viral template at real scale
+    emits billions. This operator never materializes a pair: bucket
+    canonical = min(doc_id) per (band_idx, band_hash) — one combinable
+    aggregation — then doc canonical = min over the doc's 5 buckets.
+    Cost is O(docs × bands) rows end-to-end, two map-side-combinable
+    aggregations, zero self-joins. The trade: no per-pair similarity
+    confirmation (pure LSH grouping, the standard operating point for
+    web-scale dedup); pytest pins that exact duplicates always share a
+    canonical and distinct docs rarely do.
+    """
+    d = load(spark, sf_dir, "documents")
+    token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
+    slots = d.select("doc_id", token_hashes.alias("hs")).select(
+        "doc_id",
+        *[
+            F.coalesce(
+                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
+            ).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    banded = slots.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"s{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    bucket_canon = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("bucket_min"),
+        F.count(F.lit(1)).alias("bucket_size"),
+    )
+    return (
+        banded.join(bucket_canon, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("bucket_min").alias("canonical_id"),
+            F.max(F.col("bucket_size") - 1).alias("max_bucket_mates"),
+        )
+    )

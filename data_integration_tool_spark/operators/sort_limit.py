@@ -110,3 +110,22 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sample_stratified",
+    oracle=None,  # RNG is engine-specific → rows-only + pytest fractions
+    phase="P3",
+    tags=("sample", "stratified"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: different Bernoulli fraction per stratum
+    (returnflag) via ``sampleBy`` — the shape used to rebalance a
+    skewed training corpus (downsample the dominant class, keep the
+    rare ones). Seeded for determinism within an engine; pytest pins
+    the per-stratum fractions. Executes as a per-row filter in the scan
+    stage — no shuffle at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", {"N": 0.05, "A": 0.5, "R": 0.9}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")

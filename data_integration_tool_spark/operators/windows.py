@@ -284,3 +284,39 @@ def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_rank).alias("revenue_rank"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               first_value(o_orderkey)   OVER w AS first_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    phase="P2",
+    tags=("window", "nth"),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a whole-partition frame: each order sees its
+    customer's 2nd-highest price (NULL for single-order customers) and
+    top orderkey. Deterministic via the unique orderkey tiebreaker in
+    the window order."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )

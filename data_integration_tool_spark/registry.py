@@ -56,6 +56,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.dedup",
     "data_integration_tool_spark.operators.similarity",
     "data_integration_tool_spark.operators.docprep",
+    "data_integration_tool_spark.sources.etl",
 )
 
 _loaded = False
@@ -112,6 +113,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_chunk_docs",
     "join_skew_salted",
     "agg_skew_twophase",
+    "etl_scd_upsert",
+    "agg_mode",
     "fn_string",
     "fn_split_explode",
     "fn_date",
@@ -124,18 +127,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_json",
     "fn_json_agg",
     "fn_regex",
-    "join_skew_salted",
-    "agg_skew_twophase",
+    "fn_bitwise",
+    "fn_conditional",
+    "win_nth_value",
     "set_intersect",
     "set_except",
     "distinct_rows",
     "unpivot_melt",
     "udf_grouped_agg",
-    "udtf_chunk_docs",
-    "pipeline_docs_prep",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
     "agg_approx_percentile",
+    "sample_stratified",
+    "dedup_minhash_groups",
     "dedup_minhash",
     "sim_ann_lsh",
     "dedup_simhash",

@@ -101,3 +101,96 @@ def convert(
     if mapping:
         df = apply_mapping(df, mapping)
     write_any(df, dst_path, dst_fmt, partition_by=partition_by, **(write_options or {}))
+
+
+# Registered CDC-apply query (imports deferred so this module stays
+# importable without the registry side effects when used as a library).
+from ..io import load  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "etl_scd_upsert",
+    oracle="""
+        WITH snapshot AS (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey < 1000
+        ), changes AS (
+            SELECT o_custkey AS custkey,
+                   max(struct_pack(d := o_orderdate, k := o_orderkey,
+                                   s := o_orderstatus, p := o_totalprice)) AS last
+            FROM orders
+            GROUP BY o_custkey
+        ), ops AS (
+            SELECT custkey,
+                   CASE WHEN last.s = 'F' THEN 'D' ELSE 'U' END AS op,
+                   last.p AS new_bal
+            FROM changes
+        )
+        SELECT coalesce(s.c_custkey, o.custkey) AS c_custkey,
+               coalesce(s.c_name, 'NEW#' || o.custkey) AS c_name,
+               CASE WHEN o.custkey IS NULL THEN s.c_acctbal
+                    ELSE o.new_bal END AS c_acctbal,
+               CASE WHEN s.c_custkey IS NULL THEN 'I'
+                    WHEN o.custkey IS NULL THEN 'K'
+                    ELSE 'U' END AS applied_op
+        FROM snapshot s
+        FULL OUTER JOIN ops o ON s.c_custkey = o.custkey
+        WHERE coalesce(o.op, 'K') <> 'D'
+    """,
+    phase="P3",
+    tags=("etl", "cdc", "upsert"),
+)
+def etl_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / SCD-1 upsert — THE data-integration merge pattern:
+    a keyed snapshot (customers below key 1000, standing in for the
+    loaded dimension) receives a changeset derived from orders (latest
+    order per customer: status 'F' → delete, else update balance to the
+    order total; change keys outside the snapshot → insert).
+
+    Plan shape: the changeset reduces to one row per key with a
+    combinable max(struct(date, key, status, price)) arg-max — no
+    window sort — then ONE full-outer join on the key applies
+    insert/update/delete/keep with coalesce/case. At 100 TB both sides
+    shuffle-partition on the key (or the snapshot side is bucketed and
+    only the changeset moves); there is exactly one exchange per side
+    and no driver involvement. Spark has no MERGE INTO without a table
+    format; this operator IS the engine-level equivalent, and the
+    full-outer CASE form is hash-verified against the SQL twin.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = load(spark, sf_dir, "orders")
+    last = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.struct(
+                F.col("o_orderdate").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        ).alias("last")
+    )
+    ops = last.select(
+        "custkey",
+        F.when(F.col("last.s") == "F", "D").otherwise("U").alias("op"),
+        F.col("last.p").alias("new_bal"),
+    )
+    joined = c.join(ops, c.c_custkey == ops.custkey, "full_outer")
+    return (
+        joined.filter(F.coalesce(F.col("op"), F.lit("K")) != "D")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("c_custkey"),
+            F.coalesce(
+                F.col("c_name"), F.concat(F.lit("NEW#"), F.col("custkey"))
+            ).alias("c_name"),
+            F.when(F.col("custkey").isNull(), F.col("c_acctbal"))
+            .otherwise(F.col("new_bal"))
+            .alias("c_acctbal"),
+            F.when(F.col("c_custkey").isNull(), "I")
+            .when(F.col("custkey").isNull(), "K")
+            .otherwise("U")
+            .alias("applied_op"),
+        )
+    )

@@ -282,3 +282,51 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / abs(e) < 0.01, (k, a, e)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_stratified,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    totals = {r.l_returnflag: r.n for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r.l_returnflag: r.n
+        for r in sample_stratified(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {"N": 0.05, "A": 0.5, "R": 0.9}
+    for flag, frac in want.items():
+        share = got.get(flag, 0) / totals[flag]
+        assert abs(share - frac) < 0.07, (flag, share, frac)
+
+
+def test_minhash_groups_linear_dedup(spark, sf_dir):
+    """dedup_minhash_groups: every doc appears once, canonical <=
+    doc_id and is a real doc, and exact duplicates (identical text)
+    ALWAYS share a canonical (same signature → same buckets in every
+    band → same bucket-min set). One-hop canonicals are NOT transitive
+    by design — chained near-dups may need a second pass at the
+    caller's choice — so no closure property is asserted."""
+    rows = {r.doc_id: r for r in dedup.dedup_minhash_groups(spark, sf_dir).collect()}
+    d_n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == d_n
+    for r in rows.values():
+        assert r.canonical_id <= r.doc_id
+        assert r.canonical_id in rows
+    # identical token SETS (sorted distinct tokens) → identical minhash
+    # signature → identical buckets → identical canonical, guaranteed
+    dups = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.sort_array(dedup._tokens()).alias("key"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert dups, "fixture has no identical-token-set duplicates — vacuous"
+    for grp in dups:
+        cs = {rows[i].canonical_id for i in grp.ids}
+        assert len(cs) == 1, f"exact dups split across canonicals: {grp.ids}"
