@@ -501,3 +501,88 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("bucket_size") - 1).alias("max_bucket_mates"),
         )
     )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, source,
+                   list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM tok a JOIN tok b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        ), edges AS (
+            SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+        ), reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM tok
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.doc_id
+        )
+        SELECT doc_id, min(r) AS component_id FROM reach GROUP BY doc_id
+    """,
+    phase="P4",
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dedup groups: connected components of the ≥0.8
+    token-Jaccard graph (within source), canonical = min doc_id in the
+    component. This closes the gap one-hop canonicals leave
+    (A~B, B~C but A≁C still end up in ONE group here).
+
+    The one genuinely ITERATIVE algorithm in the registry, and the only
+    driver-loop use: min-label propagation — each round every node
+    takes the min of its own and its neighbors' labels; converged when
+    a round changes nothing (≤ graph diameter rounds; near-clique
+    template clusters converge in 2-3). Each round is a distributed
+    join+groupBy on the (tiny, pairs-sized) edge list; localCheckpoint
+    truncates lineage so the plan doesn't grow with rounds. The oracle
+    is a DuckDB RECURSIVE CTE computing min-reachable-id — a full
+    value-level check of an iterative distributed algorithm.
+
+    At 100 TB: rounds stay cheap because the edge list after LSH
+    blocking is orders smaller than the corpus; for pathological
+    diameters switch to pointer-jumping (label = label[label]) for
+    O(log n) rounds — same loop shape.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") < F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -252,3 +252,77 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tokens WHERE token <> ''
+            GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf
+        FROM (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    phase="P3",
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction
+    / relevance-weighting pass over a corpus.
+
+    Plan shape: per-doc term counts (one shuffle on (doc_id, token)),
+    document frequencies re-aggregated from those counts (shuffle on
+    token, input already one row per (doc, token)), corpus size as a
+    broadcast one-row cross join, top-3 via a per-doc window. IDF =
+    ln(N/df), deterministic ties broken by token. At 100 TB the df
+    relation is vocabulary-sized (millions, not billions) and
+    broadcastable; everything else is map-side until the two keyed
+    aggregations."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )

@@ -115,6 +115,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_skew_twophase",
     "etl_scd_upsert",
     "agg_mode",
+    "dedup_components",
+    "text_tfidf",
     "fn_string",
     "fn_split_explode",
     "fn_date",
