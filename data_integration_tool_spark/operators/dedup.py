@@ -559,13 +559,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: labels only ever DECREASE, so the label sum is
+    # a strictly decreasing potential — sum unchanged ⇔ fixpoint. One
+    # cheap aggregate action per round instead of a join-and-count.
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
     for _ in range(50):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -575,14 +579,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") < F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
