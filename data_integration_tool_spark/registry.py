@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "stream_late",
     "stream_gapfill",
+    "stream_topk_per_window",
     "funnel_conversion",
     "retention_cohort",
     "subq_scalar",

@@ -366,3 +366,46 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+        SELECT window_start, event_type, n_events, rk
+        FROM (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY count(*) DESC, event_type
+                   ) AS rk
+            FROM events
+            GROUP BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+        ) WHERE rk <= 3
+    """,
+    phase="P3",
+    tags=("stream", "topk"),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per daily window — the trending-items shape.
+    The heavy reduction (count per window×type) happens FIRST as a
+    combinable aggregate; the rank window then runs over the tiny
+    aggregated relation (days × types), so the sort never sees raw
+    events. In Structured Streaming the same count feeds foreachBatch
+    ranking; the batch form here is the verified semantics."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )
