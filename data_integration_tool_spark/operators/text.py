@@ -326,3 +326,54 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+            FROM documents
+        ), freqs AS (
+            SELECT doc_id, ch, count(*) AS n
+            FROM chars WHERE ch <> ''
+            GROUP BY doc_id, ch
+        ), tot AS (
+            SELECT doc_id, sum(n) AS total FROM freqs GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               0.0 - sum((n / CAST(total AS DOUBLE))
+                         * ln(n / CAST(total AS DOUBLE)) / ln(2)) AS char_entropy_bits
+        FROM freqs f JOIN tot USING (doc_id)
+        GROUP BY f.doc_id
+    """,
+    phase="P3",
+    tags=("text", "quality", "entropy"),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    gibberish / compression-artifact quality signal: natural text sits
+    ~3.5-4.5 bits, repeated-template or single-char junk collapses
+    toward 0, random bytes push toward 8.
+
+    Plan shape: explode to (doc, char) → one combinable count, totals
+    re-aggregated from the counts (input already one row per doc×char),
+    entropy as a final per-doc sum. Everything is expression-level; the
+    explode fan-out (|text| rows per doc) never shuffles raw — the
+    first aggregate reduces to alphabet-size rows per doc."""
+    d = load(spark, sf_dir, "documents")
+    freqs = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freqs.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        freqs.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg((F.lit(0.0) - F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias(
+            "char_entropy_bits"
+        ))
+    )

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_mode",
     "dedup_components",
     "text_tfidf",
+    "text_entropy",
     "fn_string",
     "fn_split_explode",
     "fn_date",

@@ -233,3 +233,26 @@ def test_pipeline_dedup_mixed_order_rejected(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="all ascending or all descending"):
         pipeline.build(spark, spec)
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmpdir):
+    """Schema evolution across parquet writes: a later batch adds a
+    column; reading the directory with mergeSchema unions the schemas
+    and back-fills nulls — the append-only lake pattern."""
+    from pyspark.sql import functions as F
+
+    from data_integration_tool_spark.io import load
+
+    dest = str(tmpdir.join("evolving"))
+    v1 = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    v1.write.mode("overwrite").parquet(dest)
+    v2 = load(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", F.lit("2026-08").alias("ingest_month")
+    )
+    v2.write.mode("append").parquet(dest)
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "ingest_month"}
+    n_regions = v1.count()
+    assert merged.count() == 2 * n_regions
+    assert merged.filter(F.col("ingest_month").isNull()).count() == n_regions
+    assert merged.filter(F.col("ingest_month") == "2026-08").count() == n_regions
