@@ -651,3 +651,53 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "sql_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                                       AS sum_qty,
+               sum(l_extendedprice)                                  AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity)                                       AS avg_qty,
+               avg(l_extendedprice)                                  AS avg_price,
+               avg(l_discount)                                       AS avg_disc,
+               count(*)                                              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    phase="P2",
+    tags=("analytics", "sql", "tpch"),
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 via the ``spark.sql`` TEXT interface — proof that a
+    user can hand this engine the SAME ANSI SQL the oracle runs (the
+    string below is byte-identical to the DuckDB twin) over registered
+    views, and Catalyst plans it like the DataFrame form (`agg_group`
+    is the DataFrame twin of this query; both are driver-verified).
+    ``register_views`` makes all ten fixture tables addressable by
+    name, so any §2 query is also reachable through plain SQL."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                                       AS sum_qty,
+               sum(l_extendedprice)                                  AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity)                                       AS avg_qty,
+               avg(l_extendedprice)                                  AS avg_price,
+               avg(l_discount)                                       AS avg_disc,
+               count(*)                                              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

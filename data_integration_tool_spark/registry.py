@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",
+    "sql_pricing_summary",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
