@@ -562,7 +562,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Convergence check: labels only ever DECREASE, so the label sum is
     # a strictly decreasing potential — sum unchanged ⇔ fixpoint. One
     # cheap aggregate action per round instead of a join-and-count.
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]  # driver-scalar: convergence potential
     for _ in range(50):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -579,7 +579,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        new_sum = labels.agg(F.sum("component_id")).collect()[0][0]  # driver-scalar: convergence potential
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -101,21 +101,30 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
 def test_no_collect_inside_operators():
     """Operators are lazy plan builders: nothing in the package may
     materialize results on the driver (collect/toPandas/toLocalIterator
-    outside tests/bench)."""
+    outside tests/bench). The ONE sanctioned exception class is a
+    driver-side CONVERGENCE SCALAR in an iterative algorithm (a 1-row
+    aggregate steering loop termination, never result data) — such
+    lines must carry the `# driver-scalar:` marker and are counted here
+    so a new unmarked collect still fails."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
     offenders = []
+    marked = 0
     for py in (root / "data_integration_tool_spark").rglob("*.py"):
         if py.parent.name == "plans":
             # plans/tuning.py is the diagnostics module: explain_str
             # deliberately executes a frame to finalize AQE plans
             continue
-        src = py.read_text()
-        for bad in (".collect(", ".toPandas(", ".toLocalIterator("):
-            if bad in src:
-                offenders.append(f"{py.name}:{bad}")
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            for bad in (".collect(", ".toPandas(", ".toLocalIterator("):
+                if bad in line:
+                    if "# driver-scalar:" in line:
+                        marked += 1
+                    else:
+                        offenders.append(f"{py.name}:{i}:{bad}")
     assert not offenders, offenders
+    assert marked == 2, f"expected exactly the 2 dedup_components convergence scalars, found {marked}"
 
 
 def test_tpch_composites_broadcast_dims_and_take_ordered(spark, sf_dir):
