@@ -106,6 +106,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_late",
     "stream_gapfill",
     "stream_topk_per_window",
+    "stream_distinct_users",
+    "win_streak",
     "funnel_conversion",
     "retention_cohort",
     "subq_scalar",

@@ -409,3 +409,75 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "stream_distinct_users",
+    oracle="""
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+               count(DISTINCT user_id) AS n_users,
+               count(*)                AS n_events
+        FROM events
+        GROUP BY date_trunc('day', CAST(ts AS TIMESTAMP))
+    """,
+    phase="P3",
+    tags=("stream", "distinct"),
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — the windowed DISTINCT aggregation class
+    (state per window is a set, not a counter; in Structured Streaming
+    this is the shape that forces watermark-bounded state or an
+    approx_count_distinct trade). Batch form: one aggregate; Spark
+    plans countDistinct as a two-phase expand + partial agg, so the
+    distinct set never concentrates on one task."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+
+
+@query(
+    "win_streak",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ), islands AS (
+            SELECT user_id, day,
+                   day - to_days(CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)) AS island
+            FROM user_days
+        )
+        SELECT user_id, max(streak_len) AS longest_streak
+        FROM (
+            SELECT user_id, island, count(*) AS streak_len
+            FROM islands
+            GROUP BY user_id, island
+        )
+        GROUP BY user_id
+    """,
+    phase="P3",
+    tags=("stream", "window", "streak"),
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands: distinct user-days, then (day - row_number) is
+    constant within a consecutive run, so two cheap aggregates finish
+    the job. The distinct pre-reduction bounds everything downstream at
+    |user-days| (same trick as retention_cohort)."""
+    e = load(spark, sf_dir, "events")
+    user_days = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = user_days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+        .groupBy("user_id")
+        .agg(F.max("streak_len").alias("longest_streak"))
+    )
