@@ -320,3 +320,42 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.first("o_orderkey").over(w).alias("first_key"),
     )
+
+
+@query(
+    "win_rolling_time",
+    oracle="""
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               count(*) OVER w AS n_24h,
+               sum(value) OVER w AS sum_24h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+        )
+    """,
+    phase="P3",
+    tags=("window", "range", "timeseries"),
+)
+def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-HOUR window per user — a TIME-range frame, not a row
+    frame: each row aggregates whatever happened in the trailing day,
+    however many events that is. Spark expresses it as rangeBetween
+    over the epoch-second ordering (identical semantics to the SQL
+    INTERVAL frame, including ties: all rows at the same instant join
+    the frame). One shuffle on user_id; the frame scan is linear per
+    partition."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("value").over(w).alias("sum_24h"),
+    )

@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_topk_per_window",
     "stream_distinct_users",
     "win_streak",
+    "win_rolling_time",
     "funnel_conversion",
     "retention_cohort",
     "subq_scalar",

@@ -256,3 +256,46 @@ def test_schema_evolution_merge(spark, sf_dir, tmpdir):
     assert merged.count() == 2 * n_regions
     assert merged.filter(F.col("ingest_month").isNull()).count() == n_regions
     assert merged.filter(F.col("ingest_month") == "2026-08").count() == n_regions
+
+
+def test_corrupt_json_permissive_and_failfast(spark, tmpdir):
+    """Ingest robustness: PERMISSIVE mode captures malformed JSON lines
+    in a corrupt-record column instead of failing the job; FAILFAST
+    surfaces the error — the two operating modes of a production
+    ingest."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = os.path.join(tmpdir, "raw.jsonl")
+    with open(src, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n{"id": 2 BROKEN\n{"id": 3, "name": "fine"}\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(src)
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert {r.id for r in good} == {1, 3}
+    assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt
+
+    strict = (
+        spark.read.schema(
+            StructType([StructField("id", LongType()), StructField("name", StringType())])
+        )
+        .option("mode", "FAILFAST")
+        .json(src)
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
