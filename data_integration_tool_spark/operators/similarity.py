@@ -530,3 +530,113 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+_IVF_BATCH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < {IVF_NLIST}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    assigned AS (
+        SELECT vec_id, label, embedding, nrm, cent_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, e.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos_nrm('e.embedding', 'c.ce', 'e.nrm', 'c.cnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cos_nrm('c.ce', 'q.qe', 'c.cnrm', 'q.qnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM cent c CROSS JOIN q
+        ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT p.query_id, a.vec_id,
+               {_duck_cos_nrm('a.embedding', 'q.qe', 'a.nrm', 'q.qnrm')} AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_duck_cos_nrm('a.embedding', 'q.qe', 'a.nrm', 'q.qnrm')} DESC,
+                            a.vec_id
+               ) AS rn
+        FROM assigned a
+        JOIN probes p ON a.cent_id = p.cent_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rn <= 3
+"""
+
+
+@query(
+    "sim_ann_ivf_batch",
+    oracle=_IVF_BATCH_ORACLE,
+    phase="P4",
+    tags=("similarity", "ann", "ivf", "batch"),
+)
+def sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF retrieval — top-3 approximate neighbors for EACH of 20
+    queries, each probing only its own 2 nearest inverted lists. THE
+    RAG serving shape at scale: with cent_id as the vector table's
+    partition key, the probes⋈assigned equi-join becomes partition
+    pruning (each query batch touches nprobe/nlist of the data), the
+    probe table is batch-sized and broadcast, and rescoring is exact
+    cosine over the pruned candidates only. Fully deterministic
+    (row_number tiebreakers everywhere) → full value-hash oracle, like
+    the single-probe sim_ann_ivf."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "label", "embedding", "nrm", "cent_id", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+    q = ne.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos_q = dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cent_id"))
+    probes = F.broadcast(
+        cent.join(q)
+        .select("query_id", "cent_id", "qe", "qnrm", cos_q.alias("cos_q"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "cent_id", "qe", "qnrm")
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assigned.join(probes, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rescore.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cosine")
+    )

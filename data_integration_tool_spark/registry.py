@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_knn_batch",
     "sim_pairs_threshold",
     "sim_ann_ivf",
+    "sim_ann_ivf_batch",
     "cluster_assign",
     "text_tokenize_tf",
     "text_stats",
