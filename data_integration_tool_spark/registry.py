@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_streak",
     "win_rolling_time",
     "funnel_conversion",
+    "funnel_3step",
     "retention_cohort",
     "subq_scalar",
     "subq_correlated",

@@ -481,3 +481,85 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("streak_len").alias("longest_streak"))
     )
+
+
+@query(
+    "funnel_3step",
+    oracle="""
+        WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts FROM events WHERE event_type = 'view'),
+        vc AS (
+            SELECT v.user_id, v.vts,
+                   min(c.ts) AS cts
+            FROM v JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c
+              ON c.user_id = v.user_id
+             AND c.ts > v.vts AND c.ts <= v.vts + INTERVAL 24 HOUR
+            GROUP BY v.user_id, v.vts
+        ),
+        vcp AS (
+            SELECT vc.user_id, vc.vts
+            FROM vc
+            WHERE EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = vc.user_id
+                  AND CAST(p.ts AS TIMESTAMP) > vc.cts
+                  AND CAST(p.ts AS TIMESTAMP) <= vc.cts + INTERVAL 24 HOUR
+            )
+        )
+        SELECT (SELECT count(*) FROM v)   AS n_views,
+               (SELECT count(*) FROM vc)  AS n_view_click,
+               (SELECT count(*) FROM vcp) AS n_full_funnel,
+               CAST((SELECT count(*) FROM vcp) AS DOUBLE)
+                   / (SELECT count(*) FROM v) AS full_conversion
+    """,
+    phase="P3",
+    tags=("stream", "funnel"),
+)
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step sequential funnel: view → first click within 24 h →
+    purchase within 24 h OF THAT CLICK (fixture events are ~daily per
+    user, so day-scale windows make every stage non-vacuous). The step-2 anchor is the
+    EARLIEST qualifying click (min over the per-view window — a
+    combinable aggregate, no row_number sort), so step 3's window is
+    anchored per converted view, the realistic attribution rule. Each
+    step's range join shuffles on user_id only; fan-out collapses at
+    every stage via the min / left-semi reductions."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    vc = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("vts"))
+            & (F.col("c_ts") <= F.col("vts") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("user_id", "vts")
+        .agg(F.min("c_ts").alias("cts"))
+    )
+    vcp = vc.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("cts"))
+        & (F.col("p_ts") <= F.col("cts") + F.expr("INTERVAL 24 HOUR")),
+        "left_semi",
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_views"))
+        .crossJoin(vc.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(vcp.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .select(
+            "n_views",
+            "n_view_click",
+            "n_full_funnel",
+            (F.col("n_full_funnel").cast("double") / F.col("n_views")).alias(
+                "full_conversion"
+            ),
+        )
+    )
