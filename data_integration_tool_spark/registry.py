@@ -145,6 +145,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_rows",
     "unpivot_melt",
     "udf_grouped_agg",
+    "multimodal_dedup",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
     "agg_approx_percentile",

@@ -121,3 +121,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return media.mapInPandas(extract, schema=out_schema)
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+        SELECT md5(text) AS payload_hash,
+               CASE WHEN min(doc_id) % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+               count(*)    AS n_copies,
+               min(doc_id) AS canonical_doc_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    phase="P4",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY payloads — media files dedupe by content
+    digest exactly like text (identical bytes → identical md5), and the
+    digest groupBy carries one row per distinct payload across the
+    shuffle. Verifies Spark's binary-input md5 against DuckDB's
+    string md5 (same UTF-8 bytes) byte-for-byte; at 100 TB this runs before any
+    decode so duplicate media is never decoded twice."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d)
+    return media.groupBy(F.md5("payload").alias("payload_hash")).agg(
+        F.when(F.min("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
