@@ -102,3 +102,30 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "^Customer#0*", "").alias("short_name"),
         F.col("c_name").rlike("00$").alias("ends_00"),
     )
+
+
+@query(
+    "fn_fuzzy_match",
+    oracle="""
+        SELECT p_partkey, p_name,
+               levenshtein(p_name, 'red widget') AS dist
+        FROM part
+        WHERE levenshtein(p_name, 'red widget') <= 4
+    """,
+    phase="P3",
+    tags=("fn", "fuzzy", "text"),
+)
+def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance — the
+    entity-resolution / typo-tolerant-lookup shape. levenshtein is
+    integer-exact on both engines, so this gets a full value oracle;
+    the filter evaluates in the scan stage. At 100 TB you'd block
+    first (length band or first-char bucket) before pairwise edit
+    distances — here the pattern side is a constant, so cost is one
+    linear pass."""
+    p = load(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return (
+        p.select("p_partkey", "p_name", dist.alias("dist"))
+        .filter(F.col("dist") <= 4)
+    )

@@ -137,6 +137,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_json",
     "fn_json_agg",
     "fn_regex",
+    "fn_fuzzy_match",
     "fn_bitwise",
     "fn_conditional",
     "win_nth_value",
