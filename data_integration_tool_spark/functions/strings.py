@@ -129,3 +129,26 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", "p_name", dist.alias("dist"))
         .filter(F.col("dist") <= 4)
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name)    AS name_md5,
+               sha256(c_name) AS name_sha256
+        FROM customer
+    """,
+    phase="P3",
+    tags=("fn", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests over strings — the content-addressing
+    primitives every dedup/caching layer keys on; byte-identical hex on
+    both engines over the same UTF-8 input."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+    )

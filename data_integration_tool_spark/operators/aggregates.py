@@ -474,3 +474,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(pick).getField("v").alias("mode_priority"),
         F.max("n").alias("mode_count"),
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.5)  AS p50_disc,
+               quantile_disc(o_totalprice, 0.9)  AS p90_disc,
+               quantile_disc(o_totalprice, 0.99) AS p99_disc
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    phase="P3",
+    tags=("agg", "percentile"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per group: the returned value is an actual
+    data point, never interpolated — no float synthesis, so the oracle
+    compare is exact by construction (unlike continuous percentile,
+    where both engines must share interpolation semantics)."""
+    li = load(spark, sf_dir, "orders")
+    return li.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_disc"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p99_disc"),
+    )

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_skew_twophase",
     "etl_scd_upsert",
     "agg_mode",
+    "agg_percentile_disc",
     "dedup_components",
     "text_tfidf",
     "text_entropy",
@@ -138,6 +139,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_json_agg",
     "fn_regex",
     "fn_fuzzy_match",
+    "fn_hash",
     "fn_bitwise",
     "fn_conditional",
     "win_nth_value",
