@@ -110,6 +110,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_distinct_users",
     "win_streak",
     "win_rolling_time",
+    "seq_transition_matrix",
+    "seq_inter_arrival",
     "funnel_conversion",
     "funnel_3step",
     "retention_cohort",

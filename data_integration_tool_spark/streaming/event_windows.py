@@ -563,3 +563,88 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "seq_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, count(*) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY event_type, next_type
+    """,
+    phase="P3",
+    tags=("stream", "sequence"),
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov counts): for every
+    consecutive pair in each user's timeline, count (state → next
+    state). One lead() window per user (shuffle on user_id, linear
+    scan), then a tiny types×types aggregate — the behavioral-model
+    input shape."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "seq_inter_arrival",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   date_diff('second',
+                             lag(CAST(ts AS TIMESTAMP)) OVER (
+                                 PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                             CAST(ts AS TIMESTAMP)) AS gap_sec
+            FROM events
+        )
+        SELECT event_type,
+               count(*)                                    AS n_gaps,
+               avg(gap_sec)                                AS avg_gap_sec,
+               CAST(quantile_disc(gap_sec, 0.5) AS DOUBLE) AS p50_gap_sec,
+               max(gap_sec)                                AS max_gap_sec
+        FROM gaps
+        WHERE gap_sec IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    phase="P3",
+    tags=("stream", "sequence"),
+)
+def seq_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: seconds since
+    the user's previous event (any type), aggregated to count / mean /
+    discrete median / max. The lag window shares the same user_id
+    shuffle as the other sequence ops; the integer second gaps make the
+    median exact across engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        e.withColumn("gap_sec", gap)
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap_sec").alias("avg_gap_sec"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_sec)")
+            .cast("double")
+            .alias("p50_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
