@@ -129,3 +129,32 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", {"N": 0.05, "A": 0.5, "R": 0.9}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "sample_hash_consistent",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '2a'
+        ORDER BY doc_id
+    """,
+    phase="P3",
+    tags=("sample", "hash"),
+)
+def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT (deterministic) hash sampling: keep rows whose key
+    digest falls below a hex threshold ('2a'/'100' ≈ 16.4%). Unlike
+    rand()-based sampling this is stable across runs, executors, AND
+    tables — sampling two tables by the same key keeps matching rows on
+    both sides, so joins over samples stay meaningful. The predicate is
+    a scan-stage expression; the oracle matches because md5 hex is
+    byte-identical on both engines. This is how you carve a fixed,
+    reproducible dev slice out of 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        d.filter(digest < "2a")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_regex",
     "fn_fuzzy_match",
     "fn_hash",
+    "sample_hash_consistent",
     "fn_bitwise",
     "fn_conditional",
     "win_nth_value",
