@@ -12,7 +12,7 @@ FIXTURES.md) so results are deterministic at every scale factor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -700,4 +700,96 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
         """
+    )
+
+
+@query(
+    "basket_pairs",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 100
+    """,
+    phase="P3",
+    tags=("analytics", "basket"),
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with support ≥ 2. The self-join fan-out is bounded by
+    order SIZE (≤7 lines in TPC-H shape), not table size — pairs per
+    order are k(k-1)/2 for tiny k, so the join output is ~3× lineitem
+    and the pair aggregate map-side combines. The top-100 fuses to
+    TakeOrderedAndProject with full tiebreakers."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+@query(
+    "win_pareto_share",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, sum(o_totalprice) AS cust_rev
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT cust_rev,
+                   ntile(10) OVER (ORDER BY cust_rev DESC, o_custkey) AS decile
+            FROM per_cust
+        )
+        SELECT decile,
+               count(*)        AS n_customers,
+               sum(cust_rev)   AS decile_revenue,
+               sum(cust_rev) / (SELECT sum(cust_rev) FROM per_cust) AS revenue_share
+        FROM ranked
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    phase="P3",
+    tags=("analytics", "window", "pareto"),
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): customers bucketed into revenue
+    deciles, each decile's share of total. The heavy reduction (revenue
+    per customer) happens first; ntile and the share ratio run over the
+    customer-count relation. Deterministic via the custkey tiebreaker
+    inside the ntile ordering."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("cust_rev"))
+    w = Window.orderBy(F.desc("cust_rev"), F.asc("o_custkey"))
+    ranked = per_cust.select("cust_rev", F.ntile(10).over(w).alias("decile"))
+    total = per_cust.agg(F.sum("cust_rev").alias("total_rev"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cust_rev").alias("decile_revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            (F.col("decile_revenue") / F.col("total_rev")).alias("revenue_share"),
+        )
+        .orderBy("decile")
     )

@@ -100,6 +100,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",
     "sql_pricing_summary",
+    "basket_pairs",
+    "win_pareto_share",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
