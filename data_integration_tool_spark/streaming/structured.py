@@ -183,3 +183,61 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: enrich each streaming event with the static
+    customer dimension (user_id = c_custkey in the fixtures). The
+    static side behaves like a broadcast lookup re-resolved per
+    micro-batch — no state store involved, so it scales with the dim
+    size, not the stream history."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    return events.join(dim, "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "segment", "nation"
+    )
+
+
+def click_purchase_join_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM join with watermarks: clicks joined to the same
+    user's purchases within 24 h after the click. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store can evict rows once the other side's watermark
+    passes — the condition IS the state-retention contract (an
+    unbounded stream-stream join would grow state forever).
+
+    The watermark is the completeness/state trade: micro-batches that
+    arrive out of event-time order (the staged fixture files are
+    unordered, like real backfill) lose matches older than the
+    watermark. The batch-parity test passes a watermark wider than the
+    data span (exact results); production uses a tight one and accepts
+    bounded late-drop."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")

@@ -113,3 +113,60 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9)
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, staged):
+    """Stream-static join: every streamed event with a matching
+    customer key gets its segment; totals match the batch join."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming import structured as st
+
+    events = st.read_events_stream(spark, staged)
+    customers = load(spark, sf_dir, "customer")
+    st.run_to_memory(spark, st.enriched_stream(events, customers), "t_enriched")
+    got = spark.table("t_enriched").count()
+    want = (
+        load(spark, sf_dir, "events")
+        .join(
+            customers.select(F.col("c_custkey").alias("user_id")),
+            "user_id",
+        )
+        .count()
+    )
+    assert got == want and got > 0
+    segs = {r.segment for r in spark.table("t_enriched").select("segment").distinct().collect()}
+    assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"}
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
+    """Watermarked stream-stream join produces exactly the pairs the
+    equivalent batch range join produces (availableNow drains all
+    micro-batches, so no rows are lost to the watermark here)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming import structured as st
+
+    events = st.read_events_stream(spark, staged)
+    # watermark wider than the staged data span -> no state eviction
+    # between unordered micro-batches, so the join is exact
+    st.run_to_memory(
+        spark, st.click_purchase_join_stream(events, watermark="365 days"),
+        "t_ss_join",
+    )
+    got = spark.table("t_ss_join").count()
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+    ).count()
+    assert got == want and got > 0
