@@ -506,3 +506,31 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
         ).alias("p99_disc"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+        SELECT l_returnflag,
+               regr_slope(l_extendedprice, l_quantity)     AS price_per_qty,
+               regr_intercept(l_extendedprice, l_quantity) AS base_price,
+               regr_r2(l_extendedprice, l_quantity)        AS fit_r2,
+               regr_count(l_extendedprice, l_quantity)     AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    phase="P3",
+    tags=("agg", "stats", "regression"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates (slope / intercept /
+    R² / pair count) — in-database model fitting without leaving the
+    aggregate: all four are single-pass combinable moments, so the
+    shuffle carries one moment tuple per group at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("price_per_qty"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("base_price"),
+        F.expr("regr_r2(l_extendedprice, l_quantity)").alias("fit_r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
+    )

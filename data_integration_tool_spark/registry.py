@@ -127,6 +127,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_scd_upsert",
     "agg_mode",
     "agg_percentile_disc",
+    "agg_regression",
     "dedup_components",
     "text_tfidf",
     "text_entropy",
