@@ -284,3 +284,48 @@ def chunk_docs_explode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("toks", lo + 1, CHUNK_SIZE), " ").alias("chunk_text"),
         n_tok.cast("long").alias("n_tokens"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "win_ewma",
+    oracle=None,  # recursive per-row dependency — not expressible as a
+    # SQL window; pytest pins values against an explicit reference loop
+    phase="P4",
+    tags=("udf", "timeseries", "ewma"),
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user —
+    the canonical op a SQL window CANNOT express (each output depends
+    recursively on the previous output, not on a frame of inputs), so
+    it takes the sanctioned Arrow path: repartition by user, sort
+    within partitions, ONE vectorized pandas ewm per partition batch
+    (same many-small-groups strategy as udf_apply_in_pandas — no
+    per-group Arrow round trips). Deterministic: ordering carries the
+    unique event_id tiebreaker."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def ewma_fn(batches):
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        pdf["ewma"] = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .transform(lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean())
+        )
+        yield pdf[["user_id", "event_id", "value", "ewma"]]
+
+    return e.repartition("user_id").mapInPandas(ewma_fn, out_schema)

@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_pandas_norm",
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
+    "win_ewma",
     "multimodal_features",
 )
 

@@ -330,3 +330,28 @@ def test_minhash_groups_linear_dedup(spark, sf_dir):
     for grp in dups:
         cs = {rows[i].canonical_id for i in grp.ids}
         assert len(cs) == 1, f"exact dups split across canonicals: {grp.ids}"
+
+
+def test_ewma_matches_reference_loop(spark, sf_dir):
+    """win_ewma must equal the textbook recurrence
+    ewma_0 = x_0; ewma_t = a*x_t + (1-a)*ewma_{t-1} per user."""
+    from data_integration_tool_spark.operators.udfs import EWMA_ALPHA, win_ewma
+
+    got = {r.event_id: r.ewma for r in win_ewma(spark, sf_dir).collect()}
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    prev_user, ew = None, None
+    n_checked = 0
+    for r in e:
+        if r.user_id != prev_user:
+            ew = r.value
+            prev_user = r.user_id
+        else:
+            ew = EWMA_ALPHA * r.value + (1 - EWMA_ALPHA) * ew
+        assert math.isclose(got[r.event_id], ew, rel_tol=1e-9), r.event_id
+        n_checked += 1
+    assert n_checked == len(got) > 0
