@@ -793,3 +793,69 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "trend_yoy_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   sum(o_totalprice) AS revenue
+            FROM orders
+            GROUP BY date_trunc('month', o_orderdate)
+        )
+        SELECT month, revenue,
+               lag(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
+               (revenue - lag(revenue, 12) OVER (ORDER BY month))
+                   / lag(revenue, 12) OVER (ORDER BY month) AS yoy_growth
+        FROM monthly
+        ORDER BY month
+    """,
+    phase="P3",
+    tags=("analytics", "trend"),
+)
+def trend_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the dashboard
+    trend query. The heavy aggregate reduces to ~80 month rows first;
+    lag(12) then runs on that tiny relation (single-partition window is
+    fine BECAUSE the reduction already happened — same pattern as
+    win_share)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prior = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        ((F.col("revenue") - prior) / prior).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+@query(
+    "agg_product",
+    oracle="""
+        SELECT l_returnflag,
+               exp(sum(ln(1 + l_discount))) AS compound_discount_factor,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_discount > 0
+        GROUP BY l_returnflag
+    """,
+    phase="P3",
+    tags=("agg", "product"),
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product aggregate via exp(Σ ln) — the compound-growth /
+    compound-discount shape SQL has no native PRODUCT() for. Stays a
+    combinable sum under the hood; the positive-domain filter guards
+    the log."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.exp(F.sum(F.log(F.lit(1) + F.col("l_discount")))).alias(
+            "compound_discount_factor"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_pricing_summary",
     "basket_pairs",
     "win_pareto_share",
+    "trend_yoy_growth",
+    "agg_product",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
