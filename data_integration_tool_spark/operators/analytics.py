@@ -859,3 +859,51 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+                   count(*)          AS frequency,
+                   sum(o_totalprice) AS monetary
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_quartile,
+               ntile(4) OVER (ORDER BY frequency    DESC, o_custkey) AS f_quartile,
+               ntile(4) OVER (ORDER BY monetary     DESC, o_custkey) AS m_quartile
+        FROM rfm
+        ORDER BY o_custkey
+    """,
+    phase="P3",
+    tags=("analytics", "rfm"),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at a
+    fixed anchor), frequency, monetary, each quartiled. One combinable
+    aggregate per customer, then three ntile windows over the reduced
+    customer relation (with custkey tiebreakers so quartile boundaries
+    are deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = F.lit("2001-09-01").cast("timestamp")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    ).orderBy("o_custkey")

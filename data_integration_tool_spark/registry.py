@@ -104,6 +104,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_pareto_share",
     "trend_yoy_growth",
     "agg_product",
+    "customer_rfm",
+    "events_heatmap",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",

@@ -648,3 +648,36 @@ def seq_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_heatmap",
+    oracle="""
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER)      AS hod,
+               count(*)   AS n_events,
+               sum(value) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    phase="P3",
+    tags=("stream", "heatmap"),
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events bucketed by (day-of-week, hour-of-day)
+    — the usage-pattern dashboard shape. Pure scan-side expressions
+    into a 7×24-cell aggregate; DuckDB's dayofweek (0=Sunday) matches
+    Spark's dayofweek-1."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("dow", "hod")
+    )
