@@ -139,3 +139,31 @@ def test_tpch_composites_broadcast_dims_and_take_ordered(spark, sf_dir):
     assert tuning.uses_take_ordered(q3)
     q18 = analytics.tpch_q18_large_orders(spark, sf_dir)
     assert tuning.uses_take_ordered(q18)
+
+
+def test_bench_summary_line_fits_driver_tail():
+    """The driver json-parses the FINAL stdout line from a ~4 KB tail
+    buffer (VERDICT r1): simulate bench.py's summary construction for
+    the current registry and assert the emitted line stays under the
+    3500-byte guard — or, if it ever outgrows it, that the guard's
+    file-pointer fallback produces a small valid line."""
+    import json
+
+    from data_integration_tool_spark import registry
+
+    specs = registry.specs()
+    # worst-case realistic timings: three digits + two decimals each
+    fake = {name: 999.99 for name in specs}
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(fake.values()), 4),
+        "unit": "sec",
+        "queries": fake,
+        "sf": 0.1,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 3500:
+        summary["queries"] = {"detail": "/root/repo/bench_detail.json"}
+        line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 3900, len(line)
+    json.loads(line)  # stays parseable either way
