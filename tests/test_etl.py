@@ -243,7 +243,7 @@ def test_schema_evolution_merge(spark, sf_dir, tmpdir):
 
     from data_integration_tool_spark.io import load
 
-    dest = str(tmpdir.join("evolving"))
+    dest = os.path.join(tmpdir, "evolving")
     v1 = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     v1.write.mode("overwrite").parquet(dest)
     v2 = load(spark, sf_dir, "region").select(
