@@ -99,6 +99,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_customers",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q21_waiting_supplier",
     "sql_pricing_summary",
     "basket_pairs",
     "win_pareto_share",
