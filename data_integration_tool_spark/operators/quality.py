@@ -1,0 +1,307 @@
+"""Data-quality operators — the profiling / validation / monitoring
+surface of a data-integration tool (SURVEY.md §2.14).
+
+Every check is a declarative single-plan DataFrame job with a DuckDB
+oracle twin: column profiling, rule-based validation, referential
+integrity, cross-field consistency, freshness, and statistical anomaly
+detection. Scale notes per operator; none collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "dq_profile",
+    oracle="""
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               count(*) - count(doc_id) AS n_nulls,
+               count(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text),
+               count(DISTINCT text) FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               count(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars),
+               count(DISTINCT n_chars) FROM documents
+    """,
+    phase="P3",
+    tags=("quality", "profile"),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table: row count, null count,
+    exact distinct count per column. One aggregate per column unioned
+    (rather than one agg with N DISTINCTs, whose Expand operator
+    multiplies every input row N-fold); each branch's scan prunes to a
+    single parquet column, so the union reads each column exactly once.
+    At 100 TB swap countDistinct for approx_count_distinct per branch —
+    same shape, sketch merge instead of exact shuffle."""
+    d = load(spark, sf_dir, "documents")
+    parts = []
+    for c in _DOC_COLS:
+        parts.append(
+            d.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "dq_rules",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v1,
+                   sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS v2,
+                   sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v3,
+                   sum(CASE WHEN l_shipdate <  TIMESTAMP '1995-01-01'
+                             OR  l_shipdate >= TIMESTAMP '2002-01-01'
+                            THEN 1 ELSE 0 END) AS v4
+            FROM lineitem
+        )
+        SELECT r.rule, r.n_violations,
+               r.n_violations / CAST(m.n_rows AS DOUBLE) AS violation_rate
+        FROM m, LATERAL (
+            VALUES ('quantity_le_45', m.v1),
+                   ('discount_le_8pct', m.v2),
+                   ('price_positive', m.v3),
+                   ('ship_in_calendar', m.v4)
+        ) AS r(rule, n_violations)
+    """,
+    phase="P3",
+    tags=("quality", "rules"),
+)
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based validation: each declarative rule compiles to one
+    conditional sum, so N rules cost ONE pass over the fact table
+    (map-side combinable), then a 4-row stack unpivots the single
+    aggregate row into (rule, n_violations, violation_rate)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") > 45).cast("bigint")).alias("v1"),
+        F.sum((F.col("l_discount") > 0.08).cast("bigint")).alias("v2"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("bigint")).alias("v3"),
+        F.sum(
+            (
+                (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("2002-01-01").cast("timestamp"))
+            ).cast("bigint")
+        ).alias("v4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'quantity_le_45', v1, 'discount_le_8pct', v2,"
+            " 'price_positive', v3, 'ship_in_calendar', v4)"
+            " AS (rule, n_violations)"
+        ),
+        "n_rows",
+    ).select(
+        "rule",
+        "n_violations",
+        (F.col("n_violations") / F.col("n_rows").cast("double")).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+        SELECT 'orders->customer' AS relation, count(*) AS n_rows,
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem->orders', count(*),
+               sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+               ON l.l_orderkey = ok.o_orderkey
+        UNION ALL
+        SELECT 'events->customer', count(*),
+               sum(CASE WHEN c2.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM events e
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c2
+               ON e.user_id = c2.c_custkey
+    """,
+    phase="P3",
+    tags=("quality", "referential"),
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each FK relation, total rows
+    and rows whose key has no match in the referenced table. Left join
+    against the DISTINCT key set + null-count — one pass per relation,
+    no row explosion on duplicate dim keys. Customer keys broadcast;
+    the lineitem->orders branch shuffles on orderkey (at 100 TB the
+    orders key set outgrows a broadcast, and that equi-shuffle is the
+    right plan)."""
+    c_keys = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    o_keys = o.select("o_orderkey").distinct()
+
+    def audit(fact: DataFrame, fk: str, keys: DataFrame, pk: str, name: str) -> DataFrame:
+        return (
+            fact.select(fk)
+            .join(keys, F.col(fk) == F.col(pk), "left")
+            .agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(pk).isNull().cast("bigint")).alias("n_orphans"),
+            )
+        )
+
+    return (
+        audit(o, "o_custkey", c_keys, "c_custkey", "orders->customer")
+        .unionAll(audit(li, "l_orderkey", o_keys, "o_orderkey", "lineitem->orders"))
+        .unionAll(audit(ev, "user_id", c_keys, "c_custkey", "events->customer"))
+    )
+
+
+@query(
+    "dq_consistency",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                   AS n_len_mismatch,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P3",
+    tags=("quality", "consistency"),
+)
+def dq_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency: does the materialized n_chars column
+    agree with length(text)? Grouped by source so a corrupted feed
+    shows up as ITS row, not a global average. Single groupBy pass."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_chars") != F.length("text")).cast("bigint")
+            ).alias("n_len_mismatch"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               max(ts) AS last_ts,
+               CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+                 - CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                   AS seconds_behind
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    phase="P3",
+    tags=("quality", "freshness"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline freshness: per event stream, how stale is the newest
+    event against a fixed anchor (2024-02-01, just past the fixture's
+    range)? Both engines truncate to whole seconds before differencing
+    so sub-second fractions can't straddle the boundary. One combinable
+    groupBy — the shape of a freshness SLO dashboard query."""
+    ev = load(spark, sf_dir, "events")
+    anchor = F.unix_timestamp(F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            (anchor - F.unix_timestamp(F.max("ts"))).alias("seconds_behind"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY user_id, date_trunc('day', ts)
+        ),
+        scored AS (
+            SELECT user_id, day, n_events,
+                   avg(n_events) OVER (PARTITION BY user_id) AS mu,
+                   stddev_samp(n_events) OVER (PARTITION BY user_id) AS sigma
+            FROM daily
+        )
+        SELECT user_id, day, n_events,
+               (n_events - mu) / sigma AS zscore
+        FROM scored
+        WHERE sigma > 0 AND (n_events - mu) / sigma > 2.0
+        ORDER BY user_id, day
+    """,
+    phase="P3",
+    tags=("quality", "anomaly"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: days where a user's event volume
+    exceeds their own mean by >2 sigma. Reduce to user-day grain FIRST
+    (events-sized shuffle once), then the avg/stddev windows run over
+    the small daily relation partitioned by user — no second pass over
+    raw events. The z>2 cut keeps the result actionable."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id")
+    scored = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    )
+    return (
+        scored.filter(
+            (F.col("sigma") > 0)
+            & ((F.col("n_events") - F.col("mu")) / F.col("sigma") > 2.0)
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            ((F.col("n_events") - F.col("mu")) / F.col("sigma")).alias("zscore"),
+        )
+        .orderBy("user_id", "day")
+    )

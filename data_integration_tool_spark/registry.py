@@ -56,6 +56,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.dedup",
     "data_integration_tool_spark.operators.similarity",
     "data_integration_tool_spark.operators.docprep",
+    "data_integration_tool_spark.operators.quality",
     "data_integration_tool_spark.sources.etl",
 )
 
@@ -86,6 +87,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_fingerprint",
     "text_ngram_freq",
+    "dq_profile",
+    "dq_rules",
+    "dq_referential",
+    "dq_consistency",
+    "dq_freshness",
+    "anomaly_zscore",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
