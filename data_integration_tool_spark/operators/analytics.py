@@ -1200,3 +1200,85 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+        SELECT p.p_partkey, p.p_size, p.p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part a
+            WHERE a.p_size <= p.p_size
+              AND a.p_retailprice <= p.p_retailprice
+              AND (a.p_size < p.p_size OR a.p_retailprice < p.p_retailprice)
+        )
+        ORDER BY p.p_size, p.p_retailprice, p.p_partkey
+    """,
+    phase="P3",
+    tags=("analytics", "skyline"),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D pareto frontier (skyline): parts where no other part is
+    both smaller and cheaper. The quadratic NOT-EXISTS of the SQL form
+    becomes two linear window minima: m1 = min price over strictly
+    smaller sizes (RANGE frame), m2 = min price within the same size —
+    dominated iff m1 <= price or m2 < price. One sort instead of an
+    O(n^2) self-join; for a table that outgrows one sort, pre-filter
+    with a coarse grid of per-bucket minima first (same two windows)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    w1 = Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
+    w2 = Window.partitionBy("p_size")
+    return (
+        p.select(
+            "p_partkey",
+            "p_size",
+            "p_retailprice",
+            F.min("p_retailprice").over(w1).alias("m1"),
+            F.min("p_retailprice").over(w2).alias("m2"),
+        )
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") > F.col("p_retailprice")))
+            & (F.col("m2") >= F.col("p_retailprice"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_retailprice", "p_partkey")
+    )
+
+
+@query(
+    "seasonal_index",
+    oracle="""
+        WITH monthly AS (
+            SELECT month(o_orderdate) AS month_no,
+                   sum(o_totalprice) AS month_revenue
+            FROM orders
+            GROUP BY month(o_orderdate)
+        )
+        SELECT month_no, month_revenue,
+               month_revenue / (avg(month_revenue) OVER ()) AS seasonal_idx
+        FROM monthly
+        ORDER BY month_no
+    """,
+    phase="P3",
+    tags=("analytics", "timeseries"),
+)
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: each calendar month's revenue relative to
+    the all-month average. The window average runs over the 12-row
+    reduced relation (not raw orders), so the 'global' window is free;
+    the only real shuffle is the month groupBy with map-side partials."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").alias("month_no")).agg(
+        F.sum("o_totalprice").alias("month_revenue")
+    )
+    w = Window.partitionBy()
+    return monthly.select(
+        "month_no",
+        "month_revenue",
+        (F.col("month_revenue") / F.avg("month_revenue").over(w)).alias(
+            "seasonal_idx"
+        ),
+    ).orderBy("month_no")

@@ -640,3 +640,39 @@ def sim_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "emb_centroids",
+    oracle="""
+        SELECT label, dim_pos, avg(v) AS centroid
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   unnest(list_transform(embedding, (x, i) -> i - 1))
+                       AS dim_pos
+            FROM embeddings
+        )
+        GROUP BY label, dim_pos
+        ORDER BY label, dim_pos
+    """,
+    phase="P3",
+    tags=("similarity", "embeddings"),
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid build step of
+    IVF/clustering pipelines), emitted LONG-form as (label, dim_pos,
+    centroid) so every cell is a scalar the driver can hash, floats
+    compared with tolerance. posexplode fans each vector into 64
+    (pos, value) rows; the (label, pos) groupBy is map-side combinable
+    so the shuffle carries one partial per (label, dim) per task — at
+    100 TB that is labels x dims x tasks rows, independent of corpus
+    size. The wide-form alternative (collect into an array column)
+    is deliberately avoided: array cells break exact-hash compares."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim_pos", "v"))
+        .groupBy("label", F.col("dim_pos").cast("bigint").alias("dim_pos"))
+        .agg(F.avg("v").alias("centroid"))
+        .orderBy("label", "dim_pos")
+    )

@@ -93,6 +93,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_consistency",
     "dq_freshness",
     "anomaly_zscore",
+    "emb_centroids",
+    "skyline_pareto",
+    "seasonal_index",
+    "etl_scd2_intervals",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",

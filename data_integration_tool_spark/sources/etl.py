@@ -194,3 +194,54 @@ def etl_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("applied_op"),
         )
     )
+
+
+@query(
+    "etl_scd2_intervals",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_custkey < 300
+        )
+        SELECT o_custkey AS custkey,
+               o_orderkey AS change_id,
+               o_totalprice AS attr_value,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, valid_from, change_id
+    """,
+    phase="P3",
+    tags=("etl", "scd2"),
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 derivation: turn an append-only change log (orders
+    below custkey 300, each order = a new attribute state for its
+    customer) into validity intervals — valid_from/valid_to half-open
+    ranges with an is_current flag on the newest row. One lead()
+    window per key, orderkey tiebreak for same-day changes; at scale
+    this is a single shuffle on the key and the interval table can be
+    written partitioned by is_current for cheap current-state reads."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("change_id"),
+            F.col("o_totalprice").alias("attr_value"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0),
+        )
+        .orderBy("custkey", "valid_from", "change_id")
+    )
