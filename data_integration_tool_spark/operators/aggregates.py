@@ -9,7 +9,7 @@ so at 100 TB the exchange is tiny regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -533,4 +533,47 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("base_price"),
         F.expr("regr_r2(l_extendedprice, l_quantity)").alias("fit_r2"),
         F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
+    )
+
+
+@query(
+    "hist_equidepth",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders
+        )
+        SELECT decile,
+               count(*) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi,
+               avg(o_totalprice) AS mean_price
+        FROM ranked
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    phase="P3",
+    tags=("agg", "histogram"),
+)
+def hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order values: ntile over a
+    deterministic total order (orderkey tiebreak makes boundary
+    assignment identical across engines), then per-bucket stats.
+    The global ntile sorts once; at 100 TB compute the 9 boundaries
+    with approxQuantile and bucket by range comparison instead —
+    same output schema, no total sort (noted, not needed at bench SF)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.avg("o_totalprice").alias("mean_price"),
+        )
+        .orderBy("decile")
     )

@@ -57,6 +57,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.similarity",
     "data_integration_tool_spark.operators.docprep",
     "data_integration_tool_spark.operators.quality",
+    "data_integration_tool_spark.operators.graph",
     "data_integration_tool_spark.sources.etl",
 )
 
@@ -97,6 +98,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skyline_pareto",
     "seasonal_index",
     "etl_scd2_intervals",
+    "graph_pagerank",
+    "dim_date_generate",
+    "hist_equidepth",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",

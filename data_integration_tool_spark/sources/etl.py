@@ -245,3 +245,52 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "valid_from", "change_id")
     )
+
+
+@query(
+    "dim_date_generate",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                   CAST(max(o_orderdate) AS DATE) AS d1
+            FROM orders
+        ),
+        days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                       AS day
+            FROM b
+        )
+        SELECT day,
+               year(day) AS yr,
+               month(day) AS mo,
+               quarter(day) AS qtr,
+               isodow(day) - 1 AS weekday,
+               CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS is_weekend
+        FROM days
+        ORDER BY day
+    """,
+    phase="P3",
+    tags=("etl", "dimension"),
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation — the warehouse date spine. The
+    min/max bounds come from one aggregate row; sequence() + explode
+    expands the span entirely on executors (no driver range loop), and
+    the attribute columns are pure expressions. Both engines use
+    Monday=0 weekday numbering. At scale the explode of a multi-decade
+    span is ~10^4 rows — trivially repartitionable downstream."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    wd = F.weekday("day")
+    return days.select(
+        "day",
+        F.year("day").alias("yr"),
+        F.month("day").alias("mo"),
+        F.quarter("day").alias("qtr"),
+        wd.cast("bigint").alias("weekday"),
+        F.when(wd >= 5, 1).otherwise(0).alias("is_weekend"),
+    ).orderBy("day")
