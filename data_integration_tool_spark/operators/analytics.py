@@ -1282,3 +1282,54 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_idx"
         ),
     ).orderBy("month_no")
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+        SELECT CASE WHEN age_days <= 365 THEN '0-365'
+                    WHEN age_days <= 730 THEN '366-730'
+                    WHEN age_days <= 1460 THEN '731-1460'
+                    ELSE '1460+' END AS age_bucket,
+               count(*) AS n_orders,
+               sum(o_totalprice) AS backlog_value
+        FROM (
+            SELECT date_diff('day', o_orderdate,
+                             TIMESTAMP '2001-12-01 00:00:00') AS age_days,
+                   o_totalprice
+            FROM orders
+            WHERE o_orderstatus IN ('O', 'P')
+        )
+        GROUP BY age_bucket
+        ORDER BY age_bucket
+    """,
+    phase="P3",
+    tags=("analytics", "aging"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the receivables-aging report shape:
+    unfinished orders bucketed by age at a fixed anchor, with count
+    and value per bucket. Status filter reaches the scan; the CASE
+    bucketing is a pure projection, so the whole report is one
+    map-side-combinable aggregate over the filtered scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    age = F.datediff(
+        F.lit("2001-12-01").cast("timestamp"), F.col("o_orderdate")
+    )
+    bucket = (
+        F.when(age <= 365, "0-365")
+        .when(age <= 730, "366-730")
+        .when(age <= 1460, "731-1460")
+        .otherwise("1460+")
+    )
+    return (
+        o.select(bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("backlog_value"),
+        )
+        .orderBy("age_bucket")
+    )

@@ -97,3 +97,93 @@ def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tok.cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "chunk_dedup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                       AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+                        ELSE CAST(ceil((len(toks) - {CHUNK_SIZE})
+                                       / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+                   END AS nchunks
+            FROM tok
+        ), ks AS (
+            SELECT doc_id, toks, unnest(range(nchunks)) AS k
+            FROM c
+        ), chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                                  k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+                       AS digest
+            FROM ks
+        )
+        SELECT d.source,
+               count(*) AS n_chunks,
+               count(DISTINCT ch.digest) AS n_distinct,
+               1.0 - count(DISTINCT ch.digest) / CAST(count(*) AS DOUBLE)
+                   AS dup_rate
+        FROM chunks ch
+        JOIN documents d ON d.doc_id = ch.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    phase="P4",
+    tags=("docprep", "dedup", "chunking"),
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup profile — the training-data question "how
+    much of my corpus is duplicated at CHUNK grain, per source feed?"
+    (overlapping chunks of templated docs collide far more than whole
+    documents). Pure-expression chunking (sequence + slice, no Python)
+    feeds an md5 digest; the per-source distinct counts the digest
+    shuffle once. At 100 TB the digest groupBy pre-aggregates
+    map-side; nothing holds a document's chunks in one place."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    t = d.select(
+        "doc_id", "source", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    nchunks = F.when(F.col("n") <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast(
+            "bigint"
+        )
+        + 1
+    )
+    ks = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("k"),
+    )
+    chunk_txt = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("toks"), F.col("k") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+        ),
+    )
+    return (
+        ks.select("source", F.md5(chunk_txt).alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("digest").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_chunks").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

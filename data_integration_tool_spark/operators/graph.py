@@ -99,6 +99,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # The unrolled plan references the edge list ~2 per iteration; without
+    # a lineage cut Catalyst re-executes the events window scan each time.
+    # The reduced edge relation (|types|^2 rows) checkpoints once.
+    edges = edges.localCheckpoint(eager=True)
     norm = edges.select(
         "src",
         "dst",

@@ -522,3 +522,45 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_sum_qty").alias("sum_qty"),
         F.sum("_n").alias("n_rows"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer WHERE c_custkey < 100
+        ),
+        b AS (
+            SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
+        )
+        SELECT a.seg, count(*) AS n_pairs
+        FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+        GROUP BY a.seg
+        ORDER BY a.seg NULLS FIRST
+    """,
+    phase="P3",
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of disappearing — the semantics a CDC
+    merge on nullable business keys needs. The nullif() derivation
+    plants NULLs in both inputs; pair counts per segment prove the
+    NULL bucket joins. Spark plans <=> as a hash join on the
+    null-safe-wrapped key, same shuffle shape as a plain equi-join."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey", seg.alias("seg")
+    )
+    b = c.filter(
+        (F.col("c_custkey") >= 100) & (F.col("c_custkey") < 200)
+    ).select(F.col("c_custkey").alias("b_custkey"), seg.alias("b_seg"))
+    return (
+        a.join(b, a.seg.eqNullSafe(b.b_seg))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.asc_nulls_first("seg"))
+    )

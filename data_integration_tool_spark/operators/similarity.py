@@ -676,3 +676,93 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("v").alias("centroid"))
         .orderBy("label", "dim_pos")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_TOPN = 10  # candidate pool per query
+MMR_K = 3  # re-ranked picks per query
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=None,  # iterative greedy selection — not SQL-expressible;
+    # pytest twin: tests/test_algorithms.py::test_mmr_matches_reference
+    phase="P4",
+    tags=("similarity", "mmr", "rerank"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking — the retrieval-server
+    diversification step: for each of 20 probe queries, take the
+    top-10 cosine candidates, then greedily pick 3 maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked.
+
+    Stage 1 is the sim_knn_batch shape (broadcast probes, one corpus
+    pass, per-query window top-N) but keeps the candidate embeddings.
+    Stage 2 is applyInPandas per query group — the greedy loop is
+    inherently sequential in K, but each group is only MMR_TOPN rows,
+    so the Python cost is K*N^2 flops on a 10-vector batch; groups
+    process in parallel across executors. Deterministic: numpy
+    float64, ties broken by smaller vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cos = dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cand = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_TOPN)
+        .drop("rn")
+    )
+
+    out_schema = (
+        "query_id bigint, vec_id bigint, mmr_rank int, mmr_score double"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        nrm = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(nrm, nrm)
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(MMR_K, n)):
+            best_i, best_s = -1, -np.inf
+            for i in range(n):
+                if i in picked:
+                    continue
+                pen = max((sims[i, j] for j in picked), default=0.0)
+                s = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * pen
+                if s > best_s:  # strict: first (lowest vec_id) wins ties
+                    best_i, best_s = i, s
+            picked.append(best_i)
+            scores.append(best_s)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "vec_id": pdf["vec_id"].iloc[np.array(picked)].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(mmr, schema=out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

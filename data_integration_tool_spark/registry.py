@@ -101,6 +101,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "dim_date_generate",
     "hist_equidepth",
+    "chunk_dedup",
+    "join_null_safe",
+    "orders_backlog_aging",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -182,6 +185,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_dedup",
     "multimodal_meta",
     # rows-only below the oracle-bearing block
+    "sim_mmr_rerank",
     "agg_approx_percentile",
     "sample_stratified",
     "dedup_minhash_groups",

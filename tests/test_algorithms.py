@@ -355,3 +355,54 @@ def test_ewma_matches_reference_loop(spark, sf_dir):
         assert math.isclose(got[r.event_id], ew, rel_tol=1e-9), r.event_id
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_mmr_matches_reference(spark, sf_dir):
+    """sim_mmr_rerank must equal an independent greedy reference:
+    per query, candidates = top-10 cosine (vec_id tiebreak), then
+    K greedy picks maximizing lam*rel - (1-lam)*max-sim-to-picked."""
+    import numpy as np
+
+    from data_integration_tool_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_TOPN,
+        sim_mmr_rerank,
+    )
+
+    got = sim_mmr_rerank(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = {}
+    for qid in range(20):
+        qv = emb[qid]
+        scored = sorted(
+            ((cos(emb[v], qv), -v) for v in emb if v != qid), reverse=True
+        )[:MMR_TOPN]
+        cands = [(-negv, rel) for rel, negv in scored]
+        picked = []
+        for _ in range(min(MMR_K, len(cands))):
+            best = None
+            for v, rel in cands:
+                if any(v == p for p, _ in picked):
+                    continue
+                pen = max(
+                    (cos(emb[v], emb[p]) for p, _ in picked), default=0.0
+                )
+                s = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * pen
+                if best is None or s > best[2]:
+                    best = (v, rel, s)
+            picked.append((best[0], best[2]))
+        expected[qid] = picked
+
+    assert len(got) == 20 * MMR_K
+    for r in got:
+        v, s = expected[r.query_id][r.mmr_rank - 1]
+        assert r.vec_id == v, (r.query_id, r.mmr_rank, r.vec_id, v)
+        assert math.isclose(r.mmr_score, s, rel_tol=1e-9), r
