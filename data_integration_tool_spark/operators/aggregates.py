@@ -577,3 +577,47 @@ def hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "pivot_dynamic",
+    oracle="""
+        SELECT c_mktsegment,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                   AS "1-URGENT",
+               count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                   AS "2-HIGH",
+               count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                   AS "3-MEDIUM",
+               count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                   AS "4-NOT SPECIFIED",
+               count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+                   AS "5-LOW"
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    phase="P3",
+    tags=("agg", "pivot"),
+)
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot — the value list is discovered at plan time, not
+    hard-coded: ``pivot(col)`` without a value list makes Spark run a
+    bounded distinct job on the pivot column first (capped by
+    spark.sql.pivotMaxValues, default 10k), then compile the same
+    conditional-count plan the static form gets. This is the correct
+    at-scale pattern when the category set isn't known upfront; the
+    companion static `pivot` query documents the explicit-list form.
+    Output columns sort lexicographically either way, so the contract
+    is stable as long as the data's category set is."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority")
+        .count()
+        .fillna(0)
+        .orderBy("c_mktsegment")
+    )

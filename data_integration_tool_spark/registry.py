@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_dedup",
     "join_null_safe",
     "orders_backlog_aging",
+    "pivot_dynamic",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",

@@ -299,3 +299,28 @@ def test_corrupt_json_permissive_and_failfast(spark, tmpdir):
     )
     with _pytest.raises(Exception):
         strict.collect()
+
+
+def test_compaction_rewrite(spark, sf_dir, tmpdir):
+    """Small-files compaction — the table-maintenance pass every lake
+    needs: a fragmented write (40 files) compacts to a bounded file
+    count with identical content and a prunable layout."""
+    src = load(spark, sf_dir, "orders")
+    frag = os.path.join(tmpdir, "fragmented")
+    src.repartition(40).write.mode("overwrite").parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small >= 40
+
+    compact = os.path.join(tmpdir, "compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_big = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_big <= 4
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compact)
+    assert a.count() == b.count() == src.count()
+    # exceptAll both ways == empty → content identical including dup rows
+    assert a.exceptAll(b).limit(1).count() == 0
+    assert b.exceptAll(a).limit(1).count() == 0
