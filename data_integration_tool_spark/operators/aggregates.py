@@ -621,3 +621,35 @@ def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0)
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                   AS wavg_price,
+               sum(l_quantity) AS total_weight
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    phase="P3",
+    tags=("agg", "weighted"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per returnflag — the weighted
+    mean as two combinable sums (never avg-of-avgs), one map-side
+    partial aggregate regardless of scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("wavg_price"),
+            F.sum("l_quantity").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

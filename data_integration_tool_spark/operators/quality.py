@@ -305,3 +305,63 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "recon_checksum",
+    oracle="""
+        SELECT 'orders' AS table_name, count(*) AS n_rows,
+               sum(CAST(concat('0x', substr(md5(
+                   concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                             o_orderpriority)), 1, 8)) AS BIGINT))
+                   AS checksum
+        FROM orders
+        UNION ALL
+        SELECT 'customer', count(*),
+               sum(CAST(concat('0x', substr(md5(
+                   concat_ws('|', c_custkey, c_nationkey, c_mktsegment)),
+                   1, 8)) AS BIGINT))
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               sum(CAST(concat('0x', substr(md5(
+                   concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+                             l_linestatus)), 1, 8)) AS BIGINT))
+        FROM lineitem
+    """,
+    phase="P3",
+    tags=("quality", "reconciliation"),
+)
+def recon_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation checksums — the migration-validation
+    primitive: per table, row count plus an order-independent content
+    checksum (sum of a 32-bit integer derived from each row's md5 over
+    a canonical key-column string). Identical values on two systems
+    prove table equality without moving rows; a mismatch localizes to
+    the table. Only integer/string columns feed the canonical string
+    so the text form is engine-independent; the sum is combinable, so
+    each table costs one map-side-aggregated scan."""
+
+    def cksum(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(
+            F.substring(F.md5(F.col("c").cast("binary")), 1, 8), 16, 10
+        )
+        return df.select(canon.alias("c")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h.cast("bigint")).alias("checksum"),
+        )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        cksum(o, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_orderpriority"])
+        .unionAll(cksum(c, "customer",
+                        ["c_custkey", "c_nationkey", "c_mktsegment"]))
+        .unionAll(cksum(li, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_returnflag",
+                         "l_linestatus"]))
+    )

@@ -105,6 +105,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "orders_backlog_aging",
     "pivot_dynamic",
+    "recon_checksum",
+    "agg_weighted_avg",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
