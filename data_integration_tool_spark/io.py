@@ -42,12 +42,14 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table from a scale-factor directory.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark 4's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
-    it as raw nanos (legacy nanosAsLong) and rebuild a µs timestamp with
-    exact integer division — same truncation DuckDB applies when it
-    presents TIMESTAMP_NS as TIMESTAMP. Plain ``/`` would round-trip
-    through double and lose precision at 2^53 ns (~104 days), so DIV.
+    events.ts has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark 4's vectorized
+    reader rejects outright, PARQUET_TYPE_ILLEGAL, so we read it as raw
+    nanos via legacy nanosAsLong and rebuild a µs timestamp with exact
+    integer DIV — same truncation DuckDB applies), and plain
+    TIMESTAMP(MICROS) (read natively, no conversion). We sniff the type
+    the reader actually produced and only convert when it's raw nanos,
+    so both fixture generations load identically.
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
@@ -60,10 +62,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return _TABLE_CACHE[key]
     if table == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # TIMESTAMP(MICROS) without UTC adjustment arrives as
+            # TIMESTAMP_NTZ; cast to session-tz TIMESTAMP (UTC) so every
+            # downstream op (epoch casts, window(), datediff) sees the
+            # same type previous fixture generations produced.
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if caching:
