@@ -19,8 +19,8 @@ from ..registry import query
     "fn_math",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               floor(l_extendedprice)                 AS price_floor,
-               ceil(l_extendedprice)                  AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
                abs(l_discount - 0.05)                 AS disc_dev,
                pow(l_quantity, 2)                     AS qty_sq,
                sqrt(l_extendedprice)                  AS price_sqrt,
@@ -28,7 +28,7 @@ from ..registry import query
                log10(l_extendedprice + 1)             AS price_log10,
                exp(l_discount)                        AS disc_exp,
                CAST(l_quantity AS BIGINT) % 7         AS qty_mod7,
-               sign(l_discount - 0.05)                AS disc_sign
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
         FROM lineitem
     """,
     phase="P2",

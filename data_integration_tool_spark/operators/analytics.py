@@ -435,10 +435,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_lines",
     oracle="""
         SELECT l.l_returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
           AND l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1292,7 +1292,8 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN age_days <= 1460 THEN '731-1460'
                     ELSE '1460+' END AS age_bucket,
                count(*) AS n_orders,
-               sum(o_totalprice) AS backlog_value
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS backlog_value
         FROM (
             SELECT date_diff('day', o_orderdate,
                              TIMESTAMP '2001-12-01 00:00:00') AS age_days,
@@ -1311,7 +1312,10 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfinished orders bucketed by age at a fixed anchor, with count
     and value per bucket. Status filter reaches the scan; the CASE
     bucketing is a pure projection, so the whole report is one
-    map-side-combinable aggregate over the filtered scan."""
+    map-side-combinable aggregate over the filtered scan. backlog_value
+    sums in DECIMAL(18,2) on both engines — double accumulation order
+    differs between Spark and DuckDB and fails an exact value-hash;
+    the decimal sum is exact, so the final DOUBLE cast is bit-stable."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("O", "P")
     )
@@ -1329,7 +1333,9 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("age_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("backlog_value"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("backlog_value"),
         )
         .orderBy("age_bucket")
     )

@@ -78,7 +78,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             THEN 1 ELSE 0 END) AS v4
             FROM lineitem
         )
-        SELECT r.rule, r.n_violations,
+        SELECT r.rule, CAST(r.n_violations AS BIGINT) AS n_violations,
                r.n_violations / CAST(m.n_rows AS DOUBLE) AS violation_rate
         FROM m, LATERAL (
             VALUES ('quantity_le_45', m.v1),
@@ -128,19 +128,22 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_referential",
     oracle="""
         SELECT 'orders->customer' AS relation, count(*) AS n_rows,
-               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
         FROM orders o
         LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                ON o.o_custkey = c.c_custkey
         UNION ALL
         SELECT 'lineitem->orders', count(*),
-               sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
         FROM lineitem l
         LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
                ON l.l_orderkey = ok.o_orderkey
         UNION ALL
         SELECT 'events->customer', count(*),
-               sum(CASE WHEN c2.c_custkey IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN c2.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
         FROM events e
         LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c2
                ON e.user_id = c2.c_custkey
@@ -187,8 +190,8 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                count(*) AS n_docs,
-               sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-                   AS n_len_mismatch,
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_len_mismatch,
                max(n_chars) AS max_chars
         FROM documents
         GROUP BY source
@@ -311,22 +314,22 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recon_checksum",
     oracle="""
         SELECT 'orders' AS table_name, count(*) AS n_rows,
-               sum(CAST(concat('0x', substr(md5(
+               CAST(sum(CAST(concat('0x', substr(md5(
                    concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-                             o_orderpriority)), 1, 8)) AS BIGINT))
+                             o_orderpriority)), 1, 8)) AS BIGINT)) AS BIGINT)
                    AS checksum
         FROM orders
         UNION ALL
         SELECT 'customer', count(*),
-               sum(CAST(concat('0x', substr(md5(
+               CAST(sum(CAST(concat('0x', substr(md5(
                    concat_ws('|', c_custkey, c_nationkey, c_mktsegment)),
-                   1, 8)) AS BIGINT))
+                   1, 8)) AS BIGINT)) AS BIGINT)
         FROM customer
         UNION ALL
         SELECT 'lineitem', count(*),
-               sum(CAST(concat('0x', substr(md5(
+               CAST(sum(CAST(concat('0x', substr(md5(
                    concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
-                             l_linestatus)), 1, 8)) AS BIGINT))
+                             l_linestatus)), 1, 8)) AS BIGINT)) AS BIGINT)
         FROM lineitem
     """,
     phase="P3",

@@ -159,7 +159,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                count(*) AS n_docs,
-               sum(CASE WHEN text LIKE '%the%' OR text LIKE '%query%' THEN 1 ELSE 0 END) AS n_englishy
+               CAST(sum(CASE WHEN text LIKE '%the%' OR text LIKE '%query%' THEN 1 ELSE 0 END) AS BIGINT) AS n_englishy
         FROM documents
         GROUP BY lang
     """,

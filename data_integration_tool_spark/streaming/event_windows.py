@@ -118,7 +118,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM gaps
         )
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts)    AS session_start,
                max(ts)    AS session_end,
                count(*)   AS n_events,
