@@ -1,0 +1,351 @@
+"""Training-corpus curation operators (SURVEY.md §2.10 extension).
+
+The four pillars of LLM data curation that the §2.10 inventory did not
+yet cover as first-class queries: benchmark decontamination (n-gram
+overlap against an eval set), PII redaction, repetition/boilerplate
+scoring, and corpus mixture planning — plus sequence packing, the
+standard "fill the context window" batching step before training.
+
+Every operator is a pure DataFrame plan: token/n-gram construction is
+array expressions (JVM codegen, no Python), joins against the benchmark
+gram set broadcast (it is eval-suite-sized, i.e. tiny, at any corpus
+scale), and the only shuffles are the keyed aggregations. Sequence
+packing is inherently sequential per stream, so it runs as one
+applyInPandas pass per source partition — the group grain (source) is
+the parallelism unit, which is exactly how a 100 TB packing job is
+sharded in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# Deterministic stand-in for "the benchmark/eval suite": every 20th doc.
+_BENCH_PRED_SQL = "doc_id % 20 = 0"
+
+# Context-window capacity (tokens) for sequence packing. Tiny on purpose:
+# fixture docs run 8-100 tokens, so 128 exercises multi-doc bins AND
+# bin-overflow boundaries. At training scale this is 2048/4096/8192.
+_PACK_CAPACITY = 128
+
+
+@query(
+    "decon_ngram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE {_BENCH_PRED_SQL}
+        ), eval_grams AS (
+            SELECT DISTINCT doc_id, gram
+            FROM grams WHERE NOT ({_BENCH_PRED_SQL})
+        )
+        SELECT e.doc_id, count(*) AS n_shared_ngrams
+        FROM eval_grams e JOIN bench b USING (gram)
+        GROUP BY e.doc_id
+        ORDER BY e.doc_id
+    """,
+    phase="P4",
+    tags=("curation", "decontamination"),
+)
+def decon_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via n-gram overlap — the standard
+    train/eval leakage check: a training doc is contaminated if it
+    shares any n-token shingle with the eval suite (docs with
+    doc_id % 20 == 0 stand in for the benchmark). Production sweeps
+    use 8-13-gram shingles; the fixture vocabulary is so small that
+    4-grams give the same plan a meaningful overlap surface.
+
+    Plan shape: token arrays and shingles are pure array expressions
+    (split → transform(sequence) → concat_ws) so gram construction is
+    codegen'd and map-side; the benchmark gram set is DISTINCT-reduced
+    and broadcast (an eval suite is KBs-MBs at any corpus scale); the
+    only shuffle is the per-doc overlap count. At 100 TB nothing
+    changes: the fact side streams through a broadcast-hash semi-ish
+    join. If the "benchmark" ever outgrew a broadcast, the same plan
+    shuffles on the gram hash — still one exchange.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 4,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 3),"
+                    " i -> concat_ws(' ', slice(ts, i, 4)))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.expr(_BENCH_PRED_SQL)).select("gram").distinct()
+    )
+    eval_grams = (
+        grams.filter(~F.expr(_BENCH_PRED_SQL))
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    return (
+        eval_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pii_redact",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.com'
+                        ELSE text END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-0142' ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(t, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z.]+'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))
+                    AS BIGINT) AS n_phones
+        FROM aug
+        ORDER BY doc_id
+    """,
+    phase="P4",
+    tags=("curation", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace email/phone patterns with typed masks and
+    count the hits per document. The fixture corpus contains no PII, so
+    deterministic fakes are injected first (every 5th doc an email,
+    every 7th a phone) — the verified surface is the redaction
+    pipeline, patterns chosen to parse identically under Java regex
+    (Spark) and RE2 (DuckDB): character classes only, no backtracking.
+
+    Pure per-row projection — no shuffle at all; at 100 TB this is a
+    map-only pass that pipelines with whatever reads the corpus next.
+    """
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-0142")).otherwise(
+            F.lit("")
+        ),
+    )
+    email, phone = "[a-z0-9]+@[a-z.]+", "[0-9]{3}-[0-9]{4}"
+    return (
+        d.select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>"
+            ).alias("redacted"),
+            F.regexp_count("t", F.lit(email)).cast("bigint").alias("n_emails"),
+            F.regexp_count("t", F.lit(phone)).cast("bigint").alias("n_phones"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(max(cnt) AS BIGINT) AS max_token_freq,
+               max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top_token_ratio,
+               max(cnt) / CAST(sum(cnt) AS DOUBLE) >= 0.12 AS is_boilerplate
+        FROM tf
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    phase="P4",
+    tags=("curation", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate scoring: the share of a document taken
+    by its single most frequent token — the cheap template detector
+    used to drop navigation chrome and generated spam before training.
+
+    Two map-side-combinable aggregations: (doc, token) counts, then a
+    per-doc rollup; both shuffles are keyed on doc_id so at scale they
+    co-partition (AQE folds them into one exchange after the first).
+    The ratio divides identical int64s by identical int64s cast to
+    double on both engines — bit-stable for the exact value-hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ratio = F.col("max_token_freq") / F.col("n_tokens").cast("double")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("max_token_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_token_freq",
+            ratio.alias("top_token_ratio"),
+            (ratio >= 0.12).alias("is_boilerplate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mixture_plan",
+    oracle="""
+        WITH bylang AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS total,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS k
+            FROM documents
+        )
+        SELECT lang, n_docs,
+               1.0 / k AS target_share,
+               least(1.0, (total / k) / n_docs) AS sample_rate,
+               CAST(floor(least(1.0, (total / k) / n_docs) * n_docs)
+                    AS BIGINT) AS expected_docs
+        FROM bylang, tot
+        ORDER BY lang
+    """,
+    phase="P4",
+    tags=("curation", "mixture"),
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning: per-language sampling rates that move
+    the corpus toward a uniform language mix — the "domain weights"
+    step of training-data assembly (rate capped at 1.0: upsampling is
+    a separate repeat pass, not this operator's job).
+
+    One group count plus a broadcast one-row global — the planning
+    relation has one row per stratum (languages/domains: dozens), so
+    at 100 TB the cost is the single count-by-lang scan, and the rate
+    table then drives a hash-consistent Bernoulli filter (see
+    sample_hash_consistent) without ever shuffling the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    bylang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        F.countDistinct("lang").cast("double").alias("k"),
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_docs")
+    )
+    return (
+        bylang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            (F.lit(1.0) / F.col("k")).alias("target_share"),
+            rate.alias("sample_rate"),
+            F.floor(rate * F.col("n_docs")).cast("bigint").alias(
+                "expected_docs"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=None,  # sequential fill is not SQL-expressible; pytest twin
+    phase="P4",
+    tags=("curation", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily fill fixed-capacity context windows
+    with whole documents, in doc_id order within each source stream —
+    the batching step that turns a curated corpus into training rows.
+    A doc longer than the capacity gets a bin of its own (training
+    would truncate it; packing just isolates it).
+
+    The fill is inherently sequential per stream, so it runs as ONE
+    applyInPandas pass per source group — Arrow-batched, token counts
+    precomputed as array expressions before the shuffle, and the
+    shuffle key (source) is the packing shard. At 100 TB you pack per
+    (source, date) shard exactly like this; bins never span shards, so
+    parallelism scales with shard count while each shard's fill stays
+    a linear scan. Verified by a pure-Python greedy twin in
+    tests/test_algorithms.py (driver check is rows-only).
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    schema = "doc_id bigint, source string, n_tokens int, bin_id bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, used = 0, 0
+        bins = []
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > _PACK_CAPACITY:
+                bin_id += 1
+                used = 0
+            used += int(n)
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf
+    return (
+        toks.groupBy("source")
+        .applyInPandas(pack, schema)
+        .orderBy("source", "doc_id")
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.dedup",
     "data_integration_tool_spark.operators.similarity",
     "data_integration_tool_spark.operators.docprep",
+    "data_integration_tool_spark.operators.curation",
     "data_integration_tool_spark.operators.quality",
     "data_integration_tool_spark.operators.graph",
     "data_integration_tool_spark.sources.etl",

@@ -406,3 +406,51 @@ def test_mmr_matches_reference(spark, sf_dir):
         v, s = expected[r.query_id][r.mmr_rank - 1]
         assert r.vec_id == v, (r.query_id, r.mmr_rank, r.vec_id, v)
         assert math.isclose(r.mmr_score, s, rel_tol=1e-9), r
+
+
+def test_pack_sequences_matches_greedy_reference(spark, sf_dir):
+    """pack_sequences must reproduce the pure-Python greedy fill
+    exactly: docs in doc_id order per source, a bin closes when the
+    next doc would overflow capacity, oversized docs get their own
+    bin. Also asserts the invariant directly: no multi-doc bin
+    exceeds the capacity."""
+    from data_integration_tool_spark.operators import curation
+
+    got = curation.pack_sequences(spark, sf_dir).collect()
+    assert got, "pack_sequences returned nothing"
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+    ).collect()
+
+    expected: dict[tuple[str, int], int] = {}
+    by_source: dict[str, list] = {}
+    for r in toks:
+        by_source.setdefault(r.source, []).append(r)
+    cap = curation._PACK_CAPACITY
+    for source, rows in by_source.items():
+        bin_id, used = 0, 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            if used > 0 and used + r.n_tokens > cap:
+                bin_id += 1
+                used = 0
+            used += r.n_tokens
+            expected[(source, r.doc_id)] = bin_id
+
+    fill: dict[tuple[str, int], int] = {}
+    ndocs: dict[tuple[str, int], int] = {}
+    for r in got:
+        assert r.bin_id == expected[(r.source, r.doc_id)], (
+            r.source, r.doc_id, r.bin_id, expected[(r.source, r.doc_id)]
+        )
+        key = (r.source, r.bin_id)
+        fill[key] = fill.get(key, 0) + r.n_tokens
+        ndocs[key] = ndocs.get(key, 0) + 1
+    assert len(got) == len(expected)
+    over = [k for k, v in fill.items() if v > cap and ndocs[k] > 1]
+    assert not over, f"multi-doc bins over capacity: {over}"
