@@ -25,11 +25,13 @@ from ..registry import query
                year(o_orderdate)                          AS order_year,
                month(o_orderdate)                         AS order_month,
                day(o_orderdate)                           AS order_day,
-               date_trunc('month', o_orderdate)           AS order_month_start,
-               date_trunc('quarter', o_orderdate)         AS order_quarter_start,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                                                          AS order_month_start,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                                                          AS order_quarter_start,
                date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
-               CAST(o_orderdate AS DATE) + 30             AS due_date,
-               last_day(o_orderdate)                      AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+               CAST(last_day(o_orderdate) AS TIMESTAMP)   AS month_end,
                isodow(o_orderdate)                        AS iso_weekday,
                CAST(epoch(o_orderdate) AS BIGINT)         AS unix_sec
         FROM orders
@@ -50,8 +52,13 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).alias("days_since_epoch_start"),
-        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # date_add/last_day return DATE; cast to TIMESTAMP so both engines
+        # ship the same logical type (this DuckDB's date_trunc('month', ts)
+        # and last_day return DATE, Spark's date_trunc returns TIMESTAMP —
+        # mixed DATE-vs-TIMESTAMP columns are exactly what the driver's
+        # exact value-hash cannot tolerate).
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         (F.weekday("o_orderdate") + 1).alias("iso_weekday"),
         F.unix_timestamp("o_orderdate").alias("unix_sec"),
     )

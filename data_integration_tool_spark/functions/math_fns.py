@@ -60,7 +60,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(o_totalprice) AS BIGINT) AS price_int,
                CAST(o_orderkey AS DOUBLE)        AS key_double,
                CAST(o_orderkey AS VARCHAR)       AS key_str,
-               CAST(o_orderdate AS DATE)         AS order_date,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
                CAST('42' AS BIGINT)              AS const_int,
                CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_roundtrip
         FROM orders
@@ -82,7 +82,11 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderkey").cast("double").alias("key_double"),
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # date→string instead of bare DATE output: 'YYYY-MM-DD' formats
+        # identically in both engines, whereas a DATE column rides through
+        # pandas as datetime.date on one side and datetime64 on the other
+        # depending on the fetch path — strings are hash-stable everywhere.
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
         F.lit("42").cast("bigint").alias("const_int"),
         F.col("o_orderdate").cast("date").cast("timestamp").alias("date_roundtrip"),
     )

@@ -270,14 +270,15 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT count(*) AS n_docs FROM documents
         ), scored AS (
             SELECT tf.doc_id, tf.token,
-                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+                   CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                              * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
             FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
         )
-        SELECT doc_id, token, tfidf
+        SELECT doc_id, token, tfidf_micro
         FROM (
-            SELECT doc_id, token, tfidf,
+            SELECT doc_id, token, tfidf_micro,
                    row_number() OVER (
-                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                       PARTITION BY doc_id ORDER BY tfidf_micro DESC, token
                    ) AS rn
             FROM scored
         ) WHERE rn <= 3
@@ -296,7 +297,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(N/df), deterministic ties broken by token. At 100 TB the df
     relation is vocabulary-sized (millions, not billions) and
     broadcastable; everything else is map-side until the two keyed
-    aggregations."""
+    aggregations.
+
+    The score ships as micro-units (floor(tfidf*1e6+0.5) as BIGINT):
+    DuckDB's ln() and the JVM's Math.log disagree in the last ULP on
+    ~8% of inputs (measured), so a raw-double tfidf can never be
+    hash-verified; quantizing to 1e-6 absorbs the libm ULP on both the
+    emitted value AND the ranking key (both engines rank identical
+    integers), at micro-bit precision that is still far below any
+    practically meaningful score difference."""
     d = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -314,17 +323,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            (
+            F.floor(
                 F.col("tf")
                 * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("tfidf"),
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint").alias("tfidf_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("token")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "token", "tfidf")
+        .select("doc_id", "token", "tfidf_micro")
     )
 
 
@@ -342,8 +355,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, sum(n) AS total FROM freqs GROUP BY doc_id
         )
         SELECT f.doc_id,
-               0.0 - sum((n / CAST(total AS DOUBLE))
-                         * ln(n / CAST(total AS DOUBLE)) / ln(2)) AS char_entropy_bits
+               CAST(floor((0.0 - sum((n / CAST(total AS DOUBLE))
+                               * ln(n / CAST(total AS DOUBLE)) / ln(2)))
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS char_entropy_microbits
         FROM freqs f JOIN tot USING (doc_id)
         GROUP BY f.doc_id
     """,
@@ -360,7 +375,14 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated from the counts (input already one row per doc×char),
     entropy as a final per-doc sum. Everything is expression-level; the
     explode fan-out (|text| rows per doc) never shuffles raw — the
-    first aggregate reduces to alphabet-size rows per doc."""
+    first aggregate reduces to alphabet-size rows per doc.
+
+    Ships as integer micro-bits (floor(bits*1e6+0.5)): the per-doc sum
+    of -p*log2(p) terms is float-summation-order-dependent (differs
+    between engines AND between Spark runs via partial-agg order) and
+    DuckDB/JVM ln() disagree at the last ULP; quantizing to 1e-6 bits
+    absorbs both while keeping the signal (quality thresholds care
+    about ~0.1-bit differences, 10^5 micro-bits)."""
     d = load(spark, sf_dir, "documents")
     freqs = (
         d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
@@ -373,7 +395,13 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         freqs.join(tot, "doc_id")
         .groupBy("doc_id")
-        .agg((F.lit(0.0) - F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias(
-            "char_entropy_bits"
-        ))
+        .agg(
+            F.floor(
+                (F.lit(0.0) - F.sum(p * F.log(p) / F.log(F.lit(2.0))))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("char_entropy_microbits")
+        )
     )
