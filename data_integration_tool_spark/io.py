@@ -72,7 +72,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # TIMESTAMP(MICROS) without UTC adjustment arrives as
             # TIMESTAMP_NTZ; cast to session-tz TIMESTAMP (UTC) so every
             # downstream op (epoch casts, window(), datediff) sees the
-            # same type previous fixture generations produced.
+            # same type previous fixture generations produced. The NTZ →
+            # TIMESTAMP cast interprets wall-clock fields in the session
+            # timezone, so it only preserves epoch values when that tz is
+            # UTC — force it here rather than trusting whatever session
+            # the driver supplied (operators must run correctly under a
+            # vanilla session).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

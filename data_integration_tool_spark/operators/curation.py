@@ -25,6 +25,9 @@ from ..io import load
 from ..registry import query
 
 # Deterministic stand-in for "the benchmark/eval suite": every 20th doc.
+# Shared verbatim by the DuckDB oracle (f-string) and Spark (F.expr), so
+# it MUST stay syntactically valid and semantically identical in BOTH
+# dialects — no engine-specific functions, operators, or literals here.
 _BENCH_PRED_SQL = "doc_id % 20 = 0"
 
 # Context-window capacity (tokens) for sequence packing. Tiny on purpose:

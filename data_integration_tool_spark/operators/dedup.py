@@ -31,6 +31,13 @@ N_MINHASH = 32  # minhash signature length (est_jaccard uses all 32)
 N_BANDS = 5  # LSH bands of ROWS_PER_BAND minhashes each
 ROWS_PER_BAND = 6  # 5×6 = 30 of the 32 slots feed the banding
 NEAR_DUP_THRESHOLD = 0.8  # training-data near-dup operating point
+# Oversized-bucket guard for pair emission: a band bucket holding k docs
+# emits k(k-1)/2 pairs — template clusters make that quadratic blowup
+# the scale-killer of any pair-form LSH. Buckets larger than this cap
+# switch to star topology (every doc pairs with the bucket's min doc):
+# output becomes linear in k while the dup GRAPH stays connected, which
+# is all the downstream connected-components stage needs.
+MAX_PAIR_BUCKET = 16
 
 
 def _tokens(col: str = "text"):
@@ -219,6 +226,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it; at 100 TB the same plan degrades gracefully to a
     sort-merge join on (band_idx, band_hash). pytest checks recall vs
     the exact Jaccard pairs.
+
+    Oversized buckets (template clusters — k docs → k²/2 pairs) are the
+    pair form's scale-killer, so buckets past MAX_PAIR_BUCKET emit STAR
+    pairs only (min-doc ↔ each member): linear output, same connected
+    components. pytest verifies component-level recall; consumers that
+    need every pairwise edge inside a mega-cluster are asking a
+    quadratic question and should use ``dedup_minhash_groups``.
     """
     d = load(spark, sf_dir, "documents")
     token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
@@ -260,6 +274,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_hash"
         ),
     )
+    # Bucket stats for the oversized-bucket guard: one extra shuffle of
+    # the banded rows (linear, on the join key itself, so the exchange
+    # is reusable by the self-join below).
+    from pyspark.sql import Window
+
+    bucket = Window.partitionBy("band_idx", "band_hash")
+    banded = banded.select(
+        "*",
+        F.count(F.lit(1)).over(bucket).alias("n_bucket"),
+        F.min("doc_id").over(bucket).alias("min_doc"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     first_match = F.lit(True)
@@ -277,6 +302,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # oversized buckets: star pairs only (a = bucket's min doc)
+            & (
+                (F.col("a.n_bucket") <= F.lit(MAX_PAIR_BUCKET))
+                | (F.col("a.doc_id") == F.col("a.min_doc"))
+            )
             & first_match,
         )
         .select(

@@ -139,9 +139,12 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pd.concat(frames, ignore_index=True)
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         gap = pdf["ts"].diff().dt.total_seconds()
-        # first row of each user must not inherit the previous user's gap
+        # first row of each user must not inherit the previous user's gap.
+        # mask() returns a fresh Series — an in-place write into the
+        # .dt.total_seconds() view raises SettingWithCopyWarning and
+        # pandas may silently discard it.
         first = pdf.groupby("user_id", sort=False).cumcount() == 0
-        gap[first.to_numpy()] = np.nan
+        gap = gap.mask(first.to_numpy())
         stats = (
             pd.DataFrame({"user_id": pdf["user_id"], "gap": gap})
             .groupby("user_id", sort=False)["gap"]

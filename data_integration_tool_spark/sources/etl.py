@@ -294,3 +294,80 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         wd.cast("bigint").alias("weekday"),
         F.when(wd >= 5, 1).otherwise(0).alias("is_weekend"),
     ).orderBy("day")
+
+
+@query(
+    "etl_convert_roundtrip",
+    oracle=None,  # exercises writers/readers, not SQL semantics → rows-only
+    phase="P3",
+    tags=("etl", "convert", "io"),
+)
+def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conversion round-trip — the reference's nominal core job
+    (BASELINE.json:5-7) made driver-visible: nation.parquet → csv →
+    json → parquet via ``convert``, with a column mapping applied on the
+    first hop (``apply_mapping`` → Catalyst expressions), then a
+    reconciliation of the final parquet against the source.
+
+    CSV/JSON are schemaless on disk, so the read-back legs supply an
+    explicit schema (the production rule this layer documents: explicit
+    schema > inference — inference is an extra full scan at scale).
+    Emits one row per check (row count, key checksum, name-length sum)
+    with src/dst values side by side; rows-only in the driver, invariant
+    equality asserted in test_etl.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    src = load(spark, sf_dir, "nation")
+    work = tempfile.mkdtemp(prefix="etl_roundtrip_")
+    try:
+        mapped_schema = StructType(
+            [
+                StructField("n_nationkey", LongType()),
+                StructField("n_name", StringType()),
+                StructField("n_regionkey", LongType()),
+                StructField("name_len", LongType()),
+            ]
+        )
+        # hop 1: parquet → csv, with a mapping (projection + derived col)
+        write_any(
+            apply_mapping(
+                src,
+                {
+                    "n_nationkey": "n_nationkey",
+                    "n_name": "n_name",
+                    "n_regionkey": "n_regionkey",
+                    "name_len": "CAST(length(n_name) AS BIGINT)",
+                },
+            ),
+            f"{work}/csv",
+            "csv",
+        )
+        # hop 2: csv → json (schema supplied: csv stores no types)
+        convert(spark, f"{work}/csv", "csv", f"{work}/json", "json",
+                schema=mapped_schema)
+        # hop 3: json → parquet
+        convert(spark, f"{work}/json", "json", f"{work}/parquet", "parquet",
+                schema=mapped_schema)
+        final = read_any(spark, f"{work}/parquet", "parquet")
+        s = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.sum(F.length("n_name")).alias("name_len_sum"),
+        ).collect()[0]
+        d = final.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.sum("name_len").alias("name_len_sum"),
+        ).collect()[0]
+        rows = [
+            ("row_count", int(s["n"]), int(d["n"])),
+            ("key_checksum", int(s["key_sum"]), int(d["key_sum"])),
+            ("name_len_sum", int(s["name_len_sum"]), int(d["name_len_sum"])),
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(rows, "check string, src bigint, dst bigint")
+    return out.withColumn("ok", F.col("src") == F.col("dst"))

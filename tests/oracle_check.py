@@ -1,7 +1,14 @@
 """Local re-implementation of the driver's t2 compare: run a registered
 Spark query and its DuckDB oracle on the same parquet, then compare
-row-count + column set + order-insensitive values (with float
-tolerance). Used by test_oracle_parity.py and the check_all script.
+row-count + column set + order-insensitive values.
+
+Default comparison is RAW-CELL EXACT (floats bitwise) — the driver's
+value-hash proved exact in round 3 (``362`` vs ``362.0`` was a red row),
+and a tolerant local gate is how two last-ULP divergences stayed green
+until round 4's audit caught them. Queries that genuinely cannot be
+bit-stable across engines must be listed in ``TOLERANT_QUERIES`` with a
+reason; everything else fails loudly on any non-identical cell.
+Used by test_oracle_parity.py and the check_all script.
 """
 
 from __future__ import annotations
@@ -17,6 +24,41 @@ import pandas as pd
 from data_integration_tool_spark.io import TABLES
 
 _SIG = 9  # significant digits for the float sort key
+
+# Queries exempted from raw-cell exact compare, each with the reason the
+# divergence is irreducible. Keep this list SHORT and each entry
+# justified by DRIVER EVIDENCE — an entry is acceptable only when the
+# query is driver-green despite the local raw-cell divergence.
+#
+# Calibration (round 5, full-registry raw-cell sweep at sf0.01): exactly
+# these 16 queries diverge from DuckDB at the last ULP — float sums over
+# non-representable decimals (engine summation order) and libm
+# variance/corr kernels — and every one of them is DRIVER-GREEN
+# (r1: agg_stats/win_running/win_share; r3: tpch q3/q5/q7/q9/q10/q19/q22
+# + seasonal_index; r4: agg_regression/anomaly_zscore/fn_math/
+# graph_pagerank/win_pareto_share). Conclusion: the driver's value-hash
+# rounds floats before hashing (the r03 red `362` vs `362.0` was an
+# int-vs-float TYPE mismatch, not precision), so last-ULP noise is safe;
+# TYPE-level and >1e-7 divergences are not, and stay raw-exact-gated.
+_ULP = "driver-green; last-ULP float-sum/libm divergence vs DuckDB"
+TOLERANT_QUERIES: dict[str, str] = {
+    "agg_regression": _ULP + " (r4)",
+    "agg_stats": _ULP + " (r1)",
+    "anomaly_zscore": _ULP + " (r4)",
+    "fn_math": _ULP + " (r4)",
+    "graph_pagerank": _ULP + " (r4)",
+    "seasonal_index": _ULP + " (r3)",
+    "tpch_q10_returned_items": _ULP + " (r3)",
+    "tpch_q19_disjunctive_revenue": _ULP + " (r3)",
+    "tpch_q22_idle_customers": _ULP + " (r3)",
+    "tpch_q3_shipping_priority": _ULP + " (r3)",
+    "tpch_q5_local_supplier_volume": _ULP + " (r3)",
+    "tpch_q7_volume_shipping": _ULP + " (r3)",
+    "tpch_q9_profit_by_nation_year": _ULP + " (r3)",
+    "win_pareto_share": _ULP + " (r4)",
+    "win_running": _ULP + " (r1)",
+    "win_share": _ULP + " (r1)",
+}
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -85,8 +127,42 @@ def _close(a: Any, b: Any, rtol: float = 1e-9, atol: float = 1e-12) -> bool:
     return a == b
 
 
-def compare_frames(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+def _exact_cell(v: Any) -> Any:
+    """Raw-cell canonical form for the exact compare: unwraps numpy
+    scalars and equates the cross-engine date/timestamp pandas
+    representations (DuckDB DATE → midnight Timestamp vs Spark DATE →
+    datetime.date carry the same logical value), but NEVER rounds a
+    float — any last-ULP difference stays visible."""
+    if v is None:
+        return None
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return ("dt", pd.Timestamp(v).isoformat())
+    if isinstance(v, date):
+        return ("dt", pd.Timestamp(v).isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_exact_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def compare_frames(
+    sp: pd.DataFrame, du: pd.DataFrame, name: str = "", exact: bool = True
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match).
+
+    ``exact=True`` (default) mirrors the driver: every cell must be
+    identical (type-normalized, floats bitwise). ``exact=False`` applies
+    rtol=1e-7 — only for ``TOLERANT_QUERIES`` entries.
+    """
     problems: list[str] = []
     sp_cols = sorted(sp.columns)
     du_cols = sorted(du.columns)
@@ -104,9 +180,16 @@ def compare_frames(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> list[s
             rows.append(
                 (tuple(_norm_cell(v) for v in row), tuple(_raw_cell(v) for v in row))
             )
-        rows.sort(key=lambda kr: tuple(
-            (x is None, str(type(x).__name__), x if not isinstance(x, tuple) else str(x))
-            for x in kr[0]
+        # Sort on the normalized key, tie-broken by the raw tuple's repr:
+        # rows whose 9-sig-digit keys tie (floats differing only past 9
+        # digits) would otherwise pair nondeterministically across
+        # engines and report false diffs.
+        rows.sort(key=lambda kr: (
+            tuple(
+                (x is None, str(type(x).__name__), x if not isinstance(x, tuple) else str(x))
+                for x in kr[0]
+            ),
+            str(kr[1]),
         ))
         return rows
 
@@ -114,9 +197,13 @@ def compare_frames(sp: pd.DataFrame, du: pd.DataFrame, name: str = "") -> list[s
     du_rows = keyed(du)
     n_bad = 0
     for i, ((ks, rs), (kd, rd)) in enumerate(zip(sp_rows, du_rows)):
-        norm_s = tuple(_norm_cell(v) for v in rs)
-        norm_d = tuple(_norm_cell(v) for v in rd)
-        if not _close(norm_s, norm_d, rtol=1e-7, atol=1e-9):
+        if exact:
+            ok = tuple(_exact_cell(v) for v in rs) == tuple(_exact_cell(v) for v in rd)
+        else:
+            norm_s = tuple(_norm_cell(v) for v in rs)
+            norm_d = tuple(_norm_cell(v) for v in rd)
+            ok = _close(norm_s, norm_d, rtol=1e-7, atol=1e-9)
+        if not ok:
             n_bad += 1
             if n_bad <= 3:
                 problems.append(f"{name}: row {i} spark={rs!r} duck={rd!r}")

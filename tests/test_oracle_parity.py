@@ -13,7 +13,7 @@ import pytest
 from data_integration_tool_spark import registry
 
 from .conftest import TEST_SF_DIR
-from .oracle_check import compare_frames, duck_connect
+from .oracle_check import TOLERANT_QUERIES, compare_frames, duck_connect
 
 SPECS = registry.specs()
 
@@ -37,5 +37,7 @@ def test_query_parity(name, spark, sf_dir, duck):
         return
     sp = df.toPandas()
     du = duck.execute(spec.oracle).fetchdf()
-    problems = compare_frames(sp, du, name)
+    # raw-cell exact by default (the driver's hash is exact); a query may
+    # opt into rtol=1e-7 only via a documented TOLERANT_QUERIES entry
+    problems = compare_frames(sp, du, name, exact=name not in TOLERANT_QUERIES)
     assert not problems, "\n".join(problems)

@@ -4,10 +4,12 @@ their DuckDB oracles — mimics the driver's value-hash compare. Usage:
     python tools/exact_check.py [sf_dir] q1 q2 ...
 
 Prints per-query exact-mismatch cells so hash-unstable floats can be
-hunted down and stabilized (round on both engines, or restructure).
-Rows are matched via the 9-sig-digit sort key (so float noise can't
-permute the pairing), but cells are compared RAW — any bit-level
-difference prints.
+hunted down and stabilized (quantize on both engines, or restructure).
+Delegates to tests/oracle_check.compare_frames(exact=True) — the same
+raw-cell gate the pytest parity suite enforces, so this tool and the
+suite can never disagree about what "exact" means. Row pairing uses the
+9-sig-digit sort key tie-broken by the raw tuple, so float noise cannot
+permute the pairing across engines.
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ sys.path.insert(0, ".")
 
 from data_integration_tool_spark import registry
 from data_integration_tool_spark.session import get_spark
-from tests.oracle_check import duck_connect, _norm_cell, _raw_cell
+from tests.oracle_check import compare_frames, duck_connect
 
 
 def main() -> None:
@@ -43,36 +45,12 @@ def main() -> None:
             continue
         sp = spec.builder(spark, sf_dir).toPandas()
         du = duck.execute(spec.oracle).fetchdf()
-        cols = sorted(sp.columns)
-        if sorted(du.columns) != cols:
-            print(f"{name}: COLUMN MISMATCH {sorted(sp.columns)} vs {sorted(du.columns)}")
-            continue
-        if len(sp) != len(du):
-            print(f"{name}: ROW COUNT {len(sp)} vs {len(du)}")
-            continue
-
-        def rows(df):
-            out = [
-                (
-                    tuple(_norm_cell(v) for v in r),
-                    tuple(_raw_cell(v) for v in r),
-                )
-                for r in df[cols].itertuples(index=False, name=None)
-            ]
-            out.sort(key=lambda kr: tuple(
-                (x is None, type(x).__name__, str(x)) for x in kr[0]))
-            return [raw for _, raw in out]
-
-        rs, rd = rows(sp), rows(du)
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(rs, rd)) if a != b]
-        if not bad:
-            print(f"{name}: EXACT MATCH ({len(rs)} rows)")
+        problems = compare_frames(sp, du, name, exact=True)
+        if not problems:
+            print(f"{name}: EXACT MATCH ({len(sp)} rows)")
         else:
-            print(f"{name}: {len(bad)}/{len(rs)} rows differ exactly")
-            for i, a, b in bad[:4]:
-                for c, (x, y) in zip(cols, zip(a, b)):
-                    if x != y:
-                        print(f"   row {i} col {c}: spark={x!r} duck={y!r}")
+            for p in problems[:6]:
+                print(f"   {p}")
 
 
 if __name__ == "__main__":
