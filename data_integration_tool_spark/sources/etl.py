@@ -352,22 +352,31 @@ def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         convert(spark, f"{work}/json", "json", f"{work}/parquet", "parquet",
                 schema=mapped_schema)
         final = read_any(spark, f"{work}/parquet", "parquet")
+        # Reconciliation stays declarative: two 1-row aggregates,
+        # cross-joined and unpivoted via stack() — no driver collect.
         s = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_nationkey").alias("key_sum"),
-            F.sum(F.length("n_name")).alias("name_len_sum"),
-        ).collect()[0]
+            F.count(F.lit(1)).alias("src_n"),
+            F.sum("n_nationkey").alias("src_key"),
+            F.sum(F.length("n_name")).cast("bigint").alias("src_len"),
+        )
         d = final.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_nationkey").alias("key_sum"),
-            F.sum("name_len").alias("name_len_sum"),
-        ).collect()[0]
-        rows = [
-            ("row_count", int(s["n"]), int(d["n"])),
-            ("key_checksum", int(s["key_sum"]), int(d["key_sum"])),
-            ("name_len_sum", int(s["name_len_sum"]), int(d["name_len_sum"])),
-        ]
+            F.count(F.lit(1)).alias("dst_n"),
+            F.sum("n_nationkey").alias("dst_key"),
+            F.sum("name_len").alias("dst_len"),
+        )
+        out = (
+            s.crossJoin(d)
+            .selectExpr(
+                "stack(3, 'row_count', src_n, dst_n,"
+                " 'key_checksum', src_key, dst_key,"
+                " 'name_len_sum', src_len, dst_len) AS (check, src, dst)"
+            )
+            .withColumn("ok", F.col("src") == F.col("dst"))
+        )
+        # materialize before the temp dir vanishes: an eager
+        # localCheckpoint severs the plan's lineage from {work}/parquet
+        # so the returned frame stays computable after cleanup
+        out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    out = spark.createDataFrame(rows, "check string, src bigint, dst bigint")
-    return out.withColumn("ok", F.col("src") == F.col("dst"))
+    return out
