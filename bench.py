@@ -64,7 +64,14 @@ def main() -> None:
 
     iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
     per_run: dict[str, list[float]] = {}
-    for name in sorted(specs):
+    skipped = [n for n, s in specs.items() if "bench-skip" in s.tags]
+    if skipped:
+        # no silent caps: correctness-harness queries (they run the
+        # operator AND its twin plus staging I/O) are excluded from the
+        # throughput total, visibly
+        print(f"bench-skip (verification harnesses, not timed): {skipped}",
+              file=sys.stderr)
+    for name in sorted(set(specs) - set(skipped)):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(CPUS) if name in heavy else "8"
         )

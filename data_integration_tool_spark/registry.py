@@ -52,6 +52,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.udfs",
     "data_integration_tool_spark.sources.multimodal",
     "data_integration_tool_spark.streaming.event_windows",
+    "data_integration_tool_spark.streaming.structured",
     "data_integration_tool_spark.operators.text",
     "data_integration_tool_spark.operators.dedup",
     "data_integration_tool_spark.operators.similarity",
@@ -128,6 +129,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new/retrofit this round: first driver rows ---
     "agg_approx_distinct",  # oracle retrofit (was rows-only since r01)
     "etl_convert_roundtrip",  # new: format-conversion layer surface
+    "stream_true_engine",  # new: true streaming engine reconciliation
     "sample_bernoulli",  # rows-only re-proof (last row r01)
     # --- green canaries (proven r1/r4; stable re-proof filler) ---
     "agg_group",

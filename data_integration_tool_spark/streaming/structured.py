@@ -241,3 +241,81 @@ def click_purchase_join_stream(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+# -- driver-visible surface -------------------------------------------------
+# The helpers above are pytest-exercised; this registered query makes the
+# TRUE streaming engine (incremental state store, watermark advancement,
+# availableNow drain) visible to the driver's correctness harness as a
+# rows-only reconciliation against the batch twin.
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "stream_true_engine",
+    oracle=None,  # runs the streaming ENGINE; semantics carried by the
+    # batch twin stream_tumbling (driver-green r4) it reconciles against
+    phase="P4",
+    # bench-skip: this is a two-sided verification harness (staging
+    # write + 4 micro-batches + batch twin + reconciliation join), not
+    # an operator throughput measure — bench.py logs the exclusion
+    tags=("streaming", "engine", "bench-skip"),
+)
+def stream_true_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming, driver-visible: stage events as a
+    4-file parquet stream source, run readStream → watermark → 1-hour
+    tumbling windows through the real incremental engine (availableNow,
+    maxFilesPerTrigger=1 → 4 micro-batches, complete mode so trailing
+    windows above the watermark still emit), then reconcile the drained
+    memory-sink table against the batch twin ``stream_tumbling`` with a
+    declarative full-outer join. Emits one summary row; all_match=True
+    is the invariant (also asserted in test_streaming.py).
+
+    Complete-output memory sink is a TEST sink: at production scale the
+    same plan writes append-mode to Kafka/Delta with a tight watermark
+    (bounded state), as documented on the helpers above."""
+    import shutil
+    import tempfile
+
+    from .event_windows import stream_tumbling
+
+    stage = tempfile.mkdtemp(prefix="stream_stage_")
+    try:
+        stage_events_stream(spark, sf_dir, stage, n_files=4)
+        stream = read_events_stream(spark, stage)
+        run_to_memory(
+            spark,
+            tumbling_counts_stream(stream),
+            "stream_true_engine_out",
+            mode="complete",
+        )
+        # memory sink rows are fully materialized in the session — the
+        # staged source dir can go before the reconciliation runs
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = spark.table("stream_true_engine_out").select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("s_n"),
+        F.col("total_value").alias("s_total"),
+    )
+    want = stream_tumbling(spark, sf_dir).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("b_n"),
+        F.col("total_value").alias("b_total"),
+    )
+    joined = got.join(want, ["window_start", "event_type"], "full_outer")
+    row_ok = (
+        F.col("s_n").isNotNull()
+        & F.col("b_n").isNotNull()
+        & (F.col("s_n") == F.col("b_n"))
+        & (F.abs(F.col("s_total") - F.col("b_total")) < F.lit(1e-6))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("s_n").isNotNull().cast("bigint")).alias("n_stream"),
+        F.sum(F.col("b_n").isNotNull().cast("bigint")).alias("n_batch"),
+        F.min(row_ok).alias("all_match"),
+    )

@@ -170,3 +170,16 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
         ),
     ).count()
     assert got == want and got > 0
+
+
+def test_stream_true_engine_reconciles(spark, sf_dir):
+    """The registered driver surface: real engine result must fully
+    match the batch twin (all_match True, no one-sided windows)."""
+    from data_integration_tool_spark.streaming.structured import (
+        stream_true_engine,
+    )
+
+    row = stream_true_engine(spark, sf_dir).collect()[0]
+    assert row.n_windows > 0
+    assert row.n_stream == row.n_batch == row.n_windows
+    assert row.all_match is True
