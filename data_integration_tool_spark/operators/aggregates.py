@@ -178,9 +178,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch alone.
     """
     li = load(spark, sf_dir, "lineitem")
+    # Dedup to (flag, partkey) FIRST (plain rows, map-side combinable),
+    # then count + sketch over the deduped keys: HLL is insensitive to
+    # duplicates so the estimate is identical, while the naive
+    # `agg(approx, count_distinct)` plan drags one ~4 KB sketch per
+    # distinct KEY PAIR through the distinct-rewrite shuffle (measured
+    # 1.5 s vs 0.4 s at sf0.1 — and sketch-per-key is exactly what HLL
+    # exists to avoid).
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
     approx = F.approx_count_distinct("l_partkey", rsd=0.02)
-    exact = F.count_distinct("l_partkey")
-    return li.groupBy("l_returnflag").agg(
+    exact = F.count(F.lit(1))
+    return pairs.groupBy("l_returnflag").agg(
         exact.alias("n_parts_exact"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))

@@ -130,6 +130,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",  # oracle retrofit (was rows-only since r01)
     "etl_convert_roundtrip",  # new: format-conversion layer surface
     "stream_true_engine",  # new: true streaming engine reconciliation
+    "etl_incremental_agg",  # new: rollup merge ≡ recompute (full oracle)
     "sample_bernoulli",  # rows-only re-proof (last row r01)
     # --- green canaries (proven r1/r4; stable re-proof filler) ---
     "agg_group",

@@ -380,3 +380,58 @@ def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "etl_incremental_agg",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents
+        FROM orders
+        GROUP BY 1
+    """,
+    phase="P3",
+    tags=("etl", "incremental", "agg"),
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view /
+    rollup-refresh pattern: a monthly revenue rollup is maintained by
+    merging the DELTA partition's partial aggregate into the BASE
+    rollup, never re-scanning history. Here the split is a fixed cutoff
+    (orders before/after 1997-01-01) standing in for
+    yesterday's-rollup + today's-partition; the oracle is the full
+    recompute, so the driver verifies merge(base, delta) ≡ recompute.
+
+    Merge-safety is the whole design: the maintained measures are a
+    COUNT and a SUM OF INTEGER CENTS (o_totalprice has 2 decimals, so
+    cents are exact BIGINTs) — both associative/commutative, so the
+    partial-merge result is bit-identical to the recompute regardless
+    of merge order. A double sum here would drift by merge order; avg
+    or distinct counts must be carried as (sum, count) / sketches. At
+    100 TB this turns a daily full-history scan into one partition scan
+    plus a rollup-sized merge, and the merge groupBy reuses the rollup
+    partitioning."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mo")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+
+    base = monthly(o.filter(F.col("o_orderdate") < cutoff))
+    delta = monthly(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("mo")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
