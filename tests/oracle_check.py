@@ -49,6 +49,10 @@ TOLERANT_QUERIES: dict[str, str] = {
     "graph_pagerank": _ULP + " (r4)",
     "seasonal_index": _ULP + " (r3)",
     "tpch_q10_returned_items": _ULP + " (r3)",
+    # exact at the driver's sf0.01; float-sum accumulation crosses the
+    # last ULP only at sf0.1+ row counts (raw-cell sweep, round 5)
+    "tpch_q17_small_qty_revenue": _ULP + " (r3; diverges at sf0.1 only)",
+    "win_rolling_time": _ULP + " (r4; diverges at sf0.1 only)",
     "tpch_q19_disjunctive_revenue": _ULP + " (r3)",
     "tpch_q22_idle_customers": _ULP + " (r3)",
     "tpch_q3_shipping_priority": _ULP + " (r3)",
