@@ -1339,3 +1339,72 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+                       AS cohort_mo
+            FROM orders
+            GROUP BY o_custkey
+        ), rev AS (
+            SELECT f.cohort_mo,
+                   (year(o.o_orderdate) - year(f.cohort_mo)) * 12
+                   + (month(o.o_orderdate) - month(f.cohort_mo)) AS month_idx,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT cohort_mo, month_idx,
+               sum(cents) OVER (
+                   PARTITION BY cohort_mo ORDER BY month_idx
+               ) AS cum_revenue_cents
+        FROM rev
+    """,
+    phase="P3",
+    tags=("analytics", "cohort", "ltv"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by signup cohort — the standard
+    subscription/commerce LTV curve: customers grouped by first-order
+    month, revenue accumulated over months-since-signup.
+
+    Plan shape: the cohort assignment is one keyed aggregate (min over
+    each customer's orders); revenue joins back on the customer key
+    (both sides shuffle-partition on o_custkey — at 100 TB the firsts
+    side is one row per customer and co-partitions with the fact);
+    month buckets reduce before the window, so the running sum runs
+    over cohort×month rows (thousands), not orders. Month index is
+    explicit year*12+month integer arithmetic — identical in both
+    engines, unlike months_between (fractional) or date_diff
+    (boundary-count) — and revenue accumulates as exact integer cents,
+    so the running sum is order-insensitive and hash-stable."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_mo")
+    )
+    month_idx = (
+        (F.year("o_orderdate") - F.year("cohort_mo")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_mo"))
+    ).cast("bigint")
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_mo"),
+            month_idx.alias("month_idx"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("cohort_mo").orderBy("month_idx")
+    return rev.select(
+        "cohort_mo",
+        "month_idx",
+        F.sum("cents").over(w).alias("cum_revenue_cents"),
+    )

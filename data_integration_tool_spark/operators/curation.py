@@ -352,3 +352,92 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema)
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "decon_containment",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE {_BENCH_PRED_SQL}
+        ), eval_grams AS (
+            SELECT DISTINCT doc_id, gram
+            FROM grams WHERE NOT ({_BENCH_PRED_SQL})
+        )
+        SELECT e.doc_id,
+               count(b.gram)                          AS n_shared,
+               count(*)                               AS n_grams,
+               count(b.gram) / count(*)               AS containment,
+               count(b.gram) / count(*) >= 0.5        AS contaminated
+        FROM eval_grams e LEFT JOIN bench b USING (gram)
+        GROUP BY e.doc_id
+    """,
+    phase="P4",
+    tags=("curation", "decontamination"),
+)
+def decon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination — the ASYMMETRIC leak check
+    production eval hygiene actually uses: a doc is contaminated when a
+    large fraction of ITS OWN distinct shingles appear in the benchmark
+    (shared / |doc grams| ≥ 0.5), regardless of how big the benchmark
+    is. Symmetric Jaccard (``dedup_ngram_jaccard``) misses a short eval
+    prompt embedded in a long training doc; containment is the standard
+    fix.
+
+    Same scale posture as ``decon_ngram``: gram construction is pure
+    codegen'd array expressions, the DISTINCT benchmark gram set
+    broadcasts, and the LEFT join keeps zero-overlap docs in the output
+    (containment 0.0). The ratio divides the same two BIGINTs in both
+    engines (IEEE division — bit-identical), and the shared count uses
+    count(non-null) rather than sum(int) so neither engine widens to a
+    HUGEINT. One shuffle: the per-doc aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 4,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 3),"
+                    " i -> concat_ws(' ', slice(ts, i, 4)))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.expr(_BENCH_PRED_SQL))
+        .select(F.col("gram").alias("bgram"))
+        .distinct()
+    )
+    eval_grams = (
+        grams.filter(~F.expr(_BENCH_PRED_SQL))
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    n_shared = F.count("bgram")
+    n_grams = F.count(F.lit(1))
+    containment = n_shared / n_grams
+    return (
+        eval_grams.join(
+            F.broadcast(bench), F.col("gram") == F.col("bgram"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            n_shared.alias("n_shared"),
+            n_grams.alias("n_grams"),
+            containment.alias("containment"),
+            (containment >= F.lit(0.5)).alias("contaminated"),
+        )
+    )
