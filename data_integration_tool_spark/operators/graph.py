@@ -136,3 +136,120 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("pagerank")).orderBy("node")
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 = 0
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.pb = e2.pa
+            JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ),
+        stats AS (
+            SELECT count(*) AS n_edges,
+                   count(DISTINCT pa) + count(DISTINCT CASE
+                       WHEN pb NOT IN (SELECT pa FROM pairs) THEN pb END)
+                       AS n_nodes_approx
+            FROM pairs
+        )
+        SELECT (SELECT n_edges FROM stats) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+    phase="P3",
+    tags=("graph", "triangles"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-occurrence (basket) graph —
+    the canonical multi-join graph pattern (community density,
+    clustering coefficients). Edges are distinct part pairs appearing
+    in the same order, oriented by key (pa < pb), so each triangle
+    (a<b<c) is counted exactly once by the two-hop join
+    e1(a,b) ⋈ e2(b,c) closed by e3(a,c).
+
+    Scale posture: edge construction is bounded by order size (k parts
+    per order → k²/2 pairs, k ≤ ~7 in the fixtures and bounded by
+    basket size in any commerce schema), never by table size. The
+    two-hop join shuffles on node keys; at 100 TB the standard skew
+    guard is degree-ordering (orient each edge from the lower-degree
+    endpoint, so hub nodes never fan out on the probe side) — with
+    key-ordering the hub's pair list is the documented worst case.
+    Output is a single reconciliation row (edge + triangle counts),
+    both exact BIGINTs."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        # graph slice: the full basket graph at sf0.1 is dense and
+        # near-regular (~1.2M edges over 20k parts, avg degree 120), so
+        # its ~72M-wedge enumeration is inherent, not skew — bound the
+        # benched slice to every 5th order (predicate shared with the
+        # oracle); production bounds by category/time partition instead
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    # Degree-ordered orientation — THE scale guard for triangle
+    # counting: orient every edge from its lower-total-degree endpoint
+    # (ties by key), then enumerate wedges only from edge SOURCES.
+    # Out-degrees are then bounded by O(sqrt(m)), so hub nodes never
+    # fan out quadratically; plain key-ordering measured 9.6 s at
+    # sf0.1 vs ~2 s degree-ordered (72M wedges -> bounded). The count
+    # is orientation-invariant, so the simple key-ordered SQL twin
+    # verifies it.
+    deg = (
+        pairs.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    p2 = (
+        pairs.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"),
+            "pb",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = p2.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select("u", "v").alias("e3")
+    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges.crossJoin(tri)

@@ -359,3 +359,109 @@ def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.sum("value").over(w).alias("sum_24h"),
     )
+
+
+@query(
+    "win_interpolate",
+    oracle="""
+        WITH h AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   count(*) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ),
+        s AS (
+            SELECT unnest(generate_series(
+                (SELECT min(bucket) FROM h),
+                (SELECT max(bucket) FROM h), INTERVAL 1 HOUR)) AS bucket
+        ),
+        g AS (
+            SELECT s.bucket,
+                   CAST(epoch(s.bucket) AS BIGINT) / 3600 AS idx,
+                   h.n
+            FROM s LEFT JOIN h ON s.bucket = h.bucket
+        ),
+        nb AS (
+            SELECT bucket, idx, n,
+                   last_value(n IGNORE NULLS) OVER w_prev AS prev_v,
+                   last_value(CASE WHEN n IS NOT NULL THEN idx END
+                              IGNORE NULLS) OVER w_prev AS prev_i,
+                   first_value(n IGNORE NULLS) OVER w_next AS next_v,
+                   first_value(CASE WHEN n IS NOT NULL THEN idx END
+                               IGNORE NULLS) OVER w_next AS next_i
+            FROM g
+            WINDOW w_prev AS (ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (ORDER BY idx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT bucket, n,
+               CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                    WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                    WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                    ELSE CAST(prev_v AS DOUBLE)
+                         + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                           * (CAST(idx - prev_i AS DOUBLE)
+                              / CAST(next_i - prev_i AS DOUBLE))
+               END AS n_interp
+        FROM nb
+    """,
+    phase="P3",
+    tags=("window", "timeseries", "interpolate"),
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing time-series buckets — the
+    standard sensor/metrics repair step, distinct from zero-fill
+    (``stream_gapfill``): gaps get the line between the neighboring
+    known points, boundary gaps clamp to the nearest known value.
+
+    Mechanics: dense hour spine left-joined to the sparse hourly counts
+    (42 of 720 hours are empty in the fixture's 'error' series), then
+    two IGNORE-NULLS window passes (running last known / next known
+    value+index) and a pure-arithmetic blend. Hash-portable by
+    construction: the series values are integer COUNTS and the index is
+    epoch-hours, so every float comes from the same int-derived
+    expression tree in both engines. The single unpartitioned window is
+    series-sized (hours in span — thousands at any data scale);
+    production partitions the same window by series key."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(hour.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    series = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    g = series.join(hourly, "bucket", "left").select(
+        "bucket",
+        (F.unix_timestamp("bucket") / F.lit(3600)).cast("bigint").alias("idx"),
+        "n",
+    )
+    w_prev = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    known_idx = F.when(F.col("n").isNotNull(), F.col("idx"))
+    nb = g.select(
+        "bucket",
+        "idx",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_idx, ignorenulls=True).over(w_prev).alias("prev_i"),
+        F.first("n", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_idx, ignorenulls=True).over(w_next).alias("next_i"),
+    )
+    pv = F.col("prev_v").cast("double")
+    nv = F.col("next_v").cast("double")
+    frac = (F.col("idx") - F.col("prev_i")).cast("double") / (
+        F.col("next_i") - F.col("prev_i")
+    ).cast("double")
+    return nb.select(
+        "bucket",
+        "n",
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("prev_v").isNull(), nv)
+        .when(F.col("next_v").isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+        .alias("n_interp"),
+    )
