@@ -131,12 +131,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_convert_roundtrip",  # new: format-conversion layer surface
     "stream_true_engine",  # new: true streaming engine reconciliation
     "etl_incremental_agg",  # new: rollup merge ≡ recompute (full oracle)
-    "sample_bernoulli",  # rows-only re-proof (last row r01)
-    # --- green canaries (proven r1/r4; stable re-proof filler) ---
+    "decon_containment",  # new: asymmetric contamination (locally exact)
+    "orders_cohort_ltv",  # new: cohort LTV curve (locally exact)
+    # --- 50-entry window ends here; r6 rotation: graph_triangles,
+    # win_interpolate, sample_bernoulli re-proof, then greens ---
+    "graph_triangles",
+    "win_interpolate",
+    "sample_bernoulli",
     "agg_group",
     "sql_pricing_summary",
     "dedup_exact",
-    # --- 50-entry window ends here ---
 )
 
 
