@@ -441,3 +441,72 @@ def decon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (containment >= F.lit(0.5)).alias("contaminated"),
         )
     )
+
+
+@query(
+    "mixture_sample",
+    oracle="""
+        WITH bylang AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS total,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS k
+            FROM documents
+        ), rates AS (
+            SELECT lang,
+                   least(1.0, (total / k) / n_docs) AS rate
+            FROM bylang, tot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+                     8, '0')
+    """,
+    phase="P4",
+    tags=("curation", "mixture", "sample"),
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the corpus mixture plan (``mixture_plan``): materialize
+    the rebalanced corpus by keeping each doc iff its md5-derived
+    uniform falls under its stratum's sampling rate. Consistent hashing
+    (not rand()) makes the sampled corpus deterministic across runs,
+    executors, and retries — the reproducibility property a training
+    corpus needs.
+
+    The rate→threshold conversion stays engine-portable: rate is an
+    int-derived double (identical bits both engines), the threshold is
+    its first 32 bits as 8 lowercase hex chars (floor/hex/lpad —
+    integer-exact everywhere), and the comparison is an equal-length
+    hex string compare against the md5 prefix, which equals the numeric
+    compare. Rates ≥ 1.0 short-circuit (9-char hex would corrupt the
+    lexicographic compare). Plan: one stats pass builds the
+    stratum-rate relation (rows = #languages), broadcast to a map-only
+    filter — the corpus itself never shuffles, same posture as
+    ``mixture_plan``."""
+    d = load(spark, sf_dir, "documents")
+    bylang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        F.countDistinct("lang").cast("double").alias("k"),
+    )
+    rates = bylang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_docs")
+        ).alias("rate"),
+    )
+    threshold = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    u8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter((F.col("rate") >= 1.0) | (u8 < threshold))
+        .select("doc_id", "lang")
+    )
