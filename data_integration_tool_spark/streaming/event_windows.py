@@ -681,3 +681,49 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS first_day
+            FROM events
+            GROUP BY user_id
+        ),
+        daily AS (
+            SELECT first_day AS day, count(*) AS new_users
+            FROM firsts GROUP BY first_day
+        )
+        SELECT day, new_users,
+               sum(new_users) OVER (ORDER BY day) AS cum_users
+        FROM daily
+    """,
+    phase="P3",
+    tags=("stream", "window", "distinct"),
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. The naive
+    form (COUNT(DISTINCT user) OVER (ORDER BY day)) re-scans the full
+    user set per day (quadratic, and Spark refuses DISTINCT window
+    aggregates outright); the scalable identity is first-occurrence
+    decomposition: each user contributes exactly once, on their first
+    day, so cumulative uniques = running SUM of per-day NEW users.
+
+    Plan: one agg keyed on user (min day), one tiny agg keyed on day,
+    one running sum over the day relation (rows = days in span). At
+    100 TB only the user-keyed agg touches data volume — map-side
+    combinable min — and everything after operates on day-grain rows.
+    All-integer measures, hash-stable by construction."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
