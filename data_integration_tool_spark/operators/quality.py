@@ -368,3 +368,70 @@ def recon_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["l_orderkey", "l_linenumber", "l_returnflag",
                          "l_linestatus"]))
     )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_disc(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT m.event_type, m.med, d.mad,
+               count(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                          THEN 1 END) AS n_outliers,
+               count(*) AS n_total
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        GROUP BY m.event_type, m.med, d.mad
+    """,
+    phase="P3",
+    tags=("quality", "anomaly", "robust"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe alternative to ``anomaly_zscore``: mean/stddev are
+    themselves dragged by the outliers they're meant to find, while
+    median and MAD have a 50% breakdown point.
+
+    Hash-exact by construction: DISCRETE percentiles return actual data
+    values (no interpolation to synthesize floats), abs/compare
+    arithmetic is identical in both engines, and the outputs are two
+    data-valued doubles plus integer counts. Plan: two grouped discrete
+    medians (each one sort-based agg over event_type — 5 groups) with
+    the tiny per-type relations broadcast back onto the event scan;
+    the events table itself is scanned, never wide-shuffled beyond the
+    keyed aggregates."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "med"
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > F.lit(3) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
