@@ -405,3 +405,112 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("char_entropy_microbits")
         )
     )
+
+
+@query(
+    "text_pmi_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ),
+        df AS (
+            SELECT token, count(*) AS df FROM toks GROUP BY token
+        ),
+        vocab AS (
+            SELECT token, df FROM df
+            ORDER BY df DESC, token LIMIT 40
+        ),
+        vt AS (
+            SELECT t.doc_id, t.token, v.df
+            FROM toks t JOIN vocab v USING (token)
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        pairs AS (
+            SELECT a.token AS tok_a, b.token AS tok_b,
+                   max(a.df) AS df_a, max(b.df) AS df_b,
+                   count(*) AS n_ab
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY a.token, b.token
+        )
+        SELECT tok_a, tok_b, n_ab,
+               CAST(floor(ln(CAST(n.n_docs AS DOUBLE) * n_ab
+                             / (CAST(df_a AS DOUBLE) * df_b))
+                          * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        FROM pairs CROSS JOIN n
+        WHERE n_ab >= 5
+    """,
+    phase="P3",
+    tags=("text", "pmi", "collocation"),
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence — the
+    collocation/association-mining pass (PMI > 0: tokens co-occur more
+    than independence predicts). Document-level co-occurrence over the
+    top-40-df vocabulary: the vocab cap bounds the pair fan-out at
+    C(40,2) per doc regardless of corpus size — the unbounded pair
+    explosion is the operator's scale-killer and the cap is how
+    production collocation jobs bound it (or they shard by vocab
+    block).
+
+    PMI ships as micro-units (floor(x*1e6+0.5) BIGINT) for the same
+    reason as ``text_tfidf``: ln() differs between DuckDB and the JVM
+    at the last ULP. The min-support filter (n_ab ≥ 5) is standard —
+    PMI is noise-dominated at low counts. Ties in the vocab cut are
+    broken by token so both engines select the identical vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), " "), lambda t: t != ""
+                    )
+                )
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df.orderBy(F.desc("df"), F.asc("token")).limit(40)
+    vt = toks.join(F.broadcast(vocab), "token")
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a = vt.alias("a")
+    b = vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("tok_a"),
+            F.col("b.token").alias("tok_b"),
+        )
+        .agg(
+            F.max("a.df").alias("df_a"),
+            F.max("b.df").alias("df_b"),
+            F.count(F.lit(1)).alias("n_ab"),
+        )
+    )
+    pmi = F.log(
+        F.col("n_docs").cast("double")
+        * F.col("n_ab")
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.floor(pmi * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
