@@ -453,12 +453,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch and the shuffle carries sketches, not rows, unlike exact
     percentile which must see all values per group. pytest pins the
     estimate within the sketch's rank-error bound of the exact values
-    (tests/test_algorithms.py)."""
+    (tests/test_algorithms.py).
+
+    One sketch serves all three quantiles (single agg, then an
+    element_at projection); the output is three scalar columns because
+    the driver canonicalizer cannot hash array cells (CORRECTNESS_r05).
+    """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_pcts"
+            "pcts"
         )
+    )
+    return sketched.select(
+        "l_returnflag",
+        F.element_at("pcts", 1).alias("approx_p50"),
+        F.element_at("pcts", 2).alias("approx_p90"),
+        F.element_at("pcts", 3).alias("approx_p99"),
     )
 
 

@@ -1360,9 +1360,11 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT cohort_mo, month_idx,
-               sum(cents) OVER (
+               -- DuckDB sum(BIGINT) → HUGEINT → float64 in fetchdf(),
+               -- a driver-red dtype vs Spark int64 (CORRECTNESS_r05)
+               CAST(sum(cents) OVER (
                    PARTITION BY cohort_mo ORDER BY month_idx
-               ) AS cum_revenue_cents
+               ) AS BIGINT) AS cum_revenue_cents
         FROM rev
     """,
     phase="P3",

@@ -387,8 +387,11 @@ def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
                count(*) AS n_orders,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                   AS revenue_cents
+               -- DuckDB sum(BIGINT) returns HUGEINT, which fetchdf()
+               -- renders as float64 and the driver hash treats as red
+               -- vs Spark's int64 (CORRECTNESS_r05); cast it back down.
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM orders
         GROUP BY 1
     """,

@@ -98,18 +98,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes FEATURE_DIM-float vectors. This is the exact shape a real
     image-embedding pass takes at 100 TB (decode co-located with the
     scan, no shuffle, constant memory per batch).
+
+    The vector ships as a fixed-format CSV string plus a dim column —
+    the driver canonicalizer cannot hash array cells (CORRECTNESS_r05),
+    and a 6-decimal rendering is deterministic across runs because the
+    stub itself is deterministic.
     """
     d = load(spark, sf_dir, "documents")
     media = attach_fake_payload(d)
 
     def extract(batches):
         for pdf in batches:
-            feats = pdf["payload"].map(lambda b: decode_stub(bytes(b)).tolist())
+            feats = pdf["payload"].map(lambda b: decode_stub(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "feature": feats,
+                    "feature_dim": feats.map(len).astype("int64"),
+                    "feature_csv": feats.map(
+                        lambda v: ",".join(f"{x:.6f}" for x in v)
+                    ),
                 }
             )
 
@@ -117,7 +125,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("media_type", T.StringType()),
-            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("feature_dim", T.LongType()),
+            T.StructField("feature_csv", T.StringType()),
         ]
     )
     return media.mapInPandas(extract, schema=out_schema)

@@ -688,7 +688,8 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH firsts AS (
             SELECT user_id,
-                   min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS first_day
+                   CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS TIMESTAMP) AS first_day
             FROM events
             GROUP BY user_id
         ),
@@ -697,7 +698,9 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM firsts GROUP BY first_day
         )
         SELECT day, new_users,
-               sum(new_users) OVER (ORDER BY day) AS cum_users
+               -- DuckDB sum(BIGINT) → HUGEINT → float64 in fetchdf(),
+               -- a driver-red dtype vs Spark int64 (CORRECTNESS_r05)
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
         FROM daily
     """,
     phase="P3",

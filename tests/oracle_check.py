@@ -158,14 +158,61 @@ def _exact_cell(v: Any) -> Any:
     return v
 
 
+def _dtype_family(s: pd.Series) -> str | None:
+    """Classify a pandas column into the type family the driver's hash
+    is sensitive to. int64 vs float64 on equal values IS a driver red
+    (the r03 `362` vs `362.0` row; the r05 HUGEINT→float64 rows), while
+    int32 vs int64 and DATE vs midnight-TIMESTAMP are driver-green —
+    so families, not exact dtypes. Returns None (= skip the check) for
+    all-null columns, whose pandas dtype is representation noise."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        # an all-NaN float column is indistinguishable from all-null
+        return "float" if s.notna().any() else None
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    vals = s.dropna()
+    if not len(vals):
+        return None
+    v = vals.iloc[0]
+    if isinstance(v, (pd.Timestamp, datetime, date)):
+        return "datetime"
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, bytes):
+        return "bytes"
+    return type(v).__name__
+
+
+def _typed(v: Any) -> Any:
+    """Tag each scalar with its Python type name so the exact compare
+    cannot equate int with float (362 == 362.0 is True in Python) or
+    bool with int — both are driver-red type divergences."""
+    if isinstance(v, tuple):
+        return tuple(_typed(x) for x in v)
+    return (type(v).__name__, v)
+
+
 def compare_frames(
     sp: pd.DataFrame, du: pd.DataFrame, name: str = "", exact: bool = True
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty = match).
 
     ``exact=True`` (default) mirrors the driver: every cell must be
-    identical (type-normalized, floats bitwise). ``exact=False`` applies
-    rtol=1e-7 — only for ``TOLERANT_QUERIES`` entries.
+    identical (type-sensitive, floats bitwise). ``exact=False`` applies
+    rtol=1e-7 — only for ``TOLERANT_QUERIES`` entries. The dtype-family
+    gate applies in BOTH modes: tolerance covers float precision, never
+    a type divergence.
     """
     problems: list[str] = []
     sp_cols = sorted(sp.columns)
@@ -177,6 +224,15 @@ def compare_frames(
         return problems
     sp = sp[sp_cols]
     du = du[du_cols]
+    for c in sp_cols:
+        fs, fd = _dtype_family(sp[c]), _dtype_family(du[c])
+        if fs is not None and fd is not None and fs != fd:
+            problems.append(
+                f"{name}: dtype family mismatch on {c!r}: "
+                f"spark={sp[c].dtype}({fs}) duck={du[c].dtype}({fd})"
+            )
+    if problems:
+        return problems
 
     def keyed(df: pd.DataFrame) -> list[tuple[tuple, tuple]]:
         rows = []
@@ -202,7 +258,9 @@ def compare_frames(
     n_bad = 0
     for i, ((ks, rs), (kd, rd)) in enumerate(zip(sp_rows, du_rows)):
         if exact:
-            ok = tuple(_exact_cell(v) for v in rs) == tuple(_exact_cell(v) for v in rd)
+            ok = tuple(_typed(_exact_cell(v)) for v in rs) == tuple(
+                _typed(_exact_cell(v)) for v in rd
+            )
         else:
             norm_s = tuple(_norm_cell(v) for v in rs)
             norm_d = tuple(_norm_cell(v) for v in rd)

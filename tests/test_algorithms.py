@@ -200,9 +200,13 @@ def test_fn_map_values(spark, sf_dir):
         .collect()
     }
     for r in rows:
-        assert r.types == sorted(r.types)
+        tl = r.types.split(",")
+        assert tl == sorted(tl)
+        assert r.n_types == len(tl)
         if r.user_id in click_avg:
-            assert math.isclose(r.click_avg, click_avg[r.user_id], rel_tol=1e-9)
+            assert r.click_avg_micro == math.floor(
+                click_avg[r.user_id] * 1000000.0 + 0.5
+            )
 
 
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
@@ -212,11 +216,12 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     d_n = load(spark, sf_dir, "documents").count()
     assert len(rows) == d_n
     for r in rows[:20]:
-        assert len(r.feature) == multimodal.FEATURE_DIM
-        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        vec = [float(x) for x in r.feature_csv.split(",")]
+        assert len(vec) == multimodal.FEATURE_DIM == r.feature_dim
+        assert all(0.0 <= x <= 1.0 for x in vec)
     again = multimodal.multimodal_features(spark, sf_dir).collect()
-    assert {r.doc_id: tuple(r.feature) for r in rows} == {
-        r.doc_id: tuple(r.feature) for r in again
+    assert {r.doc_id: r.feature_csv for r in rows} == {
+        r.doc_id: r.feature_csv for r in again
     }
 
 
@@ -287,7 +292,7 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     )
 
     approx = {
-        r.l_returnflag: r.approx_pcts
+        r.l_returnflag: (r.approx_p50, r.approx_p90, r.approx_p99)
         for r in agg_approx_percentile(spark, sf_dir).collect()
     }
     exact = {
