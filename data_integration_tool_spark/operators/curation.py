@@ -70,44 +70,50 @@ def decon_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     use 8-13-gram shingles; the fixture vocabulary is so small that
     4-grams give the same plan a meaningful overlap surface.
 
-    Plan shape: token arrays and shingles are pure array expressions
-    (split → transform(sequence) → concat_ws) so gram construction is
-    codegen'd and map-side; the benchmark gram set is DISTINCT-reduced
-    and broadcast (an eval suite is KBs-MBs at any corpus scale); the
-    only shuffle is the per-doc overlap count. At 100 TB nothing
-    changes: the fact side streams through a broadcast-hash semi-ish
-    join. If the "benchmark" ever outgrew a broadcast, the same plan
-    shuffles on the gram hash — still one exchange.
+    Plan shape (reworked in r6 after the r5 bench flagged this as the
+    slowest query): the bench/eval doc-level predicate is applied to
+    ``documents`` BEFORE tokenize+shingle — Catalyst does no cross-branch
+    common-subexpression elimination, so the old single ``grams`` subtree
+    was scanned and exploded twice at FULL corpus size; now the bench
+    branch shingles only the eval-suite docs (1/20th here). Grams travel
+    as ``xxhash64`` 64-bit ints, never strings, so every exchange carries
+    16-byte rows (collision odds ~n²/2^65 — immaterial below ~10^8
+    distinct grams, and the oracle's string-keyed twin would flag one).
+    The eval side joins the broadcast bench-gram set BEFORE any distinct,
+    so the only corpus-scale shuffle is the final per-doc
+    countDistinct over the contaminated pairs — typically a tiny
+    fraction of the explosion. At 100 TB: one broadcast, one partial-agg
+    shuffle of the hits; if the benchmark outgrew a broadcast the same
+    plan shuffles on ghash — still one exchange.
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("ts") >= 4,
-                F.expr(
-                    "transform(sequence(1, size(ts) - 3),"
-                    " i -> concat_ws(' ', slice(ts, i, 4)))"
-                ),
-            ).otherwise(F.expr("array()"))
-        ).alias("gram"),
-    )
+
+    def gram_hashes(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ts") >= 4,
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 3),"
+                        " i -> concat_ws(' ', slice(ts, i, 4)))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("ghash"))
+
     bench = (
-        grams.filter(F.expr(_BENCH_PRED_SQL)).select("gram").distinct()
-    )
-    eval_grams = (
-        grams.filter(~F.expr(_BENCH_PRED_SQL))
-        .select("doc_id", "gram")
-        .distinct()
+        gram_hashes(d.filter(F.expr(_BENCH_PRED_SQL))).select("ghash").distinct()
     )
     return (
-        eval_grams.join(F.broadcast(bench), "gram")
+        gram_hashes(d.filter(~F.expr(_BENCH_PRED_SQL)))
+        .join(F.broadcast(bench), "ghash")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .agg(F.count_distinct("ghash").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import types as T
+
 from data_integration_tool_spark import registry
 
 from .conftest import TEST_SF_DIR
@@ -29,6 +31,18 @@ def duck():
 def test_query_parity(name, spark, sf_dir, duck):
     spec = SPECS[name]
     df = spec.builder(spark, sf_dir)
+    # Harness contract (CORRECTNESS_r05): the driver's pandas
+    # canonicalizer crashes on list/map cells — BEFORE the oracle
+    # branch, so even rows-only queries must ship scalar columns only.
+    # Arrays/maps must be rendered (array_join / sorted k=v / long form).
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    assert not bad, (
+        f"{name}: driver-visible array/map columns {bad} — render scalar"
+    )
     if spec.oracle is None:
         # rows-only contract: runs, has a schema, row count is sane
         n = df.count()
