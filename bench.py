@@ -99,6 +99,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # 1/5/15-min load average at measurement time: co-tenant load on
+        # the driver box inflated r04/r05 totals ~1.5x uniformly
+        # (BASELINE.md), so the claim must be self-evidencing per run
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 3500:

@@ -467,7 +467,8 @@ def decon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN rates r USING (lang)
         WHERE r.rate >= 1.0
            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-              < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+              < lpad(lower(hex(CAST(least(floor(r.rate * 4294967296.0),
+                                          4294967295.0) AS BIGINT))),
                      8, '0')
     """,
     phase="P4",
@@ -486,8 +487,12 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     its first 32 bits as 8 lowercase hex chars (floor/hex/lpad —
     integer-exact everywhere), and the comparison is an equal-length
     hex string compare against the md5 prefix, which equals the numeric
-    compare. Rates ≥ 1.0 short-circuit (9-char hex would corrupt the
-    lexicographic compare). Plan: one stats pass builds the
+    compare. Rates ≥ 1.0 short-circuit, and the threshold integer is
+    clamped to 2^32-1: a rate within ~2^-21 BELOW 1.0 would otherwise
+    floor to exactly 2^32, whose 9-char hex gets lpad-TRUNCATED to
+    '10000000' and silently collapses that stratum's keep-rate to ~1/16
+    (both engines identically — parity would hold, the sample would be
+    wrong). Plan: one stats pass builds the
     stratum-rate relation (rows = #languages), broadcast to a map-only
     filter — the corpus itself never shuffles, same posture as
     ``mixture_plan``."""
@@ -505,7 +510,12 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     threshold = F.lpad(
         F.lower(
-            F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+            F.hex(
+                F.least(
+                    F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"),
+                    F.lit(4294967295),
+                )
+            )
         ),
         8,
         "0",

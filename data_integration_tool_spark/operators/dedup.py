@@ -230,7 +230,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oversized buckets (template clusters — k docs → k²/2 pairs) are the
     pair form's scale-killer, so buckets past MAX_PAIR_BUCKET emit STAR
     pairs only (min-doc ↔ each member): linear output, same connected
-    components. pytest verifies component-level recall; consumers that
+    components. Star edges are CONNECTIVITY-ONLY and exempt from the
+    est_jaccard threshold (``star_edge`` column marks them): the bucket's
+    min doc is just a hash-bucket member, not necessarily a near-dup of
+    the others, so thresholding star edges could drop BOTH edges of a
+    true near-dup pair whose direct edge was suppressed and split its
+    component. pytest verifies component-level recall; consumers that
     need every pairwise edge inside a mega-cluster are asking a
     quadratic question and should use ``dedup_minhash_groups``.
     """
@@ -313,8 +318,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
+            (F.col("a.n_bucket") > F.lit(MAX_PAIR_BUCKET)).alias("star_edge"),
         )
-        .filter(F.col("est_jaccard") >= NEAR_DUP_THRESHOLD)
+        # star edges pass unthresholded — they exist to keep the dup
+        # graph connected, not to claim similarity (see docstring)
+        .filter(
+            (F.col("est_jaccard") >= NEAR_DUP_THRESHOLD) | F.col("star_edge")
+        )
     )
 
 

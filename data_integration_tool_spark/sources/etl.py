@@ -305,16 +305,18 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-conversion round-trip — the reference's nominal core job
     (BASELINE.json:5-7) made driver-visible: nation.parquet → csv →
-    json → parquet via ``convert``, with a column mapping applied on the
-    first hop (``apply_mapping`` → Catalyst expressions), then a
-    reconciliation of the final parquet against the source.
+    json → orc → parquet via ``convert`` (every supported format gets a
+    leg), with a column mapping applied on the first hop
+    (``apply_mapping`` → Catalyst expressions), then a reconciliation of
+    the final parquet against the source.
 
-    CSV/JSON are schemaless on disk, so the read-back legs supply an
+    CSV/JSON are schemaless on disk, so their read-back legs supply an
     explicit schema (the production rule this layer documents: explicit
-    schema > inference — inference is an extra full scan at scale).
-    Emits one row per check (row count, key checksum, name-length sum)
-    with src/dst values side by side; rows-only in the driver, invariant
-    equality asserted in test_etl.py."""
+    schema > inference — inference is an extra full scan at scale); ORC
+    carries its own types. Emits one row per check (row count, key
+    checksum, name-length sum) with src/dst values side by side;
+    rows-only in the driver, every ``ok`` asserted True by
+    test_etl.py::test_convert_roundtrip_query_reconciles."""
     import shutil
     import tempfile
 
@@ -348,9 +350,11 @@ def etl_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hop 2: csv → json (schema supplied: csv stores no types)
         convert(spark, f"{work}/csv", "csv", f"{work}/json", "json",
                 schema=mapped_schema)
-        # hop 3: json → parquet
-        convert(spark, f"{work}/json", "json", f"{work}/parquet", "parquet",
+        # hop 3: json → orc (schema supplied: json stores no types)
+        convert(spark, f"{work}/json", "json", f"{work}/orc", "orc",
                 schema=mapped_schema)
+        # hop 4: orc → parquet (orc is typed: no schema needed back)
+        convert(spark, f"{work}/orc", "orc", f"{work}/parquet", "parquet")
         final = read_any(spark, f"{work}/parquet", "parquet")
         # Reconciliation stays declarative: two 1-row aggregates,
         # cross-joined and unpivoted via stack() — no driver collect.

@@ -91,6 +91,21 @@ def test_partitioned_write_prunes(spark, sf_dir, tmpdir):
     assert df.count() == src_f
 
 
+def test_convert_roundtrip_query_reconciles(spark, sf_dir):
+    """The registered etl_convert_roundtrip query is rows-only at the
+    driver (it always emits 3 rows), so the reconciliation itself must
+    be asserted HERE: every ok flag True, all three checks present —
+    otherwise a silently-corrupting hop would stay green everywhere."""
+    rows = etl.etl_convert_roundtrip(spark, sf_dir).collect()
+    assert {r.check for r in rows} == {
+        "row_count",
+        "key_checksum",
+        "name_len_sum",
+    }
+    for r in rows:
+        assert r.ok is True, f"{r.check}: src={r.src} dst={r.dst}"
+
+
 def test_bad_format_rejected(spark, tmpdir):
     with pytest.raises(ValueError, match="unsupported"):
         etl.read_any(spark, tmpdir, "xml")
