@@ -134,6 +134,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "etl_convert_roundtrip",
     "stream_true_engine",
+    # --- new in r6: true-engine foreachBatch sink + stream-stream join ---
+    "stream_foreach_batch",
+    "stream_stream_join",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -155,10 +158,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_interval",
     "join_lateral",
+    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
+    # (agg_group, agg_global, agg_distinct, agg_having, agg_stats,
+    # win_*, sort/limit, setops) ---
     "agg_group",
     "agg_global",
-    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (agg_distinct, agg_having, agg_stats, win_*, sort/limit, setops) ---
     "agg_distinct",
     "agg_having",
     "agg_stats",

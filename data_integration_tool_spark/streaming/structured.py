@@ -319,3 +319,147 @@ def stream_true_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b_n").isNotNull().cast("bigint")).alias("n_batch"),
         F.min(row_ok).alias("all_match"),
     )
+
+
+@query(
+    "stream_foreach_batch",
+    oracle=None,  # runs the streaming ENGINE + a filesystem sink; key-set
+    # semantics carried by the batch dropDuplicates twin it reconciles
+    phase="P4",
+    # bench-skip: verification harness (staging write + 4 micro-batches +
+    # parquet sink round-trip + reconciliation), not operator throughput
+    tags=("streaming", "engine", "foreachbatch", "bench-skip"),
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink under the real engine, driver-visible: the
+    watermarked streaming dedup (dropDuplicates over bounded state)
+    drains through a foreachBatch writer that appends each micro-batch
+    to a parquet sink with its batch_id stamped on every row — the
+    idempotent multi-sink/upsert pattern production streams use when the
+    target isn't a native sink. The written files are then read back and
+    reconciled against the batch twin: exactly one emitted row per
+    (user_id, event_type) key, and the streamed key set must equal the
+    batch-distinct key set (full-outer join, no one-sided keys).
+
+    Emits one summary row (all_match=True is the invariant, also
+    asserted in test_streaming.py). At 100 TB the same foreachBatch fn
+    writes Delta/Iceberg upserts; batch_id is the replay-idempotence
+    token (a retried micro-batch overwrites, never double-appends)."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_fb_stage_")
+    out = tempfile.mkdtemp(prefix="stream_fb_sink_")
+    try:
+        stage_events_stream(spark, sf_dir, stage, n_files=4)
+        stream = read_events_stream(spark, stage)
+        deduped = dedup_stream(stream, watermark="365 days").select(
+            "user_id", "event_type", "event_id"
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        run_foreach_batch(spark, deduped, sink, mode="append")
+        # materialize before the sink dir vanishes
+        got = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    per_key = got.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("s_n")
+    )
+    batch_keys = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("b_seen", F.lit(1))
+    )
+    joined = per_key.join(batch_keys, ["user_id", "event_type"], "full_outer")
+    key_ok = (
+        F.col("s_n").isNotNull()
+        & F.col("b_seen").isNotNull()
+        & (F.col("s_n") == 1)
+    )
+    summary = joined.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("s_n").isNotNull().cast("bigint")).alias("n_stream_keys"),
+        F.sum(F.col("b_seen").isNotNull().cast("bigint")).alias("n_batch_keys"),
+        F.min(key_ok).alias("all_match"),
+    )
+    n_batches = got.agg(
+        F.countDistinct("batch_id").cast("bigint").alias("n_batches")
+    )
+    return summary.crossJoin(n_batches)
+
+
+@query(
+    "stream_stream_join",
+    oracle=None,  # runs the streaming ENGINE; join semantics carried by
+    # the batch range-join twin it reconciles against
+    phase="P4",
+    # bench-skip: verification harness (staging + engine + twin + join)
+    tags=("streaming", "engine", "join", "bench-skip"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join under the real engine, driver-visible:
+    clicks⋈purchases within 24 h (``click_purchase_join_stream``, both
+    sides watermarked — the join condition is the state-retention
+    contract) drained with availableNow into a memory sink, then
+    reconciled pair-for-pair against the equivalent batch range join
+    (full-outer on the event-id pair; no one-sided rows). The staged
+    4-file source arrives in event-time-unordered micro-batches, so
+    this exercises cross-batch join state, not a single-batch join;
+    the test watermark spans the data so the result is exact.
+
+    Emits one summary row; all_match=True is the invariant (also
+    asserted in test_streaming.py). Production uses a tight watermark
+    and accepts bounded late-drop — documented on the helper."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_ssj_stage_")
+    try:
+        stage_events_stream(spark, sf_dir, stage, n_files=4)
+        stream = read_events_stream(spark, stage)
+        run_to_memory(
+            spark,
+            click_purchase_join_stream(stream, watermark="365 days"),
+            "stream_ssj_out",
+            mode="append",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = spark.table("stream_ssj_out").select(
+        "click_id", "purchase_id", F.lit(1).alias("s_seen")
+    )
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+    ).select("click_id", "purchase_id", F.lit(1).alias("b_seen"))
+    joined = got.join(want, ["click_id", "purchase_id"], "full_outer")
+    pair_ok = F.col("s_seen").isNotNull() & F.col("b_seen").isNotNull()
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("s_seen").isNotNull().cast("bigint")).alias("n_stream"),
+        F.sum(F.col("b_seen").isNotNull().cast("bigint")).alias("n_batch"),
+        F.min(pair_ok).alias("all_match"),
+    )

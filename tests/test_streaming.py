@@ -182,4 +182,29 @@ def test_stream_true_engine_reconciles(spark, sf_dir):
     row = stream_true_engine(spark, sf_dir).collect()[0]
     assert row.n_windows > 0
     assert row.n_stream == row.n_batch == row.n_windows
+
+
+def test_stream_foreach_batch_reconciles(spark, sf_dir):
+    """Registered foreachBatch surface: one emitted row per key, key
+    set identical to batch-distinct, multiple micro-batches seen."""
+    from data_integration_tool_spark.streaming.structured import (
+        stream_foreach_batch,
+    )
+
+    row = stream_foreach_batch(spark, sf_dir).collect()[0]
+    assert row.all_match is True
+    assert row.n_stream_keys == row.n_batch_keys == row.n_keys > 0
+    assert row.n_batches >= 2, "expected multiple micro-batches"
+
+
+def test_stream_stream_join_query_reconciles(spark, sf_dir):
+    """Registered stream-stream join surface: pair set identical to the
+    batch range join (wide watermark -> exact)."""
+    from data_integration_tool_spark.streaming.structured import (
+        stream_stream_join,
+    )
+
+    row = stream_stream_join(spark, sf_dir).collect()[0]
+    assert row.all_match is True
+    assert row.n_stream == row.n_batch == row.n_pairs > 0
     assert row.all_match is True
