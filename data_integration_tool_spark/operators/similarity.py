@@ -766,3 +766,63 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mmr, schema=out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+        WITH scaled AS (
+            SELECT vec_id,
+                   greatest(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               CAST(floor(s.scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+               array_to_string(list_transform(e.embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) / s.scale * 127.0
+                                        + 0.5) AS BIGINT) AS VARCHAR)
+               ), ',') AS codes
+        FROM embeddings e JOIN scaled s USING (vec_id)
+    """,
+    phase="P4",
+    tags=("similarity", "embedding", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    standard storage/serving compression for ANN corpora (4× smaller
+    than float32, dot products stay SIMD-able): per-vector max-abs
+    scale, codes = floor(x/scale*127 + 0.5).
+
+    Map-only — scale and codes are per-row array expressions, no
+    shuffle at any corpus size; at 100 TB this runs inside the scan
+    stage and writes back columnar. The scale ships as micro-units and
+    the codes as a CSV string (harness contract: scalar columns only);
+    floor(x+0.5) is the house rounding rule — F.round/duckdb round()
+    disagree on half-way ties across engines. greatest(scale, 1e-12)
+    guards the all-zero vector (codes 0, not NULL/inf)."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(as_double, lambda x: F.abs(x))),
+        F.lit(1e-12),
+    )
+    with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
+    codes = F.array_join(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("scale") * F.lit(127.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+    return with_scale.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_micro"),
+        codes.alias("codes"),
+    )

@@ -9,7 +9,7 @@ deterministic (hash-stability rule, SURVEY.md §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -129,6 +129,86 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", {"N": 0.05, "A": 0.5, "R": 0.9}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "sample_topn_stratified",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), cut AS (
+            SELECT lang,
+                   CASE WHEN 120.0 / n_docs >= 1.0 THEN 'g'
+                        ELSE lpad(lower(hex(CAST(least(
+                                 floor((120.0 / n_docs) * 4294967296.0),
+                                 4294967295.0) AS BIGINT))), 8, '0')
+                   END AS cutoff
+            FROM counts
+        ), survivors AS (
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN cut USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < cutoff
+        )
+        SELECT doc_id, lang, rn FROM (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rn
+            FROM survivors
+        ) WHERE rn <= 40
+    """,
+    phase="P4",
+    tags=("sample", "stratified", "topn"),
+)
+def sample_topn_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-stratum deterministic sample — the corpus-building
+    ask sampleBy cannot answer ("give me 40 docs per language, the same
+    40 every run"): rank each stratum by key digest and keep the N
+    smallest. Consistent hashing makes the sample reproducible across
+    runs/executors/engines; ranking by digest makes it uniform.
+
+    Two-phase plan, because a naive per-stratum window would sort whole
+    strata (a 100 TB stratum sorts 100 TB): phase 1 computes per-stratum
+    counts (broadcast, rows = #strata) and derives a hash cutoff at 3×
+    the target rate (the mixture_sample threshold machinery, clamped);
+    phase 2 scan-filters to ~3N survivors per stratum and ranks only
+    those — the window input shrinks from stratum size to ~3N rows
+    regardless of corpus size. P(cutoff keeps < N of the stratum) is
+    Chernoff-negligible (~1e-8 at N=40); rate ≥ 1 disables the filter
+    ('g' sorts above every md5 hex char). Identical arithmetic in both
+    engines, so the sample — not just its size — is oracle-exact."""
+    d = load(spark, sf_dir, "documents")
+    n_target = 40
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rate = F.lit(3.0 * n_target) / F.col("n_docs")
+    cutoff = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(
+                        F.floor(rate * F.lit(4294967296.0)).cast("bigint"),
+                        F.lit(4294967295),
+                    )
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    cut = counts.select("lang", cutoff.alias("cutoff"))
+    digest = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    survivors = (
+        d.join(F.broadcast(cut), "lang")
+        .filter(F.substring(digest, 1, 8) < F.col("cutoff"))
+        .select("doc_id", "lang", digest.alias("_dg"))
+    )
+    w = Window.partitionBy("lang").orderBy("_dg", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= n_target)
+        .select("doc_id", "lang", "rn")
+    )
 
 
 @query(

@@ -134,9 +134,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "etl_convert_roundtrip",
     "stream_true_engine",
-    # --- new in r6: true-engine foreachBatch sink + stream-stream join ---
+    # --- new in r6: true-engine foreachBatch / stream-stream join /
+    # custom-state harnesses, exact-N sampling, int8 quantization ---
     "stream_foreach_batch",
     "stream_stream_join",
+    "stream_stateful_totals",
+    "sample_topn_stratified",
+    "emb_quantize_int8",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -155,12 +159,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_broadcast",
     "join_theta",
     "join_cross",
+    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
+    # (join_asof/interval/lateral, agg_group, agg_global, agg_distinct,
+    # agg_having, agg_stats, win_*, sort/limit, setops) ---
     "join_asof",
     "join_interval",
     "join_lateral",
-    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (agg_group, agg_global, agg_distinct, agg_having, agg_stats,
-    # win_*, sort/limit, setops) ---
     "agg_group",
     "agg_global",
     "agg_distinct",

@@ -463,3 +463,76 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b_seen").isNotNull().cast("bigint")).alias("n_batch"),
         F.min(pair_ok).alias("all_match"),
     )
+
+
+@query(
+    "stream_stateful_totals",
+    oracle=None,  # runs the streaming ENGINE's custom state store path;
+    # semantics carried by the batch groupBy twin it reconciles against
+    phase="P4",
+    # bench-skip: verification harness (staging + 4 micro-batches of
+    # Arrow state updates + batch twin + reconciliation)
+    tags=("streaming", "engine", "stateful", "bench-skip"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator under the real engine, driver-visible:
+    ``stateful_user_totals`` (applyInPandasWithState — per-user running
+    count/sum/last-seen carried in the state store across micro-batches)
+    drained in update mode, then the FINAL emitted row per user (the one
+    with the highest running count) reconciled against the batch groupBy
+    twin: same user set, same counts, totals within 1e-6.
+
+    This is the escape-hatch surface for stateful logic windowed aggs
+    can't express; the harness proves state actually accumulates across
+    the 4 unordered micro-batches rather than resetting per batch.
+    Emits one summary row; all_match=True is the invariant (also
+    asserted in test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_state_stage_")
+    try:
+        stage_events_stream(spark, sf_dir, stage, n_files=4)
+        stream = read_events_stream(spark, stage)
+        run_to_memory(
+            spark,
+            stateful_user_totals(stream),
+            "stream_stateful_out",
+            mode="update",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = (
+        spark.table("stream_stateful_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").alias("s_n"),
+            F.col("total_value").alias("s_total"),
+        )
+    )
+    want = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("value").alias("b_total"),
+        )
+    )
+    joined = got.join(want, "user_id", "full_outer")
+    user_ok = (
+        F.col("s_n").isNotNull()
+        & F.col("b_n").isNotNull()
+        & (F.col("s_n") == F.col("b_n"))
+        & (F.abs(F.col("s_total") - F.col("b_total")) < F.lit(1e-6))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s_n").isNotNull().cast("bigint")).alias("n_stream"),
+        F.sum(F.col("b_n").isNotNull().cast("bigint")).alias("n_batch"),
+        F.min(user_ok).alias("all_match"),
+    )

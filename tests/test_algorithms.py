@@ -308,6 +308,48 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             assert abs(a - e) / abs(e) < 0.01, (k, a, e)
 
 
+def test_topn_stratified_exact_counts(spark, sf_dir):
+    """Exactly min(40, stratum size) docs per language, identical set
+    across runs (consistent hashing), all ranks 1..n contiguous."""
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_topn_stratified,
+    )
+
+    rows = sample_topn_stratified(spark, sf_dir).collect()
+    strata = {
+        r.lang: r.n
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rn)
+    assert set(by_lang) == set(strata)
+    for lang, rns in by_lang.items():
+        want_n = min(40, strata[lang])
+        assert sorted(rns) == list(range(1, want_n + 1)), lang
+    again = {(r.lang, r.doc_id) for r in sample_topn_stratified(spark, sf_dir).collect()}
+    assert again == {(r.lang, r.doc_id) for r in rows}
+
+
+def test_emb_quantize_int8_bounds(spark, sf_dir):
+    """Codes stay in the int8 range, the max-|code| per vector is 127
+    (the scale element saturates), scale is positive."""
+    from data_integration_tool_spark.operators.similarity import (
+        emb_quantize_int8,
+    )
+
+    rows = emb_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert max(abs(c) for c in codes) == 127 or r.scale_micro == 0
+        assert r.scale_micro >= 0
+
+
 def test_stratified_sample_fractions(spark, sf_dir):
     from data_integration_tool_spark.operators.sort_limit import (
         sample_stratified,

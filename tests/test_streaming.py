@@ -197,6 +197,18 @@ def test_stream_foreach_batch_reconciles(spark, sf_dir):
     assert row.n_batches >= 2, "expected multiple micro-batches"
 
 
+def test_stream_stateful_totals_query_reconciles(spark, sf_dir):
+    """Registered custom-state surface: final per-user state equals the
+    batch groupBy (state accumulated across 4 micro-batches)."""
+    from data_integration_tool_spark.streaming.structured import (
+        stream_stateful_totals,
+    )
+
+    row = stream_stateful_totals(spark, sf_dir).collect()[0]
+    assert row.all_match is True
+    assert row.n_stream == row.n_batch == row.n_users > 0
+
+
 def test_stream_stream_join_query_reconciles(spark, sf_dir):
     """Registered stream-stream join surface: pair set identical to the
     batch range join (wide watermark -> exact)."""
