@@ -141,6 +141,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stateful_totals",
     "sample_topn_stratified",
     "emb_quantize_int8",
+    # --- plan reworked in r6 (self-join → single-shuffle array pairs) ---
+    "basket_pairs",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -158,10 +160,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_broadcast",
     "join_theta",
-    "join_cross",
     # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (join_asof/interval/lateral, agg_group, agg_global, agg_distinct,
-    # agg_having, agg_stats, win_*, sort/limit, setops) ---
+    # (join_cross/asof/interval/lateral, agg_group, agg_global,
+    # agg_distinct, agg_having, agg_stats, win_*, sort/limit, setops) ---
+    "join_cross",
     "join_asof",
     "join_interval",
     "join_lateral",
