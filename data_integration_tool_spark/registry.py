@@ -143,6 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_quantize_int8",
     # --- plan reworked in r6 (self-join → single-shuffle array pairs) ---
     "basket_pairs",
+    # --- new in r6: multimodal resize + frame sampling (full oracles) ---
+    "multimodal_resize",
+    "multimodal_frame_sample",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -158,11 +161,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_full",
     "join_semi",
     "join_anti",
+    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
+    # (join_broadcast/theta/cross/asof/interval/lateral, agg_group,
+    # agg_global, agg_distinct, agg_having, agg_stats, win_*,
+    # sort/limit, setops) ---
     "join_broadcast",
     "join_theta",
-    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (join_cross/asof/interval/lateral, agg_group, agg_global,
-    # agg_distinct, agg_having, agg_stats, win_*, sort/limit, setops) ---
     "join_cross",
     "join_asof",
     "join_interval",

@@ -161,3 +161,134 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+RESIZE_MAX_BYTES = 256  # stub "resize" target: truncate payload to 256 B
+FRAME_BYTES = 32  # stub frame size for video-like payloads
+FRAME_STRIDE = 4  # sample every 4th frame → byte stride 128
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+                   AS media_type,
+               octet_length(encode(text))              AS orig_len,
+               least(octet_length(encode(text)), {RESIZE_MAX_BYTES})
+                   AS resized_len,
+               md5(substr(text, 1, {RESIZE_MAX_BYTES})) AS resized_md5
+        FROM documents
+    """,
+    phase="P4",
+    tags=("multimodal", "mapinpandas", "resize"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media RESIZE surface via mapInPandas — binary payloads in,
+    transformed binary payloads out, one Arrow batch round trip, no
+    shuffle: the exact plumbing a real thumbnailer/transcoder uses at
+    100 TB (decode→resize→re-encode co-located with the scan). The
+    codec itself is stubbed (no image libs in this container) as a
+    DETERMINISTIC byte truncation to {RESIZE_MAX_BYTES} B, which makes
+    the whole binary round trip fully oracle-checkable: the emitted
+    digest of the resized payload must equal DuckDB's md5 of the same
+    byte slice (fixture text is ASCII, so VARCHAR substr = byte slice —
+    the same identity multimodal_meta relies on). Swap ``resize`` for a
+    real PIL/ffmpeg call at deployment; signature (bytes → bytes) is
+    the contract."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d)
+
+    def resize(payload: bytes) -> bytes:
+        # STUB for the real codec — deterministic truncation
+        return payload[:RESIZE_MAX_BYTES]
+
+    def transform(batches):
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: resize(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_len": pdf["payload"].map(len).astype("int64"),
+                    "resized_len": resized.map(len).astype("int64"),
+                    "resized_payload": resized,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("orig_len", T.LongType()),
+            T.StructField("resized_len", T.LongType()),
+            T.StructField("resized_payload", T.BinaryType()),
+        ]
+    )
+    out = media.mapInPandas(transform, schema=out_schema)
+    # digest the round-tripped binary JVM-side: proves the bytes
+    # survived the Arrow transfer intact, and keeps the driver-visible
+    # projection scalar (harness contract)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "orig_len",
+        "resized_len",
+        F.md5("resized_payload").alias("resized_md5"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS len
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(off / {FRAME_BYTES * FRAME_STRIDE} AS BIGINT) AS frame_idx,
+               CAST(off AS BIGINT)                                AS frame_off,
+               least({FRAME_BYTES}, len - off)                    AS frame_len,
+               md5(substr(text, off + 1, {FRAME_BYTES}))          AS frame_md5
+        FROM p, unnest(range(0, len, {FRAME_BYTES * FRAME_STRIDE})) AS u(off)
+    """,
+    phase="P4",
+    tags=("multimodal", "frames", "explode"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME SAMPLING over video-like binary payloads — every
+    {FRAME_STRIDE}th fixed-size frame ({FRAME_BYTES} B) of each payload,
+    UDTF-shaped (one row out per sampled frame). Pure expressions:
+    offsets come from ``sequence`` + ``posexplode`` and the frame bytes
+    from binary ``substring``, so the fan-out is generated inside the
+    scan task — no Python, no shuffle, the same row-explosion shape a
+    real keyframe extractor feeds into a decode UDF at 100 TB. The
+    stub "frame" is the raw byte slice (deterministic), so frame
+    digests are fully oracle-checkable against DuckDB's byte-identical
+    slices."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d)
+    stride = FRAME_BYTES * FRAME_STRIDE
+    with_offs = media.filter(F.col("payload_len") > 0).select(
+        "doc_id",
+        "payload",
+        "payload_len",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.col("payload_len") - 1,
+                F.lit(stride).cast("bigint"),
+            )
+        ).alias("frame_idx", "off"),
+    )
+    frame = F.expr(f"substring(payload, off + 1, {FRAME_BYTES})")
+    return with_offs.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("off").alias("frame_off"),
+        F.least(
+            F.lit(FRAME_BYTES).cast("bigint"),
+            F.col("payload_len") - F.col("off"),
+        ).alias("frame_len"),
+        F.md5(frame).alias("frame_md5"),
+    )
