@@ -189,7 +189,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle: the exact plumbing a real thumbnailer/transcoder uses at
     100 TB (decode→resize→re-encode co-located with the scan). The
     codec itself is stubbed (no image libs in this container) as a
-    DETERMINISTIC byte truncation to {RESIZE_MAX_BYTES} B, which makes
+    DETERMINISTIC byte truncation to RESIZE_MAX_BYTES, which makes
     the whole binary round trip fully oracle-checkable: the emitted
     digest of the resized payload must equal DuckDB's md5 of the same
     byte slice (fixture text is ASCII, so VARCHAR substr = byte slice —
@@ -257,7 +257,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FRAME SAMPLING over video-like binary payloads — every
-    {FRAME_STRIDE}th fixed-size frame ({FRAME_BYTES} B) of each payload,
+    FRAME_STRIDEth fixed-size frame (FRAME_BYTES bytes) of each payload,
     UDTF-shaped (one row out per sampled frame). Pure expressions:
     offsets come from ``sequence`` + ``posexplode`` and the frame bytes
     from binary ``substring``, so the fan-out is generated inside the
