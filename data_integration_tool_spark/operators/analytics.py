@@ -1425,3 +1425,139 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_idx",
         F.sum("cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), best AS (
+            SELECT l_partkey,
+                   min(struct_pack(c := unit_cost, sk := l_suppkey)).c
+                       AS best_unit_cost,
+                   min(struct_pack(c := unit_cost, sk := l_suppkey)).sk
+                       AS best_sk
+            FROM cost
+            GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+               b.best_unit_cost, s.s_acctbal
+        FROM best b
+        JOIN part p     ON p.p_partkey = b.l_partkey
+        JOIN supplier s ON s.s_suppkey = b.best_sk
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size % 5 = 0
+        ORDER BY p.p_partkey
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (fixture adaptation: no partsupp, so lineitem is the
+    part-supplier bridge and "supply cost" = the supplier's minimum
+    observed unit price for the part; the size-bucket predicate stands
+    in for Q2's p_size = 15). The classic min-cost-supplier-per-part
+    correlated lookup, decorrelated into two keyed aggregates: per
+    (part, supplier) min unit price, then per part a LEXICOGRAPHIC
+    struct-min over (cost, suppkey) — one aggregate delivers both the
+    best cost AND a deterministic tie-broken winner, replacing Q2's
+    correlated MIN subquery with no re-scan and no window sort. Unit
+    price is a per-line IEEE division (bit-identical across engines)
+    and min is order-insensitive, so the doubles hash exactly. Dims
+    broadcast; the only corpus-scale shuffles are the two keyed
+    aggregates on the fact."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    pick = F.struct(
+        F.col("unit_cost").alias("c"), F.col("l_suppkey").alias("sk")
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(pick).getField("c").alias("best_unit_cost"),
+        F.min(pick).getField("sk").alias("best_sk"),
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") % 5 == 0)),
+            best.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(s), F.col("best_sk") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            "best_unit_cost", "s_acctbal",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_name, n.n_name, sh.qty AS shipped_qty
+        FROM shipped sh
+        JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE sh.qty > (SELECT 1.5 * avg(qty) FROM shipped)
+        ORDER BY s.s_name
+    """,
+    phase="P2",
+    tags=("analytics", "tpch"),
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (fixture adaptation: no partsupp availqty, so the
+    "significant supplier of promoted parts" threshold is
+    scale-adaptive — shipped quantity above 1.5x the mean across
+    qualifying suppliers, same style as Q11's fraction). Plan: the
+    part-name predicate broadcasts a pruned part dim into the fact
+    scan; one keyed aggregate builds the shipped relation; the scalar
+    threshold is a single-row broadcast cross join over that SAME
+    relation (computed once, reused — no fact re-scan); the supplier/
+    nation dims broadcast. l_quantity is integer-valued, so the sums
+    are exact doubles regardless of accumulation order and the
+    threshold margin is never a last-ULP coin flip."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("red%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = shipped.agg((F.avg("qty") * 1.5).alias("thr"))
+    return (
+        shipped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("thr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", F.col("qty").alias("shipped_qty"))
+        .orderBy("s_name")
+    )

@@ -146,6 +146,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new in r6: multimodal resize + frame sampling (full oracles) ---
     "multimodal_resize",
     "multimodal_frame_sample",
+    # --- new in r6: adapted TPC-H Q2/Q20 (lineitem as partsupp bridge) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_promotion_suppliers",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -159,12 +162,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_multiway",
     "join_right",
     "join_full",
+    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
+    # (join_semi/anti/broadcast/theta/cross/asof/interval/lateral,
+    # agg_group, agg_global, agg_distinct, agg_having, agg_stats,
+    # win_*, sort/limit, setops) ---
     "join_semi",
     "join_anti",
-    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (join_broadcast/theta/cross/asof/interval/lateral, agg_group,
-    # agg_global, agg_distinct, agg_having, agg_stats, win_*,
-    # sort/limit, setops) ---
     "join_broadcast",
     "join_theta",
     "join_cross",
