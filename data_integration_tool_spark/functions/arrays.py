@@ -22,14 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exprs import micro as _micro
 from ..io import load
 from ..registry import query
-
-
-def _micro(x):
-    """Quantize a (float) column to micro-unit BIGINT — floor(x*1e6+0.5),
-    identical on both engines (text.py house rule)."""
-    return F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("bigint")
 
 
 def _join_csv(arr):

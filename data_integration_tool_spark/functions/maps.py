@@ -14,13 +14,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
+
+_CLICK_AVG = MICRO_SQL.format(
+    x="max(CASE WHEN event_type = 'click' THEN avg_value END)"
+)
 
 
 @query(
     "fn_map",
-    oracle="""
+    oracle=f"""
         WITH per_type AS (
             SELECT user_id, event_type, avg(value) AS avg_value
             FROM events
@@ -29,8 +34,7 @@ from ..registry import query
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY event_type) AS types,
                count(*) AS n_types,
-               CAST(floor(max(CASE WHEN event_type = 'click' THEN avg_value END)
-                          * 1000000.0 + 0.5) AS BIGINT) AS click_avg_micro
+               {_CLICK_AVG} AS click_avg_micro
         FROM per_type
         GROUP BY user_id
     """,
@@ -61,7 +65,5 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.array_join(F.map_keys("stats"), ",").alias("types"),
         F.size("stats").cast("bigint").alias("n_types"),
-        F.floor(F.col("stats")["click"] * 1000000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("click_avg_micro"),
+        micro(F.col("stats")["click"]).alias("click_avg_micro"),
     )

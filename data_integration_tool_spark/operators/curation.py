@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exprs import HASH_CUTOFF_SQL, hash_cutoff
 from ..io import load
 from ..registry import query
 
@@ -451,7 +452,7 @@ def decon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_sample",
-    oracle="""
+    oracle=f"""
         WITH bylang AS (
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         ), tot AS (
@@ -467,9 +468,7 @@ def decon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN rates r USING (lang)
         WHERE r.rate >= 1.0
            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-              < lpad(lower(hex(CAST(least(floor(r.rate * 4294967296.0),
-                                          4294967295.0) AS BIGINT))),
-                     8, '0')
+              < {HASH_CUTOFF_SQL.format(rate="r.rate")}
     """,
     phase="P4",
     tags=("curation", "mixture", "sample"),
@@ -508,18 +507,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_docs")
         ).alias("rate"),
     )
-    threshold = F.lpad(
-        F.lower(
-            F.hex(
-                F.least(
-                    F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"),
-                    F.lit(4294967295),
-                )
-            )
-        ),
-        8,
-        "0",
-    )
+    threshold = hash_cutoff(F.col("rate"))
     u8 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
     return (
         d.join(F.broadcast(rates), "lang")

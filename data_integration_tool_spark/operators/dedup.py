@@ -235,7 +235,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc is just a hash-bucket member, not necessarily a near-dup of
     the others, so thresholding star edges could drop BOTH edges of a
     true near-dup pair whose direct edge was suppressed and split its
-    component. pytest verifies component-level recall; consumers that
+    component. The trade is explicit: recall-first connectivity at the
+    cost of possible over-merging via a low-similarity collision member
+    — precision-sensitive consumers filter ``star_edge`` out (or
+    re-verify those edges with an exact-Jaccard pass over the tiny
+    star-edge set) before componentizing. pytest verifies
+    component-level recall; consumers that
     need every pairwise edge inside a mega-cluster are asking a
     quadratic question and should use ``dedup_minhash_groups``.
     """

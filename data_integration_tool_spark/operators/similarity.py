@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -770,7 +771,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_quantize_int8",
-    oracle="""
+    oracle=f"""
         WITH scaled AS (
             SELECT vec_id,
                    greatest(list_max(list_transform(embedding,
@@ -778,7 +779,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT e.vec_id,
-               CAST(floor(s.scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+               {MICRO_SQL.format(x="s.scale")} AS scale_micro,
                array_to_string(list_transform(e.embedding,
                    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / s.scale * 127.0
                                         + 0.5) AS BIGINT) AS VARCHAR)
@@ -821,8 +822,6 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_scale.select(
         "vec_id",
-        F.floor(F.col("scale") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .alias("scale_micro"),
+        micro(F.col("scale")).alias("scale_micro"),
         codes.alias("codes"),
     )

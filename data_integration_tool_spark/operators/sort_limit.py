@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import HASH_CUTOFF_SQL, hash_cutoff
 from ..io import load
 from ..registry import query
 
@@ -133,15 +134,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_topn_stratified",
-    oracle="""
+    oracle=f"""
         WITH counts AS (
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         ), cut AS (
             SELECT lang,
                    CASE WHEN 120.0 / n_docs >= 1.0 THEN 'g'
-                        ELSE lpad(lower(hex(CAST(least(
-                                 floor((120.0 / n_docs) * 4294967296.0),
-                                 4294967295.0) AS BIGINT))), 8, '0')
+                        ELSE {HASH_CUTOFF_SQL.format(rate="(120.0 / n_docs)")}
                    END AS cutoff
             FROM counts
         ), survivors AS (
@@ -182,20 +181,7 @@ def sample_topn_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_target = 40
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     rate = F.lit(3.0 * n_target) / F.col("n_docs")
-    cutoff = F.when(rate >= 1.0, F.lit("g")).otherwise(
-        F.lpad(
-            F.lower(
-                F.hex(
-                    F.least(
-                        F.floor(rate * F.lit(4294967296.0)).cast("bigint"),
-                        F.lit(4294967295),
-                    )
-                )
-            ),
-            8,
-            "0",
-        )
-    )
+    cutoff = F.when(rate >= 1.0, F.lit("g")).otherwise(hash_cutoff(rate))
     cut = counts.select("lang", cutoff.alias("cutoff"))
     digest = F.md5(F.col("doc_id").cast("string").cast("binary"))
     survivors = (

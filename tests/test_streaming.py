@@ -182,6 +182,7 @@ def test_stream_true_engine_reconciles(spark, sf_dir):
     row = stream_true_engine(spark, sf_dir).collect()[0]
     assert row.n_windows > 0
     assert row.n_stream == row.n_batch == row.n_windows
+    assert row.all_match is True
 
 
 def test_stream_foreach_batch_reconciles(spark, sf_dir):
@@ -219,4 +220,3 @@ def test_stream_stream_join_query_reconciles(spark, sf_dir):
     row = stream_stream_join(spark, sf_dir).collect()[0]
     assert row.all_match is True
     assert row.n_stream == row.n_batch == row.n_pairs > 0
-    assert row.all_match is True
