@@ -692,3 +692,57 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+        WITH n AS (SELECT count(*) AS total FROM lineitem),
+        cnt AS (
+            SELECT l_suppkey, count(*) AS hits
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey,
+               CAST(hits AS BIGINT) AS hits,
+               CAST(floor(CAST(hits AS DOUBLE) / n.total * 1000000.0 + 0.5)
+                    AS BIGINT) AS share_micro
+        FROM cnt CROSS JOIN n
+        WHERE hits * 200 >= n.total
+        ORDER BY hits DESC, l_suppkey
+    """,
+    phase="P3",
+    tags=("agg", "heavy-hitters"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: keys holding >= 0.5% of all lineitem rows, with
+    their global share. The frequency-threshold form (not top-k): the
+    output is defined by the data, the way a skew detector or a
+    hot-key-mitigation pass consumes it.
+
+    Plan: one partial->final count per key (the map-side combine means
+    the exchange carries one row per (partition, key), so at 100 TB
+    the shuffle is bounded by cardinality x partitions, not input
+    rows); the total is a single-row broadcast; the share threshold is
+    integer arithmetic (hits * 200 >= total) — no float compare at the
+    cut, so the result set is bit-deterministic on both engines. The
+    share itself ships micro-quantized. This exact plan doubles as the
+    skew-prep pass: its output is the hot-key list join_skew_salted
+    would salt."""
+    li = load(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    cnt = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .filter(F.col("hits") * 200 >= F.col("total"))
+        .select(
+            "l_suppkey",
+            F.col("hits").cast("bigint").alias("hits"),
+            F.floor(
+                F.col("hits").cast("double") / F.col("total") * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy(F.desc("hits"), F.asc("l_suppkey"))
+    )

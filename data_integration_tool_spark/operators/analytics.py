@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -1560,4 +1561,131 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name", F.col("qty").alias("shipped_qty"))
         .orderBy("s_name")
+    )
+
+
+@query(
+    "basket_rules",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), item AS (
+            SELECT l_partkey, count(*) AS item_supp FROM op GROUP BY l_partkey
+        ), n AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+        ), pair AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS pair_supp
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 3
+        ), rules AS (
+            SELECT part_a AS antecedent, part_b AS consequent, pair_supp
+            FROM pair
+            UNION ALL
+            SELECT part_b, part_a, pair_supp FROM pair
+        )
+        SELECT r.antecedent, r.consequent,
+               CAST(r.pair_supp AS BIGINT) AS pair_supp,
+               {MICRO_SQL.format(x="CAST(r.pair_supp AS DOUBLE) / ia.item_supp")}
+                   AS conf_micro,
+               {MICRO_SQL.format(
+                   x="CAST(r.pair_supp AS DOUBLE) * n.n_orders"
+                     " / (ia.item_supp * ic.item_supp)")} AS lift_micro
+        FROM rules r
+        JOIN item ia ON ia.l_partkey = r.antecedent
+        JOIN item ic ON ic.l_partkey = r.consequent
+        CROSS JOIN n
+        ORDER BY lift_micro DESC, antecedent, consequent
+        LIMIT 100
+    """,
+    phase="P3",
+    tags=("analytics", "basket", "rules"),
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (A -> B confidence / lift) on top of the
+    basket_pairs machinery — the step a recommender pipeline actually
+    consumes. Supports are ORDER-level (distinct (order, part) first,
+    so a part bought twice in one order counts once — the textbook
+    definition; basket_pairs deliberately keeps line-combination
+    counts, hence the separate op).
+
+    Plan: one distinct on the (order, part) projection, then the fact
+    shuffles ONCE into per-order sorted part arrays; pairs generate
+    map-side via the nested-transform trick (no self-join — the oracle
+    keeps the textbook join form). Item supports reuse the same
+    distinct relation (Catalyst dedups the scan via exchange reuse at
+    best, re-scan at worst — either way no extra shuffle of pairs);
+    the order-count denominator is a single-row broadcast. Pair
+    supports join item supports on each side — at 100 TB the item
+    relation is bounded by the part dimension (~200M rows at SF100k),
+    a shuffle join on partkey; pair_supp >= 3 prunes the long tail
+    BEFORE the rule expansion doubles rows. Ratios ship micro-quantized
+    (exact integer inputs, one double division — identical fp on both
+    engines; the micro grid makes ties deterministic for the LIMIT,
+    with antecedent/consequent as total tiebreak)."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = op.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("item_supp")
+    )
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    parts = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair = (
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 3)
+    )
+    rules = pair.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_supp",
+    ).unionAll(
+        pair.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "pair_supp",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("item_supp").alias("supp_a")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("item_supp").alias("supp_c")
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_supp").cast("bigint").alias("pair_supp"),
+            micro(F.col("pair_supp").cast("double") / F.col("supp_a")).alias(
+                "conf_micro"
+            ),
+            micro(
+                F.col("pair_supp").cast("double")
+                * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_c"))
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(100)
     )

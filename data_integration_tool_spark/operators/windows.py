@@ -465,3 +465,57 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pv + (nv - pv) * frac)
         .alias("n_interp"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(floor(
+                   median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) * 1000000.0 + 0.5) AS BIGINT) AS med7_micro
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    phase="P3",
+    tags=("window", "median", "robust"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the trailing 7 events per user — the
+    robust-smoothing twin of the rolling mean (win_sliding_rows), the
+    one aggregate Spark's window engine has no built-in for (DuckDB
+    runs median as a native window aggregate — the oracle's form).
+
+    Composition: collect_list over the bounded ROWS frame + array_sort
+    + closed-form middle pick ((n+1)/2 and n/2+1 averaged — equal
+    indices when n is odd). The frame is bounded (7 rows), so the
+    per-row state is O(7) regardless of scale and the whole thing
+    stays in the JVM window codegen path — no pandas, no shuffle
+    beyond the user_id partition. An UNBOUNDED frame would be the
+    anti-pattern here (O(history) arrays per row); bounded frames are
+    exactly what sorted-array medians are safe for. Median of two
+    middles is (a+b)/2 in both engines (same double op); output is
+    micro-quantized per the house rule."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = (lo + hi) / 2.0
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.floor(med * 1000000.0 + F.lit(0.5)).cast("bigint").alias(
+                "med7_micro"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -149,6 +149,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new in r6: adapted TPC-H Q2/Q20 (lineitem as partsupp bridge) ---
     "tpch_q2_min_cost_supplier",
     "tpch_q20_promotion_suppliers",
+    # --- new in r6 (late): association rules, heavy hitters, exact
+    # rolling median, trigram paths, z-order layout manifest ---
+    "basket_rules",
+    "agg_heavy_hitters",
+    "win_rolling_median",
+    "seq_top_paths",
+    "etl_zorder_layout",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
@@ -157,15 +164,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_null",
     "project_case",
     "project_expr",
+    # --- 50-entry window ends here (the 5 late-r6 queries above pushed
+    # join_inner..join_full past the cut; their r1 proof stands). r7
+    # rotation: remaining r1 greens (joins, agg_group/global/distinct/
+    # having/stats, win_*, sort/limit, setops) ---
     "join_inner",
     "join_left",
     "join_multiway",
     "join_right",
     "join_full",
-    # --- 50-entry window ends here; r7 rotation: remaining r1 greens
-    # (join_semi/anti/broadcast/theta/cross/asof/interval/lateral,
-    # agg_group, agg_global, agg_distinct, agg_having, agg_stats,
-    # win_*, sort/limit, setops) ---
     "join_semi",
     "join_anti",
     "join_broadcast",

@@ -442,3 +442,107 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "etl_zorder_layout",
+    oracle="""
+        WITH b AS (
+            SELECT min(o_custkey) AS ck0,
+                   max(o_custkey) - min(o_custkey) + 1 AS ck_span,
+                   min(CAST(o_orderdate AS DATE)) AS d0,
+                   date_diff('day', min(CAST(o_orderdate AS DATE)),
+                             max(CAST(o_orderdate AS DATE))) + 1 AS d_span
+            FROM orders
+        ), keyed AS (
+            SELECT o_orderkey, o_custkey,
+                   date_diff('day', b.d0, CAST(o_orderdate AS DATE)) AS day_off,
+                   CAST(floor((o_custkey - b.ck0) * 16.0 / b.ck_span)
+                        AS BIGINT) AS zx,
+                   CAST(floor(date_diff('day', b.d0, CAST(o_orderdate AS DATE))
+                              * 16.0 / b.d_span) AS BIGINT) AS zy
+            FROM orders CROSS JOIN b
+        ), zvals AS (
+            SELECT o_orderkey, o_custkey, day_off,
+                   ((zx >> 0) & 1) * 1   + ((zy >> 0) & 1) * 2
+                 + ((zx >> 1) & 1) * 4   + ((zy >> 1) & 1) * 8
+                 + ((zx >> 2) & 1) * 16  + ((zy >> 2) & 1) * 32
+                 + ((zx >> 3) & 1) * 64  + ((zy >> 3) & 1) * 128 AS file_id
+            FROM keyed
+        )
+        SELECT CAST(file_id AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+               CAST(min(day_off) AS BIGINT) AS min_day,
+               CAST(max(day_off) AS BIGINT) AS max_day
+        FROM zvals
+        GROUP BY file_id
+        ORDER BY file_id
+    """,
+    phase="P3",
+    tags=("etl", "layout", "zorder"),
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout planning — the data-skipping
+    write pattern: orders are assigned to one of 256 target files by
+    bit-interleaving a 4-bit custkey rank with a 4-bit orderdate rank,
+    so each file's (custkey, date) bounding box is tight on BOTH
+    dimensions and a reader filtering on either column can prune ~15/16
+    of the files from min/max footer stats alone (linear layouts give
+    that for one dimension only).
+
+    The emitted relation IS the layout manifest: per target file its
+    row count and per-dimension min/max — exactly the stats a writer
+    would publish. Plan: the global bounds are one aggregate row
+    broadcast into a map-only projection (rank + interleave are integer
+    bit arithmetic, bit-identical across engines — no float at the
+    bucket cut except one exact small-int multiply), then a 256-group
+    aggregate. At 100 TB this is a scan + one tiny shuffle; the actual
+    write would be ``repartition(file_id).sortWithinPartitions`` on the
+    same expression. 4+4 bits is the testable miniature of the
+    production 16+16-bit curve."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("ck0"),
+        (F.max("o_custkey") - F.min("o_custkey") + 1).alias("ck_span"),
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        (
+            F.datediff(F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate")))
+            + 1
+        ).alias("d_span"),
+    )
+    keyed = o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias("day_off"),
+        F.floor((F.col("o_custkey") - F.col("ck0")) * 16.0 / F.col("ck_span"))
+        .cast("bigint")
+        .alias("zx"),
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0"))
+            * 16.0
+            / F.col("d_span")
+        )
+        .cast("bigint")
+        .alias("zy"),
+    )
+    zx, zy = F.col("zx"), F.col("zy")
+    file_id = sum(
+        F.shiftright(zx, i).bitwiseAND(1) * (1 << (2 * i))
+        + F.shiftright(zy, i).bitwiseAND(1) * (1 << (2 * i + 1))
+        for i in range(4)
+    )
+    return (
+        keyed.select(
+            file_id.cast("bigint").alias("file_id"), "o_custkey", "day_off"
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min("day_off").cast("bigint").alias("min_day"),
+            F.max("day_off").cast("bigint").alias("max_day"),
+        )
+        .orderBy("file_id")
+    )

@@ -730,3 +730,58 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@query(
+    "seq_top_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        )
+        SELECT event_type || '>' || t1 || '>' || t2 AS path,
+               count(*) AS n_walks
+        FROM seq
+        WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        GROUP BY path
+        ORDER BY n_walks DESC, path
+        LIMIT 20
+    """,
+    phase="P3",
+    tags=("stream", "sequence", "paths"),
+)
+def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths: every consecutive event-type
+    trigram in each user's timeline, counted globally — the longer-
+    memory sibling of seq_transition_matrix (journey mining /
+    higher-order Markov input).
+
+    Plan: ONE window pass per user emits both lookaheads (lead(1) and
+    lead(2) share the same sort, Spark computes them in a single
+    Window operator — no second shuffle), trigrams that run off the
+    end of a user's timeline are dropped, then a global count over the
+    ~|types|^3 path space (tiny regardless of input scale) and a
+    TakeOrderedAndProject top-20 with the path string as total
+    tiebreak. At 100 TB the only full-data exchange is the user_id
+    partition — identical cost to the pairwise matrix."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_walks"))
+        .orderBy(F.desc("n_walks"), F.asc("path"))
+        .limit(20)
+    )

@@ -339,3 +339,29 @@ def test_compaction_rewrite(spark, sf_dir, tmpdir):
     # exceptAll both ways == empty → content identical including dup rows
     assert a.exceptAll(b).limit(1).count() == 0
     assert b.exceptAll(a).limit(1).count() == 0
+
+
+def test_zorder_layout_partitions_the_table(spark, sf_dir):
+    """The z-order manifest is a true partition of orders: file row
+    counts sum to the table total, file_ids are within the 8-bit curve,
+    and every file's custkey bounding box spans at most 1/16th of the
+    key domain (the point of interleaving: BOTH dimensions stay tight,
+    so min/max footer stats prune on either column)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import etl_zorder_layout
+
+    man = etl_zorder_layout(spark, sf_dir).collect()
+    orders = load(spark, sf_dir, "orders")
+    total = orders.count()
+    ck_min, ck_max = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    assert sum(r.n_rows for r in man) == total
+    assert all(0 <= r.file_id <= 255 for r in man)
+    # 4 custkey bits → each file covers one of 16 key stripes
+    stripe = (ck_max - ck_min + 1) / 16
+    for r in man:
+        assert r.max_ck - r.min_ck <= stripe, (
+            f"file {r.file_id} custkey box {r.min_ck}..{r.max_ck} "
+            f"wider than one stripe ({stripe})"
+        )
