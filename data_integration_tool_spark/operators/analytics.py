@@ -1611,31 +1611,37 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition; basket_pairs deliberately keeps line-combination
     counts, hence the separate op).
 
-    Plan: one distinct on the (order, part) projection, then the fact
-    shuffles ONCE into per-order sorted part arrays; pairs generate
-    map-side via the nested-transform trick (no self-join — the oracle
-    keeps the textbook join form). Item supports reuse the same
-    distinct relation (Catalyst dedups the scan via exchange reuse at
-    best, re-scan at worst — either way no extra shuffle of pairs);
-    the order-count denominator is a single-row broadcast. Pair
-    supports join item supports on each side — at 100 TB the item
-    relation is bounded by the part dimension (~200M rows at SF100k),
-    a shuffle join on partkey; pair_supp >= 3 prunes the long tail
-    BEFORE the rule expansion doubles rows. Ratios ship micro-quantized
-    (exact integer inputs, one double division — identical fp on both
-    engines; the micro grid makes ties deterministic for the LIMIT,
-    with antecedent/consequent as total tiebreak)."""
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    item = op.groupBy(F.col("l_partkey")).agg(
-        F.count(F.lit(1)).alias("item_supp")
-    )
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    parts = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    Plan — everything rides ONE pass over the distinct (order, part)
+    relation; there are NO item-support joins at all. Item supports are
+    attached BEFORE pair generation as a count-over-partkey window, so
+    the per-order collected structs already carry each part's global
+    support and every generated pair carries both of its supports
+    (first() inside the pair aggregate — all rows of a pair group hold
+    the same global counts). A separate item aggregation would plan the
+    distinct subtree again per join side (Catalyst does no cross-branch
+    CSE — the decon_ngram lesson); the same reasoning makes the rule
+    direction-expansion a map-side 2-struct explode rather than a
+    unionAll of two pair.select()s. Order of exchanges: distinct →
+    partkey window → per-order collect → pair agg; the order-count
+    denominator is one single-row broadcast off a pruned scan
+    (countDistinct needs no pre-distinct). pair_supp >= 3 prunes the
+    long tail BEFORE the rule expansion doubles rows. Ratios ship
+    micro-quantized (exact integer inputs, one double division —
+    identical fp on both engines; the micro grid makes ties
+    deterministic for the LIMIT, with antecedent/consequent as total
+    tiebreak)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    wp = Window.partitionBy("l_partkey")
+    parts = (
+        op.withColumn("item_supp", F.count(F.lit(1)).over(wp))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_partkey", "item_supp"))
+            ).alias("ps")
+        )
     )
     pair = (
         parts.select(
@@ -1643,36 +1649,48 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "flatten(transform(ps, (x, i) ->"
                     " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
+                    " y -> struct(x.l_partkey AS part_a,"
+                    " y.l_partkey AS part_b,"
+                    " x.item_supp AS supp_a, y.item_supp AS supp_b))))"
                 )
             ).alias("p")
         )
-        .select("p.part_a", "p.part_b")
+        .select("p.part_a", "p.part_b", "p.supp_a", "p.supp_b")
         .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_supp"),
+            F.first("supp_a").alias("supp_a"),
+            F.first("supp_b").alias("supp_b"),
+        )
         .filter(F.col("pair_supp") >= 3)
     )
     rules = pair.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                    F.col("supp_a").alias("supp_ante"),
+                    F.col("supp_b").alias("supp_cons"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                    F.col("supp_b").alias("supp_ante"),
+                    F.col("supp_a").alias("supp_cons"),
+                ),
+            )
+        ).alias("r"),
         "pair_supp",
-    ).unionAll(
-        pair.select(
-            F.col("part_b").alias("antecedent"),
-            F.col("part_a").alias("consequent"),
-            "pair_supp",
-        )
-    )
-    ia = item.select(
-        F.col("l_partkey").alias("antecedent"), F.col("item_supp").alias("supp_a")
-    )
-    ic = item.select(
-        F.col("l_partkey").alias("consequent"), F.col("item_supp").alias("supp_c")
+    ).select(
+        "r.antecedent",
+        "r.consequent",
+        F.col("r.supp_ante").alias("supp_a"),
+        F.col("r.supp_cons").alias("supp_c"),
+        "pair_supp",
     )
     return (
-        rules.join(ia, "antecedent")
-        .join(ic, "consequent")
-        .crossJoin(F.broadcast(n))
+        rules.crossJoin(F.broadcast(n))
         .select(
             "antecedent",
             "consequent",

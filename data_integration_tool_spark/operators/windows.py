@@ -504,13 +504,19 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    # Materialize the sorted frame ONCE: referencing the window
+    # expression four times inline would plan four identical
+    # collect_list window aggregates + four array_sorts (verified via
+    # .explain) — withColumn names it so downstream refs share it.
+    framed = e.withColumn(
+        "arr", F.array_sort(F.collect_list("value").over(w))
+    )
+    n = F.size("arr")
+    lo = F.element_at("arr", ((n + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (n / 2).cast("int") + 1)
     med = (lo + hi) / 2.0
     return (
-        e.select(
+        framed.select(
             "event_id",
             "user_id",
             F.floor(med * 1000000.0 + F.lit(0.5)).cast("bigint").alias(
