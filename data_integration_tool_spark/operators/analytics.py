@@ -1470,28 +1470,34 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price is a per-line IEEE division (bit-identical across engines)
     and min is order-insensitive, so the doubles hash exactly. Dims
     broadcast; the only corpus-scale shuffles are the two keyed
-    aggregates on the fact."""
+    aggregates on the fact — and both run on the ~1/5th of the fact
+    that survives the size-bucket prune: the qualifying part KEYS
+    broadcast-semi-join onto the scan BEFORE any aggregation (Catalyst
+    won't push a join below an agg on its own), and the part
+    attributes re-join broadcast at dim grain afterwards."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
+    pk = p.filter(F.col("p_size") % 5 == 0).select("p_partkey")
+    li = li.join(
+        F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi"
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     pick = F.struct(
         F.col("unit_cost").alias("c"), F.col("l_suppkey").alias("sk")
     )
-    best = cost.groupBy("l_partkey").agg(
-        F.min(pick).getField("c").alias("best_unit_cost"),
-        F.min(pick).getField("sk").alias("best_sk"),
+    best = cost.groupBy("l_partkey").agg(F.min(pick).alias("best")).select(
+        "l_partkey",
+        F.col("best.c").alias("best_unit_cost"),
+        F.col("best.sk").alias("best_sk"),
     )
     return (
-        best.join(
-            F.broadcast(p.filter(F.col("p_size") % 5 == 0)),
-            best.l_partkey == p.p_partkey,
-        )
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), F.col("best_sk") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(

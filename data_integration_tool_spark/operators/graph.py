@@ -206,6 +206,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("pb"),
         )
         .distinct()
+        # lazy checkpoint: pairs feeds the degree branch, BOTH degree
+        # joins, and the edge count — without the lineage cut Catalyst
+        # re-plans the self-join+distinct subtree per branch (no
+        # cross-branch CSE; same class as the r5 decon_ngram bug, found
+        # by plan inspection of the r6 original at 3.0 s)
+        .localCheckpoint(eager=False)
     )
     # Degree-ordered orientation — THE scale guard for triangle
     # counting: orient every edge from its lower-total-degree endpoint
@@ -231,25 +237,34 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
+    # second lineage cut: oriented feeds wedge enumeration AND the
+    # closing-edge probe side
     oriented = p2.select(
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    # Wedge enumeration MAP-SIDE from per-source adjacency lists
+    # (sorted by (dv, v) — the degree-then-key wedge order), instead of
+    # the oriented⋈oriented self-join on u: one shuffle on u replaces
+    # two, and the ordered i<j pair generation is an array transform.
+    adj = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("dv", "v"))).alias("nbrs")
     )
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.select("u", "v").alias("e3")
-    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    wedges = adj.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(nbrs, (x, i) ->"
+                " transform(slice(nbrs, i + 2, size(nbrs)),"
+                " y -> struct(x.v AS w1, y.v AS w2))))"
+            )
+        ).alias("w")
+    ).select("w.w1", "w.w2")
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
     )
-    tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v"))
-            & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return edges.crossJoin(tri)
