@@ -629,3 +629,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     return labels
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(substr(text, 1, 64)) AS fp
+            FROM documents
+        ), history AS (
+            SELECT DISTINCT fp FROM keyed
+            WHERE source NOT IN ('src18', 'src19')
+        ), batch AS (
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+            FROM keyed WHERE source IN ('src18', 'src19')
+        )
+        SELECT b.doc_id,
+               substr(b.fp, 1, 8) AS fp8,
+               CASE WHEN h.fp IS NOT NULL       THEN 'dup_of_history'
+                    WHEN b.doc_id > b.first_in_batch THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM batch b LEFT JOIN history h ON b.fp = h.fp
+        ORDER BY b.doc_id
+    """,
+    phase="P3",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup — the form a production corpus
+    actually runs: a NEW batch (sources src18/src19, standing in for
+    today's crawl) is checked against the accumulated HISTORY (every
+    other source) without ever re-deduplicating history itself. The key
+    is a 64-char prefix fingerprint (md5 of the document head — catches
+    shared boilerplate openings that full-text digests miss; the
+    fixtures carry real prefix collisions). Each batch doc gets a
+    disposition: 'dup_of_history' (head already ingested),
+    'dup_in_batch' (an earlier doc_id in the same batch claims the
+    fingerprint first), or 'new'.
+
+    Plan: history reduces to DISTINCT fingerprints — the ONLY state the
+    incremental pass carries forward, and the operational point: at
+    100 TB the history-fingerprint table is append-only, sorted/bucketed
+    by fp, and each daily batch left-joins it with the batch (small
+    side) shuffling; history never rescans raw text. In-batch
+    first-claim is a min-over-fp window on the batch alone. Both
+    branches prune to their source partitions at the scan
+    (PushedFilters on source)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.substring("text", 1, 64).cast("binary"))
+    batch_src = F.col("source").isin("src18", "src19")
+    history = (
+        d.filter(~batch_src)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    from pyspark.sql import Window as W
+
+    batch = d.filter(batch_src).select("doc_id", fp.alias("fp"))
+    batch = batch.withColumn(
+        "first_in_batch", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    return (
+        batch.join(history, "fp", "left")
+        .select(
+            "doc_id",
+            F.substring("fp", 1, 8).alias("fp8"),
+            F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -435,3 +435,90 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+        WITH bucketed AS (
+            SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+                       AS bucket,
+                   CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END AS is_base
+            FROM orders
+        ), per_bucket AS (
+            SELECT bucket,
+                   sum(is_base)     AS base_n,
+                   sum(1 - is_base) AS cur_n
+            FROM bucketed GROUP BY bucket
+        ), shares AS (
+            SELECT bucket,
+                   CAST(base_n AS BIGINT) AS base_n,
+                   CAST(cur_n AS BIGINT)  AS cur_n,
+                   (base_n + 1.0) / (sum(base_n) OVER () + 10.0) AS p_base,
+                   (cur_n + 1.0)  / (sum(cur_n) OVER () + 10.0)  AS p_cur
+            FROM per_bucket
+        )
+        SELECT bucket,
+               base_n, cur_n,
+               CAST(floor(p_base * 1000000.0 + 0.5) AS BIGINT)
+                   AS base_share_micro,
+               CAST(floor(p_cur * 1000000.0 + 0.5) AS BIGINT)
+                   AS cur_share_micro,
+               CAST(floor((p_cur - p_base) * ln(p_cur / p_base)
+                          * 1000000.0 + 0.5) AS BIGINT) AS psi_term_micro
+        FROM shares
+        ORDER BY bucket
+    """,
+    phase="P3",
+    tags=("quality", "drift", "monitoring"),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time slices of the order
+    price distribution (baseline: pre-1998; current: 1998+) — THE
+    production drift monitor for feature/label distributions feeding a
+    training pipeline. Fixed-width buckets (50k-wide, capped at 10) so
+    the binning is a pure expression on both engines — no quantile
+    estimation, no cross-engine percentile drift; add-one smoothing
+    keeps empty buckets finite. Consumers sum psi_term over buckets
+    (>0.2 = actionable drift).
+
+    Plan: ONE scan of orders → map-side bucket+period flags → a
+    10-group conditional aggregate; the share denominators are windows
+    over the 10-row bucket relation (an empty-partition window is the
+    documented anti-pattern on fact-scale relations — here it runs on
+    exactly 10 rows, post-reduction, which is the right place for it).
+    PSI terms cross a ln() boundary → micro-quantized per the house
+    rule."""
+    o = load(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("is_base").alias("base_n"),
+        F.sum(1 - F.col("is_base")).alias("cur_n"),
+    )
+    w = Window.partitionBy()
+    p_base = (F.col("base_n") + 1.0) / (F.sum("base_n").over(w) + 10.0)
+    p_cur = (F.col("cur_n") + 1.0) / (F.sum("cur_n").over(w) + 10.0)
+    micro6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        per_bucket.select(
+            "bucket",
+            F.col("base_n").cast("bigint").alias("base_n"),
+            F.col("cur_n").cast("bigint").alias("cur_n"),
+            micro6(p_base).alias("base_share_micro"),
+            micro6(p_cur).alias("cur_share_micro"),
+            micro6((p_cur - p_base) * F.log(p_cur / p_base)).alias(
+                "psi_term_micro"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -8,7 +8,7 @@ expressions → one shuffle for the aggregate; nothing is quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -513,4 +513,84 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pmi_micro"),
         )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, w, count(*) AS cnt
+            FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY doc_id, w
+        ), with_freq AS (
+            SELECT doc_id, cnt,
+                   sum(cnt) OVER (PARTITION BY w) AS freq
+            FROM tf
+        ), per_doc AS (
+            SELECT doc_id,
+                   sum(cnt)           AS n_tokens,
+                   sum(cnt * ln(freq)) AS s_lnfreq
+            FROM with_freq GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((ln(sum(n_tokens) OVER ()) - s_lnfreq / n_tokens)
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS avg_neg_logprob_micro
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    phase="P3",
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: the average
+    token negative log-probability under the corpus's own unigram
+    distribution — the CCNet-style fluency/quality signal (low = stock
+    phrasing, high = rare-token soup) used to stratify web corpora
+    before LM training.
+
+    Decomposition keeps it ONE lineage with no self-joins: with
+    p(w) = freq(w)/N, avg -ln p = ln(N) − (Σ cnt·ln freq)/(Σ cnt), so
+    the plan is tf (per doc×token counts, the only corpus-scale
+    shuffle) → count-over-token window attaches global freqs (same
+    one-pass trick as basket_rules' supports — a freq side-aggregate
+    would re-plan tf per branch) → per-doc reduce → a window total over
+    the per-DOC relation (500 rows here; bounded by corpus doc count,
+    post-reduction). ln() crosses engines → micro-quantized."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    with_freq = tf.withColumn(
+        "freq", F.sum("cnt").over(Window.partitionBy("w"))
+    )
+    per_doc = with_freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.log("freq")).alias("s_lnfreq"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(
+                (F.log(total) - F.col("s_lnfreq") / F.col("n_tokens"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("avg_neg_logprob_micro"),
+        )
+        .orderBy("doc_id")
     )

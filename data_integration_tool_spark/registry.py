@@ -156,6 +156,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_rolling_median",
     "seq_top_paths",
     "etl_zorder_layout",
+    # --- new in r6 (late): drift monitor, unigram-LM quality score,
+    # incremental batch-vs-history dedup ---
+    "dq_drift_psi",
+    "text_unigram_logprob",
+    "dedup_incremental",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
