@@ -64,3 +64,64 @@ def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.avg("k").alias("avg_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   status := o_orderstatus,
+                   prio   := o_orderpriority,
+                   yr     := CAST(year(o_orderdate) AS BIGINT)
+               )) AS order_tag,
+               to_json(struct_pack(
+                   k := o_orderkey,
+                   who := struct_pack(cust := o_custkey,
+                                      ref := 'C' || CAST(o_custkey AS VARCHAR))
+               )) AS order_nested,
+               year(o_orderdate) AS tag_year
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
+    phase="P3",
+    tags=("function", "struct"),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction / nesting / field access (SURVEY §2.8's
+    composite-type family alongside array/map/json): build flat and
+    nested structs from order columns, read a field back, and render
+    the structs as JSON — the driver-hashable scalar form (harness
+    contract: no struct columns in visible output either; Spark's
+    pandas conversion would yield dicts, unhashable in the driver's
+    canonicalizer). Field names and order are declared identically on
+    both engines, and both render compact JSON with int/string leaves
+    byte-identically (doubles deliberately excluded — float JSON
+    formatting differs across engines). The struct ops run JVM-side in
+    the scan stage; tag_year proves getField on a just-built struct
+    (Catalyst collapses it to the column — zero materialization)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    tag = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    )
+    nested = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "ref"
+            ),
+        ).alias("who"),
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_json(tag).alias("order_tag"),
+            F.to_json(nested).alias("order_nested"),
+            tag.getField("yr").cast("int").alias("tag_year"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -224,3 +224,59 @@ def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) + 0.5) / 4294967296.0)
+                   / n_chars AS es_key
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars,
+               CAST(floor(es_key * 1000000.0 + 0.5) AS BIGINT)
+                   AS es_key_micro
+        FROM keyed
+        ORDER BY es_key_micro DESC, doc_id
+        LIMIT 100
+    """,
+    phase="P3",
+    tags=("sample", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    take the top-k documents by key ln(u)/w, where w = n_chars (longer
+    docs proportionally likelier) and u is a DETERMINISTIC uniform
+    derived from the doc_id's md5 prefix — the corpus-rebalancing
+    primitive (sample by quality weight / length) in reproducible form:
+    re-runs and engines agree on the exact sample.
+
+    Plan: map-only key computation in the scan stage (conv(md5) →
+    uniform in (0,1), one ln, one divide) + TakeOrderedAndProject —
+    a weighted sample of ANY size corpus costs one scan and a top-k,
+    no shuffle of the corpus. The cut orders by the micro-QUANTIZED
+    key (ln() last-ULP cross-engine noise cannot flip the boundary)
+    with doc_id as total tiebreak."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.floor(es_key * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("es_key_micro"),
+        )
+        .orderBy(F.desc("es_key_micro"), F.asc("doc_id"))
+        .limit(100)
+    )

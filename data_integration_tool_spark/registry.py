@@ -157,10 +157,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_top_paths",
     "etl_zorder_layout",
     # --- new in r6 (late): drift monitor, unigram-LM quality score,
-    # incremental batch-vs-history dedup ---
+    # incremental batch-vs-history dedup, struct family, deterministic
+    # weighted sampling ---
     "dq_drift_psi",
     "text_unigram_logprob",
     "dedup_incremental",
+    "fn_struct",
+    "sample_weighted",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
