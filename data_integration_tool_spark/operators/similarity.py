@@ -825,3 +825,72 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("scale")).alias("scale_micro"),
         codes.alias("codes"),
     )
+
+
+def _dim_pairs(k: int) -> list[tuple[int, int]]:
+    """Upper-triangle (i, j) dim pairs, 1-based, i <= j."""
+    return [(i, j) for i in range(1, k + 1) for j in range(i, k + 1)]
+
+
+@query(
+    "emb_covariance",
+    oracle="""
+        WITH dims AS (
+            SELECT """
+    + ",\n                   ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(1, 9)
+    )
+    + """
+            FROM embeddings
+        )
+        SELECT i, j, cov_micro FROM (
+        """
+    + "\n            UNION ALL\n        ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"CAST(floor(covar_pop(e{i}, e{j}) * 1000000.0 + 0.5) AS BIGINT) "
+        f"AS cov_micro FROM dims"
+        for i in range(1, 9)
+        for j in range(i, 9)
+    )
+    + """
+        )
+        ORDER BY i, j
+    """,
+    phase="P4",
+    tags=("embedding", "covariance", "stats"),
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the first 8 embedding dimensions (upper
+    triangle, long form) — the PCA / whitening precursor: at 100 TB you
+    compute exactly this (d² combinable moments in ONE scan), pull the
+    tiny d×d matrix to the driver, eigendecompose there, and broadcast
+    the rotation back. The operator IS the distributed step of that
+    pipeline.
+
+    Plan: dims flatten to plain double columns (getItem on a stable
+    array — codegen-friendly flat columns, per SCALE §8 item 2), then
+    ONE aggregate computes all 36 covar_pop moments with map-side
+    partials — a single exchange of one 36-value row; the long-form
+    (i, j, cov) output is a driver-side-literal stack over that row,
+    not a second pass. The oracle's UNION ALL of 36 scans is the
+    textbook twin (DuckDB dedups the CTE). Covariance sums cross
+    engine summation order -> micro-quantized."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"e{i}")
+            for i in range(1, 9)
+        ]
+    )
+    aggs = [
+        micro(F.covar_pop(f"e{i}", f"e{j}")).alias(f"c_{i}_{j}")
+        for i, j in _dim_pairs(8)
+    ]
+    row = dims.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (i, j, cov_micro)".format(
+        n=len(_dim_pairs(8)),
+        args=", ".join(
+            f"{i}, {j}, c_{i}_{j}" for i, j in _dim_pairs(8)
+        ),
+    )
+    return row.select(F.expr(stack_expr)).orderBy("i", "j")

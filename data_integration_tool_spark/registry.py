@@ -164,6 +164,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "fn_struct",
     "sample_weighted",
+    "emb_covariance",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     "scan_projected",
