@@ -520,3 +520,46 @@ def test_pack_sequences_matches_greedy_reference(spark, sf_dir):
     assert len(got) == len(expected)
     over = [k for k, v in fill.items() if v > cap and ndocs[k] > 1]
     assert not over, f"multi-doc bins over capacity: {over}"
+
+
+def test_weighted_sample_skews_toward_weight(spark, sf_dir):
+    """Efraimidis-Spirakis with w = n_chars must overrepresent long
+    docs: the sampled docs' mean length exceeds the corpus mean (the
+    whole point of weighted rebalancing), and the sample is exactly the
+    deterministic top-100 (re-running yields identical doc_ids)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import sample_weighted
+
+    s1 = sample_weighted(spark, sf_dir).collect()
+    s2 = sample_weighted(spark, sf_dir).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    corpus_avg = (
+        load(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_avg = sum(r.n_chars for r in s1) / len(s1)
+    assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
+
+
+def test_incremental_dedup_dispositions_consistent(spark, sf_dir):
+    """Every dup_in_batch doc must share its fingerprint with an
+    EARLIER batch doc; every 'new'/'dup_in_batch' fingerprint must not
+    collide with history (dup_of_history covers those); statuses
+    partition the batch."""
+    from data_integration_tool_spark.operators.dedup import dedup_incremental
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows, "batch sources missing from fixtures"
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r.fp8, []).append(r)
+    for fp, grp in by_fp.items():
+        grp.sort(key=lambda r: r.doc_id)
+        statuses = [r.status for r in grp]
+        if statuses[0] == "dup_of_history":
+            # whole group must collide with history
+            assert all(s == "dup_of_history" for s in statuses)
+        else:
+            assert statuses[0] == "new"
+            assert all(s == "dup_in_batch" for s in statuses[1:])
