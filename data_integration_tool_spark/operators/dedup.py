@@ -333,9 +333,54 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash bit-vote SQL fragments: bits 0-59 come from the first 15 md5
+# hex chars (60-bit word h1), bits 60-63 from the next 15 (h2). Bit 63's
+# place value is written (-max-1) because DuckDB errors on 1<<63 and a
+# bare -9223372036854775808 literal parses as HUGEINT.
+_SH_VOTES_SQL = ",\n                   ".join(
+    "sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}".format(
+        src="h1" if b < 60 else "h2", sh=b if b < 60 else b - 60, b=b
+    )
+    for b in range(64)
+)
+_SH_PACK_SQL = "\n                 + ".join(
+    (
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        if b < 63
+        else f"(CASE WHEN v{b} > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    )
+    for b in range(64)
+)
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # hash-specific → rows-only + pytest on planted dups
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '), t -> t <> ''))) AS t
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)  AS h1,
+                   CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+            FROM tok
+        ), votes AS (
+            SELECT doc_id,
+                   {_SH_VOTES_SQL}
+            FROM hashed GROUP BY doc_id
+        ), sim AS (
+            SELECT doc_id,
+                   {_SH_PACK_SQL} AS simhash
+            FROM votes
+        )
+        SELECT simhash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical
+        FROM sim GROUP BY simhash
+        HAVING count(*) >= 1
+    """,
     phase="P3",
     tags=("dedup", "simhash"),
 )
@@ -345,18 +390,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each token votes its hash bits ±1; the signature sign-packs the
     vote sums. Computed with transform/aggregate over the token array —
     one pass, no shuffle until the final group.
+
+    FULLY oracled as of late r6 (was rows-only): token bits come from
+    md5 — available in BOTH engines — split into two 60-bit words via
+    hex-prefix parsing (the sample_weighted trick), instead of the
+    Spark-only xxhash64. DuckDB then reproduces the entire vote/pack
+    pipeline bit-for-bit (integer arithmetic only). md5 costs slightly
+    more than xxhash64 per token, but it buys the dedup family its
+    first full signature-level value oracle; at 100 TB you'd flip the
+    hash back to xxhash64 with one line.
     """
     d = load(spark, sf_dir, "documents")
     # One row per (doc, token) → 64 conditional vote-sums in a single
     # map-side-combinable aggregate; each bit b uses a literal shift so
     # everything stays in whole-stage codegen.
-    ex = d.select("doc_id", F.explode(_tokens()).alias("t")).withColumn(
-        "h", F.xxhash64("t")
+    ex = (
+        d.select("doc_id", F.explode(_tokens()).alias("t"))
+        .withColumn("hx", F.md5(F.col("t").cast("binary")))
+        .select(
+            "doc_id",
+            F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("hx", 16, 15), 16, 10).cast("long").alias("h2"),
+        )
     )
     votes = ex.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                F.when(
+                    F.shiftright(
+                        F.col("h1" if b < 60 else "h2"), b if b < 60 else b - 60
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                )
                 .otherwise(-1)
             ).alias(f"v{b}")
             for b in range(64)

@@ -28,10 +28,20 @@ def _pd_l2_norm(emb: pd.Series) -> pd.Series:
 
     Arrow delivers float32 element arrays — promote to float64 BEFORE
     the dot product or the result carries float32 error (~1e-8), which
-    the twin-check against the built-in expression would catch."""
-    return emb.map(
-        lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64), np.asarray(v, dtype=np.float64))))
-    )
+    the twin-check against the built-in expression would catch.
+
+    The reduction is np.cumsum(...)[-1], NOT np.dot/np.sum: cumsum is
+    defined sequentially, so the accumulation is the same LEFT-TO-RIGHT
+    float64 fold as Spark's F.aggregate and DuckDB's list_sum —
+    bit-identical, which is what lets this pandas-UDF query carry a
+    full value oracle. np.dot/np.sum use pairwise/SIMD summation and
+    differ at the last ULP."""
+    def norm(v) -> float:
+        sq = np.asarray(v, dtype=np.float64)
+        sq *= sq
+        return float(np.sqrt(np.cumsum(sq)[-1])) if sq.size else 0.0
+
+    return emb.map(norm)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -43,16 +53,22 @@ def _pd_weighted_avg(price: pd.Series, qty: pd.Series) -> float:
 
 @query(
     "udf_pandas_norm",
-    oracle=None,  # numpy pairwise-sum ≠ SQL in-order fold at the last ulp
+    oracle="""
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   AS l2_norm_udf
+        FROM embeddings
+    """,
     phase="P3",
     tags=("udf", "pandas"),
 )
 def udf_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas UDF computing embedding L2 norms.
-
-    pytest asserts |udf - builtin_twin| < 1e-9 per row (the twin is
-    fn_array_hof's expression-based l2_norm).
-    """
+    """Scalar pandas UDF computing embedding L2 norms — fully oracled:
+    the kernel's cumsum reduction reproduces the SQL left fold exactly
+    (see _pd_l2_norm), so raw doubles hash-match DuckDB's
+    sqrt(list_sum(...)). pytest additionally twins it against
+    fn_array_hof's expression-based l2_norm."""
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", _pd_l2_norm("embedding").alias("l2_norm_udf"))
 
@@ -95,7 +111,22 @@ def grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_apply_in_pandas",
-    oracle=None,  # float accumulation order differs → pytest twin check
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   date_diff('second',
+                             lag(CAST(ts AS TIMESTAMP)) OVER (
+                                 PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                             CAST(ts AS TIMESTAMP)) AS gap
+            FROM events
+        )
+        SELECT user_id,
+               count(*)                      AS n_events,
+               avg(gap)                      AS mean_gap_sec,
+               CAST(max(gap) AS DOUBLE)      AS max_gap_sec
+        FROM g GROUP BY user_id
+    """,
     phase="P4",
     tags=("udf", "applyinpandas"),
 )
@@ -138,11 +169,16 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         pdf = pd.concat(frames, ignore_index=True)
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        gap = pdf["ts"].diff().dt.total_seconds()
+        # WHOLE-second gaps (epoch-floor diff): integer-valued floats
+        # sum exactly in float64 regardless of accumulation order, so
+        # pandas mean == SQL avg bit-for-bit and the query carries a
+        # full oracle (the seq_inter_arrival trick) — fractional-second
+        # gaps would reintroduce summation-order ULP noise.
+        sec = pdf["ts"].astype("int64") // 1_000_000_000
+        gap = sec.diff()
         # first row of each user must not inherit the previous user's gap.
-        # mask() returns a fresh Series — an in-place write into the
-        # .dt.total_seconds() view raises SettingWithCopyWarning and
-        # pandas may silently discard it.
+        # mask() returns a fresh Series — an in-place write into a view
+        # raises SettingWithCopyWarning and pandas may discard it.
         first = pdf.groupby("user_id", sort=False).cumcount() == 0
         gap = gap.mask(first.to_numpy())
         stats = (
@@ -160,14 +196,30 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_map_in_pandas",
-    oracle=None,  # partition-shape dependent batching → pytest invariants
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CASE WHEN len(t) > 0
+                    THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS uniq_ratio
+        FROM toks
+    """,
     phase="P4",
     tags=("udf", "mapinpandas"),
 )
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas: per-partition Arrow-batch transform (tokenize +
     score) — the plumbing shape used for multimodal decode at scale.
-    No shuffle: batches flow straight from the scan."""
+    No shuffle: batches flow straight from the scan. Fully oracled
+    despite the Python kernel: every output is per-ROW deterministic
+    (batch boundaries cannot change values), n_tokens is an int and
+    uniq_ratio is one small-int division — bit-identical IEEE on both
+    engines. Python's split(' ') and DuckDB's string_split both KEEP
+    empty tokens, so the token counts line up on multi-space text."""
     d = load(spark, sf_dir, "documents")
 
     def score_batches(batches):
@@ -294,8 +346,25 @@ EWMA_ALPHA = 0.3
 
 @query(
     "win_ewma",
-    oracle=None,  # recursive per-row dependency — not expressible as a
-    # SQL window; pytest pins values against an explicit reference loop
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, value, rn, value AS ewma
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.event_id, b.value, b.rn,
+                   (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+                   + CAST(0.3 AS DOUBLE) * b.value
+            FROM r JOIN base b
+              ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value, ewma FROM r
+    """,
     phase="P4",
     tags=("udf", "timeseries", "ewma"),
 )
@@ -307,7 +376,17 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     within partitions, ONE vectorized pandas ewm per partition batch
     (same many-small-groups strategy as udf_apply_in_pandas — no
     per-group Arrow round trips). Deterministic: ordering carries the
-    unique event_id tiebreaker."""
+    unique event_id tiebreaker.
+
+    FULLY oracled as of late r6 (was rows-only): pandas
+    ewm(adjust=False) is bitwise the plain recursion
+    y = (1-α)·y_prev + α·x (verified: its weight normalization divides
+    by exactly 1.0 for α = 0.3), and a DuckDB recursive CTE stepping
+    rn → rn+1 per user computes the identical double expression — so
+    even this per-row-recursive Python kernel gets a raw value hash.
+    The oracle's constants are CAST to DOUBLE so 1−α is the same
+    binary subtraction pandas performs (decimal 0.7 ≠ double 1.0−0.3
+    in the last ULP)."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     out_schema = T.StructType(

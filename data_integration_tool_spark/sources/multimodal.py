@@ -85,9 +85,38 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_fake_payload(d).select("doc_id", "media_type", "payload_len")
 
 
+# DuckDB twin of decode_stub: sha256 hex → 8 little-endian uint32 words
+# → /2^32 → 6-decimal printf. Byte pairs are swapped per word because
+# np.frombuffer reads little-endian while hex renders bytes in order.
+_FEATURE_WORD_SQL = (
+    "CAST('0x' || substr(h, {o7}, 2) || substr(h, {o5}, 2)"
+    " || substr(h, {o3}, 2) || substr(h, {o1}, 2) AS BIGINT)"
+)
+_FEATURE_CSV_SQL = " || ',' || ".join(
+    "printf('%.6f', "
+    + _FEATURE_WORD_SQL.format(
+        o1=w * 8 + 1, o3=w * 8 + 3, o5=w * 8 + 5, o7=w * 8 + 7
+    )
+    + " / 4294967296.0)"
+    for w in range(FEATURE_DIM)
+)
+
+
 @query(
     "multimodal_features",
-    oracle=None,  # decode is a stub → pytest checks shape/determinism
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                        ELSE 'audio/wav' END AS media_type,
+                   sha256(text) AS h
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               CAST({FEATURE_DIM} AS BIGINT) AS feature_dim,
+               {_FEATURE_CSV_SQL} AS feature_csv
+        FROM hashed
+    """,
     phase="P4",
     tags=("multimodal", "mapinpandas"),
 )
@@ -102,7 +131,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vector ships as a fixed-format CSV string plus a dim column —
     the driver canonicalizer cannot hash array cells (CORRECTNESS_r05),
     and a 6-decimal rendering is deterministic across runs because the
-    stub itself is deterministic.
+    stub itself is deterministic. FULLY oracled as of late r6: the stub
+    codec (sha256 → little-endian uint32 words → /2^32) is replicated
+    in DuckDB SQL word-by-word (hex byte-pair swap + printf), so even
+    the Python decode path gets a value hash — when a real codec
+    replaces the stub, drop the oracle and keep the pytest
+    shape/determinism checks.
     """
     d = load(spark, sf_dir, "documents")
     media = attach_fake_payload(d)
