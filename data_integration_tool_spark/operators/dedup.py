@@ -16,7 +16,9 @@ Scale design:
   (one vectorized matmul / fused-accumulate per block, fp-order matched
   to the oracle) — the sanctioned Python path for numeric kernels that
   interpreted higher-order functions run ~5-17× slower.
-Hashing (minhash/simhash/exact) is Spark's xxhash64/md5 (JVM, codegen).
+Hashing (minhash/simhash/exact) is md5-derived (JVM, codegen) — md5
+exists in DuckDB too, which is what gives every dedup signature pipeline
+here a full cross-engine value oracle (late r6; xxhash64 before).
 """
 
 from __future__ import annotations
@@ -45,17 +47,83 @@ def _tokens(col: str = "text"):
     return F.array_distinct(F.filter(F.split(F.lower(col), " "), lambda t: t != ""))
 
 
+# --- cross-engine MinHash hash family (late r6) ---------------------------
+# Token base hash: low 30 bits of the md5 hex prefix — md5 exists in BOTH
+# engines, so the whole MinHash/LSH pipeline gains a full DuckDB value
+# oracle (it was xxhash64 = Spark-only = rows-only before). Seeded
+# permutations are universal-family arithmetic (a·h + b) mod P chosen so
+# every intermediate stays below 2^61: DuckDB ERRORS on BIGINT overflow
+# (Spark wraps silently), so the bound is a correctness requirement of
+# the twin, not a style choice. h < 2^30, a,b < P = 2^31-1.
+_MH_P = 2147483647  # 2^31 - 1 (prime)
+_MH_TOKEN_MOD = 1 << 30
+_BAND_MULT = 1000003  # band-hash fold multiplier; P·mult < 2^52
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+_REHASH_A = [(_splitmix64(2 * i) % (_MH_P - 1)) + 1 for i in range(N_MINHASH)]
+_REHASH_B = [_splitmix64(2 * i + 1) % _MH_P for i in range(N_MINHASH)]
+
+
+def _token_hashes():
+    """array<long> of md5-derived 30-bit token hashes (one md5 per
+    distinct token; the k permutations rehash these cheap ints)."""
+    return F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % _MH_TOKEN_MOD,
+    )
+
+
+_TOKEN_HASHES_SQL = (
+    "list_transform(list_distinct(list_filter("
+    "string_split(lower(text), ' '), t -> t <> '')), "
+    "t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1073741824)"
+)
+
+
 def _seeded_rehash(i: int):
     """Single-arg lambda factory: F.transform treats a TWO-parameter
     lambda as (element, index) and silently passes the array index as
     the second arg — a closure default would be overridden. Keep the
     seed bound via a factory so each of the k hash functions differs."""
-    return lambda h: F.xxhash64(h, F.lit(i))
+    a, b = _REHASH_A[i], _REHASH_B[i]
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+
+
+def _slot_sql(i: int) -> str:
+    """DuckDB twin of slot i: coalesce(min over rehashed tokens, 0)."""
+    return (
+        f"coalesce(list_min(list_transform(hs, "
+        f"h -> (h * {_REHASH_A[i]} + {_REHASH_B[i]}) % {_MH_P})), 0)"
+    )
+
+
+def _band_hash(cols):
+    """Polynomial fold of band slots, overflow-safe in both engines."""
+    acc = F.lit(0).cast("long")
+    for c in cols:
+        acc = (acc * F.lit(_BAND_MULT) + c) % F.lit(_MH_P)
+    return acc
+
+
+def _band_hash_sql(names) -> str:
+    acc = "CAST(0 AS BIGINT)"
+    for n in names:
+        acc = f"(({acc} * {_BAND_MULT} + {n}) % {_MH_P})"
+    return acc
 
 
 def minhash_signature(token_hashes_col, n_hashes: int = N_MINHASH):
     """MinHash signature: per seed i, min over pre-hashed tokens of
-    xxhash64(h, i).
+    the universal-family rehash (a_i·h + b_i) mod P.
 
     Takes a column of *already-hashed* tokens (``array<long>``), not raw
     strings: each token string is hashed exactly once upstream, and the
@@ -192,9 +260,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("source", "_ca", "_cb").applyInPandas(jac_fn, out_schema)
 
 
+# Shared CTE prefix of both MinHash oracles: doc → 32 slots → 5 band
+# hashes → one (band_idx, band_hash) row per band. Generated from the
+# SAME Python constants the Spark expressions use — one source of truth.
+_MH_FLAT_SQL = f"""
+        tok AS (
+            SELECT doc_id, {_TOKEN_HASHES_SQL} AS hs FROM documents
+        ), flat AS (
+            SELECT doc_id,
+                   {", ".join(f"{_slot_sql(i)} AS s{i}" for i in range(N_MINHASH))},
+                   {", ".join(
+                       _band_hash_sql([f"{_slot_sql(b * ROWS_PER_BAND + r)}"
+                                       for r in range(ROWS_PER_BAND)])
+                       + f" AS b{b}"
+                       for b in range(N_BANDS)
+                   )}
+            FROM tok
+        ), banded AS (
+            SELECT f.*, u.band_idx,
+                   CASE u.band_idx
+                        {" ".join(f"WHEN {b} THEN b{b}" for b in range(N_BANDS))}
+                   END AS band_hash
+            FROM flat f
+            CROSS JOIN (SELECT unnest(range({N_BANDS})) AS band_idx) u
+        )
+"""
+
+_MH_AGREE_SQL = " + ".join(
+    f"CAST(a.s{i} = b.s{i} AS INTEGER)" for i in range(N_MINHASH)
+)
+_MH_FIRST_MATCH_SQL = " AND ".join(
+    f"(a.band_idx <= {j} OR a.b{j} <> b.b{j})" for j in range(N_BANDS)
+)
+
+
 @query(
     "dedup_minhash",
-    oracle=None,  # hash-seed-specific signatures → rows-only + pytest recall
+    oracle=f"""
+        WITH {_MH_FLAT_SQL},
+        stats AS (
+            SELECT *,
+                   count(*) OVER (PARTITION BY band_idx, band_hash)
+                       AS n_bucket,
+                   min(doc_id) OVER (PARTITION BY band_idx, band_hash)
+                       AS min_doc
+            FROM banded
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(({_MH_AGREE_SQL}) AS DOUBLE) / {N_MINHASH}
+                   AS est_jaccard,
+               a.n_bucket > {MAX_PAIR_BUCKET} AS star_edge
+        FROM stats a JOIN stats b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+         AND (a.n_bucket <= {MAX_PAIR_BUCKET} OR a.doc_id = a.min_doc)
+         AND {_MH_FIRST_MATCH_SQL}
+        WHERE CAST(({_MH_AGREE_SQL}) AS DOUBLE) / {N_MINHASH}
+                  >= {NEAR_DUP_THRESHOLD}
+           OR a.n_bucket > {MAX_PAIR_BUCKET}
+    """,
     phase="P3",
     tags=("dedup", "minhash", "lsh"),
 )
@@ -225,7 +349,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The banded side is small per block (docs × 5 rows), so Spark
     broadcasts it; at 100 TB the same plan degrades gracefully to a
     sort-merge join on (band_idx, band_hash). pytest checks recall vs
-    the exact Jaccard pairs.
+    the exact Jaccard pairs, and — late r6 — the ENTIRE pipeline
+    (signature → banding → bucket guard → star edges → est_jaccard)
+    carries a full DuckDB value oracle generated from the same Python
+    constants as the Spark expressions (md5 30-bit token hashes +
+    overflow-safe arithmetic permutations; DuckDB errors on BIGINT
+    overflow, so every intermediate is provably < 2^61).
 
     Oversized buckets (template clusters — k docs → k²/2 pairs) are the
     pair form's scale-killer, so buckets past MAX_PAIR_BUCKET emit STAR
@@ -245,7 +374,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic question and should use ``dedup_minhash_groups``.
     """
     d = load(spark, sf_dir, "documents")
-    token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
+    token_hashes = _token_hashes()
     # Flat slots computed straight from the hashed-token array — NOT via
     # an intermediate array<long> signature column: getItem on a created
     # array is rewritten by SimplifyExtractValueOps back into the i-th
@@ -272,8 +401,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = slots.select(
         "*",
         *[
-            F.xxhash64(
-                *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            _band_hash(
+                [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
             ).alias(f"b{b}")
             for b in range(N_BANDS)
         ],
@@ -552,7 +681,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_groups",
-    oracle=None,  # hash-seed-specific buckets → rows-only + pytest group checks
+    oracle=f"""
+        WITH {_MH_FLAT_SQL},
+        bucket_canon AS (
+            SELECT band_idx, band_hash,
+                   min(doc_id) AS bucket_min,
+                   count(*)    AS bucket_size
+            FROM banded GROUP BY band_idx, band_hash
+        )
+        SELECT b.doc_id,
+               min(c.bucket_min)               AS canonical_id,
+               CAST(max(c.bucket_size - 1) AS BIGINT) AS max_bucket_mates
+        FROM banded b
+        JOIN bucket_canon c
+          ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+        GROUP BY b.doc_id
+    """,
     phase="P3",
     tags=("dedup", "minhash", "lsh"),
 )
@@ -574,7 +718,7 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical and distinct docs rarely do.
     """
     d = load(spark, sf_dir, "documents")
-    token_hashes = F.transform(_tokens(), lambda t: F.xxhash64(t))
+    token_hashes = _token_hashes()
     slots = d.select("doc_id", token_hashes.alias("hs")).select(
         "doc_id",
         *[
@@ -589,8 +733,8 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[
+                    _band_hash(
+                        [
                             F.col(f"s{b * ROWS_PER_BAND + r}")
                             for r in range(ROWS_PER_BAND)
                         ]

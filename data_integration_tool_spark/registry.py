@@ -119,11 +119,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_pmi_pairs",
     "mixture_sample",
     "anomaly_mad",
-    # --- rows-only refresh (sample_bernoulli last rowed r1). Six of
-    # these gained FULL oracles late in r6 (dedup_simhash, win_ewma,
-    # udf_pandas_norm, udf_apply_in_pandas, udf_map_in_pandas,
-    # multimodal_features via its §reds slot) — their r6 driver rows
-    # upgrade from rows-only to hash-verified. ---
+    # --- rows-only refresh (sample_bernoulli last rowed r1). EIGHT of
+    # these gained FULL oracles late in r6 (dedup_minhash,
+    # dedup_minhash_groups, dedup_simhash, win_ewma, udf_pandas_norm,
+    # udf_apply_in_pandas, udf_map_in_pandas, multimodal_features via
+    # its §reds slot) — their r6 driver rows upgrade from rows-only to
+    # hash-verified. Still rows-only by design: engine-RNG sampling,
+    # GK sketch, IO round-trip, greedy packing/MMR, BLAS-path LSH,
+    # true-streaming harnesses. ---
     "sample_bernoulli",
     "dedup_minhash",
     "dedup_minhash_groups",
