@@ -247,9 +247,80 @@ N_TABLES = 8  # OR-ed hash tables (recall lever)
 BITS_PER_TABLE = 4  # AND-ed sign bits per table (precision lever)
 
 
+def _splitmix64_mix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+# ±1 sign hyperplanes (Rademacher projections), 64 dims × 32 (table, bit)
+# columns — deterministic from splitmix64, shared VERBATIM between the
+# Arrow kernel and the generated DuckDB oracle. Sign planes (not
+# Gaussian) because multiplying by ±1.0 is EXACT in IEEE, so the
+# projection is a pure ordered sum of (possibly negated) elements — the
+# only remaining fp sensitivity is summation ORDER, which the kernel
+# pins to the same left-fold as DuckDB's list_sum (np.cumsum, the
+# udf_pandas_norm trick). That is what upgrades this from rows-only to
+# fully value-oracled: bucket codes, collisions, and cosines all
+# hash-match.
+_LSH_SIGNS = [
+    [
+        1.0 if _splitmix64_mix((t << 16) | (b << 8) | d) & 1 else -1.0
+        for t in range(N_TABLES)
+        for b in range(BITS_PER_TABLE)
+    ]
+    for d in range(64)
+]
+
+
+def _lsh_proj_sql(col: int) -> str:
+    """DuckDB twin of projection column ``col``: in-order signed sum."""
+    lits = ", ".join(
+        ("1.0" if _LSH_SIGNS[d][col] > 0 else "-1.0") for d in range(64)
+    )
+    return (
+        f"list_sum(list_transform(range(1, 65), d -> "
+        f"CAST(embedding[d] AS DOUBLE) * ([{lits}])[d]))"
+    )
+
+
+def _lsh_code_sql(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(t * BITS_PER_TABLE + b)} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(BITS_PER_TABLE)
+    )
+
+
+_LSH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ), proj AS (
+        SELECT vec_id, label, embedding, nrm,
+               {", ".join(f"{_lsh_code_sql(t)} AS c{t}" for t in range(N_TABLES))}
+        FROM e
+    ), q AS (
+        SELECT embedding AS qe, nrm AS qnrm,
+               {", ".join(f"c{t} AS qc{t}" for t in range(N_TABLES))}
+        FROM proj WHERE vec_id = 0
+    )
+    SELECT p.vec_id, p.label,
+           {_DUCK_DOT.format(a='p.embedding', b='q.qe')}
+               / (p.nrm * q.qnrm) AS cosine
+    FROM proj p CROSS JOIN q
+    WHERE p.vec_id <> 0
+      AND ({" OR ".join(f"p.c{t} = q.qc{t}" for t in range(N_TABLES))})
+    ORDER BY cosine DESC, p.vec_id
+    LIMIT 10
+"""
+
+
 @query(
     "sim_ann_lsh",
-    oracle=None,  # approximate → rows-only; pytest measures recall vs exact
+    oracle=_LSH_ORACLE,
     phase="P4",
     tags=("similarity", "ann", "lsh"),
 )
@@ -260,22 +331,25 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 tables x 4 sign bits: a vector collides with the query if it
     matches ALL 4 bits in ANY table (AND within a table for precision,
     OR across tables for recall -- the standard hyperplane-LSH layout).
-    Hyperplanes are deterministic pseudo-random splitmix64 values -- no
-    RNG state, reproducible on any cluster.
+    Hyperplanes are deterministic ±1 sign (Rademacher) projections from
+    splitmix64 -- no RNG state, reproducible on any cluster, and (late
+    r6) exactly replicable in DuckDB SQL, which upgrades this query
+    from rows-only to a FULL value oracle.
 
-    The 32 plane projections per vector are one numpy matmul per Arrow
+    The 32 plane projections per vector are vectorized numpy per Arrow
     batch (``mapInPandas``): as expression trees they were 32
     interpreted higher-order-function folds per row (~3 s at sf0.1 for
-    2 000 vectors; CodegenFallback). Sign-bit bucketing is insensitive
-    to summation order except on exact zero crossings, and the op is
-    rows-only + recall-pinned, so the BLAS path is safe here (unlike
-    the oracle-hashed cosine kernels).
+    2 000 vectors; CodegenFallback). The reduction over the 64 dims is
+    np.cumsum -- the same left-to-right fold as DuckDB's list_sum and
+    Spark's F.aggregate -- so every sign bit, bucket code, and collision
+    decision is bit-identical across engines (a BLAS matmul's pairwise
+    summation could flip a bit exactly at a zero crossing).
 
     Scale shape: vectors carry an 8-slot bucket array; the probe is a
     broadcast of the 1-row query side, and candidates shrink to roughly
     n_tables/2^bits of the corpus. For batch probes at scale, explode
     to (table, bucket) keys and equi-join instead of the broadcast.
-    pytest measures recall vs sim_knn_exact.
+    pytest still measures recall vs sim_knn_exact.
     """
     import numpy as np
     import pandas as pd
@@ -291,24 +365,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
 
-    def _splitmix64(x: int) -> int:
-        # standard splitmix64 finalizer — deterministic, dependency-free
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        return x ^ (x >> 31)
-
-    # (64 x 32) plane matrix, one column per (table, bit)
-    planes = np.array(
-        [
-            [
-                (_splitmix64((t << 32) | (b << 16) | d) / 2**63) - 1.0
-                for t in range(N_TABLES)
-                for b in range(BITS_PER_TABLE)
-            ]
-            for d in range(64)
-        ]
-    )
+    # (64 x 32) ±1 sign-plane matrix — module-level _LSH_SIGNS, the same
+    # values the generated DuckDB oracle embeds as literals
+    planes = np.array(_LSH_SIGNS)
     bit_weights = np.tile(1 << np.arange(BITS_PER_TABLE), N_TABLES)
 
     out_schema = StructType(
@@ -325,7 +384,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (A @ planes) > 0  # n x (tables*bits)
+            # in-order left fold over the 64 dims (cumsum, NOT matmul):
+            # bit decisions at zero crossings must match list_sum's
+            # sequential accumulation in the oracle
+            proj = np.cumsum(A[:, :, None] * planes[None, :, :], axis=1)[
+                :, -1, :
+            ]
+            bits = proj > 0  # n x (tables*bits)
             codes = (bits * bit_weights).reshape(
                 len(pdf), N_TABLES, BITS_PER_TABLE
             ).sum(axis=2)
