@@ -749,10 +749,101 @@ MMR_TOPN = 10  # candidate pool per query
 MMR_K = 3  # re-ranked picks per query
 
 
+# MMR oracle: the greedy K=3 selection UNROLLS into 3 chained CTEs (one
+# per pick) — each step's penalty references only the previous picks, so
+# fixed K needs no recursion. Score arithmetic mirrors the kernel
+# bit-for-bit: CAST(... AS DOUBLE) constants force the same binary
+# 1-λ subtraction Python performs (1 - 0.7 ≠ decimal 0.3 at the last
+# ULP), and all cosines come from the shared in-order fold.
+_MMR_LAM = "CAST(0.7 AS DOUBLE)"
+_MMR_1ML = f"(CAST(1 AS DOUBLE) - {_MMR_LAM})"
+
+
+def _mmr_score(pen: str) -> str:
+    return f"{_MMR_LAM} * c.cosine - {_MMR_1ML} * {pen}"
+
+
+_MMR_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    cand AS (
+        SELECT query_id, vec_id, embedding, nrm, cosine FROM (
+            SELECT q.query_id, e.vec_id, e.embedding, e.nrm,
+                   {_duck_cos_nrm('e.embedding', 'q.qe', 'e.nrm', 'q.qnrm')}
+                       AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe', 'e.nrm', 'q.qnrm')} DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rn <= {MMR_TOPN}
+    ),
+    sims AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               {_duck_cos_nrm('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')}
+                   AS s
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    p1 AS (
+        SELECT query_id, vec_id, score FROM (
+            SELECT c.query_id, c.vec_id,
+                   {_mmr_score("CAST(0 AS DOUBLE)")} AS score,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_mmr_score("CAST(0 AS DOUBLE)")} DESC,
+                                c.vec_id) AS rn
+            FROM cand c
+        ) WHERE rn = 1
+    ),
+    p2 AS (
+        SELECT query_id, vec_id, score FROM (
+            SELECT c.query_id, c.vec_id,
+                   {_mmr_score("s1.s")} AS score,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_mmr_score("s1.s")} DESC, c.vec_id) AS rn
+            FROM cand c
+            JOIN p1 ON p1.query_id = c.query_id AND c.vec_id <> p1.vec_id
+            JOIN sims s1 ON s1.query_id = c.query_id
+                        AND s1.va = c.vec_id AND s1.vb = p1.vec_id
+        ) WHERE rn = 1
+    ),
+    p3 AS (
+        SELECT query_id, vec_id, score FROM (
+            SELECT c.query_id, c.vec_id,
+                   {_mmr_score("greatest(s1.s, s2.s)")} AS score,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_mmr_score("greatest(s1.s, s2.s)")} DESC,
+                                c.vec_id) AS rn
+            FROM cand c
+            JOIN p1 ON p1.query_id = c.query_id AND c.vec_id <> p1.vec_id
+            JOIN p2 ON p2.query_id = c.query_id AND c.vec_id <> p2.vec_id
+            JOIN sims s1 ON s1.query_id = c.query_id
+                        AND s1.va = c.vec_id AND s1.vb = p1.vec_id
+            JOIN sims s2 ON s2.query_id = c.query_id
+                        AND s2.va = c.vec_id AND s2.vb = p2.vec_id
+        ) WHERE rn = 1
+    )
+    SELECT query_id, vec_id, CAST(1 AS INTEGER) AS mmr_rank,
+           score AS mmr_score FROM p1
+    UNION ALL
+    SELECT query_id, vec_id, CAST(2 AS INTEGER), score FROM p2
+    UNION ALL
+    SELECT query_id, vec_id, CAST(3 AS INTEGER), score FROM p3
+"""
+
+
 @query(
     "sim_mmr_rerank",
-    oracle=None,  # iterative greedy selection — not SQL-expressible;
-    # pytest twin: tests/test_algorithms.py::test_mmr_matches_reference
+    oracle=_MMR_ORACLE,
     phase="P4",
     tags=("similarity", "mmr", "rerank"),
 )
@@ -802,8 +893,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         rel = pdf["cosine"].to_numpy(dtype=np.float64)
-        nrm = np.linalg.norm(vecs, axis=1)
-        sims = (vecs @ vecs.T) / np.outer(nrm, nrm)
+        # in-order fold (not BLAS) so candidate-pair cosines are
+        # bit-identical to the oracle's list_sum — what makes the
+        # unrolled greedy CTE twin hash-match (late r6)
+        sims = pairwise_cosine_exact(vecs)
         n = len(pdf)
         picked: list[int] = []
         scores: list[float] = []
