@@ -310,7 +310,34 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pack_sequences",
-    oracle=None,  # sequential fill is not SQL-expressible; pytest twin
+    oracle=f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS INTEGER)
+                       AS n_tokens,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_id,
+                   n_tokens          AS used
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.doc_id, b.source, b.n_tokens, b.rn,
+                   CASE WHEN r.used > 0
+                         AND r.used + b.n_tokens > {_PACK_CAPACITY}
+                        THEN r.bin_id + 1 ELSE r.bin_id END,
+                   CASE WHEN r.used > 0
+                         AND r.used + b.n_tokens > {_PACK_CAPACITY}
+                        THEN b.n_tokens ELSE r.used + b.n_tokens END
+            FROM r JOIN base b
+              ON b.source = r.source AND b.rn = r.rn + 1
+        )
+        SELECT doc_id, source, n_tokens, bin_id
+        FROM r ORDER BY source, doc_id
+    """,
     phase="P4",
     tags=("curation", "packing"),
 )
@@ -328,7 +355,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, date) shard exactly like this; bins never span shards, so
     parallelism scales with shard count while each shard's fill stays
     a linear scan. Verified by a pure-Python greedy twin in
-    tests/test_algorithms.py (driver check is rows-only).
+    tests/test_algorithms.py AND — late r6 — a FULL value oracle: the
+    fill state (bin_id, used) is a pure integer per-row recursion, so a
+    recursive CTE stepping rn → rn+1 within each source reproduces it
+    exactly (the win_ewma pattern, but integer state → no fp concerns
+    at all).
     """
     import pandas as pd
 
