@@ -33,6 +33,18 @@ def micro(x: Column) -> Column:
     return F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("bigint")
 
 
+def splitmix64(x: int) -> int:
+    """Standard splitmix64 finalizer — the repo's ONE deterministic
+    seed-constant generator (minhash permutation constants, LSH sign
+    planes). Python-side only: its 64-bit wraparound multiplies cannot
+    run in DuckDB SQL (BIGINT overflow errors), so derived constants
+    are always EMBEDDED in oracles, never recomputed there."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 HASH_CUTOFF_SQL = (
     "lpad(lower(hex(CAST(least(floor({rate} * 4294967296.0), "
     "4294967295.0) AS BIGINT))), 8, '0')"

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exprs import splitmix64
 from ..io import load
 from ..registry import query
 
@@ -60,15 +61,8 @@ _MH_TOKEN_MOD = 1 << 30
 _BAND_MULT = 1000003  # band-hash fold multiplier; P·mult < 2^52
 
 
-def _splitmix64(x: int) -> int:
-    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return x ^ (x >> 31)
-
-
-_REHASH_A = [(_splitmix64(2 * i) % (_MH_P - 1)) + 1 for i in range(N_MINHASH)]
-_REHASH_B = [_splitmix64(2 * i + 1) % _MH_P for i in range(N_MINHASH)]
+_REHASH_A = [(splitmix64(2 * i) % (_MH_P - 1)) + 1 for i in range(N_MINHASH)]
+_REHASH_B = [splitmix64(2 * i + 1) % _MH_P for i in range(N_MINHASH)]
 
 
 def _token_hashes():

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -439,7 +440,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_drift_psi",
-    oracle="""
+    oracle=f"""
         WITH bucketed AS (
             SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
                        AS bucket,
@@ -461,12 +462,10 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT bucket,
                base_n, cur_n,
-               CAST(floor(p_base * 1000000.0 + 0.5) AS BIGINT)
-                   AS base_share_micro,
-               CAST(floor(p_cur * 1000000.0 + 0.5) AS BIGINT)
-                   AS cur_share_micro,
-               CAST(floor((p_cur - p_base) * ln(p_cur / p_base)
-                          * 1000000.0 + 0.5) AS BIGINT) AS psi_term_micro
+               {MICRO_SQL.format(x="p_base")} AS base_share_micro,
+               {MICRO_SQL.format(x="p_cur")} AS cur_share_micro,
+               {MICRO_SQL.format(x="(p_cur - p_base) * ln(p_cur / p_base)")}
+                   AS psi_term_micro
         FROM shares
         ORDER BY bucket
     """,
@@ -508,15 +507,14 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     p_base = (F.col("base_n") + 1.0) / (F.sum("base_n").over(w) + 10.0)
     p_cur = (F.col("cur_n") + 1.0) / (F.sum("cur_n").over(w) + 10.0)
-    micro6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (
         per_bucket.select(
             "bucket",
             F.col("base_n").cast("bigint").alias("base_n"),
             F.col("cur_n").cast("bigint").alias("cur_n"),
-            micro6(p_base).alias("base_share_micro"),
-            micro6(p_cur).alias("cur_share_micro"),
-            micro6((p_cur - p_base) * F.log(p_cur / p_base)).alias(
+            micro(p_base).alias("base_share_micro"),
+            micro(p_cur).alias("cur_share_micro"),
+            micro((p_cur - p_base) * F.log(p_cur / p_base)).alias(
                 "psi_term_micro"
             ),
         )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import MICRO_SQL, micro
+from ..exprs import MICRO_SQL, micro, splitmix64
 from ..io import load
 from ..registry import query
 
@@ -247,13 +247,6 @@ N_TABLES = 8  # OR-ed hash tables (recall lever)
 BITS_PER_TABLE = 4  # AND-ed sign bits per table (precision lever)
 
 
-def _splitmix64_mix(x: int) -> int:
-    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return x ^ (x >> 31)
-
-
 # ±1 sign hyperplanes (Rademacher projections), 64 dims × 32 (table, bit)
 # columns — deterministic from splitmix64, shared VERBATIM between the
 # Arrow kernel and the generated DuckDB oracle. Sign planes (not
@@ -266,7 +259,7 @@ def _splitmix64_mix(x: int) -> int:
 # hash-match.
 _LSH_SIGNS = [
     [
-        1.0 if _splitmix64_mix((t << 16) | (b << 8) | d) & 1 else -1.0
+        1.0 if splitmix64((t << 16) | (b << 8) | d) & 1 else -1.0
         for t in range(N_TABLES)
         for b in range(BITS_PER_TABLE)
     ]
@@ -384,12 +377,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # in-order left fold over the 64 dims (cumsum, NOT matmul):
-            # bit decisions at zero crossings must match list_sum's
-            # sequential accumulation in the oracle
-            proj = np.cumsum(A[:, :, None] * planes[None, :, :], axis=1)[
-                :, -1, :
-            ]
+            # in-order left fold over the 64 dims (per-dim accumulate,
+            # NOT matmul): bit decisions at zero crossings must match
+            # list_sum's sequential accumulation in the oracle. The
+            # pairwise_cosine_exact pattern — one n×32 buffer instead
+            # of a full n×64×32 cumsum temporary (~65 MB/batch).
+            proj = np.zeros((len(pdf), planes.shape[1]))
+            for d in range(planes.shape[0]):
+                proj += A[:, d, None] * planes[d][None, :]
             bits = proj > 0  # n x (tables*bits)
             codes = (bits * bit_weights).reshape(
                 len(pdf), N_TABLES, BITS_PER_TABLE

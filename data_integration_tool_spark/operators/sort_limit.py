@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import HASH_CUTOFF_SQL, hash_cutoff
+from ..exprs import HASH_CUTOFF_SQL, MICRO_SQL, hash_cutoff, micro
 from ..io import load
 from ..registry import query
 
@@ -228,7 +228,7 @@ def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_weighted",
-    oracle="""
+    oracle=f"""
         WITH keyed AS (
             SELECT doc_id, n_chars,
                    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -238,8 +238,7 @@ def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE n_chars > 0
         )
         SELECT doc_id, n_chars,
-               CAST(floor(es_key * 1000000.0 + 0.5) AS BIGINT)
-                   AS es_key_micro
+               {MICRO_SQL.format(x="es_key")} AS es_key_micro
         FROM keyed
         ORDER BY es_key_micro DESC, doc_id
         LIMIT 100
@@ -273,9 +272,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             "n_chars",
-            F.floor(es_key * 1000000.0 + F.lit(0.5))
-            .cast("bigint")
-            .alias("es_key_micro"),
+            micro(es_key).alias("es_key_micro"),
         )
         .orderBy(F.desc("es_key_micro"), F.asc("doc_id"))
         .limit(100)

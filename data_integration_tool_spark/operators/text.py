@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -518,7 +519,7 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_logprob",
-    oracle="""
+    oracle=f"""
         WITH tf AS (
             SELECT doc_id, w, count(*) AS cnt
             FROM (
@@ -539,8 +540,8 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST(floor((ln(sum(n_tokens) OVER ()) - s_lnfreq / n_tokens)
-                          * 1000000.0 + 0.5) AS BIGINT)
+               {MICRO_SQL.format(
+                   x="(ln(sum(n_tokens) OVER ()) - s_lnfreq / n_tokens)")}
                    AS avg_neg_logprob_micro
         FROM per_doc
         ORDER BY doc_id
@@ -584,13 +585,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.floor(
-                (F.log(total) - F.col("s_lnfreq") / F.col("n_tokens"))
-                * 1000000.0
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("avg_neg_logprob_micro"),
+            micro(
+                F.log(total) - F.col("s_lnfreq") / F.col("n_tokens")
+            ).alias("avg_neg_logprob_micro"),
         )
         .orderBy("doc_id")
     )

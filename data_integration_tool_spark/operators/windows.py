@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -469,13 +470,13 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_rolling_median",
-    oracle="""
+    oracle=f"""
         SELECT event_id, user_id,
-               CAST(floor(
-                   median(value) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-                   ) * 1000000.0 + 0.5) AS BIGINT) AS med7_micro
+               {MICRO_SQL.format(
+                   x="median(value) OVER ("
+                     "PARTITION BY user_id ORDER BY ts, event_id "
+                     "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")}
+                   AS med7_micro
         FROM events
         ORDER BY user_id, event_id
     """,
@@ -519,9 +520,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         framed.select(
             "event_id",
             "user_id",
-            F.floor(med * 1000000.0 + F.lit(0.5)).cast("bigint").alias(
-                "med7_micro"
-            ),
+            micro(med).alias("med7_micro"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -174,16 +174,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_covariance",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
+    # --- 50-entry window ends HERE: the 11 late-r6 queries above fill
+    # positions 38-48, scan_parquet is entry 49 (0-indexed), and
+    # everything below falls past the driver's recording cut — their
+    # r1 proof stands. (An earlier comment placed the cut 6 names
+    # lower; the count was wrong, caught by review.) r7 rotation:
+    # scan_projected..project_expr first, then the remaining r1 greens
+    # (joins, agg_group/global/distinct/having/stats, win_*,
+    # sort/limit, setops). ---
     "scan_projected",
     "filter_cmp",
     "filter_in_like",
     "filter_null",
     "project_case",
     "project_expr",
-    # --- 50-entry window ends here (the 5 late-r6 queries above pushed
-    # join_inner..join_full past the cut; their r1 proof stands). r7
-    # rotation: remaining r1 greens (joins, agg_group/global/distinct/
-    # having/stats, win_*, sort/limit, setops) ---
     "join_inner",
     "join_left",
     "join_multiway",

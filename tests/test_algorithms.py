@@ -563,3 +563,24 @@ def test_incremental_dedup_dispositions_consistent(spark, sf_dir):
         else:
             assert statuses[0] == "new"
             assert all(s == "dup_in_batch" for s in statuses[1:])
+
+
+def test_fixture_text_is_ascii_byte_char_identity(spark, sf_dir):
+    """The multimodal oracles slice `text` by CHARACTERS (DuckDB has no
+    blob substr) while the Spark kernels slice the payload by BYTES —
+    valid only while every fixture document is pure ASCII (byte length
+    == char length). Guard the assumption loudly: if the fixtures ever
+    regenerate with a multi-byte codepoint, this fails with a clear
+    message instead of a mysterious digest mismatch in
+    multimodal_resize / multimodal_frame_sample."""
+    from data_integration_tool_spark.io import load
+
+    bad = (
+        load(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert bad == 0, (
+        f"{bad} documents contain non-ASCII text; the multimodal oracles' "
+        "char-slice == byte-slice identity no longer holds"
+    )
