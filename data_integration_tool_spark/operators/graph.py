@@ -268,3 +268,133 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return edges.crossJoin(tri)
+
+
+@query(
+    "graph_link_predict",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0
+        ), adj AS (
+            SELECT pa AS node, pb AS nbr FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ), deg AS (
+            SELECT node, count(*) AS d FROM adj GROUP BY node
+        ), wedge AS (
+            SELECT a.nbr AS na, b.nbr AS nb, count(*) AS common_n
+            FROM adj a JOIN adj b
+              ON a.node = b.node AND a.nbr < b.nbr
+            GROUP BY a.nbr, b.nbr
+        ), cand AS (
+            SELECT w.na, w.nb, w.common_n
+            FROM wedge w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs p WHERE p.pa = w.na AND p.pb = w.nb
+            )
+        )
+        SELECT c.na AS node_a, c.nb AS node_b,
+               CAST(c.common_n AS BIGINT) AS common_n,
+               CAST(da.d AS BIGINT) AS deg_a,
+               CAST(db.d AS BIGINT) AS deg_b,
+               CAST(c.common_n AS DOUBLE)
+                   / (da.d + db.d - c.common_n) AS jaccard
+        FROM cand c
+        JOIN deg da ON da.node = c.na
+        JOIN deg db ON db.node = c.nb
+        ORDER BY common_n DESC, node_a, node_b
+        LIMIT 50
+    """,
+    phase="P3",
+    tags=("graph", "link-prediction"),
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the basket graph: the 50
+    strongest NOT-yet-connected part pairs by shared-neighbor count,
+    with neighborhood Jaccard — the "customers also bought" candidate
+    generator, and the classic graph-ML feature pair (CN + Jaccard).
+
+    Plan reuses the triangle machinery's map-side wedge trick on the
+    UNDIRECTED adjacency: per-node sorted neighbor structs (degree
+    attached via a count-over-node window BEFORE the collect — the
+    basket_rules pattern, so NO degree join on the Spark side), i<j
+    wedge pairs exploded map-side, counted, then an ANTI join against
+    the edge set drops already-linked pairs. Jaccard = cn/(da+db−cn)
+    is small-int division — exact IEEE on both engines, no
+    quantization needed. The oracle keeps the textbook wedge self-join
+    + NOT EXISTS form. Every-20TH-order slice (quarter the triangle slice: all-pairs
+    common-neighbor counting has no degree-ordering escape — every
+    wedge IS a candidate — so the cost bound comes from the slice); lazy checkpoints cut the pairs/adjacency lineage
+    exactly as there."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    wd = Window.partitionBy("nbr")
+    adj_deg = adj.withColumn("d", F.count(F.lit(1)).over(wd))
+    nbrs = adj_deg.groupBy("node").agg(
+        F.sort_array(F.collect_list(F.struct("nbr", "d"))).alias("ns")
+    )
+    wedges = (
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) ->"
+                    " transform(slice(ns, i + 2, size(ns)),"
+                    " y -> struct(x.nbr AS na, y.nbr AS nb,"
+                    " x.d AS da, y.d AS db))))"
+                )
+            ).alias("w")
+        )
+        .select("w.na", "w.nb", "w.da", "w.db")
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("common_n"),
+            F.first("da").alias("da"),
+            F.first("db").alias("db"),
+        )
+    )
+    # NB: wedges.na would resolve to DataFrame.na (the NA-functions
+    # accessor), not the column — use qualified F.col refs
+    cand = wedges.alias("w").join(
+        pairs.alias("p"),
+        (F.col("w.na") == F.col("p.pa")) & (F.col("w.nb") == F.col("p.pb")),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("common_n").cast("bigint").alias("common_n"),
+            F.col("da").cast("bigint").alias("deg_a"),
+            F.col("db").cast("bigint").alias("deg_b"),
+            (
+                F.col("common_n").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_n"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_n"), F.asc("node_a"), F.asc("node_b"))
+        .limit(50)
+    )

@@ -564,3 +564,84 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.asc_nulls_first("seg"))
     )
+
+
+@query(
+    "join_range_grid",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.purchase_id,
+               CAST(count(c.click_id) AS BIGINT) AS n_clicks_30m
+        FROM p LEFT JOIN c
+          ON c.c_ts >  p.p_ts - INTERVAL 30 MINUTE
+         AND c.c_ts <= p.p_ts
+        GROUP BY p.purchase_id
+        ORDER BY p.purchase_id
+    """,
+    phase="P3",
+    tags=("join", "range", "grid"),
+)
+def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key — global click traffic in the 30
+    minutes before each purchase (market-context attribution). The
+    oracle keeps the textbook form: a pure inequality LEFT JOIN, which
+    every engine executes as O(|P|·|C|) nested loops — THE classic
+    scale-killer (Spark: BroadcastNestedLoopJoin, unrunnable at 100 TB).
+
+    This plan is the standard GRID decomposition: bucket time into
+    cells exactly as wide as the band (30 min), explode each purchase
+    to the (at most 2) cells its window touches, and equi-join clicks
+    on the cell — Catalyst gets a real shuffle key, the candidate set
+    per pair is bounded by cell population, and the exact band
+    predicate filters residents. A (purchase, click) pair can meet in
+    only ONE cell (the click's), so no post-join dedup is needed —
+    counts are exact. Purchases with zero context clicks survive via
+    the final left join against the aggregated counts. At 100 TB this
+    is two linear shuffles on the cell/purchase keys; the naive form is
+    a quadratic cross product."""
+    e = load(spark, sf_dir, "events")
+    band = 1800  # seconds; cell width == band width → ≤2 cells/window
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.col("ts").cast("long") / band).alias("cell"),
+    )
+    pc = p.select(
+        "purchase_id",
+        "p_ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("p_ts").cast("long") - band) / band),
+                    F.floor(F.col("p_ts").cast("long") / band),
+                )
+            )
+        ).alias("cell"),
+    )
+    cand = pc.join(c, "cell").filter(
+        (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    counts = cand.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_30m")
+    )
+    return (
+        p.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks_30m", F.lit(0)).cast("bigint").alias(
+                "n_clicks_30m"
+            ),
+        )
+        .orderBy("purchase_id")
+    )

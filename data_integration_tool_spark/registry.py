@@ -172,6 +172,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "sample_weighted",
     "emb_covariance",
+    # --- new in r6 (late): equi-key-free range join via grid cells,
+    # common-neighbors link prediction ---
+    "join_range_grid",
+    "graph_link_predict",
     # --- oldest greens (r1): re-prove on current code ---
     "scan_parquet",
     # --- 50-entry window ends HERE: the 11 late-r6 queries above fill
