@@ -133,7 +133,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "sim_ann_lsh",
     "sim_mmr_rerank",
-    "sample_stratified",
+    # (sample_stratified dropped from the window: unchanged engine-RNG
+    # rows-only with a fresh r5 row — its slot goes to the newest fully
+    # oracled query, graph_link_predict, below.)
     "udf_pandas_norm",
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
@@ -176,16 +178,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # common-neighbors link prediction ---
     "join_range_grid",
     "graph_link_predict",
-    # --- oldest greens (r1): re-prove on current code ---
-    "scan_parquet",
-    # --- 50-entry window ends HERE: the 11 late-r6 queries above fill
-    # positions 38-48, scan_parquet is entry 49 (0-indexed), and
-    # everything below falls past the driver's recording cut — their
-    # r1 proof stands. (An earlier comment placed the cut 6 names
-    # lower; the count was wrong, caught by review.) r7 rotation:
-    # scan_projected..project_expr first, then the remaining r1 greens
+    # --- 50-entry window ends HERE: graph_link_predict is entry 49
+    # (0-indexed); everything below falls past the driver's recording
+    # cut — r1 proof stands for the oldest greens. r7 rotation:
+    # scan_parquet..project_expr first, then the remaining r1 greens
     # (joins, agg_group/global/distinct/having/stats, win_*,
-    # sort/limit, setops). ---
+    # sort/limit, setops), plus a fresh sample_stratified row. ---
+    "scan_parquet",
     "scan_projected",
     "filter_cmp",
     "filter_in_like",
