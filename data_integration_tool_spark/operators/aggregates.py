@@ -746,3 +746,104 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hits"), F.asc("l_suppkey"))
     )
+
+
+# Count-Min sketch geometry for agg_count_min: d=4 hash rows x w=256
+# buckets (1024 cells total). Error bound: est - true <= 2N/w with
+# probability 1 - (1/2)^4 over the md5-derived hashes; the query SHIPS
+# the overcount per key so the bound is directly visible against the
+# exact twin. Both constants are spelled in the oracle verbatim.
+_CMS_ROWS = 4
+_CMS_WIDTH = 256
+
+
+@query(
+    "agg_count_min",
+    oracle="""
+        WITH hashed AS (
+            SELECT o_custkey AS custkey, j.j,
+                   CAST('0x' || substr(
+                       md5(CAST(j.j AS VARCHAR) || ':'
+                           || CAST(o_custkey AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 256 AS bucket
+            FROM orders, (SELECT unnest(range(4)) AS j) j
+        ),
+        cells AS (
+            SELECT j, bucket, count(*) AS cell_cnt
+            FROM hashed GROUP BY j, bucket
+        ),
+        exact AS (
+            SELECT o_custkey AS custkey, count(*) AS exact_cnt
+            FROM orders GROUP BY o_custkey
+        ),
+        est AS (
+            SELECT h.custkey, min(c.cell_cnt) AS cms_cnt
+            FROM (SELECT DISTINCT custkey, j, bucket FROM hashed) h
+            JOIN cells c ON h.j = c.j AND h.bucket = c.bucket
+            GROUP BY h.custkey
+        )
+        SELECT e.custkey, e.exact_cnt, s.cms_cnt,
+               s.cms_cnt - e.exact_cnt AS overcount
+        FROM exact e JOIN est s ON e.custkey = s.custkey
+    """,
+    phase="P3",
+    tags=("agg", "sketch", "count-min"),
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over order counts per
+    customer, reported per key NEXT TO the exact count so the sketch's
+    one-sided error (cms_cnt >= exact_cnt, within 2N/w w.h.p.) is
+    hash-verified — the mergeable-sketch pattern behind heavy-hitter
+    monitoring when the key space no longer fits an exact groupBy.
+
+    Scale shape: the sketch build is a map-side expression fan-out
+    (d=4 rows per input) into a groupBy with AT MOST d*w = 1024 output
+    cells — combinable partials, so at 100 TB each executor ships 1024
+    integers regardless of input size; sketches merge by cell-wise sum,
+    which IS what Spark's partial aggregation does here. The estimate
+    probe joins the (tiny, broadcast) cell table. The exact twin keyed
+    on custkey is the expensive path the sketch replaces — kept in the
+    query so the oracle can check both together; in production you'd
+    ship only the 1024 cells."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    hashed = o.select(
+        "custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("j"),
+    ).select(
+        "custkey",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("j"), F.col("custkey")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cells = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_cnt")
+    )
+    exact = o.groupBy("custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        hashed.distinct()
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("custkey")
+        .agg(F.min("cell_cnt").alias("cms_cnt"))
+    )
+    return exact.join(est, "custkey").select(
+        "custkey",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -545,3 +545,133 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rate") >= 1.0) | (u8 < threshold))
         .select("doc_id", "lang")
     )
+
+
+# Document-frequency threshold for text_boilerplate_strip: a 3-word
+# non-overlapping segment (C4's line/sentence grain — fixture text is
+# single-space word soup with no newlines; the width-3 slicing is
+# spelled inline in BOTH engines) is boilerplate when it appears in at
+# least max(5, 1% of corpus) DISTINCT documents.
+_BOILER_MIN_DOCS = 5
+_BOILER_DOC_FRAC = 0.01
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, words,
+                   unnest(range(CAST(ceil(len(words) / 3.0) AS BIGINT)))
+                     AS pos
+            FROM w
+        ),
+        segs AS (
+            SELECT doc_id, pos,
+                   array_to_string(
+                       list_slice(words, pos * 3 + 1, pos * 3 + 3), ' ')
+                     AS seg
+            FROM idx
+        ),
+        boiler AS (
+            SELECT seg
+            FROM (SELECT seg, count(DISTINCT doc_id) AS n_docs
+                  FROM segs GROUP BY seg)
+            WHERE n_docs >= greatest(
+                {_BOILER_MIN_DOCS},
+                {_BOILER_DOC_FRAC} * (SELECT count(*) FROM w))
+        )
+        SELECT s.doc_id,
+               count(*) AS n_segs,
+               CAST(sum(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN b.seg IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_removed,
+               md5(coalesce(
+                   string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                              ' ' ORDER BY s.pos), '')) AS clean_md5
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        GROUP BY s.doc_id
+    """,
+    phase="P3",
+    tags=("curation", "boilerplate", "dedup"),
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: drop every 3-word segment that
+    recurs across >= max(5, 1%) of documents (nav chrome, cookie
+    banners, license footers at web scale), then reassemble each doc
+    from its surviving segments in order. Output per doc: segment
+    counts and the md5 of the cleaned text (scalar, hash-checkable).
+
+    Scale shape: segmentation is a map-side array expression (split →
+    sequence → slice — no UDF); the document-frequency count shuffles
+    (seg, doc_id) pairs once after an in-doc dedup; the boilerplate set
+    is bounded above by corpus_size / threshold (each boilerplate
+    segment must occur in >= 1% of docs, so there are at most ~100/doc
+    segments TOTAL in it) — it is broadcast to flag-and-rebuild, so the
+    corpus itself shuffles exactly once more, on doc_id, for the
+    ordered reassembly. At 100 TB every stage is linear; nothing
+    driver-side ever sees a segment."""
+    d = load(spark, sf_dir, "documents")
+    total_docs = d.count()  # scalar: corpus size sets the df threshold
+    min_docs = max(_BOILER_MIN_DOCS, _BOILER_DOC_FRAC * total_docs)
+    segs = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("words") / F.lit(3.0)).cast("int")
+                        - F.lit(1),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("words", i * F.lit(3) + F.lit(1), 3), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    boiler = (
+        segs.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+        .select("seg", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg", "left").select(
+        "doc_id",
+        "pos",
+        "seg",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((~F.col("is_boiler")).cast("bigint")).alias("n_kept"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("is_boiler"),
+                                    F.struct(
+                                        F.col("pos"), F.col("seg")
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s.seg,
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )

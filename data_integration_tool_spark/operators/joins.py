@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import micro
 from ..io import load
 from ..registry import query
 
@@ -644,4 +645,84 @@ def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("purchase_id")
+    )
+
+
+# Bloom prefilter geometry for join_bloom_prefilter: k=2 hash positions
+# per key drawn from one md5 (hex chars 1-8 and 9-16), each mod 2^16.
+# Build-side keys set ~20% of the 65536 positions at sf0.1, so the
+# prefilter passes ~4% of non-matching probe rows (0.2^2) while
+# guaranteeing zero false NEGATIVES — the oracle is therefore the PLAIN
+# join: the bloom stage must be result-invariant.
+_BLOOM_BITS = 65536
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP))
+                 AS order_month,
+               count(*) AS n_lines,
+               CAST(sum(CAST(floor(l.l_extendedprice
+                                   * (1 - l.l_discount) * 1000000.0
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_micro
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
+    phase="P3",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual bloom-filter runtime prefilter — the engine-level version
+    of Spark's runtime bloom-filter join (spark.sql.optimizer.runtime.
+    bloomFilter) / Trino's dynamic filtering: build a k=2 bloom over the
+    selective side's join keys (urgent orders), broadcast it, and drop
+    probe rows (lineitem) MAP-SIDE before the shuffle join. Bloom
+    membership admits false positives, never false negatives, so the
+    final exact join makes the whole pipeline result-identical to the
+    plain join — which is exactly what the oracle asserts.
+
+    Scale shape: the bloom bit set is bounded by _BLOOM_BITS rows
+    (65536) regardless of build cardinality — broadcastable at any
+    scale, unlike the key set itself. The probe side is filtered by two
+    broadcast-hash semi-joins (zero shuffle), so only ~p^2-surviving
+    rows enter the one real exchange. At 100 TB with a 1%-selective
+    build side this cuts shuffle volume ~100x; that IS the reason
+    engines grow runtime filters."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+
+    def positions(key: F.Column) -> tuple[F.Column, F.Column]:
+        h = F.md5(key.cast("string").cast("binary"))
+        p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+        p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+        return p1, p2
+
+    bp1, bp2 = positions(F.col("o_orderkey"))
+    bits = (
+        o.select(F.explode(F.array(bp1, bp2)).alias("bit")).distinct()
+    )
+    pp1, pp2 = positions(F.col("l_orderkey"))
+    probe = li.withColumn("p1", pp1).withColumn("p2", pp2)
+    survivors = (
+        probe.join(
+            F.broadcast(bits.withColumnRenamed("bit", "p1")), "p1", "semi"
+        ).join(
+            F.broadcast(bits.withColumnRenamed("bit", "p2")), "p2", "semi"
+        )
+    )
+    return (
+        survivors.join(o, survivors.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                micro(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_micro"),
+        )
     )

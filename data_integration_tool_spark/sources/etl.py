@@ -14,7 +14,7 @@ schema inference optional for csv/json, explicit schema preferred).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -545,4 +545,77 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_off").cast("bigint").alias("max_day"),
         )
         .orderBy("file_id")
+    )
+
+
+@query(
+    "etl_compaction_plan",
+    oracle="""
+        WITH manifest AS (
+            SELECT o_orderkey % 397 AS file_id,
+                   count(*) * 128 AS file_bytes
+            FROM orders
+            GROUP BY o_orderkey % 397
+        ),
+        packed AS (
+            SELECT file_id, file_bytes,
+                   CAST(floor(
+                       (CAST(sum(file_bytes) OVER (
+                            ORDER BY file_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        - file_bytes) / 131072.0) AS BIGINT) AS bin_id
+            FROM manifest
+        )
+        SELECT file_id, file_bytes, bin_id,
+               CAST(sum(file_bytes) OVER (PARTITION BY bin_id)
+                    AS BIGINT) AS bin_bytes,
+               CAST(count(*) OVER (PARTITION BY bin_id)
+                    AS BIGINT) AS bin_files
+        FROM packed
+    """,
+    phase="P3",
+    tags=("etl", "compaction", "maintenance"),
+)
+def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/rewrite step every
+    table format (Delta, Iceberg, Hudi) runs against the small-file
+    problem: given a file manifest (synthesized here as 397 key-sliced
+    "files" of orders with a bytes proxy), assign files to ~128 KiB
+    target bins by sequential fill in file order, emitting the rewrite
+    plan (file → bin, plus per-bin totals a scheduler would dispatch).
+
+    Sequential fill (cumulative bytes BEFORE this file, integer-divided
+    by the target) preserves key order within bins — what real
+    compactors do so data clustering survives the rewrite — and needs
+    ONE ordered pass instead of NP-hard bin packing. Scale shape: the
+    data-sized work is only the manifest aggregation (combinable
+    count); the packing windows run over the MANIFEST, which is
+    metadata-scale (one row per file, ~10^6 rows for 100 TB of 100 MB
+    files) — a single-partition ordered window over a million metadata
+    rows is milliseconds, and the alternative (driver-side loop) would
+    forfeit the plan's lineage. Integer bytes throughout: hash-exact."""
+    o = load(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        (F.col("o_orderkey") % 397).alias("file_id")
+    ).agg((F.count(F.lit(1)) * 128).alias("file_bytes"))
+    w_fill = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = manifest.select(
+        "file_id",
+        "file_bytes",
+        F.floor(
+            (F.sum("file_bytes").over(w_fill) - F.col("file_bytes"))
+            / F.lit(131072.0)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    w_bin = Window.partitionBy("bin_id")
+    return packed.select(
+        "file_id",
+        "file_bytes",
+        "bin_id",
+        F.sum("file_bytes").over(w_bin).cast("bigint").alias("bin_bytes"),
+        F.count(F.lit(1)).over(w_bin).cast("bigint").alias("bin_files"),
     )

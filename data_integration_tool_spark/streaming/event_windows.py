@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import micro
 from ..io import load
 from ..registry import query
 
@@ -784,4 +785,74 @@ def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_walks"))
         .orderBy(F.desc("n_walks"), F.asc("path"))
         .limit(20)
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+        WITH bars AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+                   event_type, value,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                                    event_type
+                       ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                   ) AS rn_open,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                                    event_type
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+                   ) AS rn_close
+            FROM events
+        )
+        SELECT bar, event_type,
+               max(CASE WHEN rn_open  = 1 THEN value END) AS open,
+               max(value)                                 AS high,
+               min(value)                                 AS low,
+               max(CASE WHEN rn_close = 1 THEN value END) AS close,
+               count(*)                                   AS n_ticks,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT)                            AS volume_micro
+        FROM bars
+        GROUP BY bar, event_type
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "resample"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 1-hour bars per event_type with open / high /
+    low / close / tick count / micro-quantized volume — the canonical
+    time-series resample (market bars, sensor rollups, metrics
+    downsampling before retention).
+
+    Scale shape: ONE groupBy on (bar, event_type); open and close ride
+    min_by/max_by over the unique (ts, event_id) struct, so the whole
+    bar collapses map-side (all six measures are combinable partial
+    aggregates — no window, no self-join, unlike the oracle's
+    row_number emulation). Output cardinality is time-span x type-count,
+    INDEPENDENT of input rows: at 100 TB this is the classic
+    1000x-reduction first stage. High/low/open/close are raw stored
+    doubles (no arithmetic → bitwise-stable); only the summed volume
+    crosses an addition-order boundary, so it ships as per-element
+    micro-BIGINTs per the registry contract."""
+    e = load(spark, sf_dir, "events")
+    ohlc_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            F.date_trunc("hour", "ts").alias("bar"),
+            "event_type",
+            "value",
+            ohlc_key.alias("k"),
+            micro(F.col("value")).alias("value_micro"),
+        )
+        .groupBy("bar", "event_type")
+        .agg(
+            F.expr("min_by(value, k)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, k)").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("value_micro").alias("volume_micro"),
+        )
     )
