@@ -808,13 +808,9 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey")
     )
-    hashed = o.select(
-        "custkey",
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("j"),
-    ).select(
-        "custkey",
-        "j",
-        (
+
+    def bucket() -> F.Column:
+        return (
             F.conv(
                 F.substring(
                     F.md5(
@@ -829,14 +825,25 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("bigint")
             % _CMS_WIDTH
-        ).alias("bucket"),
-    )
-    cells = hashed.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("cell_cnt")
+        ).alias("bucket")
+
+    fan_j = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))
+    ).alias("j")
+    cells = (
+        o.select("custkey", fan_j)
+        .select("custkey", "j", bucket())
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
     exact = o.groupBy("custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # Probe positions fan out from the ALREADY-DISTINCT key relation
+    # (cardinality = keys, not rows): hashing every input row twice and
+    # distinct-ing d*rows pairs would add a full-size shuffle for the
+    # same result.
     est = (
-        hashed.distinct()
+        exact.select("custkey", fan_j)
+        .select("custkey", "j", bucket())
         .join(F.broadcast(cells), ["j", "bucket"])
         .groupBy("custkey")
         .agg(F.min("cell_cnt").alias("cms_cnt"))

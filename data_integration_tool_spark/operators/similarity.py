@@ -14,6 +14,8 @@ the vectors, so probes only touch one bucket — candidate set shrinks
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1047,3 +1049,163 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return row.select(F.expr(stack_expr)).orderBy("i", "j")
+
+
+# emb_pca_project geometry. The whole pipeline is integer-exact so the
+# power iteration — which would amplify any float summation-order
+# divergence exponentially — replays bit-identically in both engines:
+# components kilo-quantize (1e3; micro would overflow BIGINT in the
+# n*sum(q*q) moment at fixture scale), the scatter matrix S_ij =
+# n*sum(qi*qj) - sum(qi)*sum(qj) is pure BIGINT, rescaled by 2^23 via
+# double floor-division (exact: |S| < 2^53 through sf1), and each
+# iteration renormalizes to 2^20 fixed-point by the max-abs component
+# with the SAME left-associative double expression on both sides.
+_PCA_DIMS = 8
+_PCA_ITERS = 8
+_PCA_MAT_DOWN = 8388608.0  # 2^23: scatter-matrix rescale divisor
+_PCA_FIX = 1048576.0  # 2^20: eigenvector fixed-point scale
+
+
+def _pca_q_sql() -> str:
+    cols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000.0 + 0.5) "
+        f"AS BIGINT) AS q{i}"
+        for i in range(_PCA_DIMS)
+    )
+    return f"SELECT vec_id, label, {cols} FROM embeddings"
+
+
+def _pca_oracle() -> str:
+    d = _PCA_DIMS
+    moms = ["count(*) AS n"]
+    moms += [f"sum(q{i}) AS s{i}" for i in range(d)]
+    moms += [
+        f"sum(q{i} * q{j}) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    mat = ", ".join(
+        f"CAST(floor((n * p{i}_{j} - s{i} * s{j}) / {_PCA_MAT_DOWN}) "
+        f"AS BIGINT) AS m{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    ctes = [
+        f"q AS ({_pca_q_sql()})",
+        f"mom AS (SELECT {', '.join(moms)} FROM q)",
+        f"mat AS (SELECT {mat} FROM mom)",
+        "it0 AS (SELECT "
+        + ", ".join(f"CAST({int(_PCA_FIX)} AS BIGINT) AS v{i}" for i in range(d))
+        + ")",
+    ]
+    prev = "it0"
+    for k in range(1, _PCA_ITERS + 1):
+        u = ", ".join(
+            "("
+            + " + ".join(
+                f"m{min(i, j)}_{max(i, j)} * v{i}" for i in range(d)
+            )
+            + f") AS u{j}"
+            for j in range(d)
+        )
+        ctes.append(f"uu{k} AS (SELECT {u} FROM mat, {prev})")
+        mx = "greatest(" + ", ".join(f"abs(u{i})" for i in range(d)) + ")"
+        v = ", ".join(
+            f"CAST(floor(CAST(u{i} AS DOUBLE) * {_PCA_FIX} "
+            f"/ CAST(mx AS DOUBLE)) AS BIGINT) AS v{i}"
+            for i in range(d)
+        )
+        ctes.append(
+            f"it{k} AS (SELECT {v} FROM "
+            f"(SELECT *, {mx} AS mx FROM uu{k}))"
+        )
+        prev = f"it{k}"
+    flip = ", ".join(
+        f"CASE WHEN v0 < 0 THEN -v{i} ELSE v{i} END AS w{i}"
+        for i in range(d)
+    )
+    ctes.append(f"ev AS (SELECT {flip} FROM {prev})")
+    proj = " + ".join(f"q{i} * w{i}" for i in range(d))
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT vec_id, label, ({proj}) AS pc1_score"
+        + "\n        FROM q, ev"
+    )
+
+
+@query(
+    "emb_pca_project",
+    oracle=_pca_oracle(),
+    phase="P4",
+    tags=("embedding", "pca", "projection"),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, end to end: ONE combinable moment aggregation
+    over the corpus (count + d sums + d(d+1)/2 product sums — the only
+    data-scale stage), a driver-side power iteration on the resulting
+    d x d scatter matrix (45 scalars — the k-means-centroid /
+    dedup-components "tiny driver state" pattern, NOT a data collect),
+    and a broadcast map-only projection of every embedding onto the
+    dominant principal axis. This is exactly how PCA runs at 100 TB:
+    the matrix is d^2 no matter the corpus, so only moments shuffle.
+
+    Cross-engine exactness (the hard part — power iteration amplifies
+    any divergence): all arithmetic is BIGINT or doubles below 2^53
+    with identical expression shape; the oracle unrolls the SAME 8
+    iterations as chained CTEs and flips the sign by v[0] the same
+    way. The per-vector projection is a pure integer dot product."""
+    d = _PCA_DIMS
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.floor(
+                F.element_at("embedding", i + 1).cast("double")
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias(f"q{i}")
+            for i in range(d)
+        ],
+    )
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    mom = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(d)],
+        *[
+            F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+            for i, j in pairs
+        ],
+    ).collect()[0]
+    n = mom["n"]
+    s = [mom[f"s{i}"] for i in range(d)]
+    p = {(i, j): mom[f"p{i}_{j}"] for i, j in pairs}
+    # Power iteration in exact Python ints + IEEE doubles — the same
+    # ops, in the same shape, as the oracle's unrolled CTEs.
+    mat = [
+        [
+            math.floor(
+                (n * p[(min(i, j), max(i, j))] - s[i] * s[j])
+                / _PCA_MAT_DOWN
+            )
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [int(_PCA_FIX)] * d
+    for _ in range(_PCA_ITERS):
+        u = [sum(mat[i][j] * v[i] for i in range(d)) for j in range(d)]
+        mx = max(abs(x) for x in u)
+        v = [
+            math.floor(float(x) * _PCA_FIX / float(mx)) for x in u
+        ]
+    if v[0] < 0:
+        v = [-x for x in v]
+    proj = None
+    for i in range(d):
+        term = F.col(f"q{i}") * F.lit(v[i])
+        proj = term if proj is None else proj + term
+    return q.select("vec_id", "label", proj.alias("pc1_score"))
