@@ -584,3 +584,216 @@ def test_fixture_text_is_ascii_byte_char_identity(spark, sf_dir):
         f"{bad} documents contain non-ASCII text; the multimodal oracles' "
         "char-slice == byte-slice identity no longer holds"
     )
+
+
+def test_count_min_one_sided_and_bounded(spark, sf_dir):
+    """CMS estimates are >= exact always (no false undercounts), and
+    the classic bound est - true <= 2N/w holds for every key here
+    (deterministic hashes, so this is a hard invariant of the fixture,
+    not a probabilistic claim)."""
+    from data_integration_tool_spark import registry
+
+    rows = (
+        registry.specs()["agg_count_min"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    n_total = sum(r.exact_cnt for r in rows)
+    bound = 2.0 * n_total / 256
+    for r in rows:
+        assert r.cms_cnt >= r.exact_cnt
+        assert r.overcount == r.cms_cnt - r.exact_cnt
+        assert r.overcount <= bound, (r.custkey, r.overcount, bound)
+
+
+def test_bloom_prefilter_matches_plain_join(spark, sf_dir):
+    """The bloom stage must be result-invariant: compare against the
+    plain filtered join computed inline (the oracle's claim, asserted
+    engine-side too)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.io import load
+
+    got = {
+        (r.order_month, r.n_lines, r.revenue_micro)
+        for r in registry.specs()["join_bloom_prefilter"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    from data_integration_tool_spark.exprs import micro
+
+    want = {
+        (r.order_month, r.n_lines, r.revenue_micro)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                micro(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_micro"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_boilerplate_strip_counts_consistent(spark, sf_dir):
+    """Every document survives with n_kept + n_removed == n_segs; a
+    doc with nothing removed keeps the md5 of its own segmentation
+    rebuild (identity check via one recomputed example)."""
+    from data_integration_tool_spark import registry
+
+    rows = (
+        registry.specs()["text_boilerplate_strip"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    assert all(r.n_kept + r.n_removed == r.n_segs for r in rows)
+    # at least one doc must be untouched; its md5 equals the md5 of the
+    # 3-word re-segmentation of the original text (slicing loses no
+    # words because segments cover the array)
+    import hashlib
+
+    from data_integration_tool_spark.io import load
+
+    untouched = {r.doc_id: r for r in rows if r.n_removed == 0}
+    assert untouched, "threshold removed segments from EVERY doc"
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*list(untouched)[:5]))
+        .collect()
+    }
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        segs = [
+            " ".join(words[i : i + 3]) for i in range(0, len(words), 3)
+        ]
+        want = hashlib.md5(" ".join(segs).encode()).hexdigest()
+        assert untouched[doc_id].clean_md5 == want
+
+
+def test_ohlc_open_close_from_extremes(spark, sf_dir):
+    """low <= min(open, close) and high >= max(open, close) per bar,
+    and tick counts sum to the events row count."""
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.io import load
+
+    rows = (
+        registry.specs()["ts_resample_ohlc"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.low <= min(r.open, r.close) + 1e-12
+        assert r.high >= max(r.open, r.close) - 1e-12
+    assert sum(r.n_ticks for r in rows) == load(
+        spark, sf_dir, "events"
+    ).count()
+
+
+def test_compaction_bins_respect_fill_order(spark, sf_dir):
+    """Sequential fill: bin ids are nondecreasing in file order, every
+    bin's bytes total matches its members, and no bin except possibly
+    the last STARTS beyond the target boundary."""
+    from data_integration_tool_spark import registry
+
+    rows = sorted(
+        registry.specs()["etl_compaction_plan"]
+        .builder(spark, sf_dir)
+        .collect(),
+        key=lambda r: r.file_id,
+    )
+    assert rows
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in rows:
+        totals[r.bin_id] += r.file_bytes
+    for r in rows:
+        assert totals[r.bin_id] == r.bin_bytes
+    # cumulative-bytes definition: a file starts in bin floor(prev/target)
+    cum = 0
+    for r in rows:
+        assert r.bin_id == cum // 131072
+        cum += r.file_bytes
+
+
+def test_pca_projection_beats_axis_variance(spark, sf_dir):
+    """The power-iteration axis must capture at least as much variance
+    as the best single coordinate axis (sanity that the iteration
+    converged somewhere meaningful, not just parity with the oracle)."""
+    import statistics
+
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.io import load
+
+    rows = (
+        registry.specs()["emb_pca_project"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    # normalize the projection scores by the eigenvector norm implied by
+    # comparing against per-axis variance of the kilo-quantized dims
+    embs = [
+        r.embedding
+        for r in load(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    q = [
+        [int((x * 1000.0) + 0.5) if x >= 0 else -int((-x * 1000.0) + 0.5) for x in e[:8]]
+        for e in embs
+    ]
+    axis_var = max(
+        statistics.pvariance([row[i] for row in q]) for i in range(8)
+    )
+    scores = [r.pc1_score for r in rows]
+    # scores are q . v with |v| ~ 2^20-scale: rescale variance by |v|^2
+    # being unknown — instead compare RATIOS: projected variance over
+    # squared norm of v must be >= best axis variance (Rayleigh
+    # quotient of the dominant eigvec >= any coordinate direction).
+    # Recover v's squared norm from the registry module constants.
+    from data_integration_tool_spark.operators import similarity as sim
+
+    # recompute v exactly as the operator does (tiny driver math)
+    spark_df = registry.specs()["emb_pca_project"].builder(spark, sf_dir)
+    # v is embedded as literals in the projection; extract via lineage
+    # is overkill — redo the moment math on q directly:
+    import math as _m
+
+    d = sim._PCA_DIMS
+    n = len(q)
+    s = [sum(row[i] for row in q) for i in range(d)]
+    p = {
+        (i, j): sum(row[i] * row[j] for row in q)
+        for i in range(d)
+        for j in range(i, d)
+    }
+    mat = [
+        [
+            _m.floor(
+                (n * p[(min(i, j), max(i, j))] - s[i] * s[j])
+                / sim._PCA_MAT_DOWN
+            )
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [int(sim._PCA_FIX)] * d
+    for _ in range(sim._PCA_ITERS):
+        u = [sum(mat[i][j] * v[i] for i in range(d)) for j in range(d)]
+        mx = max(abs(x) for x in u)
+        v = [_m.floor(float(x) * sim._PCA_FIX / float(mx)) for x in u]
+    if v[0] < 0:
+        v = [-x for x in v]
+    v_norm2 = sum(x * x for x in v)
+    proj_var = statistics.pvariance(scores) / v_norm2
+    assert proj_var >= axis_var * 0.999, (proj_var, axis_var)
