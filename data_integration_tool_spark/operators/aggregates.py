@@ -854,3 +854,118 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_cnt",
         (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# Manual HyperLogLog geometry for agg_hll_manual: m=64 registers
+# (bucket = first md5 hex pair mod 64), rank = leading-zero bits of the
+# next 13 hex chars (52 bits) + 1, capped at 53. The register sum
+# Sigma 2^-rank ships as the INTEGER Sigma 2^(53-rank) (exact BIGINT —
+# a float sum of wildly different power-of-two magnitudes would round
+# order-dependently), and the bias constant folds from the same literal
+# expression 0.7213/(1 + 1.079/64) on both engines.
+_HLL_M = 64
+_HLL_RANK_SQL = """
+    CASE WHEN length(regexp_extract(rest, '^(0*)', 1)) >= 13 THEN 53
+         ELSE 4 * length(regexp_extract(rest, '^(0*)', 1))
+              + CASE substr(rest,
+                            length(regexp_extract(rest, '^(0*)', 1)) + 1, 1)
+                    WHEN '1' THEN 3
+                    WHEN '2' THEN 2 WHEN '3' THEN 2
+                    WHEN '4' THEN 1 WHEN '5' THEN 1
+                    WHEN '6' THEN 1 WHEN '7' THEN 1
+                    ELSE 0 END
+              + 1 END
+"""
+
+
+@query(
+    "agg_hll_manual",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT l_returnflag AS flag,
+                   CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2)
+                        AS BIGINT) % 64 AS bucket,
+                   substr(md5(CAST(l_partkey AS VARCHAR)), 3, 13) AS rest
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT flag, bucket, ({_HLL_RANK_SQL}) AS rank FROM hashed
+        ),
+        registers AS (
+            SELECT flag, bucket, max(rank) AS reg
+            FROM ranked GROUP BY flag, bucket
+        ),
+        sums AS (
+            SELECT flag,
+                   CAST(sum(CAST(power(2.0, 53 - reg) AS BIGINT))
+                        AS BIGINT)
+                     + (64 - count(*)) * 9007199254740992 AS z_scaled
+            FROM registers GROUP BY flag
+        ),
+        exact AS (
+            SELECT l_returnflag AS flag,
+                   count(DISTINCT l_partkey) AS exact_distinct
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT e.flag, e.exact_distinct,
+               CAST(floor(0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                          * 9007199254740992.0 / s.z_scaled * 1000000.0
+                          + 0.5) AS BIGINT) AS hll_est_micro
+        FROM exact e JOIN sums s ON e.flag = s.flag
+    """,
+    phase="P3",
+    tags=("agg", "sketch", "hll"),
+)
+def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (m=64) distinct-part estimate per return
+    flag, hash-verified against DuckDB REGISTER BY REGISTER — the thing
+    `agg_approx_distinct` (Spark's opaque HLL, rows-only) cannot be.
+    Emitting exact and estimate together makes the ~13% rsd of 64
+    registers visible in the driver record.
+
+    Scale shape: identical to any HLL implementation worth having —
+    map-side md5 + rank expressions, a (flag, bucket) groupBy whose
+    output is AT MOST groups x 64 rows with combinable max partials
+    (registers merge by max: executors ship 64 small ints per group
+    regardless of input), then a groups-sized final agg. The exact
+    count(DISTINCT) rides along as the expensive twin the sketch
+    replaces at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_partkey").cast("string").cast("binary"))
+    hashed = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+            "bucket"
+        ),
+        F.substring(h, 3, 13).alias("rest"),
+    )
+    ranked = hashed.select(
+        "flag", "bucket", F.expr(_HLL_RANK_SQL).alias("rank")
+    )
+    registers = ranked.groupBy("flag", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    sums = registers.groupBy("flag").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 53 - F.col("reg")).cast("bigint"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(9007199254740992)
+        ).alias("z_scaled")
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    est = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+        * F.lit(4096.0)
+        * F.lit(9007199254740992.0)
+        / F.col("z_scaled")
+    )
+    return exact.join(sums, "flag").select(
+        "flag",
+        "exact_distinct",
+        F.floor(est * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hll_est_micro"),
+    )

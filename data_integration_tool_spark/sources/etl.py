@@ -619,3 +619,73 @@ def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("file_bytes").over(w_bin).cast("bigint").alias("bin_bytes"),
         F.count(F.lit(1)).over(w_bin).cast("bigint").alias("bin_files"),
     )
+
+
+@query(
+    "etl_manifest_prune",
+    oracle="""
+        WITH manifest AS (
+            SELECT o_orderkey % 256 AS file_id,
+                   count(*) AS n_rows,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   min(o_orderdate)  AS min_date,
+                   max(o_orderdate)  AS max_date
+            FROM orders
+            GROUP BY o_orderkey % 256
+        )
+        SELECT file_id, n_rows, min_price, max_price,
+               CAST(min_date AS TIMESTAMP) AS min_date,
+               CAST(max_date AS TIMESTAMP) AS max_date,
+               CAST(CASE WHEN min_price <= 150000.0
+                          AND max_price >= 100000.0
+                          AND min_date <= DATE '1997-12-31'
+                          AND max_date >= DATE '1995-01-01'
+                    THEN 1 ELSE 0 END AS BIGINT) AS must_read
+        FROM manifest
+    """,
+    phase="P3",
+    tags=("etl", "pruning", "data-skipping"),
+)
+def etl_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max data-skipping planner — the manifest-level pruning every
+    lake format (parquet row groups, Delta/Iceberg file stats, zone
+    maps) does before touching data: per-file column stats are checked
+    for INTERVAL OVERLAP against a conjunctive predicate (price BETWEEN
+    100k AND 150k AND orderdate IN 1995..1997), and only overlapping
+    files are scheduled for scan.
+
+    A file is skippable iff its [min,max] envelope misses the predicate
+    on ANY conjunct — which is why clustering (see etl_zorder_layout)
+    matters: randomly-sliced files (as here, keyed on orderkey % 256)
+    have wide envelopes and prune poorly, while date-clustered files
+    would skip ~60% on the date conjunct alone. The operator ships the
+    per-file decision so that trade-off is visible in the output.
+    Scale shape: the stats pass is one combinable agg (metadata build);
+    the pruning itself is metadata-scale expression work. At 100 TB the
+    planner reads ONLY the manifest — which is the entire point."""
+    o = load(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        (F.col("o_orderkey") % 256).alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    overlap = (
+        (F.col("min_price") <= 150000.0)
+        & (F.col("max_price") >= 100000.0)
+        & (F.col("min_date") <= F.lit("1997-12-31").cast("date"))
+        & (F.col("max_date") >= F.lit("1995-01-01").cast("date"))
+    )
+    return manifest.select(
+        "file_id",
+        "n_rows",
+        "min_price",
+        "max_price",
+        F.col("min_date").cast("timestamp").alias("min_date"),
+        F.col("max_date").cast("timestamp").alias("max_date"),
+        overlap.cast("bigint").alias("must_read"),
+    )
