@@ -152,3 +152,72 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
         F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://www.' || source || '.org/docs/'
+                     || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                     || '&ref=home' AS url
+            FROM documents
+        )
+        SELECT doc_id, url, host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&#]+)', 1) AS lang_param,
+               regexp_extract(host, '([^./]+\\.[^./]+)$',
+                              1) AS reg_domain_tail,
+               CASE WHEN url LIKE 'https://%' THEN 'https'
+                    ELSE 'http' END AS scheme
+        FROM (SELECT doc_id, url,
+                     regexp_extract(url, '^https?://([^/]+)', 1) AS host
+              FROM urls)
+    """,
+    phase="P2",
+    tags=("function", "string", "url"),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (parse_url-shaped): host / path / query-param
+    / scheme extraction over deterministic synthesized URLs. Spark's
+    native parse_url exists, but its quirks (null vs empty on missing
+    parts) aren't portable, so both engines share the SAME regexes from
+    the Java ∩ RE2 common subset (no lookarounds, no backrefs) — the
+    pii_redact house rule. Map-only projection: codegen'd, scan-stage
+    at any scale.
+
+    reg_domain_tail anchors at end-of-host ONLY because these fixture
+    URLs have no path ambiguity for the pattern; the honest general
+    form extracts host first and then takes its last two labels."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=home"),
+    )
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            host.alias("host"),
+            F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?#]*)", 1).alias(
+                "path"
+            ),
+            F.regexp_extract("url", r"[?&]lang=([^&#]+)", 1).alias(
+                "lang_param"
+            ),
+            F.regexp_extract(host, r"([^./]+\.[^./]+)$", 1).alias(
+                "reg_domain_tail"
+            ),
+            F.when(F.col("url").startswith("https://"), "https")
+            .otherwise("http")
+            .alias("scheme"),
+        )
+    )

@@ -1179,7 +1179,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
             for i, j in pairs
         ],
-    ).collect()[0]
+    ).collect()[0]  # driver-scalar: 45 moment scalars -> d x d eigensolve
     n = mom["n"]
     s = [mom[f"s{i}"] for i in range(d)]
     p = {(i, j): mom[f"p{i}_{j}"] for i, j in pairs}

@@ -277,3 +277,140 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key_micro"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# Poisson(1) inverse-CDF thresholds for sample_poisson_bootstrap,
+# precomputed as floor(cum_prob * 2^32) so replicate weights come from
+# pure integer comparisons against a 32-bit md5 uniform — identical in
+# both engines. Weights cap at 8 (P(>8) < 1e-6).
+_POIS1_CUM = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+)
+_BOOT_REPS = 16
+
+
+def _pois_weight_sql(u32: str) -> str:
+    """CASE ladder mapping a 32-bit uniform to a Poisson(1) draw —
+    shared verbatim between the Spark F.expr and the DuckDB oracle."""
+    whens = " ".join(
+        f"WHEN {u32} < {t} THEN {k}" for k, t in enumerate(_POIS1_CUM)
+    )
+    return f"CASE {whens} ELSE 8 END"
+
+
+_BOOT_U32 = (
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+    "|| CAST(rep AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+        WITH fanned AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS cents,
+                   r.rep,
+                   ({_pois_weight_sql(_BOOT_U32)}) AS w
+            FROM orders, (SELECT unnest(range({_BOOT_REPS})) AS rep) r
+        ),
+        reps AS (
+            SELECT priority, rep,
+                   CAST(floor(CAST(sum(w * cents) AS DOUBLE)
+                              / CAST(sum(w) AS DOUBLE) * 10000.0 + 0.5)
+                        AS BIGINT) AS mean_micro
+            FROM fanned GROUP BY priority, rep
+        ),
+        point AS (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_rows,
+                   CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100.0
+                                                  + 0.5) AS BIGINT))
+                                   AS DOUBLE)
+                              / count(*) * 10000.0 + 0.5) AS BIGINT)
+                     AS mean_micro
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT p.priority, p.n_rows, p.mean_micro,
+               min(r.mean_micro) AS boot_lo_micro,
+               max(r.mean_micro) AS boot_hi_micro
+        FROM point p JOIN reps r ON p.priority = r.priority
+        GROUP BY p.priority, p.n_rows, p.mean_micro
+    """,
+    phase="P3",
+    tags=("sample", "bootstrap", "stats"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence band for the mean order value per
+    priority — the resampling scheme that actually works distributed
+    (bag of little bootstraps / online bootstrap): instead of drawing n
+    rows WITH replacement (which needs global coordination), every row
+    gets an independent Poisson(1) weight per replicate, so each of the
+    B=16 replicates is a valid bootstrap resample computed in ONE pass.
+
+    Determinism: weights come from md5(orderkey:rep) 32-bit uniforms
+    run through a precomputed integer inverse-CDF ladder (no float RNG,
+    no engine RNG) — reproducible across runs, executors, retries, and
+    engines, which is what makes this oracle-able at all. Scale shape:
+    a bounded Bx fan-out into ONE combinable (priority, rep) agg;
+    means divide exact sub-2^53 integer sums so the replicate
+    statistics hash identically; the band is min/max over B tiny rows.
+    The point estimate rides the plain non-fanned agg branch."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    fanned = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    ).select(
+        "priority",
+        "cents",
+        "rep",
+        F.expr(
+            _pois_weight_sql(
+                "CAST(conv(substring(md5(CAST(CAST(o_orderkey AS STRING) "
+                "|| ':' || CAST(rep AS STRING) AS BINARY)), 1, 8), 16, 10) "
+                "AS BIGINT)"
+            )
+        ).alias("w"),
+    )
+    reps = fanned.groupBy("priority", "rep").agg(
+        F.floor(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rep_mean_micro")
+    )
+    point = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.floor(
+            F.sum(cents).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+    return (
+        point.join(reps, "priority")
+        .groupBy("priority", "n_rows", "mean_micro")
+        .agg(
+            F.min("rep_mean_micro").alias("boot_lo_micro"),
+            F.max("rep_mean_micro").alias("boot_hi_micro"),
+        )
+    )

@@ -181,10 +181,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- 50-entry window ends HERE: graph_link_predict is entry 49
     # (0-indexed); everything below falls past the driver's recording
     # cut — r1 proof stands for the oldest greens. r7 rotation: the
-    # eight post-cut r6 additions first (ts_resample_ohlc,
+    # ten post-cut r6 additions first (ts_resample_ohlc,
     # text_boilerplate_strip, join_bloom_prefilter, agg_count_min,
     # etl_compaction_plan, emb_pca_project, etl_manifest_prune,
-    # agg_hll_manual — all exact-checked, never driver-rowed),
+    # agg_hll_manual, sample_poisson_bootstrap, fn_url — all
+    # exact-checked, never driver-rowed),
     # then scan_parquet..project_expr and the remaining r1 greens
     # (joins, agg_group/global/distinct/having/stats, win_*,
     # sort/limit, setops), plus a fresh sample_stratified row. ---

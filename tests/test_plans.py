@@ -124,7 +124,10 @@ def test_no_collect_inside_operators():
                     else:
                         offenders.append(f"{py.name}:{i}:{bad}")
     assert not offenders, offenders
-    assert marked == 2, f"expected exactly the 2 dedup_components convergence scalars, found {marked}"
+    assert marked == 3, (
+        "expected exactly the 2 dedup_components convergence scalars + "
+        f"the emb_pca_project moment row, found {marked}"
+    )
 
 
 def test_tpch_composites_broadcast_dims_and_take_ordered(spark, sf_dir):
