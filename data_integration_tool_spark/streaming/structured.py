@@ -61,11 +61,21 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
-def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
     """Streaming sessionization via session_window (the native stateful
-    operator; batch twin is the gap-and-cumsum in event_windows.py)."""
+    operator; batch twin is the gap-and-cumsum in event_windows.py).
+
+    The watermark is load-bearing for parity harnesses: the staged
+    4-file source replays events in RANDOM order across micro-batches,
+    so a production-tight watermark silently drops "late" events before
+    session merging (observed: ~half the sessions shifted or merged
+    wrong). Reconciliation harnesses pass an effectively-infinite
+    watermark (the foreachBatch harness's trick); production streams
+    with near-ordered sources keep it tight to bound state."""
     return (
-        events.withWatermark("ts", "10 minutes")
+        events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -535,4 +545,97 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_n").isNotNull().cast("bigint")).alias("n_stream"),
         F.sum(F.col("b_n").isNotNull().cast("bigint")).alias("n_batch"),
         F.min(user_ok).alias("all_match"),
+    )
+
+
+@query(
+    "stream_session_true",
+    oracle=None,  # runs the streaming ENGINE's session_window state
+    # merging; semantics carried by the µs-precision gap-and-cumsum twin
+    # it reconciles against (registered batch stream_session truncates
+    # gaps to whole seconds, so the twin is built inline at µs grain —
+    # the grain session_window actually merges at)
+    phase="P4",
+    # bench-skip: verification harness (staging write + 4 micro-batches
+    # + batch twin + reconciliation), not operator throughput
+    tags=("streaming", "engine", "session", "bench-skip"),
+)
+def stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under the real engine, driver-visible:
+    readStream → watermark → F.session_window (the stateful operator
+    that MERGES overlapping per-key sessions in the state store as
+    events arrive across micro-batches) → complete-mode memory sink,
+    reconciled session-by-session against the batch gap-and-cumsum
+    construction. Checks per (user_id, session_start): event count,
+    value total, and that the streaming session end equals the batch
+    last-event ts + the 30-minute gap (session_window's end is
+    last_ts + gap by definition).
+
+    Session state is keyed on user_id — at 100 TB the state store
+    shards by key across executors and the watermark bounds retained
+    sessions, exactly like the tumbling-window case. all_match=True is
+    the invariant (also asserted in test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_sess_stage_")
+    try:
+        stage_events_stream(spark, sf_dir, stage, n_files=4)
+        stream = read_events_stream(spark, stage)
+        run_to_memory(
+            spark,
+            sessionized_stream(stream, gap="30 minutes", watermark="365 days"),
+            "stream_session_true_out",
+            mode="complete",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = spark.table("stream_session_true_out").select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end").alias("s_end"),
+        F.col("n_events").alias("s_n"),
+        F.col("total_value").alias("s_total"),
+    )
+    # µs-precision batch twin (session_window merges at full timestamp
+    # grain; a whole-second gap comparison would disagree on gaps in
+    # (1800, 1801) s)
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
+    is_new = (
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > F.lit(1800 * 1000000))
+    ).cast("int")
+    want = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("b_last_ts"),
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("value").alias("b_total"),
+        )
+        .drop("session_id")
+    )
+    joined = got.join(want, ["user_id", "session_start"], "full_outer")
+    row_ok = (
+        F.col("s_n").isNotNull()
+        & F.col("b_n").isNotNull()
+        & (F.col("s_n") == F.col("b_n"))
+        & (F.abs(F.col("s_total") - F.col("b_total")) < F.lit(1e-6))
+        & (
+            F.unix_micros("s_end")
+            == F.unix_micros("b_last_ts") + F.lit(1800 * 1000000)
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("s_n").isNotNull().cast("bigint")).alias("n_stream"),
+        F.sum(F.col("b_n").isNotNull().cast("bigint")).alias("n_batch"),
+        F.min(row_ok).alias("all_match"),
     )

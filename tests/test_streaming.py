@@ -220,3 +220,16 @@ def test_stream_stream_join_query_reconciles(spark, sf_dir):
     row = stream_stream_join(spark, sf_dir).collect()[0]
     assert row.all_match is True
     assert row.n_stream == row.n_batch == row.n_pairs > 0
+
+
+def test_stream_session_true_reconciles(spark, sf_dir):
+    """Native session_window under the real engine: every session's
+    (start, count, total) matches the µs-precision batch gap-and-cumsum
+    twin, and streaming ends equal batch last-event ts + gap."""
+    from data_integration_tool_spark.streaming.structured import (
+        stream_session_true,
+    )
+
+    row = stream_session_true(spark, sf_dir).collect()[0]
+    assert row.all_match is True
+    assert row.n_stream == row.n_batch == row.n_sessions > 0
