@@ -520,3 +520,99 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Benford expected first-digit shares, micro-quantized — PRECOMPUTED in
+# Python (floor(log10(1+1/d)*1e6+0.5)) and embedded as integer literals
+# in BOTH engines: each engine's libm log10 could round constants
+# differently, so neither engine computes them.
+_BENFORD_MICRO = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM orders
+            WHERE o_totalprice >= 1.0
+        ),
+        obs AS (
+            SELECT d, count(*) AS n_obs,
+                   (SELECT count(*) FROM digits) AS n_total
+            FROM digits GROUP BY d
+        ),
+        expected(d, exp_micro) AS (VALUES
+            {", ".join(f"({d}, {m})" for d, m in enumerate(_BENFORD_MICRO, 1))}
+        )
+        SELECT e.d, coalesce(o.n_obs, 0) AS n_obs, e.exp_micro,
+               CAST(floor(CAST(coalesce(o.n_obs, 0) AS DOUBLE) * 1000000.0
+                          / o2.n_total + 0.5) AS BIGINT) AS obs_micro,
+               CAST(floor(
+                   (CAST(coalesce(o.n_obs, 0) AS DOUBLE) * 1000000.0
+                        / o2.n_total - e.exp_micro)
+                   * (CAST(coalesce(o.n_obs, 0) AS DOUBLE) * 1000000.0
+                        / o2.n_total - e.exp_micro)
+                   / e.exp_micro + 0.5) AS BIGINT) AS chi2_term_micro
+        FROM expected e
+        LEFT JOIN obs o ON e.d = o.d
+        CROSS JOIN (SELECT count(*) AS n_total FROM digits) o2
+    """,
+    phase="P3",
+    tags=("quality", "benford", "drift"),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance check on order
+    totals — the classic fabricated-data / upstream-corruption detector
+    (natural multiplicative amounts follow P(d) = log10(1+1/d); a flat
+    or spiked digit histogram flags synthetic or truncated feeds).
+    Emits per digit: observed count, observed share, expected share,
+    and the chi-squared contribution, all micro-quantized.
+
+    Scale shape: digit extraction is a map-side string expression; the
+    aggregation has AT MOST 9 groups (combinable), and the expected
+    table is a 9-row literal relation joined broadcast — the whole
+    check costs one scan at any scale. The expected shares are
+    precomputed Python constants embedded in both engines: libm log10
+    rounding is not cross-engine-stable, so neither engine computes
+    them."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    expected = spark.createDataFrame(
+        [(d, m) for d, m in enumerate(_BENFORD_MICRO, 1)],
+        "d bigint, exp_micro bigint",
+    )
+    obs_share = (
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+        * F.lit(1000000.0)
+        / F.col("n_total")
+    )
+    return (
+        expected.join(obs, "d", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "exp_micro",
+            F.floor(obs_share + F.lit(0.5)).cast("bigint").alias("obs_micro"),
+            F.floor(
+                (obs_share - F.col("exp_micro"))
+                * (obs_share - F.col("exp_micro"))
+                / F.col("exp_micro")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("chi2_term_micro"),
+        )
+    )

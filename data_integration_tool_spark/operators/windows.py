@@ -524,3 +524,68 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS daily_cents
+            FROM orders GROUP BY 1
+        ),
+        curve AS (
+            SELECT day, daily_cents,
+                   CAST(sum(daily_cents) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM daily
+        )
+        SELECT day, daily_cents, cum_cents,
+               CAST(max(cum_cents) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents,
+               CAST(max(cum_cents) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) - cum_cents AS BIGINT)
+                 AS drawdown_cents
+        FROM curve
+    """,
+    phase="P3",
+    tags=("window", "timeseries", "drawdown"),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown over the cumulative daily order-value
+    curve — the risk metric every monitoring/trading stack computes
+    (how far below the high-water mark is the series right now). Two
+    stacked unbounded-preceding windows over the SAME ordering: running
+    sum builds the curve, running max tracks the peak; drawdown is
+    their gap.
+
+    Scale shape: the data-sized stage is the combinable per-day agg;
+    both windows then run at DAY grain (one row per day — thousands of
+    rows for decades), sharing one sort. Integer cents throughout. The
+    monotone-peak identity (peak never decreases) is pytest-pinned."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(cents).alias("daily_cents"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day",
+        "daily_cents",
+        F.sum("daily_cents").over(w).alias("cum_cents"),
+    )
+    return curve.select(
+        "day",
+        "daily_cents",
+        "cum_cents",
+        F.max("cum_cents").over(w).alias("peak_cents"),
+        (F.max("cum_cents").over(w) - F.col("cum_cents")).alias(
+            "drawdown_cents"
+        ),
+    )

@@ -797,3 +797,20 @@ def test_pca_projection_beats_axis_variance(spark, sf_dir):
     v_norm2 = sum(x * x for x in v)
     proj_var = statistics.pvariance(scores) / v_norm2
     assert proj_var >= axis_var * 0.999, (proj_var, axis_var)
+
+
+def test_drawdown_peak_monotone(spark, sf_dir):
+    """High-water mark never decreases; drawdown is 0 exactly when the
+    curve sets a new peak, positive otherwise, and never negative."""
+    from data_integration_tool_spark import registry
+
+    rows = sorted(
+        registry.specs()["win_drawdown"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    peak = -1
+    for r in rows:
+        assert r.peak_cents >= peak
+        peak = r.peak_cents
+        assert r.drawdown_cents == r.peak_cents - r.cum_cents >= 0
