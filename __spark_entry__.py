@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Python UDF workers inherit the JVM's environment, and the JVM inherits
+# ours — this module is imported before the driver creates its
+# SparkSession, so setting it here silences pyspark's own pandas-concat
+# FutureWarning spew (serializers.py) from every applyInPandas worker in
+# the driver's stderr. Deprecation noise only; never alters behavior.
+os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
 from data_integration_tool_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -305,9 +305,13 @@ def _pois_weight_sql(u32: str) -> str:
     return f"CASE {whens} ELSE 8 END"
 
 
+# One md5 digest yields FOUR 8-hex-char uniforms (32 hex chars), so 16
+# replicates need only 4 digests per row: rep = grp*4 + slot, uniform =
+# digest(key:grp) hex chars [slot*8+1 .. slot*8+8]. Hashing is the
+# dominant map-side cost of the bootstrap at scale — this quarters it.
 _BOOT_U32 = (
     "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
-    "|| CAST(rep AS VARCHAR)), 1, 8) AS BIGINT)"
+    "|| CAST(grp AS VARCHAR)), slot * 8 + 1, 8) AS BIGINT)"
 )
 
 
@@ -318,9 +322,11 @@ _BOOT_U32 = (
             SELECT o_orderpriority AS priority,
                    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
                      AS cents,
-                   r.rep,
+                   g.grp * 4 + s.slot AS rep,
                    ({_pois_weight_sql(_BOOT_U32)}) AS w
-            FROM orders, (SELECT unnest(range({_BOOT_REPS})) AS rep) r
+            FROM orders,
+                 (SELECT unnest(range({_BOOT_REPS // 4})) AS grp) g,
+                 (SELECT unnest(range(4)) AS slot) s
         ),
         reps AS (
             SELECT priority, rep,
@@ -368,22 +374,39 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
         "bigint"
     )
-    fanned = o.select(
-        F.col("o_orderpriority").alias("priority"),
-        cents.alias("cents"),
-        F.col("o_orderkey"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
-    ).select(
-        "priority",
-        "cents",
-        "rep",
-        F.expr(
-            _pois_weight_sql(
-                "CAST(conv(substring(md5(CAST(CAST(o_orderkey AS STRING) "
-                "|| ':' || CAST(rep AS STRING) AS BINARY)), 1, 8), 16, 10) "
-                "AS BIGINT)"
-            )
-        ).alias("w"),
+    fanned = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            cents.alias("cents"),
+            F.col("o_orderkey"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_REPS // 4 - 1))
+            ).alias("grp"),
+        )
+        # digest materialized BETWEEN the two explodes: 4 md5s per input
+        # row, each reused by its 4 slots (16 digests otherwise)
+        .select(
+            "priority",
+            "cents",
+            "grp",
+            F.md5(
+                F.concat_ws(":", F.col("o_orderkey"), F.col("grp")).cast(
+                    "binary"
+                )
+            ).alias("digest"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot"),
+        )
+        .select(
+            "priority",
+            "cents",
+            (F.col("grp") * 4 + F.col("slot")).alias("rep"),
+            F.expr(
+                _pois_weight_sql(
+                    "CAST(conv(substring(digest, slot * 8 + 1, 8), 16, 10) "
+                    "AS BIGINT)"
+                )
+            ).alias("w"),
+        )
     )
     reps = fanned.groupBy("priority", "rep").agg(
         F.floor(
