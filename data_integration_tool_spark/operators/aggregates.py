@@ -969,3 +969,54 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hll_est_micro"),
     )
+
+
+@query(
+    "agg_bitmap_presence",
+    oracle="""
+        SELECT o_custkey,
+               CAST(bit_or(CAST(1 AS BIGINT)
+                           << ((year(o_orderdate) - 1992) * 12
+                               + month(o_orderdate) - 1))
+                    AS BIGINT) AS months_bitmap,
+               CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                           << ((year(o_orderdate) - 1992) * 12
+                               + month(o_orderdate) - 1)))
+                    AS BIGINT) AS n_active_months,
+               count(*) AS n_orders
+        FROM orders
+        WHERE year(o_orderdate) BETWEEN 1992 AND 1996
+        GROUP BY o_custkey
+    """,
+    phase="P3",
+    tags=("agg", "bitmap", "presence"),
+)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence aggregation: each customer's active months over
+    1992-1996 packed into ONE 60-bit bitmask via bit_or(1 << month_idx),
+    with popcount distinct-months — the bitmap-index/presence-mask
+    technique warehouses use to turn "which periods was X active in"
+    from a (key, period) pair explosion into a single integer per key.
+
+    Scale shape: bit_or is a combinable partial aggregate, so each
+    executor ships ONE int64 per key — the cheapest possible distinct-
+    period representation (compare count(DISTINCT month): a two-stage
+    expanded aggregate). Set algebra downstream (AND/OR of user
+    cohorts' masks) stays integer-only. Both engines compute identical
+    two's-complement BIGINT shifts; the window is capped at 60 bits so
+    the sign bit never participates."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") >= 1992) & (F.year("o_orderdate") <= 1996)
+    )
+    # F.shiftleft only takes a literal shift count — the SQL form
+    # accepts a column expression
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CAST((year(o_orderdate) - 1992) * 12 "
+        "+ month(o_orderdate) - 1 AS INT))"
+    )
+    return o.groupBy("o_custkey").agg(
+        F.bit_or(mask).alias("months_bitmap"),
+        F.bit_count(F.bit_or(mask)).cast("bigint").alias("n_active_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -616,3 +616,90 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term_micro"),
         )
     )
+
+
+@query(
+    "win_hampel_outliers",
+    oracle="""
+        WITH framed AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+                   list_sort(list(CAST(floor(value * 1000000.0 + 0.5)
+                                       AS BIGINT))
+                             OVER (PARTITION BY event_type
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                   ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW)) AS frame
+            FROM events
+        ),
+        med AS (
+            SELECT event_id, event_type, vm, frame,
+                   frame[(len(frame) + 1) // 2] AS med_micro
+            FROM framed
+        )
+        SELECT event_id, event_type, vm AS value_micro, med_micro,
+               list_sort(list_transform(frame, v -> abs(v - med_micro)))
+                   [(len(frame) + 1) // 2] AS mad_micro,
+               CAST(abs(vm - med_micro) * 10000
+                    > 44478 * list_sort(list_transform(frame,
+                          v -> abs(v - med_micro)))
+                          [(len(frame) + 1) // 2]
+                    AS BIGINT) AS is_outlier
+        FROM med
+    """,
+    phase="P3",
+    tags=("quality", "outlier", "robust", "window"),
+)
+def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: flag each event whose value sits more than
+    3 x 1.4826 x MAD from the rolling median of its trailing 7-event
+    frame per type — THE robust streaming outlier detector (immune to
+    the outliers polluting their own threshold, unlike z-scores; see
+    anomaly_zscore for the parametric cousin).
+
+    All-integer construction: micro-quantized values, DISCRETE medians
+    (lower-middle pick via floor division — Spark truncates double→int
+    toward zero but DuckDB CAST rounds, so neither engine casts), and
+    the 3 x 1.4826 threshold compared as |x - med| * 10000 > 44478 * MAD
+    — exact BIGINT on both sides. Scale shape: same as
+    win_rolling_median — bounded O(7) frame state inside JVM window
+    codegen, one event_type partition exchange, no pandas; the frame
+    materializes ONCE via withColumn and both robust statistics read
+    it."""
+    e = load(spark, sf_dir, "events")
+    vm = micro(F.col("value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = (
+        e.select("event_id", "event_type", "ts", vm.alias("vm"))
+        .withColumn("frame", F.array_sort(F.collect_list("vm").over(w)))
+        .drop("ts")
+    )
+    n = F.size("frame")
+    mid = F.floor((n + 1) / 2).cast("int")
+    with_med = framed.withColumn(
+        "med_micro", F.element_at("frame", mid)
+    )
+    diffs = F.array_sort(
+        F.transform("frame", lambda v: F.abs(v - F.col("med_micro")))
+    )
+    with_mad = with_med.withColumn(
+        "mad_micro",
+        F.element_at(diffs, F.floor((F.size("frame") + 1) / 2).cast("int")),
+    )
+    return with_mad.select(
+        "event_id",
+        "event_type",
+        F.col("vm").alias("value_micro"),
+        "med_micro",
+        "mad_micro",
+        (
+            F.abs(F.col("vm") - F.col("med_micro")) * F.lit(10000)
+            > F.lit(44478) * F.col("mad_micro")
+        )
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

@@ -689,3 +689,67 @@ def etl_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_date").cast("timestamp").alias("max_date"),
         overlap.cast("bigint").alias("must_read"),
     )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle=None,  # IO round-trip through a tempdir (two parquet
+    # generations + mergeSchema read-back) — not SQL-expressible; the
+    # ok flag folds the invariants and test_etl.py asserts it
+    phase="P3",
+    tags=("etl", "schema-evolution", "io"),
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the data-integration
+    reality every lake hits: generation 1 wrote (key, price); a later
+    producer added a column and generation 2 wrote (key, price,
+    priority). A mergeSchema read must present ONE unified schema with
+    nulls where old files lack the column, losing no rows. Emits one
+    summary row; ok=True folds the invariants (row conservation, null
+    accounting, schema width) and is asserted in test_etl.py.
+
+    At scale this is why explicit schemas + additive-only evolution are
+    the contract: mergeSchema costs a footer read per FILE (metadata
+    scale), and non-additive changes (type narrowing, renames) need a
+    rewrite — see etl_compaction_plan for the rewrite scheduler."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="etl_evolve_")
+    try:
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.mode("overwrite").parquet(out + "/gen=1")
+        v2.write.mode("overwrite").parquet(out + "/gen=2")
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(out + "/gen=1", out + "/gen=2")
+            .localCheckpoint(eager=True)  # outlive the tempdir
+        )
+        n1, n2 = v1.count(), v2.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum(
+            F.col("o_orderpriority").isNull().cast("bigint")
+        ).alias("n_null_priority"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+    return stats.select(
+        F.lit(n1).alias("n_v1"),
+        F.lit(n2).alias("n_v2"),
+        "n_merged",
+        "n_null_priority",
+        (
+            (F.col("n_merged") == n1 + n2)
+            & (F.col("n_null_priority") == n1)
+            & (F.col("n_keys") == n1 + n2)
+            & F.lit(len(merged.columns) == 3)
+        ).alias("ok"),
+    )

@@ -365,3 +365,19 @@ def test_zorder_layout_partitions_the_table(spark, sf_dir):
             f"file {r.file_id} custkey box {r.min_ck}..{r.max_ck} "
             f"wider than one stripe ({stripe})"
         )
+
+
+def test_schema_evolution_ok(spark, sf_dir):
+    """mergeSchema read across two parquet generations: rows conserved,
+    nulls exactly where the old generation lacks the column, unified
+    3-column schema."""
+    from data_integration_tool_spark import registry
+
+    row = (
+        registry.specs()["etl_schema_evolution"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row.ok is True
+    assert row.n_merged == row.n_v1 + row.n_v2 > 0
+    assert row.n_null_priority == row.n_v1
