@@ -65,3 +65,13 @@ def hash_cutoff(rate: Column) -> Column:
         8,
         "0",
     )
+
+
+CENTS_SQL = "CAST(floor({x} * 100.0 + 0.5) AS BIGINT)"
+
+
+def cents(x: Column) -> Column:
+    """Quantize a currency (float) column to integer cents — the
+    2-decimal sibling of ``micro``, for TPC-H money columns whose
+    stored precision is exactly 2 dp."""
+    return F.floor(x.cast("double") * 100.0 + F.lit(0.5)).cast("bigint")

@@ -615,8 +615,15 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reassembly. At 100 TB every stage is linear; nothing
     driver-side ever sees a segment."""
     d = load(spark, sf_dir, "documents")
-    total_docs = d.count()  # scalar: corpus size sets the df threshold
-    min_docs = max(_BOILER_MIN_DOCS, _BOILER_DOC_FRAC * total_docs)
+    # The corpus-size-dependent threshold stays IN the plan (broadcast
+    # 1-row global, the mixture_plan pattern) — an eager d.count() here
+    # would launch a full extra corpus scan at plan-BUILD time, before
+    # the query even runs (review finding, r6 continuation).
+    total = d.agg(F.count(F.lit(1)).alias("total_docs"))
+    min_docs = F.greatest(
+        F.lit(float(_BOILER_MIN_DOCS)),
+        F.lit(_BOILER_DOC_FRAC) * F.col("total_docs"),
+    )
     segs = (
         d.select("doc_id", F.split("text", " ").alias("words"))
         .select(
@@ -640,7 +647,8 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= F.lit(min_docs))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") >= min_docs)
         .select("seg", F.lit(True).alias("is_boiler"))
     )
     flagged = segs.join(F.broadcast(boiler), "seg", "left").select(

@@ -541,8 +541,7 @@ _BENFORD_MICRO = (
             WHERE o_totalprice >= 1.0
         ),
         obs AS (
-            SELECT d, count(*) AS n_obs,
-                   (SELECT count(*) FROM digits) AS n_total
+            SELECT d, count(*) AS n_obs
             FROM digits GROUP BY d
         ),
         expected(d, exp_micro) AS (VALUES

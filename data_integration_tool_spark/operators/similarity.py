@@ -1181,6 +1181,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).collect()[0]  # driver-scalar: 45 moment scalars -> d x d eigensolve
     n = mom["n"]
+    if not n:
+        # Degenerate: empty corpus. The oracle's NULL-propagating CTEs
+        # also emit zero rows; mirror that without crashing the
+        # iteration on None moments.
+        return q.select(
+            "vec_id", "label", F.lit(None).cast("bigint").alias("pc1_score")
+        ).filter(F.lit(False))
     s = [mom[f"s{i}"] for i in range(d)]
     p = {(i, j): mom[f"p{i}_{j}"] for i, j in pairs}
     # Power iteration in exact Python ints + IEEE doubles — the same
@@ -1198,7 +1205,10 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [int(_PCA_FIX)] * d
     for _ in range(_PCA_ITERS):
         u = [sum(mat[i][j] * v[i] for i in range(d)) for j in range(d)]
-        mx = max(abs(x) for x in u)
+        # `or 1` guards the all-constant corpus (zero scatter matrix →
+        # mx = 0); real fixtures never hit it, and the oracle's NULL
+        # propagation only diverges on that same degenerate input
+        mx = max(abs(x) for x in u) or 1
         v = [
             math.floor(float(x) * _PCA_FIX / float(mx)) for x in u
         ]

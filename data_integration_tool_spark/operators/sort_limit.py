@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import HASH_CUTOFF_SQL, MICRO_SQL, hash_cutoff, micro
+from ..exprs import (
+    HASH_CUTOFF_SQL,
+    MICRO_SQL,
+    cents,
+    hash_cutoff,
+    micro,
+)
 from ..io import load
 from ..registry import query
 
@@ -371,13 +377,10 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics hash identically; the band is min/max over B tiny rows.
     The point estimate rides the plain non-fanned agg branch."""
     o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
-        "bigint"
-    )
     fanned = (
         o.select(
             F.col("o_orderpriority").alias("priority"),
-            cents.alias("cents"),
+            cents(F.col("o_totalprice")).alias("cents"),
             F.col("o_orderkey"),
             F.explode(
                 F.sequence(F.lit(0), F.lit(_BOOT_REPS // 4 - 1))
@@ -421,7 +424,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     point = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.floor(
-            F.sum(cents).cast("double")
+            F.sum(cents(F.col("o_totalprice"))).cast("double")
             / F.count(F.lit(1))
             * F.lit(10000.0)
             + F.lit(0.5)

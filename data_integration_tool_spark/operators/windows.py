@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import MICRO_SQL, micro
+from ..exprs import MICRO_SQL, cents, micro
 from ..io import load
 from ..registry import query
 
@@ -566,12 +566,9 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows for decades), sharing one sort. Integer cents throughout. The
     monotone-peak identity (peak never decreases) is pytest-pinned."""
     o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
-        "bigint"
-    )
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(F.sum(cents).alias("daily_cents"))
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("daily_cents"))
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

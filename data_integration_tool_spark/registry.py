@@ -181,7 +181,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- 50-entry window ends HERE: graph_link_predict is entry 49
     # (0-indexed); everything below falls past the driver's recording
     # cut — r1 proof stands for the oldest greens. r7 rotation: the
-    # ten post-cut r6 additions first (ts_resample_ohlc,
+    # post-cut r6-continuation additions first — NONE of them are in
+    # this tuple yet; they currently sit past the recording cut by
+    # design (the r6 window was already full of fixed reds and
+    # never-checked names) and the r7 rotation must insert them:
+    # (ts_resample_ohlc,
     # text_boilerplate_strip, join_bloom_prefilter, agg_count_min,
     # etl_compaction_plan, emb_pca_project, etl_manifest_prune,
     # agg_hll_manual, sample_poisson_bootstrap, fn_url, win_drawdown,

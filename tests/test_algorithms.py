@@ -748,10 +748,11 @@ def test_pca_projection_beats_axis_variance(spark, sf_dir):
         .select("embedding")
         .collect()
     ]
-    q = [
-        [int((x * 1000.0) + 0.5) if x >= 0 else -int((-x * 1000.0) + 0.5) for x in e[:8]]
-        for e in embs
-    ]
+    import math as _mf
+
+    # floor(x*1000 + 0.5) EXACTLY as the operator quantizes — an
+    # int()-truncation form rounds negative half-ties the other way
+    q = [[_mf.floor(x * 1000.0 + 0.5) for x in e[:8]] for e in embs]
     axis_var = max(
         statistics.pvariance([row[i] for row in q]) for i in range(8)
     )
