@@ -221,3 +221,36 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scheme"),
         )
     )
+
+
+@query(
+    "fn_binary",
+    oracle="""
+        SELECT c_custkey,
+               to_base64(CAST(c_name AS BLOB)) AS name_b64,
+               CAST(decode(from_base64(to_base64(CAST(c_name AS BLOB))))
+                    AS VARCHAR) AS name_roundtrip,
+               lower(to_hex(CAST(c_name AS BLOB))) AS name_hex,
+               CAST(octet_length(CAST(c_name AS BLOB)) AS BIGINT)
+                 AS name_bytes
+        FROM customer
+    """,
+    phase="P2",
+    tags=("function", "binary", "encoding"),
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding function family: base64 encode + decode
+    round-trip, hex rendering, byte length — the content-addressing
+    and wire-format primitives (blob keys, payload envelopes). ASCII
+    fixture names make string↔blob casts byte-exact in both engines
+    (guarded by the multimodal ASCII fixture test). Map-only,
+    codegen'd, scan-stage at any scale."""
+    c = load(spark, sf_dir, "customer")
+    blob = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.base64(blob).alias("name_b64"),
+        F.unbase64(F.base64(blob)).cast("string").alias("name_roundtrip"),
+        F.lower(F.hex(blob)).alias("name_hex"),
+        F.octet_length("c_name").cast("bigint").alias("name_bytes"),
+    )

@@ -753,3 +753,76 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.lit(len(merged.columns) == 3)
         ).alias("ok"),
     )
+
+
+@query(
+    "etl_partition_layout",
+    oracle=None,  # IO round-trip through a hive-partitioned tempdir —
+    # the ok flag folds row conservation + physical partition pruning
+    # (inputFiles inspection) and test_etl.py asserts it
+    phase="P3",
+    tags=("etl", "partitioning", "io"),
+)
+def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip: write orders partitioned by
+    order year (`.partitionBy` → one directory per year), then prove
+    the property the layout exists for — a reader filtering on the
+    partition column touches ONLY that year's files (partition pruning
+    at the FILE level, before any row is read). Emits one summary row;
+    ok folds row conservation across the round trip plus the pruning
+    proof (every scanned file path carries `o_year=1995`).
+
+    This is the other half of etl_manifest_prune: zone maps skip files
+    WITHIN a physical layout, directory partitioning makes the skip
+    structural. At 100 TB the partition column choice IS the dominant
+    query-cost decision (year/tenant/source), and over-partitioning
+    (high-cardinality keys → millions of tiny files) is the classic
+    failure — which is why the partition key here is year-grain, and
+    why etl_compaction_plan exists downstream."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = tempfile.mkdtemp(prefix="etl_partlay_")
+    try:
+        o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+        back_all = spark.read.parquet(out)
+        n_all = back_all.count()
+        pruned = back_all.filter(F.col("o_year") == 1995)
+        # Pruning proof must observe EXECUTION, not plan metadata:
+        # DataFrame.inputFiles() lists the whole FileIndex before
+        # partition pruning (verified: returns every year's files), so
+        # the files actually read are collected via input_file_name()
+        # THROUGH the pruned scan.
+        scanned = pruned.select(
+            F.input_file_name().alias("f")
+        ).agg(
+            F.count(F.lit(1)).alias("n_pruned"),
+            F.count_distinct("f").alias("n_files"),
+            F.min(F.col("f").contains("o_year=1995")).alias("all_1995"),
+        ).first()
+        n_1995 = o.filter(F.col("o_year") == 1995).count()
+        n_src = o.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                n_all,
+                n_1995,
+                scanned["n_pruned"],
+                scanned["n_files"],
+                bool(
+                    n_all == n_src
+                    and scanned["n_pruned"] == n_1995
+                    and scanned["all_1995"]
+                    and scanned["n_files"] >= 1
+                ),
+            )
+        ],
+        "n_src bigint, n_roundtrip bigint, n_1995_src bigint, "
+        "n_1995_pruned bigint, n_pruned_files bigint, ok boolean",
+    )

@@ -381,3 +381,19 @@ def test_schema_evolution_ok(spark, sf_dir):
     assert row.ok is True
     assert row.n_merged == row.n_v1 + row.n_v2 > 0
     assert row.n_null_priority == row.n_v1
+
+
+def test_partition_layout_prunes(spark, sf_dir):
+    """Hive-partitioned round-trip: rows conserved, and the pruned read
+    physically touched only o_year=1995 files (input_file_name proof)."""
+    from data_integration_tool_spark import registry
+
+    row = (
+        registry.specs()["etl_partition_layout"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row.ok is True
+    assert row.n_roundtrip == row.n_src > 0
+    assert row.n_1995_pruned == row.n_1995_src
+    assert row.n_pruned_files >= 1
