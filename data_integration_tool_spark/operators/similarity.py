@@ -1219,3 +1219,106 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.col(f"q{i}") * F.lit(v[i])
         proj = term if proj is None else proj + term
     return q.select("vec_id", "label", proj.alias("pc1_score"))
+
+
+# RRF fusion constant (Cormack et al.'s k=60) and the fixed lexical
+# query — three corpus-vocabulary terms, shared verbatim with the
+# oracle.
+_RRF_K = 60
+_RRF_TERMS = ("vector", "join", "hash")
+
+
+@query(
+    "sim_rerank_rrf",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT d.doc_id,
+                   len(list_intersect(
+                       list_distinct(string_split(lower(d.text), ' ')),
+                       {list(_RRF_TERMS)})) AS lex_score,
+                   {_duck_cosine('e.embedding', 'q.qe')} AS cos_score
+            FROM documents d
+            JOIN embeddings e ON d.doc_id = e.vec_id
+            CROSS JOIN q
+            WHERE e.vec_id <> 0
+        ),
+        ranked AS (
+            SELECT doc_id, lex_score,
+                   row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                     AS lex_rank,
+                   row_number() OVER (ORDER BY cos_score DESC, doc_id)
+                     AS vec_rank
+            FROM cand
+        )
+        SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               CAST(floor((1.0 / ({_RRF_K} + lex_rank)
+                           + 1.0 / ({_RRF_K} + vec_rank)) * 1000000.0
+                          + 0.5) AS BIGINT) AS rrf_micro
+        FROM ranked
+        ORDER BY rrf_micro DESC, doc_id
+        LIMIT 20
+    """,
+    phase="P4",
+    tags=("similarity", "retrieval", "fusion"),
+)
+def sim_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — the standard hybrid
+    RAG ranking (Cormack's RRF, k=60): a lexical ranking (count of
+    fixed query terms in the doc's token set) and a vector ranking
+    (cosine to the query embedding) fuse as Σ 1/(k + rank), which
+    needs NO score normalization across heterogeneous retrievers.
+
+    Determinism: both rankings are row_number with doc_id tiebreaks
+    (rank ties on equal scores resolve identically in both engines);
+    the fused score quantizes to micro ints from small-integer
+    reciprocals (identical IEEE ops). Scale shape: the candidate set
+    of a fusion step is the UNION OF TOP-Ks from upstream retrievers
+    (inherently bounded — here stood in by the docs-with-embeddings
+    join), so the two global rank windows run at candidate grain, not
+    corpus grain; the cosine pass is the same broadcast-probe scan as
+    sim_knn_exact."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    cand = (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.lower("text"), " ")),
+                    F.array(*[F.lit(t) for t in _RRF_TERMS]),
+                )
+            ).alias("lex_score"),
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_score"),
+        )
+    )
+    w_lex = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    w_vec = Window.orderBy(F.desc("cos_score"), F.asc("doc_id"))
+    ranked = cand.select(
+        "doc_id",
+        F.row_number().over(w_lex).cast("bigint").alias("lex_rank"),
+        F.row_number().over(w_vec).cast("bigint").alias("vec_rank"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank"))
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.floor(rrf * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(20)
+    )
