@@ -18,7 +18,7 @@ sharded in practice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import HASH_CUTOFF_SQL, hash_cutoff
@@ -682,4 +682,57 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_md5"),
         )
+    )
+
+
+@query(
+    "mixture_token_budget",
+    oracle="""
+        WITH per_lang AS (
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS tokens
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, tokens,
+               CAST(min(tokens) OVER () AS BIGINT) AS target_tokens,
+               CAST(floor(CAST(min(tokens) OVER () AS DOUBLE)
+                          * 1000000.0 / tokens) AS BIGINT) AS rate_micro
+        FROM per_lang
+    """,
+    phase="P4",
+    tags=("curation", "mixture", "tokens"),
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budgeted mixture planning — the form training mixtures are
+    actually specified in (docs-grain `mixture_plan` equalizes document
+    counts; training budgets equalize TOKENS): per-language token
+    totals, the uniform per-language token target (the smallest
+    language's total — no upsampling), and the keep-rate that hits it.
+    Feed the rates to `mixture_sample`'s hash-consistent filter to
+    execute the plan.
+
+    Scale shape: token counting is a map-side array-length expression
+    folded into ONE combinable per-lang aggregate (the only data-scale
+    stage); the target and rates are windows over the languages
+    relation (rows = #languages). Integer tokens, micro-integer rates:
+    hash-exact."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    target = F.min("tokens").over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        target.cast("bigint").alias("target_tokens"),
+        F.floor(
+            target.cast("double") * F.lit(1000000.0) / F.col("tokens")
+        )
+        .cast("bigint")
+        .alias("rate_micro"),
     )

@@ -726,3 +726,98 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_micro"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+        WITH anchors AS (
+            SELECT DISTINCT o_custkey % 150 AS k,
+                   TIMESTAMP '2024-01-15 00:00:00'
+                     + INTERVAL (o_orderkey % 14) DAY AS anchor
+            FROM orders
+        ),
+        nearest AS (
+            SELECT k, anchor, event_id, ts FROM (
+                SELECT a.k, a.anchor, e.event_id, e.ts,
+                       row_number() OVER (
+                           PARTITION BY a.k, a.anchor
+                           ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                                        - epoch_us(a.anchor)),
+                                    e.event_id
+                       ) AS rn
+                FROM anchors a JOIN events e ON e.user_id = a.k
+            ) WHERE rn = 1
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               n.event_id AS nearest_event_id,
+               CAST(n.ts AS TIMESTAMP) AS nearest_event_ts,
+               CAST(abs(epoch_us(CAST(n.ts AS TIMESTAMP))
+                        - epoch_us(n.anchor)) AS BIGINT) AS gap_us
+        FROM orders o
+        JOIN nearest n
+          ON n.k = o.o_custkey % 150
+         AND n.anchor = TIMESTAMP '2024-01-15 00:00:00'
+                          + INTERVAL (o_orderkey % 14) DAY
+    """,
+    phase="P3",
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-asof join: the event CLOSEST in time to each order's
+    anchor, either direction — the sensor/trade alignment semantics
+    (pandas merge_asof direction='nearest') that backward-only
+    ``join_asof`` can't express.
+
+    Scalable shape: the probe side first DEDUPLICATES to its distinct
+    (key, anchor) pairs — here ≤ keys x 14 anchor days, and in any real
+    workload a tiny fraction of probe rows — so the expensive
+    event-side work runs once per distinct anchor, then equi-joins back
+    to the full probe. The per-anchor candidate scan is a bounded
+    window (rank by |Δt|), and at 100 TB you'd band events into ±1-day
+    cells first (the join_range_grid trick) so each anchor reads two
+    cells instead of its key's full history. Integer µs gaps:
+    hash-exact."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-15 00:00:00").cast("timestamp") + (
+        F.col("o_orderkey") % 14
+    ).cast("int") * F.expr("INTERVAL 1 DAY")
+    ords = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 150).alias("k"),
+        anchor.alias("anchor"),
+    )
+    anchors = ords.select("k", "anchor").distinct()
+    cand = anchors.join(e, anchors.k == e.user_id).select(
+        "k",
+        "anchor",
+        "event_id",
+        "ts",
+        F.abs(
+            F.unix_micros("ts") - F.unix_micros("anchor")
+        ).alias("gap_us"),
+    )
+    w = Window.partitionBy("k", "anchor").orderBy("gap_us", "event_id")
+    nearest = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("nk"),
+            F.col("anchor").alias("nanchor"),
+            F.col("event_id").alias("nearest_event_id"),
+            F.col("ts").alias("nearest_event_ts"),
+            "gap_us",
+        )
+    )
+    return ords.join(
+        nearest,
+        (ords.k == nearest.nk) & (ords.anchor == nearest.nanchor),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "nearest_event_id",
+        "nearest_event_ts",
+        F.col("gap_us").cast("bigint").alias("gap_us"),
+    )

@@ -190,10 +190,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # etl_compaction_plan, emb_pca_project, etl_manifest_prune,
     # agg_hll_manual, sample_poisson_bootstrap, fn_url, win_drawdown,
     # dq_benford, agg_bitmap_presence, win_hampel_outliers,
-    # graph_bfs_hops, fn_binary, sim_rerank_rrf — all exact-checked,
-    # never driver-rowed — plus rows-only stream_session_true,
-    # etl_schema_evolution, and etl_partition_layout, whose invariants
-    # are pytest-pinned),
+    # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
+    # mixture_token_budget — all exact-checked, never driver-rowed —
+    # plus rows-only stream_session_true, etl_schema_evolution, and
+    # etl_partition_layout, whose invariants are pytest-pinned),
     # then scan_parquet..project_expr and the remaining r1 greens
     # (joins, agg_group/global/distinct/having/stats, win_*,
     # sort/limit, setops), plus a fresh sample_stratified row. ---
