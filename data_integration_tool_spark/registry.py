@@ -191,7 +191,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_hll_manual, sample_poisson_bootstrap, fn_url, win_drawdown,
     # dq_benford, agg_bitmap_presence, win_hampel_outliers,
     # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
-    # mixture_token_budget — all exact-checked, never driver-rowed —
+    # mixture_token_budget, ts_cusum_alarm — all exact-checked, never
+    # driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution, and
     # etl_partition_layout, whose invariants are pytest-pinned),
     # then scan_parquet..project_expr and the remaining r1 greens

@@ -856,3 +856,102 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_micro").alias("volume_micro"),
         )
     )
+
+
+@query(
+    "ts_cusum_alarm",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS tot_micro
+            FROM events GROUP BY 1, 2
+        ),
+        dev AS (
+            SELECT event_type, day, tot_micro,
+                   tot_micro - CAST(floor(
+                       CAST(sum(tot_micro) OVER (PARTITION BY event_type)
+                            AS DOUBLE)
+                       / count(*) OVER (PARTITION BY event_type))
+                     AS BIGINT) AS d,
+                   2 * CAST(floor(
+                       CAST(sum(tot_micro) OVER (PARTITION BY event_type)
+                            AS DOUBLE)
+                       / count(*) OVER (PARTITION BY event_type))
+                     AS BIGINT) AS h
+            FROM daily
+        ),
+        curve AS (
+            SELECT event_type, day, tot_micro, h,
+                   CAST(sum(d) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+            FROM dev
+        ),
+        reflected AS (
+            SELECT event_type, day, tot_micro, h, cs,
+                   CAST(least(0, min(cs) OVER (PARTITION BY event_type
+                        ORDER BY day ROWS UNBOUNDED PRECEDING))
+                     AS BIGINT) AS runmin
+            FROM curve
+        )
+        SELECT event_type, day, tot_micro,
+               cs - runmin AS cusum_micro,
+               CAST(CASE WHEN cs - runmin > h THEN 1 ELSE 0 END
+                    AS BIGINT) AS alarm
+        FROM reflected
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "changepoint"),
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point monitor over daily per-type volume:
+    s_i = max(0, s_{i-1} + (x_i − target)) with an alarm when the
+    accumulated positive drift exceeds 2× the per-type daily mean — the
+    classical sequential drift detector (Page's test) behind volume /
+    cost / error-rate monitors.
+
+    The recursion LOOKS window-inexpressible (each s depends on the
+    previous s, the win_ewma class), but the reflection identity
+    s_i = cs_i − min(0, min_{j≤i} cs_j) turns it into a running sum
+    plus a running minimum — two stacked unbounded windows sharing one
+    sort, NO Python kernel, NO recursive CTE. All-integer micro
+    arithmetic end to end. Scale shape: the data-sized stage is the
+    combinable (type, day) agg; both windows run at day grain per
+    type."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(micro(F.col("value"))).alias("tot_micro"))
+    w_type = Window.partitionBy("event_type")
+    target = F.floor(
+        F.sum("tot_micro").over(w_type).cast("double")
+        / F.count(F.lit(1)).over(w_type)
+    ).cast("bigint")
+    dev = daily.select(
+        "event_type",
+        "day",
+        "tot_micro",
+        (F.col("tot_micro") - target).alias("d"),
+        (2 * target).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = dev.select(
+        "event_type",
+        "day",
+        "tot_micro",
+        "h",
+        F.sum("d").over(w).alias("cs"),
+    ).withColumn("runmin", F.least(F.lit(0), F.min("cs").over(w)))
+    return curve.select(
+        "event_type",
+        "day",
+        "tot_micro",
+        (F.col("cs") - F.col("runmin")).alias("cusum_micro"),
+        (F.col("cs") - F.col("runmin") > F.col("h"))
+        .cast("bigint")
+        .alias("alarm"),
+    )
