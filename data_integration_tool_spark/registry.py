@@ -193,8 +193,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
     # mixture_token_budget, ts_cusum_alarm — all exact-checked, never
     # driver-rowed —
-    # plus rows-only stream_session_true, etl_schema_evolution, and
-    # etl_partition_layout, whose invariants are pytest-pinned),
+    # plus rows-only stream_session_true, etl_schema_evolution,
+    # etl_partition_layout, and etl_clustered_write, whose invariants
+    # are pytest-pinned),
     # then scan_parquet..project_expr and the remaining r1 greens
     # (joins, agg_group/global/distinct/having/stats, win_*,
     # sort/limit, setops), plus a fresh sample_stratified row. ---

@@ -826,3 +826,86 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src bigint, n_roundtrip bigint, n_1995_src bigint, "
         "n_1995_pruned bigint, n_pruned_files bigint, ok boolean",
     )
+
+
+@query(
+    "etl_clustered_write",
+    oracle=None,  # IO round-trip comparing two physical layouts through
+    # a tempdir; the ok flag folds the clustering invariant and
+    # test_etl.py asserts it
+    phase="P3",
+    tags=("etl", "clustering", "io"),
+)
+def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY clustering matters, measured: write orders twice at the same
+    8-file count — hash-distributed vs range-clustered on o_totalprice
+    (repartitionByRange + sortWithinPartitions) — read both back, build
+    each layout's zone-map manifest (per-file min/max price via
+    input_file_name), and compare total envelope coverage. The
+    clustered layout's summed per-file price spans must come in under
+    a quarter of the hash layout's (they tile the domain instead of
+    each spanning all of it), which is exactly the multiplier
+    etl_manifest_prune's skipping gets from it. Emits one summary row;
+    ok folds row conservation + the envelope contraction.
+
+    At 100 TB this is the OPTIMIZE ZORDER / CLUSTER BY decision:
+    range-clustering costs one extra shuffle at write time and buys
+    every future range-predicate scan a ~files-fold envelope
+    reduction (see etl_zorder_layout for the multi-column variant)."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="etl_cluster_")
+    try:
+        o.repartition(8).write.mode("overwrite").parquet(base + "/hash")
+        (
+            o.repartitionByRange(8, "o_totalprice")
+            .sortWithinPartitions("o_totalprice")
+            .write.mode("overwrite")
+            .parquet(base + "/range")
+        )
+
+        def envelope(path: str):
+            manifest = (
+                spark.read.parquet(path)
+                .select(
+                    F.input_file_name().alias("f"), "o_totalprice"
+                )
+                .groupBy("f")
+                .agg(
+                    (F.max("o_totalprice") - F.min("o_totalprice")).alias(
+                        "span"
+                    ),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            row = manifest.agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum("span").alias("span_total"),
+                F.sum("n").alias("rows"),
+            ).first()
+            return row["files"], float(row["span_total"]), row["rows"]
+
+        h_files, h_span, h_rows = envelope(base + "/hash")
+        r_files, r_span, r_rows = envelope(base + "/range")
+        n_src = o.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                h_files,
+                r_files,
+                int(h_span * 100),
+                int(r_span * 100),
+                bool(
+                    h_rows == r_rows == n_src
+                    and r_span < h_span / 4.0
+                ),
+            )
+        ],
+        "n_src bigint, hash_files bigint, range_files bigint, "
+        "hash_span_cents bigint, range_span_cents bigint, ok boolean",
+    )

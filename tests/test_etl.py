@@ -397,3 +397,18 @@ def test_partition_layout_prunes(spark, sf_dir):
     assert row.n_roundtrip == row.n_src > 0
     assert row.n_1995_pruned == row.n_1995_src
     assert row.n_pruned_files >= 1
+
+
+def test_clustered_write_tightens_envelopes(spark, sf_dir):
+    """Range-clustered files tile the price domain: summed per-file
+    min/max spans must be far under the hash layout's (files-fold)."""
+    from data_integration_tool_spark import registry
+
+    row = (
+        registry.specs()["etl_clustered_write"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    assert row.ok is True
+    assert row.range_span_cents * 4 < row.hash_span_cents
+    assert row.hash_files == row.range_files == 8
