@@ -1253,9 +1253,9 @@ _RRF_TERMS = ("vector", "join", "hash")
         )
         SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
                CAST(vec_rank AS BIGINT) AS vec_rank,
-               CAST(floor((1.0 / ({_RRF_K} + lex_rank)
-                           + 1.0 / ({_RRF_K} + vec_rank)) * 1000000.0
-                          + 0.5) AS BIGINT) AS rrf_micro
+               {MICRO_SQL.format(
+                   x=f"(1.0 / ({_RRF_K} + lex_rank)"
+                     f" + 1.0 / ({_RRF_K} + vec_rank))")} AS rrf_micro
         FROM ranked
         ORDER BY rrf_micro DESC, doc_id
         LIMIT 20
@@ -1315,9 +1315,7 @@ def sim_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lex_rank",
             "vec_rank",
-            F.floor(rrf * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("rrf_micro"),
+            micro(rrf).alias("rrf_micro"),
         )
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(20)

@@ -758,8 +758,9 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_partition_layout",
     oracle=None,  # IO round-trip through a hive-partitioned tempdir —
-    # the ok flag folds row conservation + physical partition pruning
-    # (inputFiles inspection) and test_etl.py asserts it
+    # the ok flag folds row conservation + the PLAN-level partition
+    # filter (executedPlan PartitionFilters — the mechanism that skips
+    # files) and test_etl.py asserts it
     phase="P3",
     tags=("etl", "partitioning", "io"),
 )
@@ -767,10 +768,19 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned layout round-trip: write orders partitioned by
     order year (`.partitionBy` → one directory per year), then prove
     the property the layout exists for — a reader filtering on the
-    partition column touches ONLY that year's files (partition pruning
-    at the FILE level, before any row is read). Emits one summary row;
-    ok folds row conservation across the round trip plus the pruning
-    proof (every scanned file path carries `o_year=1995`).
+    partition column skips other years' files BEFORE any row is read.
+
+    The pruning proof is necessarily PLAN-level: the executed plan's
+    FileScan must carry the o_year predicate under ``PartitionFilters``
+    (the mechanism that makes the FileIndex drop non-matching
+    directories). Runtime file observation CANNOT prove pruning —
+    ``input_file_name()`` only surfaces files that produced SURVIVING
+    rows, and surviving rows come from the matching directory by
+    construction of hive partitioning whether pruning ran or not (a
+    first version of this harness fell into exactly that vacuous-proof
+    trap; review-caught). ``DataFrame.inputFiles()`` is equally invalid
+    in the other direction: it lists the pre-pruning FileIndex. The
+    runtime file set still rides along as a consistency check.
 
     This is the other half of etl_manifest_prune: zone maps skip files
     WITHIN a physical layout, directory partitioning makes the skip
@@ -791,11 +801,11 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         back_all = spark.read.parquet(out)
         n_all = back_all.count()
         pruned = back_all.filter(F.col("o_year") == 1995)
-        # Pruning proof must observe EXECUTION, not plan metadata:
-        # DataFrame.inputFiles() lists the whole FileIndex before
-        # partition pruning (verified: returns every year's files), so
-        # the files actually read are collected via input_file_name()
-        # THROUGH the pruned scan.
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = plan[plan.index("PartitionFilters:"):].split("]", 1)[0] if (
+            "PartitionFilters:" in plan
+        ) else ""
+        plan_prunes = "o_year" in pf
         scanned = pruned.select(
             F.input_file_name().alias("f")
         ).agg(
@@ -803,28 +813,33 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("f").alias("n_files"),
             F.min(F.col("f").contains("o_year=1995")).alias("all_1995"),
         ).first()
-        n_1995 = o.filter(F.col("o_year") == 1995).count()
-        n_src = o.count()
+        src = o.agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.count(F.when(F.col("o_year") == 1995, 1)).alias("n_1995"),
+        ).first()
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
-                n_src,
+                src["n_src"],
                 n_all,
-                n_1995,
+                src["n_1995"],
                 scanned["n_pruned"],
                 scanned["n_files"],
+                bool(plan_prunes),
                 bool(
-                    n_all == n_src
-                    and scanned["n_pruned"] == n_1995
+                    plan_prunes
+                    and n_all == src["n_src"]
+                    and scanned["n_pruned"] == src["n_1995"]
                     and scanned["all_1995"]
                     and scanned["n_files"] >= 1
                 ),
             )
         ],
         "n_src bigint, n_roundtrip bigint, n_1995_src bigint, "
-        "n_1995_pruned bigint, n_pruned_files bigint, ok boolean",
+        "n_1995_pruned bigint, n_pruned_files bigint, "
+        "plan_prunes boolean, ok boolean",
     )
 
 
