@@ -1020,3 +1020,130 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.bit_or(mask)).cast("bigint").alias("n_active_months"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- pairwise correlation matrix -----------------------------------------
+
+# (name, integer-quantized expression) per measure. Quantization makes
+# every first/second moment an exact BIGINT so the final Pearson ratio
+# is the same IEEE double expression over identical operands on both
+# engines (the ts_autocorr house pattern) — engine-native corr() uses
+# different one-pass update rules and is NOT cross-engine stable.
+# Bounds: price ≤ 105_000 units → Σx² ≤ 1.1e10·rows, inside int64 up to
+# ~10^8 rows; beyond that, re-scale the quantization grid.
+_CORR_MEASURES = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("extendedprice", "CAST(floor(l_extendedprice + 0.5) AS BIGINT)"),
+    ("discount", "CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT)"),
+    ("tax", "CAST(floor(l_tax * 1000000.0 + 0.5) AS BIGINT)"),
+)
+_CORR_PAIRS = [
+    (_CORR_MEASURES[i][0], _CORR_MEASURES[j][0])
+    for i in range(len(_CORR_MEASURES))
+    for j in range(i + 1, len(_CORR_MEASURES))
+]
+
+
+def _pearson_sql(a: str, b: str) -> str:
+    """Pearson corr from integer moment columns s_{a}, s2_{a}, sxy_…"""
+    sxy = f"sxy_{a}_{b}"
+    return (
+        f"(CAST(n AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / (sqrt(CAST(n AS DOUBLE) * CAST(s2_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * sqrt(CAST(n AS DOUBLE) * CAST(s2_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+    )
+
+
+_CORR_MOMENTS_SQL = ", ".join(
+    [
+        "CAST(count(*) AS BIGINT) AS n",
+        *[
+            f"CAST(sum({expr}) AS BIGINT) AS s_{nm}"
+            for nm, expr in _CORR_MEASURES
+        ],
+        *[
+            f"CAST(sum(({expr}) * ({expr})) AS BIGINT) AS s2_{nm}"
+            for nm, expr in _CORR_MEASURES
+        ],
+        *[
+            f"CAST(sum(({ea}) * ({eb})) AS BIGINT) AS sxy_{na}_{nb}"
+            for i, (na, ea) in enumerate(_CORR_MEASURES)
+            for nb, eb in [m for m in _CORR_MEASURES[i + 1 :]]
+        ],
+    ]
+)
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+        WITH moments AS (SELECT {_CORR_MOMENTS_SQL} FROM lineitem)
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows, "
+            f"CAST(floor(({_pearson_sql(a, b)}) * 1000000.0 + 0.5) "
+            f"AS BIGINT) AS corr_micro FROM moments"
+            for a, b in _CORR_PAIRS
+        )}
+        ORDER BY col_a, col_b
+    """,
+    phase="P2",
+    tags=("aggregate", "statistics", "correlation"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem
+    measures (quantity, extendedprice, discount, tax), long-form — the
+    feature-redundancy screen run before model training or before
+    choosing compression/sort columns.
+
+    Scale shape: ONE full-table aggregate computes all 15 integer
+    moments in a single map-side-combinable pass (count + 4 sums +
+    4 sums of squares + 6 cross sums) — a 6-pair corr matrix costs
+    exactly one scan and one single-row exchange, never 6 corr()
+    passes. The 6-row long-form output is exploded from that single
+    moment row, so post-agg work is O(1). Inputs are quantized to
+    integer grids (units / micro) making every moment exact; see
+    _CORR_MEASURES for the int64 headroom bound.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    moments = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.expr(expr)).cast("bigint").alias(f"s_{nm}")
+            for nm, expr in _CORR_MEASURES
+        ],
+        *[
+            F.sum(F.expr(f"({expr}) * ({expr})")).cast("bigint").alias(f"s2_{nm}")
+            for nm, expr in _CORR_MEASURES
+        ],
+        *[
+            F.sum(F.expr(f"({ea}) * ({eb})")).cast("bigint").alias(f"sxy_{na}_{nb}")
+            for i, (na, ea) in enumerate(_CORR_MEASURES)
+            for nb, eb in [m for m in _CORR_MEASURES[i + 1 :]]
+        ],
+    )
+    return (
+        moments.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("col_a"),
+                            F.lit(b).alias("col_b"),
+                            F.col("n").alias("n_rows"),
+                            F.floor(
+                                F.expr(_pearson_sql(a, b)) * 1000000.0 + F.lit(0.5)
+                            )
+                            .cast("bigint")
+                            .alias("corr_micro"),
+                        )
+                        for a, b in _CORR_PAIRS
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.col_a", "p.col_b", "p.n_rows", "p.corr_micro")
+        .orderBy("col_a", "col_b")
+    )

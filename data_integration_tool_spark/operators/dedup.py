@@ -908,3 +908,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- exact repeated-substring coverage ------------------------------------
+
+SUBSTR_K = 8  # shingle width (tokens); production sweeps use ~50-token spans
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + {SUBSTR_K - 1}), ' ')
+                       AS gram
+            FROM toks, unnest(range(1, len(ts) - {SUBSTR_K - 2})) AS u(i)
+            WHERE len(ts) >= {SUBSTR_K}
+        ), freq AS (
+            SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_shingles,
+               CAST(floor(sum(CASE WHEN f.cnt >= 2 THEN 1.0 ELSE 0.0 END)
+                          / count(*) * 1000000.0 + 0.5) AS BIGINT)
+                   AS dup_frac_micro
+        FROM grams g JOIN freq f USING (gram)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    phase="P4",
+    tags=("dedup", "substring"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring coverage — the ExactSubstr dedup metric
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for every document, the fraction of its K-token shingle
+    positions whose exact token span occurs at least twice anywhere in
+    the corpus (another document OR another position of the same one).
+    Downstream curation drops or trims documents above a dup_frac
+    threshold. K=8 here (fixture docs run 8-100 tokens); production
+    uses ~50-token spans — same plan, one constant.
+
+    Plan shape (vs the reference approach of a corpus-wide suffix
+    array, which is fundamentally single-machine): shingles are the
+    relational re-expression — tokenize → positional K-shingle explode
+    → count occurrences per shingle → join the per-shingle count back
+    to the per-doc positions. Spark-side grams travel as ``xxhash64``
+    64-bit ints (16-byte shuffle rows; the string-keyed oracle twin
+    would flag a collision). Both the frequency aggregation and the
+    count-back join key on ghash, so AQE coalesces them into ONE
+    exchange family — the explosion shuffles once, the join reuses the
+    partitioning. At 100 TB: explosion is ~K× the token count, so this
+    is the heaviest dedup op by volume; partial map-side aggregation
+    collapses within-partition repeats first, and a
+    ``spark.sql.shuffle.partitions`` sized to ~128 MB of gram rows per
+    task keeps it spill-free. No driver collection anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.filter(F.size("ts") >= SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {SUBSTR_K - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(ts, i, {SUBSTR_K}))))"
+            )
+        ).alias("ghash"),
+    )
+    freq = grams.groupBy("ghash").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (F.col("cnt") >= 2).cast("double")
+    return (
+        grams.join(freq, "ghash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("cnt") >= 2).cast("bigint")).alias("n_dup_shingles"),
+            F.floor(F.sum(dup) / F.count(F.lit(1)) * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("dup_frac_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -702,3 +702,85 @@ def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+SKEW_TOP = 10  # heaviest keys reported
+
+
+@query(
+    "dq_skew_report",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT l_suppkey AS key, count(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   count(*) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM per_key
+        )
+        SELECT CAST(r.rnk AS BIGINT) AS rnk, r.key,
+               CAST(r.cnt AS BIGINT) AS cnt,
+               CAST(floor(r.cnt * 1000000.0 / t.total + 0.5) AS BIGINT)
+                   AS share_micro,
+               CAST(floor(r.cnt * t.n_keys * 1000000.0 / t.total + 0.5)
+                    AS BIGINT) AS skew_ratio_micro
+        FROM (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+            FROM per_key
+        ) r CROSS JOIN tot t
+        WHERE r.rnk <= {SKEW_TOP}
+        ORDER BY rnk
+    """,
+    phase="P3",
+    tags=("quality", "skew", "planning"),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for a join/aggregation key: the
+    {SKEW_TOP} heaviest l_suppkey values with their row count, corpus
+    share, and skew ratio (count ÷ mean count per key, in micro units —
+    1_000_000 = perfectly uniform). This is the planning query you run
+    BEFORE a 100 TB join to decide whether the key needs salting or
+    AQE's skew-join split: a skew_ratio over ~5_000_000 (5× the mean)
+    on a hot key is the standard salting trigger.
+
+    Plan: one partial-agg shuffle keyed on l_suppkey to build the
+    per-key counts (map-side combine collapses the fixture's ~60 rows
+    per key before the exchange), a single-row global roll-up of those
+    counts (tiny: one row per distinct key enters it), broadcast back
+    over the top-K. Nothing here scales with raw row count except the
+    first partial agg — exactly the profile a planning probe needs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    ranked = per_key.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key"))),
+    ).filter(F.col("rnk") <= SKEW_TOP)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "key",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000.0 / F.col("total") + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_micro"),
+            F.floor(
+                F.col("cnt") * F.col("n_keys") * 1000000.0 / F.col("total")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("skew_ratio_micro"),
+        )
+        .orderBy("rnk")
+    )

@@ -191,8 +191,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_hll_manual, sample_poisson_bootstrap, fn_url, win_drawdown,
     # dq_benford, agg_bitmap_presence, win_hampel_outliers,
     # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
-    # mixture_token_budget, ts_cusum_alarm — all exact-checked, never
-    # driver-rowed —
+    # mixture_token_budget, ts_cusum_alarm, dedup_substring,
+    # dq_skew_report, ts_autocorr, agg_corr_matrix — all exact-checked,
+    # never driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),

@@ -955,3 +955,130 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alarm"),
     )
+
+
+ACF_MAX_LAG = 7  # report lags 1..7 (a week of daily bars)
+
+# Pearson over integer-exact per-day revenue sums, spelled out manually
+# so BOTH engines execute the identical IEEE double expression over
+# identical BIGINT operands — bitwise-equal results, so the micro
+# quantization can never straddle a boundary differently. Engine-native
+# corr() is avoided on purpose: Spark and DuckDB use different
+# single-pass covariance updates whose rounding can diverge.
+_ACF_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ACF_DEN = (
+    "(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_ACF_EXPR = f"{_ACF_NUM} / {_ACF_DEN}"
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT rev,
+                   {", ".join(
+                       f"lag(rev, {k}) OVER (ORDER BY day) AS l{k}"
+                       for k in range(1, ACF_MAX_LAG + 1)
+                   )}
+            FROM daily
+        ),
+        pairs AS (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS lag, rev AS x, l{k} AS y FROM lagged "
+                f"WHERE l{k} IS NOT NULL"
+                for k in range(1, ACF_MAX_LAG + 1)
+            )}
+        ),
+        moments AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sx2,
+                   CAST(sum(y * y) AS BIGINT) AS sy2
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+               CAST(floor(({_ACF_EXPR}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS acf_micro
+        FROM moments
+        ORDER BY lag
+    """,
+    phase="P3",
+    tags=("timeseries", "autocorrelation"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..7 — the standard seasonality probe (a weekly cycle shows as a
+    lag-7 peak) run before choosing a forecasting model or a seasonal
+    index. Revenue is floored to whole currency units so every per-day
+    sum and every second moment is an exact BIGINT; only the final
+    Pearson ratio is a double, spelled identically on both engines.
+
+    Scale shape: the raw table collapses to one row per day in the
+    first groupBy (map-side combinable — output cardinality is the time
+    span, not the row count). The 7 lags ride ONE window pass over that
+    tiny series, explode to long (lag, x, y) form, and reduce with a
+    second combinable agg keyed on lag. At 100 TB the only full-data
+    stage is the first partial agg; everything after runs on ~10^3 rows
+    regardless of input size. sum(x*y) with daily sums ~2^24 stays
+    far below int64 range for any realistic span; the n*sxy products
+    are cast to double BEFORE multiplying on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("rev").alias("x"),
+                            F.col(f"l{k}").alias("y"),
+                        )
+                        for k in range(1, ACF_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    return moments.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.floor(F.expr(_ACF_EXPR) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("acf_micro"),
+    ).orderBy("lag")

@@ -815,3 +815,73 @@ def test_drawdown_peak_monotone(spark, sf_dir):
         assert r.peak_cents >= peak
         peak = r.peak_cents
         assert r.drawdown_cents == r.peak_cents - r.cum_cents >= 0
+
+
+def test_substring_dedup_flags_exact_copies(spark, sf_dir):
+    """A doc whose text is an exact copy of another must have
+    dup_frac_micro == 1_000_000 (every shingle occurs twice), and
+    dup_frac is bounded by [0, 1] everywhere."""
+    from data_integration_tool_spark.operators.dedup import dedup_substring
+
+    d = load(spark, sf_dir, "documents")
+    res = dedup_substring(spark, sf_dir)
+    copies = (
+        d.alias("x")
+        .join(d.alias("y"), F.expr("x.text = y.text AND x.doc_id <> y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    joined = res.join(copies, "doc_id").collect()
+    for r in joined:
+        assert r.dup_frac_micro == 1_000_000, r
+    bounds = res.agg(
+        F.min("dup_frac_micro").alias("lo"), F.max("dup_frac_micro").alias("hi")
+    ).first()
+    assert bounds.lo >= 0 and bounds.hi <= 1_000_000
+
+
+def test_skew_report_shares_consistent(spark, sf_dir):
+    """Ranks are 1..10 by non-increasing count, and share_micro must
+    re-derive from cnt / total(lineitem) within quantization error."""
+    from data_integration_tool_spark.operators.quality import dq_skew_report
+
+    rows = dq_skew_report(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    total = load(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert abs(r.share_micro - round(r.cnt * 1_000_000 / total)) <= 1
+
+
+def test_autocorr_bounded_and_paired(spark, sf_dir):
+    """ACF values live in [-1, 1]; lag-k pair count is n_days - k."""
+    from data_integration_tool_spark.streaming.event_windows import ts_autocorr
+
+    o = load(spark, sf_dir, "orders")
+    n_days = o.select(F.date_trunc("day", "o_orderdate")).distinct().count()
+    rows = ts_autocorr(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert -1_000_000 <= r.acf_micro <= 1_000_000
+        assert r.n_pairs == n_days - r.lag
+
+
+def test_corr_matrix_matches_builtin_corr(spark, sf_dir):
+    """The manual integer-moment Pearson must agree with Spark's own
+    corr() over the SAME quantized series to ~1e-4 (different update
+    rule, same statistic)."""
+    from data_integration_tool_spark.operators.aggregates import (
+        _CORR_MEASURES,
+        agg_corr_matrix,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[F.expr(expr).cast("double").alias(nm) for nm, expr in _CORR_MEASURES]
+    )
+    rows = {(r.col_a, r.col_b): r.corr_micro for r in agg_corr_matrix(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for (a, b), cm in rows.items():
+        ref = q.agg(F.corr(a, b)).first()[0]
+        assert abs(cm / 1_000_000 - ref) < 1e-4, (a, b, cm, ref)
