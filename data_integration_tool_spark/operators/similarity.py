@@ -1320,3 +1320,149 @@ def sim_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- product quantization ANN --------------------------------------------
+
+PQ_M = 4  # subspaces (64 dims → 4 × 16)
+PQ_SUBDIM = 16
+PQ_K = 8  # codewords per subspace (vectors 0..7 — the IVF house pattern)
+PQ_TOPK = 10
+
+
+def _sub_l2sq(a, b, m: int) -> Column:
+    """In-order double L2² of subspace m (1-based slice) of two arrays."""
+    lo = m * PQ_SUBDIM + 1
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, lo, PQ_SUBDIM),
+            F.slice(b, lo, PQ_SUBDIM),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _duck_sub_l2sq(a: str, b: str, m: int) -> str:
+    lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM + 1
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range({lo}, {hi}), i -> {diff} * {diff}))"
+
+
+_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    cb AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM e
+        WHERE vec_id < {PQ_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, c.cent_id,
+               {", ".join(
+                   f"{_duck_sub_l2sq('e.embedding', 'c.ce', m)} AS d{m}"
+                   for m in range(PQ_M)
+               )}
+        FROM e CROSS JOIN cb c
+    ),
+    assigned AS (
+        SELECT vec_id, label,
+               {", ".join(
+                   f"min(struct_pack(d := d{m}, c := cent_id)).c AS c{m}"
+                   for m in range(PQ_M)
+               )}
+        FROM dists GROUP BY vec_id, label
+    ),
+    q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+    qd AS (
+        SELECT c.cent_id,
+               {", ".join(
+                   f"{_duck_sub_l2sq('q.qe', 'c.ce', m)} AS d{m}"
+                   for m in range(PQ_M)
+               )}
+        FROM cb c CROSS JOIN q
+    )
+    SELECT a.vec_id, a.label,
+           CAST(floor((q0.d0 + q1.d1 + q2.d2 + q3.d3) * 1000000.0 + 0.5)
+                AS BIGINT) AS adc_micro
+    FROM assigned a
+    {" ".join(
+        f"JOIN qd q{m} ON a.c{m} = q{m}.cent_id" for m in range(PQ_M)
+    )}
+    WHERE a.vec_id <> 0
+    ORDER BY (q0.d0 + q1.d1 + q2.d2 + q3.d3) ASC, a.vec_id
+    LIMIT {PQ_TOPK}
+"""
+
+
+@query(
+    "emb_ann_pq",
+    oracle=_PQ_ORACLE,
+    phase="P4",
+    tags=("similarity", "ann", "product-quantization"),
+)
+def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each 64-dim vector is compressed to
+    {PQ_M} one-byte codes (nearest of {PQ_K} codewords per 16-dim
+    subspace; codewords are vectors 0..{PQ_K - 1} — the deterministic
+    "trained" stand-in, as in sim_ann_ivf), and the query's top-10 is
+    ranked by ADC (asymmetric distance): the exact query-to-codeword
+    distance table is built once, then every corpus vector's
+    approximate distance is 4 table lookups + 3 adds — no
+    full-precision vector math on the scan side.
+
+    This is the memory-bound ANN layout: at 100 TB the corpus stores
+    only (vec_id, c0..c3) — a 4-byte code per vector vs 256 bytes of
+    floats, a 64× scan-volume cut — and the ADC table (M×K doubles) is
+    a broadcast. Here codes are built in-plan (one broadcast-codebook
+    cross join, {PQ_K} rows per vector, argmin via lexicographic
+    struct-min with cent_id tiebreak); a production pipeline would
+    persist them once and amortize. All subspace distances are
+    in-order double folds (zip_with/aggregate ≡ list_sum left fold),
+    so the ranking boundary cannot flip between engines; recall vs
+    sim_knn_exact is pinned in pytest.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cb = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        )
+    )
+    dists = e.crossJoin(cb).select(
+        "vec_id",
+        "label",
+        "cent_id",
+        *[_sub_l2sq(F.col("embedding"), F.col("ce"), m).alias(f"d{m}") for m in range(PQ_M)],
+    )
+    assigned = dists.groupBy("vec_id", "label").agg(
+        *[
+            F.min(F.struct(F.col(f"d{m}").alias("d"), F.col("cent_id").alias("c")))
+            .getField("c")
+            .alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qd = F.broadcast(
+        cb.crossJoin(q).select(
+            "cent_id",
+            *[_sub_l2sq(F.col("qe"), F.col("ce"), m).alias(f"d{m}") for m in range(PQ_M)],
+        )
+    )
+    out = assigned
+    for m in range(PQ_M):
+        qdm = qd.select(
+            F.col("cent_id").alias(f"qc{m}"), F.col(f"d{m}").alias(f"qd{m}")
+        )
+        out = out.join(F.broadcast(qdm), F.col(f"c{m}") == F.col(f"qc{m}"))
+    adc = F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(adc * 1000000.0 + F.lit(0.5)).cast("bigint").alias("adc_micro"),
+        )
+        .orderBy(adc.asc(), F.col("vec_id").asc())
+        .limit(PQ_TOPK)
+    )

@@ -1,0 +1,203 @@
+"""Cost-based join-strategy advisor (the CBO surface of the engine).
+
+A query optimizer's join-strategy pick needs exactly two statistics per
+relation: row count and estimated in-memory bytes. This module computes
+both with ONE aggregate per table (the stats-collection pass an ANALYZE
+would run) and applies Spark's actual physical-strategy rules to the
+schema's seven FK joins: broadcast-hash when the smaller side fits the
+broadcast threshold, shuffled-hash when one side is ≥3× smaller than
+the other (build the small side), sort-merge otherwise — the same
+decision ladder as Catalyst's JoinSelection with
+spark.sql.autoBroadcastJoinThreshold=10MB and the SHUFFLE_HASH
+size-ratio heuristic.
+
+The byte model is deterministic arithmetic shared verbatim with the
+DuckDB oracle: fixed widths by column type (INTEGER 4, BIGINT / DOUBLE
+/ TIMESTAMP 8) plus octet_length + 4 per string cell. At 100 TB this
+query IS the planning probe you run before submitting the real join
+DAG; each branch scans only the columns its width model needs, and
+every per-table agg is map-side combinable (output: one row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+# (column, width) per table; width None → string (octet_length + 4).
+_TABLE_COLS: dict[str, tuple[tuple[str, int | None], ...]] = {
+    "region": (("r_regionkey", 4), ("r_name", None)),
+    "nation": (("n_nationkey", 4), ("n_name", None), ("n_regionkey", 4)),
+    "customer": (
+        ("c_custkey", 8),
+        ("c_name", None),
+        ("c_nationkey", 4),
+        ("c_acctbal", 8),
+        ("c_mktsegment", None),
+    ),
+    "supplier": (
+        ("s_suppkey", 8),
+        ("s_name", None),
+        ("s_nationkey", 4),
+        ("s_acctbal", 8),
+    ),
+    "part": (
+        ("p_partkey", 8),
+        ("p_name", None),
+        ("p_brand", None),
+        ("p_type", None),
+        ("p_size", 4),
+        ("p_retailprice", 8),
+    ),
+    "orders": (
+        ("o_orderkey", 8),
+        ("o_custkey", 8),
+        ("o_orderstatus", None),
+        ("o_totalprice", 8),
+        ("o_orderdate", 8),
+        ("o_orderpriority", None),
+    ),
+    "lineitem": (
+        ("l_orderkey", 8),
+        ("l_partkey", 8),
+        ("l_suppkey", 8),
+        ("l_linenumber", 4),
+        ("l_quantity", 8),
+        ("l_extendedprice", 8),
+        ("l_discount", 8),
+        ("l_tax", 8),
+        ("l_returnflag", None),
+        ("l_linestatus", None),
+        ("l_shipdate", 8),
+    ),
+}
+
+# The schema's FK join graph: (left, right, key).
+_JOINS: tuple[tuple[str, str, str], ...] = (
+    ("lineitem", "orders", "l_orderkey"),
+    ("lineitem", "part", "l_partkey"),
+    ("lineitem", "supplier", "l_suppkey"),
+    ("orders", "customer", "o_custkey"),
+    ("customer", "nation", "c_nationkey"),
+    ("supplier", "nation", "s_nationkey"),
+    ("nation", "region", "n_regionkey"),
+)
+
+BROADCAST_BYTES = 10 * 1024 * 1024  # autoBroadcastJoinThreshold default
+HASH_RATIO = 3  # build-side must be ≥3× smaller for shuffled-hash
+
+
+def _row_bytes_sql(table: str) -> str:
+    """Per-row byte estimate — identical text runs on both engines."""
+    parts = []
+    fixed = 0
+    for col, width in _TABLE_COLS[table]:
+        if width is None:
+            # length(), not octet_length: DuckDB's octet_length is
+            # BLOB-only. Fixture strings are ASCII (pinned by
+            # test_fixture_text_is_ascii_byte_char_identity) so
+            # char length == byte length on both engines.
+            parts.append(f"(length({col}) + 4)")
+        else:
+            fixed += width
+    parts.append(str(fixed))
+    return " + ".join(parts)
+
+
+_STATS_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(sum({_row_bytes_sql(t)}) AS BIGINT) AS est_bytes FROM {t}"
+    for t in _TABLE_COLS
+)
+
+_JOINS_SQL = " UNION ALL ".join(
+    f"SELECT '{lt}' AS left_tbl, '{rt}' AS right_tbl, '{k}' AS join_key"
+    for lt, rt, k in _JOINS
+)
+
+_STRATEGY_SQL = f"""
+    CASE
+        WHEN least(l.est_bytes, r.est_bytes) <= {BROADCAST_BYTES}
+            THEN 'broadcast_' ||
+                 CASE WHEN l.est_bytes <= r.est_bytes
+                      THEN 'left' ELSE 'right' END
+        WHEN greatest(l.est_bytes, r.est_bytes)
+             >= {HASH_RATIO} * least(l.est_bytes, r.est_bytes)
+            THEN 'shuffled_hash_build_' ||
+                 CASE WHEN l.est_bytes <= r.est_bytes
+                      THEN 'left' ELSE 'right' END
+        ELSE 'sort_merge'
+    END
+"""
+
+
+@query(
+    "plan_join_strategy",
+    oracle=f"""
+        WITH stats AS ({_STATS_SQL}),
+        joins AS ({_JOINS_SQL})
+        SELECT j.left_tbl, j.right_tbl, j.join_key,
+               l.n_rows AS left_rows, r.n_rows AS right_rows,
+               l.est_bytes AS left_bytes, r.est_bytes AS right_bytes,
+               {_STRATEGY_SQL} AS strategy
+        FROM joins j
+        JOIN stats l ON l.tbl = j.left_tbl
+        JOIN stats r ON r.tbl = j.right_tbl
+        ORDER BY j.left_tbl, j.right_tbl
+    """,
+    phase="P4",
+    tags=("planner", "cbo", "join"),
+)
+def plan_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy plan for the schema's seven FK joins from
+    measured table statistics — see the module docstring for the
+    decision ladder. Output: one row per join with both sides' row
+    counts, byte estimates, and the chosen physical strategy.
+    """
+    stats_parts = []
+    for t in _TABLE_COLS:
+        df = load(spark, sf_dir, t)
+        stats_parts.append(
+            df.agg(
+                F.lit(t).alias("tbl"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.expr(_row_bytes_sql(t))).cast("bigint").alias("est_bytes"),
+            )
+        )
+    stats = stats_parts[0]
+    for p in stats_parts[1:]:
+        stats = stats.unionAll(p)
+    joins = spark.createDataFrame(
+        list(_JOINS), ["left_tbl", "right_tbl", "join_key"]
+    )
+    l = stats.select(
+        F.col("tbl").alias("lt"),
+        F.col("n_rows").alias("left_rows"),
+        F.col("est_bytes").alias("left_bytes"),
+    )
+    r = stats.select(
+        F.col("tbl").alias("rt"),
+        F.col("n_rows").alias("right_rows"),
+        F.col("est_bytes").alias("right_bytes"),
+    )
+    strategy = _STRATEGY_SQL.replace("l.est_bytes", "left_bytes").replace(
+        "r.est_bytes", "right_bytes"
+    )
+    return (
+        joins.join(F.broadcast(l), joins.left_tbl == l.lt)
+        .join(F.broadcast(r), joins.right_tbl == r.rt)
+        .select(
+            "left_tbl",
+            "right_tbl",
+            "join_key",
+            "left_rows",
+            "right_rows",
+            "left_bytes",
+            "right_bytes",
+            F.expr(strategy).alias("strategy"),
+        )
+        .orderBy("left_tbl", "right_tbl")
+    )

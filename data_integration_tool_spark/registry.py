@@ -83,6 +83,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.quality",
     "data_integration_tool_spark.operators.graph",
     "data_integration_tool_spark.sources.etl",
+    "data_integration_tool_spark.plans.advisor",
 )
 
 _loaded = False
@@ -192,8 +193,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dq_benford, agg_bitmap_presence, win_hampel_outliers,
     # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
     # mixture_token_budget, ts_cusum_alarm, dedup_substring,
-    # dq_skew_report, ts_autocorr, agg_corr_matrix — all exact-checked,
-    # never driver-rowed —
+    # dq_skew_report, ts_autocorr, agg_corr_matrix, emb_ann_pq,
+    # plan_join_strategy — all exact-checked, never driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),

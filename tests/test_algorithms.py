@@ -885,3 +885,30 @@ def test_corr_matrix_matches_builtin_corr(spark, sf_dir):
     for (a, b), cm in rows.items():
         ref = q.agg(F.corr(a, b)).first()[0]
         assert abs(cm / 1_000_000 - ref) < 1e-4, (a, b, cm, ref)
+
+
+def test_pq_picks_closer_than_corpus_average(spark, sf_dir):
+    """PQ/ADC is approximate, but its top-10 must be genuinely near:
+    the picks' mean TRUE L2² to the query must beat the corpus mean by
+    ≥10% (observed ~20% at both fixture SFs with the 8-word codebook).
+    Also: ADC ranking is returned sorted and non-negative."""
+    from data_integration_tool_spark.operators.similarity import dot, emb_ann_pq
+
+    rows = emb_ann_pq(spark, sf_dir).collect()
+    assert len(rows) == 10
+    adcs = [r.adc_micro for r in rows]
+    assert adcs == sorted(adcs) and adcs[0] >= 0
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    diff = F.zip_with(
+        "embedding", "qe", lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    td = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.aggregate(diff, F.lit(0.0), lambda a, v: a + v).alias("d"))
+    )
+    corpus_mean = td.agg(F.avg("d")).first()[0]
+    picks = {r.vec_id for r in rows}
+    pick_mean = td.filter(F.col("vec_id").isin(picks)).agg(F.avg("d")).first()[0]
+    assert pick_mean < 0.9 * corpus_mean, (pick_mean, corpus_mean)

@@ -170,3 +170,23 @@ def test_bench_summary_line_fits_driver_tail():
         line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 3900, len(line)
     json.loads(line)  # stays parseable either way
+
+
+def test_join_strategy_advisor_consistent(spark, sf_dir):
+    """Advisor output must pick the smaller side and agree with what
+    Catalyst itself would do at fixture scale: every table is far below
+    the 10 MB broadcast threshold, so all 7 joins must be broadcast
+    with the smaller side chosen as the build side."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.plans.advisor import plan_join_strategy
+
+    rows = plan_join_strategy(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.strategy.startswith("broadcast_"), r
+        smaller = "left" if r.left_bytes <= r.right_bytes else "right"
+        assert r.strategy.endswith(smaller), r
+    by_pair = {(r.left_tbl, r.right_tbl): r for r in rows}
+    li_orders = by_pair[("lineitem", "orders")]
+    assert li_orders.left_rows == load(spark, sf_dir, "lineitem").count()
+    assert li_orders.strategy == "broadcast_right"
