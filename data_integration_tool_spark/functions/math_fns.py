@@ -151,3 +151,63 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_urgent"
         ),
     )
+
+
+@query(
+    "fn_winsorize",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.01) AS lo,
+                   quantile_disc(value, 0.99) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               b.lo, b.hi,
+               CASE WHEN e.value < b.lo THEN b.lo
+                    WHEN e.value > b.hi THEN b.hi
+                    ELSE e.value END AS clipped,
+               CAST(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
+        FROM events e JOIN bounds b USING (event_type)
+        ORDER BY e.event_id
+    """,
+    phase="P2",
+    tags=("function", "robust", "winsorize"),
+)
+def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each event's value to its
+    event_type's [p1, p99] band — the standard outlier-clipping
+    transform before computing means/stds or feeding features to
+    training. DISCRETE percentiles (actual data values, no
+    interpolation) keep every output a raw stored double → hash-exact
+    across engines, the anomaly_mad house rule.
+
+    Plan: one sort-based grouped percentile agg over the handful of
+    event types, broadcast back onto the scan; the clip itself is a
+    map-side CASE. At 100 TB the bounds relation is KB-sized whatever
+    the row count — the data never shuffles at all.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "lo",
+            "hi",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value"))
+            .alias("clipped"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+            .cast("bigint")
+            .alias("was_clipped"),
+        )
+        .orderBy("event_id")
+    )

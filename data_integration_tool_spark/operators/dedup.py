@@ -999,3 +999,79 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   substring(md5(substring(text, 1, 64)), 1, 8) AS fp8,
+                   len(list_distinct(
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> ''))) AS n_vocab
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, fp8, n_vocab,
+                   CAST(count(*) OVER (PARTITION BY fp8) AS BIGINT)
+                       AS group_size,
+                   row_number() OVER (
+                       PARTITION BY fp8
+                       ORDER BY n_vocab DESC, doc_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, fp8, CAST(n_vocab AS BIGINT) AS n_vocab,
+               group_size,
+               CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM ranked
+        ORDER BY doc_id
+    """,
+    phase="P3",
+    tags=("dedup", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection within near-dup clusters —
+    the curation step AFTER dedup grouping: instead of blindly keeping
+    the min doc_id, keep the highest-quality member (here: largest
+    distinct-token vocabulary, doc_id as the deterministic tiebreak)
+    and mark the rest as drops. Clusters are 64-char-prefix
+    fingerprints (the dedup_incremental house key), under which
+    members share an opening but can differ in body length/quality.
+
+    Scale shape: one scan computes the fingerprint and the integer
+    quality key map-side; ONE window over fp8 assigns group size and
+    rank (a single hash exchange on the fingerprint — same key a
+    bucketed corpus layout would already be partitioned by). Per-doc
+    disposition output (keep ∈ {0,1}) rather than a filtered corpus,
+    so the decision is auditable — the actual drop is a trailing
+    filter. At 100 TB this replaces a groupBy+join-back pair with one
+    window pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = d.select(
+        "doc_id",
+        F.substring(F.md5(F.substring("text", 1, 64).cast("binary")), 1, 8).alias(
+            "fp8"
+        ),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            )
+        ).alias("n_vocab"),
+    )
+    w = W.partitionBy("fp8")
+    wo = w.orderBy(F.desc("n_vocab"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            "fp8",
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+            (F.row_number().over(wo) == 1).cast("bigint").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -591,3 +591,86 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+            WHERE len(ts) >= 4
+        ), firsts AS (
+            SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(floor(sum(CASE WHEN f.first_doc = g.doc_id
+                                   THEN 1.0 ELSE 0.0 END)
+                          / count(*) * 1000000.0 + 0.5) AS BIGINT)
+                   AS novelty_micro
+        FROM grams g JOIN firsts f USING (gram)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    phase="P3",
+    tags=("text", "novelty", "curation"),
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order novelty score: the fraction of a document's
+    distinct 4-gram shingles whose FIRST corpus occurrence (min doc_id)
+    is this document. A near-zero score means the doc is re-treading
+    already-ingested text — the streaming-ingest cousin of
+    ``dedup_substring`` (which asks "is this span repeated anywhere",
+    novelty asks "was it here first"), and the standard freshness
+    signal when prioritizing crawl batches.
+
+    Plan: distinct (doc, gram) pairs → min-doc_id agg per gram → join
+    back. Grams travel as xxhash64 ints; the agg and the join share the
+    ghash key, so AQE plans them in one exchange family — at 100 TB
+    this is two co-partitioned passes over the gram explosion with
+    map-side partial min, no broadcast needed and no skew (gram
+    frequency is capped by the dedup upstream).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ts"),
+    )
+    grams = (
+        toks.filter(F.size("ts") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 3),"
+                    " i -> xxhash64(concat_ws(' ', slice(ts, i, 4))))"
+                )
+            ).alias("ghash"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("ghash").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("double")
+    return (
+        grams.join(firsts, "ghash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+            F.floor(F.sum(novel) / F.count(F.lit(1)) * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )

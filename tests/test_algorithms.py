@@ -912,3 +912,57 @@ def test_pq_picks_closer_than_corpus_average(spark, sf_dir):
     picks = {r.vec_id for r in rows}
     pick_mean = td.filter(F.col("vec_id").isin(picks)).agg(F.avg("d")).first()[0]
     assert pick_mean < 0.9 * corpus_mean, (pick_mean, corpus_mean)
+
+
+def test_keep_best_one_keeper_per_group(spark, sf_dir):
+    """Exactly one keep per fingerprint group; the keeper holds the
+    group's max vocabulary; every doc appears exactly once."""
+    from data_integration_tool_spark.operators.dedup import dedup_keep_best
+
+    df = dedup_keep_best(spark, sf_dir)
+    assert df.count() == load(spark, sf_dir, "documents").count()
+    per_group = df.groupBy("fp8").agg(
+        F.sum("keep").alias("keeps"),
+        F.max("n_vocab").alias("vmax"),
+        F.max(F.when(F.col("keep") == 1, F.col("n_vocab"))).alias("kept_v"),
+    )
+    bad = per_group.filter(
+        (F.col("keeps") != 1) | (F.col("kept_v") != F.col("vmax"))
+    ).count()
+    assert bad == 0
+
+
+def test_winsorize_bounds_respected(spark, sf_dir):
+    """Clipped values must lie inside [lo, hi], the flag must agree
+    with the clip, and ≤ ~2% of rows clip per side by construction."""
+    from data_integration_tool_spark.functions.math_fns import fn_winsorize
+
+    df = fn_winsorize(spark, sf_dir)
+    n = df.count()
+    bad = df.filter(
+        (F.col("clipped") < F.col("lo"))
+        | (F.col("clipped") > F.col("hi"))
+        | (
+            (F.col("was_clipped") == 1)
+            & (F.col("value") >= F.col("lo"))
+            & (F.col("value") <= F.col("hi"))
+        )
+    ).count()
+    assert bad == 0
+    clipped = df.filter(F.col("was_clipped") == 1).count()
+    assert clipped <= 0.03 * n
+
+
+def test_novelty_first_doc_fully_novel(spark, sf_dir):
+    """The smallest doc_id with ≥4 tokens must score novelty 1.0 (no
+    earlier doc can own its grams), and all scores are in [0, 1]."""
+    from data_integration_tool_spark.operators.text import text_novelty
+
+    df = text_novelty(spark, sf_dir)
+    first = df.orderBy("doc_id").first()
+    assert first.novelty_micro == 1_000_000
+    bounds = df.agg(
+        F.min("novelty_micro").alias("lo"), F.max("novelty_micro").alias("hi")
+    ).first()
+    assert bounds.lo >= 0 and bounds.hi <= 1_000_000
+    assert df.filter(F.col("n_novel") > F.col("n_grams")).count() == 0
