@@ -959,17 +959,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (vs the reference approach of a corpus-wide suffix
     array, which is fundamentally single-machine): shingles are the
     relational re-expression — tokenize → positional K-shingle explode
-    → count occurrences per shingle → join the per-shingle count back
-    to the per-doc positions. Spark-side grams travel as ``xxhash64``
-    64-bit ints (16-byte shuffle rows; the string-keyed oracle twin
-    would flag a collision). Both the frequency aggregation and the
-    count-back join key on ghash, so AQE coalesces them into ONE
-    exchange family — the explosion shuffles once, the join reuses the
-    partitioning. At 100 TB: explosion is ~K× the token count, so this
-    is the heaviest dedup op by volume; partial map-side aggregation
-    collapses within-partition repeats first, and a
-    ``spark.sql.shuffle.partitions`` sized to ~128 MB of gram rows per
-    task keeps it spill-free. No driver collection anywhere.
+    → per-shingle occurrence count → per-doc roll-up. The count
+    attaches via ``count(*) OVER (PARTITION BY ghash)`` rather than a
+    groupBy+join-back: Catalyst does no cross-branch common-subexpression
+    elimination, so the join form EXPLODES THE WHOLE CORPUS TWICE (the
+    r5 decon_ngram regression; verified in this plan too before the
+    rewrite) — the window form is one explode + ONE exchange + a
+    per-partition sort. Spark-side grams travel as ``xxhash64`` 64-bit
+    ints (16-byte shuffle rows; the string-keyed oracle twin would flag
+    a collision). At 100 TB: explosion is ~K× the token count, so this
+    is the heaviest dedup op by volume; size
+    ``spark.sql.shuffle.partitions`` to ~128 MB of gram rows per task
+    to keep the window sort spill-free. No driver collection anywhere.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -985,10 +986,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ghash"),
     )
-    freq = grams.groupBy("ghash").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    cnt_w = F.count(F.lit(1)).over(W.partitionBy("ghash"))
     dup = (F.col("cnt") >= 2).cast("double")
     return (
-        grams.join(freq, "ghash")
+        grams.withColumn("cnt", cnt_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -633,12 +633,14 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty asks "was it here first"), and the standard freshness
     signal when prioritizing crawl batches.
 
-    Plan: distinct (doc, gram) pairs → min-doc_id agg per gram → join
-    back. Grams travel as xxhash64 ints; the agg and the join share the
-    ghash key, so AQE plans them in one exchange family — at 100 TB
-    this is two co-partitioned passes over the gram explosion with
-    map-side partial min, no broadcast needed and no skew (gram
-    frequency is capped by the dedup upstream).
+    Plan: distinct (doc, gram) pairs → ``min(doc_id) OVER (PARTITION
+    BY ghash)`` → per-doc roll-up. The window form (not groupBy +
+    join-back) matters: Catalyst has no cross-branch CSE, so the join
+    form would explode the corpus twice (the dedup_substring /
+    decon_ngram lesson) — here the explosion happens once and the
+    first-occurrence attribution is one exchange + partition sort.
+    Grams travel as xxhash64 ints; no broadcast needed and no skew
+    (gram frequency is capped by the dedup upstream).
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -658,10 +660,12 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    firsts = grams.groupBy("ghash").agg(F.min("doc_id").alias("first_doc"))
+    from pyspark.sql import Window as W
+
+    first_w = F.min("doc_id").over(W.partitionBy("ghash"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("double")
     return (
-        grams.join(firsts, "ghash")
+        grams.withColumn("first_doc", first_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
