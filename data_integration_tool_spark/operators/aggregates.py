@@ -1147,3 +1147,114 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.col_a", "p.col_b", "p.n_rows", "p.corr_micro")
         .orderBy("col_a", "col_b")
     )
+
+
+@query(
+    "agg_hll_merge",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT l_linestatus AS shard,
+                   CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2)
+                        AS BIGINT) % {_HLL_M} AS bucket,
+                   substr(md5(CAST(l_partkey AS VARCHAR)), 3, 13) AS rest
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT shard, bucket, ({_HLL_RANK_SQL}) AS rank FROM hashed
+        ),
+        shard_regs AS (
+            SELECT shard, bucket, max(rank) AS reg
+            FROM ranked GROUP BY shard, bucket
+        ),
+        merged AS (
+            SELECT bucket, max(reg) AS reg FROM shard_regs GROUP BY bucket
+        ),
+        direct AS (
+            SELECT bucket, max(rank) AS reg FROM ranked GROUP BY bucket
+        ),
+        agree AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_equal
+            FROM merged m JOIN direct d
+              ON m.bucket = d.bucket AND m.reg = d.reg
+        ),
+        est AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(CAST(power(2.0, 53 - reg) AS BIGINT))
+                        AS BIGINT)
+                     + ({_HLL_M} - count(*)) * 9007199254740992 AS z_scaled
+            FROM merged
+        )
+        SELECT e.n_buckets, a.n_equal,
+               CAST(a.n_equal = e.n_buckets AS BIGINT) AS merge_lossless,
+               CAST(floor(0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                          * 9007199254740992.0 / e.z_scaled * 1000000.0
+                          + 0.5) AS BIGINT) AS hll_est_micro
+        FROM est e CROSS JOIN agree a
+    """,
+    phase="P3",
+    tags=("agg", "sketch", "hll", "merge"),
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog MERGEABILITY, proven register by register: build one
+    64-register sketch per shard (l_linestatus partitions stand in for
+    executor partials), merge shards by per-bucket max, and show the
+    merged registers equal the registers a direct single pass produces
+    — ``merge_lossless`` must be 1. This is THE property that makes a
+    sketch usable at 100 TB: each executor ships 64 small ints, any
+    union of partial sketches is exact sketch algebra (max is
+    associative/commutative/idempotent), and pre-computed per-partition
+    sketches can answer distinct-count queries without rescanning.
+
+    One scan feeds both lineages; the shard/direct registers are
+    KB-sized aggregates of it, and the final comparison is a join of
+    two 64-row relations. The merged estimate rides along so the
+    driver record pins the full merge→estimate path, not just register
+    equality.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_partkey").cast("string").cast("binary"))
+    ranked = li.select(
+        F.col("l_linestatus").alias("shard"),
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+            "bucket"
+        ),
+        F.substring(h, 3, 13).alias("rest"),
+    ).select("shard", "bucket", F.expr(_HLL_RANK_SQL).alias("rank"))
+    shard_regs = ranked.groupBy("shard", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    merged = shard_regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    direct = ranked.groupBy("bucket").agg(F.max("rank").alias("reg"))
+    agree = (
+        merged.alias("m")
+        .join(
+            direct.alias("d"),
+            (F.col("m.bucket") == F.col("d.bucket"))
+            & (F.col("m.reg") == F.col("d.reg")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_equal"))
+    )
+    est = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (
+            F.sum(F.pow(F.lit(2.0), 53 - F.col("reg")).cast("bigint"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(9007199254740992)
+        ).alias("z_scaled"),
+    )
+    est_expr = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+        * F.lit(4096.0)
+        * F.lit(9007199254740992.0)
+        / F.col("z_scaled")
+    )
+    return est.crossJoin(agree).select(
+        "n_buckets",
+        "n_equal",
+        (F.col("n_equal") == F.col("n_buckets")).cast("bigint").alias(
+            "merge_lossless"
+        ),
+        F.floor(est_expr * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hll_est_micro"),
+    )

@@ -194,8 +194,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # graph_bfs_hops, fn_binary, sim_rerank_rrf, join_asof_nearest,
     # mixture_token_budget, ts_cusum_alarm, dedup_substring,
     # dq_skew_report, ts_autocorr, agg_corr_matrix, emb_ann_pq,
-    # plan_join_strategy, dedup_keep_best, fn_winsorize, text_novelty —
-    # all exact-checked, never driver-rowed —
+    # plan_join_strategy, dedup_keep_best, fn_winsorize, text_novelty,
+    # ts_seasonal_decompose, agg_hll_merge — all exact-checked, never
+    # driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),

@@ -1082,3 +1082,110 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acf_micro"),
     ).orderBy("lag")
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(dayofweek(date_trunc('day', o_orderdate)) AS BIGINT)
+                       AS dow,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT day, dow, rev,
+                   CAST(sum(rev) OVER w AS BIGINT) AS s7,
+                   count(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                            AND 3 FOLLOWING)
+        ),
+        detrended AS (
+            SELECT day, dow, rev,
+                   CAST(floor(s7 / 7.0 * 1000000.0 + 0.5) AS BIGINT)
+                       AS trend_micro,
+                   rev * 1000000
+                     - CAST(floor(s7 / 7.0 * 1000000.0 + 0.5) AS BIGINT)
+                       AS det_micro
+            FROM trended WHERE n7 = 7
+        ),
+        seasonal AS (
+            SELECT dow,
+                   CAST(floor(CAST(sum(det_micro) AS DOUBLE) / count(*)
+                              + 0.5) AS BIGINT) AS seasonal_micro
+            FROM detrended GROUP BY dow
+        )
+        SELECT d.day, d.dow, d.rev, d.trend_micro, s.seasonal_micro,
+               d.det_micro - s.seasonal_micro AS resid_micro
+        FROM detrended d JOIN seasonal s USING (dow)
+        ORDER BY d.day
+    """,
+    phase="P3",
+    tags=("timeseries", "decomposition"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended series, residual =
+    observed − trend − seasonal. The moving-average + seasonal-mean
+    construction is the textbook "classical decomposition" first stage
+    of STL; the residual is what anomaly monitors actually threshold.
+
+    All-integer pipeline (the CUSUM/Hampel house rule): revenues floor
+    to whole units, the trend is the exact 7-day BIGINT sum divided by
+    7.0 once (identical IEEE op both engines) and micro-floored, so
+    detrended/seasonal/residual values are pure BIGINT arithmetic —
+    hash-exact with no tolerance anywhere.
+
+    Scale shape: raw rows collapse to one row per day in a combinable
+    first agg; the rolling trend is a bounded ROWS frame in JVM window
+    codegen over that tiny series; the seasonal means are a 7-group agg
+    of it. Only the first agg ever sees data-scale input. DuckDB's
+    dayofweek (0=Sunday) matches Spark's dayofweek−1.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    ).withColumn("dow", (F.dayofweek("day") - 1).cast("bigint"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.sum("rev").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    trend_micro = (
+        F.floor(F.col("s7") / 7.0 * 1000000.0 + F.lit(0.5)).cast("bigint")
+    )
+    detrended = trended.filter(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        "rev",
+        trend_micro.alias("trend_micro"),
+        (F.col("rev") * 1000000 - trend_micro).alias("det_micro"),
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        F.floor(
+            F.sum("det_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("seasonal_micro")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "dow",
+            "rev",
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("det_micro") - F.col("seasonal_micro")).alias("resid_micro"),
+        )
+        .orderBy("day")
+    )

@@ -966,3 +966,30 @@ def test_novelty_first_doc_fully_novel(spark, sf_dir):
     ).first()
     assert bounds.lo >= 0 and bounds.hi <= 1_000_000
     assert df.filter(F.col("n_novel") > F.col("n_grams")).count() == 0
+
+
+def test_seasonal_decompose_identity_and_trend(spark, sf_dir):
+    """rev*1e6 must equal trend + seasonal + residual exactly (additive
+    identity in micro units), and the trend must re-derive from the
+    7-day window sum."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_seasonal_decompose,
+    )
+
+    df = ts_seasonal_decompose(spark, sf_dir)
+    bad = df.filter(
+        F.col("rev") * 1_000_000
+        != F.col("trend_micro") + F.col("seasonal_micro") + F.col("resid_micro")
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
+
+
+def test_hll_merge_is_lossless(spark, sf_dir):
+    """Shard-merged registers must equal the direct global registers
+    (max is exact sketch algebra) — merge_lossless == 1 always."""
+    from data_integration_tool_spark.operators.aggregates import agg_hll_merge
+
+    row = agg_hll_merge(spark, sf_dir).first()
+    assert row.merge_lossless == 1
+    assert row.n_equal == row.n_buckets
