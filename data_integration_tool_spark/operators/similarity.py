@@ -1466,3 +1466,60 @@ def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(adc.asc(), F.col("vec_id").asc())
         .limit(PQ_TOPK)
     )
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+        WITH cells AS (
+            SELECT u.i AS dim_pos, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        )
+        SELECT CAST(dim_pos AS BIGINT) AS dim_pos,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(min(v) * 1000000.0 + 0.5) AS BIGINT) AS min_micro,
+               CAST(floor(max(v) * 1000000.0 + 0.5) AS BIGINT) AS max_micro,
+               CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_micro,
+               CAST(count(CASE WHEN v = 0.0 THEN 1 END) AS BIGINT)
+                   AS n_zero
+        FROM cells
+        GROUP BY dim_pos
+        ORDER BY dim_pos
+    """,
+    phase="P4",
+    tags=("similarity", "embedding", "profile"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: min / max / sum / zero count
+    for each of the 64 positions — the embedding health check run
+    before training or index build (a dead dimension shows as
+    n_zero = n or min = max; a broken normalization shows in the
+    extremes). Long-form (dim_pos grain) so every cell is a scalar.
+
+    Scale shape: posexplode multiplies rows by the dimensionality, but
+    the (dim_pos) groupBy is map-side combinable into AT MOST 64
+    partial rows per task — the exchange carries executors × 64 tiny
+    rows no matter the corpus size. min/max are raw stored floats
+    (bitwise stable); the sum is quantize-THEN-sum (each cell floors
+    to a micro BIGINT before aggregation), which is exact under any
+    partial-aggregation order — sum-then-quantize would depend on the
+    engines' accumulation order across partitions.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.posexplode("embedding").alias("pos0", "v")
+    ).select((F.col("pos0") + 1).cast("bigint").alias("dim_pos"), F.col("v").cast("double").alias("v"))
+    return (
+        cells.groupBy("dim_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.min("v") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("min_micro"),
+            F.floor(F.max("v") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("max_micro"),
+            F.sum(F.floor(F.col("v") * 1000000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_micro"),
+            F.sum((F.col("v") == 0.0).cast("bigint")).alias("n_zero"),
+        )
+        .orderBy("dim_pos")
+    )

@@ -440,3 +440,66 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rep_mean_micro").alias("boot_hi_micro"),
         )
     )
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   CASE
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                           THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                           THEN 'validation'
+                       ELSE 'test'
+                   END AS split
+            FROM documents
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """,
+    phase="P3",
+    tags=("sample", "split"),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (~80/10/10) by md5
+    digest band of the document key — the reproducible split every
+    training pipeline needs: membership is a pure function of the key,
+    so re-runs, backfills, and joins against other tables (sampled the
+    same way) can never leak a test doc into train. Digest bands
+    ('cd'/'100' ≈ 80.1%, 'e6'/'100' ≈ 89.8%) are two scan-stage string
+    compares — no rand(), no shuffle before the roll-up.
+
+    Output is the split manifest (counts, char volume, key range) —
+    the artifact you persist alongside the split for audit. The actual
+    split materialization is the same CASE expression as a partition
+    column of the write. Disjointness and total coverage are pinned in
+    pytest.
+    """
+    d = load(spark, sf_dir, "documents")
+    digest2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(digest2 < "cd", "train")
+        .when(digest2 < "e6", "validation")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

@@ -924,3 +924,91 @@ def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src bigint, hash_files bigint, range_files bigint, "
         "hash_span_cents bigint, range_span_cents bigint, ok boolean",
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5)
+                                         AS BIGINT) AS val
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        v2 AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                       AS val
+            FROM orders WHERE o_orderkey % 5 <> 0
+        ),
+        classified AS (
+            SELECT coalesce(v1.k, v2.k) AS k,
+                   CASE
+                       WHEN v1.k IS NULL THEN 'added'
+                       WHEN v2.k IS NULL THEN 'removed'
+                       WHEN v1.val <> v2.val THEN 'changed'
+                       ELSE 'unchanged'
+                   END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS key_checksum
+        FROM classified
+        GROUP BY status
+        ORDER BY status
+    """,
+    phase="P3",
+    tags=("etl", "reconciliation", "diff"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — row-level reconciliation between two versions of
+    a keyed table (the audit a data-integration tool runs after every
+    sync: what was added, removed, changed, kept). Versions are
+    synthesized deterministically from orders (v1 drops keys %7=0, v2
+    drops %5=0 and bumps the cents value on %3=0), so every
+    disposition class is populated and the expected classification is
+    checkable by arithmetic.
+
+    Plan: ONE full-outer join on the key classifies every row with a
+    null-pattern CASE; the per-class roll-up is combinable. At 100 TB
+    both versions shuffle-partition on the key once (or zero times if
+    the snapshots are stored bucketed by key — the layout
+    ``etl_clustered_write`` measures); the summary output is 4 rows
+    with a key checksum per class so drift in EITHER membership or
+    pairing shows in the driver hash. Values compare as integer cents
+    — no float equality.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents_val = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"), cents_val.alias("val1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        (
+            cents_val
+            + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)
+        ).alias("val2"),
+    )
+    status = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("val1") != F.col("val2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+        .select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("k"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("status")
+    )

@@ -993,3 +993,50 @@ def test_hll_merge_is_lossless(spark, sf_dir):
     row = agg_hll_merge(spark, sf_dir).first()
     assert row.merge_lossless == 1
     assert row.n_equal == row.n_buckets
+
+
+def test_train_test_split_covers_and_partitions(spark, sf_dir):
+    """The three splits must partition the corpus exactly (disjoint by
+    construction — one CASE — so counts must sum to the total) with
+    train the largest split."""
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_train_test_split,
+    )
+
+    rows = {r.split: r for r in sample_train_test_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "validation", "test"}
+    total = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert rows["train"].n_docs > rows["validation"].n_docs
+    assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_snapshot_diff_classes_match_arithmetic(spark, sf_dir):
+    """Each disposition count must re-derive from the synthesizing
+    predicates (added: %7=0 and %5≠0; removed: %5=0 and %7≠0;
+    changed: %3=0 surviving both filters)."""
+    from data_integration_tool_spark.sources.etl import etl_snapshot_diff
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    exp_added = o.filter((F.col("k") % 7 == 0) & (F.col("k") % 5 != 0)).count()
+    exp_removed = o.filter((F.col("k") % 5 == 0) & (F.col("k") % 7 != 0)).count()
+    exp_changed = o.filter(
+        (F.col("k") % 3 == 0) & (F.col("k") % 5 != 0) & (F.col("k") % 7 != 0)
+    ).count()
+    got = {r.status: r.n_rows for r in etl_snapshot_diff(spark, sf_dir).collect()}
+    assert got.get("added", 0) == exp_added
+    assert got.get("removed", 0) == exp_removed
+    assert got.get("changed", 0) == exp_changed
+
+
+def test_dim_stats_shape_and_bounds(spark, sf_dir):
+    """64 dims, each with n == corpus size and min ≤ max."""
+    from data_integration_tool_spark.operators.similarity import emb_dim_stats
+
+    rows = emb_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.min_micro <= r.max_micro
+        assert 0 <= r.n_zero <= r.n
