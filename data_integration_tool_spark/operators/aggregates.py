@@ -1272,3 +1272,81 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hll_est_micro"),
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS i
+            FROM per_cust
+        ),
+        moments AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total,
+                   CAST(sum(i * cents) AS BIGINT) AS weighted
+            FROM ranked
+        )
+        SELECT n AS n_customers, total AS total_cents,
+               CAST(floor(
+                   (2.0 * CAST(weighted AS DOUBLE)
+                    - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        FROM moments
+    """,
+    phase="P3",
+    tags=("agg", "statistics", "inequality"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality metric behind `win_pareto_share`'s decile view (0 =
+    every customer spends the same, →1 = one whale). Computed from the
+    sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    integer cents, so both moments are exact BIGINTs and the one final
+    ratio is the identical IEEE expression on both engines.
+
+    Scale shape: the data-scale stage is the combinable per-customer
+    agg (map-side partial sums); the rank runs over the REDUCED
+    per-customer relation (one row per customer — at 100 TB of orders
+    that is ~10⁶-10⁸ rows, a single sort Spark distributes with range
+    partitioning; the Σi·x moment is order-dependent only through the
+    rank, which the sort fixes deterministically with the custkey
+    tiebreak). Σi·x stays in int64 up to ~10⁷ customers at fixture
+    spend levels; beyond that re-scale cents to whole units.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .alias("i"),
+    )
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    gini = (
+        2.0 * F.col("weighted").cast("double")
+        - (F.col("n").cast("double") + 1.0) * F.col("total").cast("double")
+    ) / (F.col("n").cast("double") * F.col("total").cast("double"))
+    return moments.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.floor(gini * 1000000.0 + F.lit(0.5)).cast("bigint").alias("gini_micro"),
+    )

@@ -821,3 +821,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_event_ts",
         F.col("gap_us").cast("bigint").alias("gap_us"),
     )
+
+
+@query(
+    "join_scd2_pit",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey AS custkey, o_orderkey AS change_id,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS attr_cents,
+                   o_orderdate AS valid_from
+            FROM orders WHERE o_custkey < 300
+        ),
+        probes AS (
+            SELECT event_id, user_id,
+                   CAST(DATE '1995-01-01'
+                        + CAST(event_id % 2400 AS INTEGER) AS TIMESTAMP)
+                       AS probe_ts
+            FROM events
+        ),
+        matched AS (
+            SELECT p.event_id, p.user_id, p.probe_ts,
+                   c.change_id, c.attr_cents,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.valid_from DESC, c.change_id DESC
+                   ) AS rn
+            FROM probes p
+            JOIN changes c
+              ON c.custkey = p.user_id AND c.valid_from <= p.probe_ts
+        )
+        SELECT event_id, user_id, probe_ts, change_id, attr_cents
+        FROM matched WHERE rn = 1
+        ORDER BY event_id
+    """,
+    phase="P2",
+    tags=("join", "scd2", "point-in-time"),
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) dimension lookup against an SCD2 change
+    log — the warehouse join that answers "what was this customer's
+    attribute WHEN the event happened". Probes are events with
+    deterministic synthetic timestamps inside the dimension's era
+    (event eras and order eras are disjoint in the fixture); the
+    dimension is the same change log ``etl_scd2_intervals`` derives
+    intervals from.
+
+    Scale shape — the reason this is NOT an interval join: because
+    SCD2 intervals per key are non-overlapping and contiguous,
+    "valid_from <= ts < valid_to" is equivalent to "the LATEST change
+    with valid_from <= ts". That re-expression turns a range predicate
+    (nested-loop / O(n·m) without a specialized interval operator)
+    into an EQUI-join on the key plus a per-probe argmax — here a
+    row_number window, at 100 TB a combinable max(struct(valid_from,
+    change)) — so both sides hash-partition on the key once and
+    everything else is map-side. Same decomposition as ``join_asof``,
+    applied to the SCD2 consumption side.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    changes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("change_id"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("attr_cents"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    e = load(spark, sf_dir, "events")
+    probes = e.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(date_add(DATE '1995-01-01',"
+            " CAST(event_id % 2400 AS INT)) AS TIMESTAMP)"
+        ).alias("probe_ts"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_id").orderBy(
+        F.desc("valid_from"), F.desc("change_id")
+    )
+    return (
+        probes.join(
+            changes,
+            (F.col("custkey") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("probe_ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "probe_ts", "change_id", "attr_cents")
+        .orderBy("event_id")
+    )

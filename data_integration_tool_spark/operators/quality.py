@@ -784,3 +784,107 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# Expected schema contract for the orders feed. 'o_comment' is expected
+# but absent in the fixture — deliberately, so the 'missing' disposition
+# path is exercised and driver-visible, not just dead code.
+_ORDERS_CONTRACT: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+    ("o_comment", "string"),
+)
+
+_CONTRACT_VALUES_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, '{t}' AS expected_type"
+    for c, t in _ORDERS_CONTRACT
+)
+
+# DuckDB type name → the engine-neutral canonical name shared with
+# Spark's DataFrame.dtypes strings.
+_DUCK_CANON_SQL = """
+    CASE column_type
+        WHEN 'BIGINT' THEN 'bigint'
+        WHEN 'INTEGER' THEN 'int'
+        WHEN 'DOUBLE' THEN 'double'
+        WHEN 'VARCHAR' THEN 'string'
+        WHEN 'TIMESTAMP' THEN 'timestamp'
+        WHEN 'DATE' THEN 'date'
+        WHEN 'BOOLEAN' THEN 'boolean'
+        ELSE lower(column_type)
+    END
+"""
+
+
+@query(
+    "dq_schema_contract",
+    oracle=f"""
+        WITH expected AS ({_CONTRACT_VALUES_SQL}),
+        actual AS (
+            SELECT column_name AS col_name,
+                   {_DUCK_CANON_SQL} AS actual_type
+            FROM (DESCRIBE orders)
+        )
+        SELECT coalesce(e.col_name, a.col_name) AS col_name,
+               coalesce(e.expected_type, '-') AS expected_type,
+               coalesce(a.actual_type, '-') AS actual_type,
+               CASE
+                   WHEN a.col_name IS NULL THEN 'missing'
+                   WHEN e.col_name IS NULL THEN 'unexpected'
+                   WHEN e.expected_type <> a.actual_type
+                       THEN 'type_mismatch'
+                   ELSE 'ok'
+               END AS status
+        FROM expected e FULL OUTER JOIN actual a
+          ON e.col_name = a.col_name
+        ORDER BY col_name
+    """,
+    phase="P3",
+    tags=("quality", "schema", "contract"),
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract validation — the ingest gate a data-integration
+    tool runs before accepting a feed: every expected column must exist
+    with the contracted type; extra columns are flagged, not silently
+    passed. Dispositions: ok / type_mismatch / missing / unexpected
+    (the contract deliberately expects an absent ``o_comment`` so the
+    missing path is live).
+
+    This is a pure METADATA query: the actual schema comes from the
+    parquet footer (``DataFrame.dtypes`` — no data scan, the same
+    sanctioned driver-side class as file manifests), joined full-outer
+    against the contract literal. Cost is O(columns) at any data scale
+    — the 100 TB feed validates in milliseconds, which is why schema
+    gates run on every single batch.
+    """
+    # Spark 4 infers parquet timestamps as TIMESTAMP_NTZ; the contract
+    # speaks engine-neutral 'timestamp' (DuckDB's TIMESTAMP is NTZ too).
+    actual_pairs = [
+        (c, "timestamp" if t == "timestamp_ntz" else t)
+        for c, t in load(spark, sf_dir, "orders").dtypes
+    ]
+    actual = spark.createDataFrame(actual_pairs, ["col_name", "actual_type"])
+    expected = spark.createDataFrame(
+        list(_ORDERS_CONTRACT), ["col_name", "expected_type"]
+    )
+    e, a = expected.alias("e"), actual.alias("a")
+    status = (
+        F.when(F.col("a.col_name").isNull(), "missing")
+        .when(F.col("e.col_name").isNull(), "unexpected")
+        .when(F.col("e.expected_type") != F.col("a.actual_type"), "type_mismatch")
+        .otherwise("ok")
+    )
+    return (
+        e.join(a, F.col("e.col_name") == F.col("a.col_name"), "full_outer")
+        .select(
+            F.coalesce(F.col("e.col_name"), F.col("a.col_name")).alias("col_name"),
+            F.coalesce(F.col("e.expected_type"), F.lit("-")).alias("expected_type"),
+            F.coalesce(F.col("a.actual_type"), F.lit("-")).alias("actual_type"),
+            status.alias("status"),
+        )
+        .orderBy("col_name")
+    )

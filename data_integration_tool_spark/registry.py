@@ -196,8 +196,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dq_skew_report, ts_autocorr, agg_corr_matrix, emb_ann_pq,
     # plan_join_strategy, dedup_keep_best, fn_winsorize, text_novelty,
     # ts_seasonal_decompose, agg_hll_merge, sample_train_test_split,
-    # emb_dim_stats, etl_snapshot_diff — all exact-checked, never
-    # driver-rowed —
+    # emb_dim_stats, etl_snapshot_diff, join_scd2_pit, agg_gini,
+    # dq_schema_contract — all exact-checked, never driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),

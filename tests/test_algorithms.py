@@ -1040,3 +1040,73 @@ def test_dim_stats_shape_and_bounds(spark, sf_dir):
         assert r.n == n_vecs
         assert r.min_micro <= r.max_micro
         assert 0 <= r.n_zero <= r.n
+
+
+def test_gini_matches_reference_formula(spark, sf_dir):
+    """gini_micro must equal a driver-side recomputation from the
+    per-customer cents (sorted-rank identity), and lie in [0, 1)."""
+    from data_integration_tool_spark.operators.aggregates import agg_gini
+
+    row = agg_gini(spark, sf_dir).first()
+    cents = sorted(
+        r.c
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).alias("c")
+        )
+        .collect()
+    )
+    n, total = len(cents), sum(cents)
+    weighted = sum((i + 1) * x for i, x in enumerate(cents))
+    import math
+
+    expect = math.floor(
+        (2.0 * weighted - (n + 1.0) * total) / (n * float(total)) * 1e6 + 0.5
+    )
+    assert row.gini_micro == expect
+    assert 0 <= row.gini_micro < 1_000_000
+
+
+def test_scd2_pit_picks_latest_change(spark, sf_dir):
+    """Every PIT row must carry the LATEST change at or before the
+    probe, and exactly the probes with ≥1 prior change appear."""
+    from data_integration_tool_spark.operators.joins import join_scd2_pit
+
+    res = join_scd2_pit(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    # for each result row, no change may exist that is strictly "later
+    # but still <= probe" than the one chosen
+    chosen = res.select("event_id", "user_id", "probe_ts", "change_id")
+    newer = (
+        chosen.alias("r")
+        .join(
+            o.alias("c"),
+            (F.col("c.o_custkey") == F.col("r.user_id"))
+            & (F.col("c.o_orderdate") <= F.col("r.probe_ts")),
+        )
+        .join(
+            o.alias("p"),
+            F.col("p.o_orderkey") == F.col("r.change_id"),
+        )
+        .filter(
+            (F.col("c.o_orderdate") > F.col("p.o_orderdate"))
+            | (
+                (F.col("c.o_orderdate") == F.col("p.o_orderdate"))
+                & (F.col("c.o_orderkey") > F.col("p.o_orderkey"))
+            )
+        )
+    )
+    assert newer.count() == 0
+
+
+def test_schema_contract_dispositions(spark, sf_dir):
+    """Every fixture column is 'ok'; the deliberately-expected
+    o_comment is 'missing'; nothing is 'unexpected' or mismatched."""
+    from data_integration_tool_spark.operators.quality import dq_schema_contract
+
+    rows = {r.col_name: r.status for r in dq_schema_contract(spark, sf_dir).collect()}
+    assert rows.pop("o_comment") == "missing"
+    assert set(rows.values()) == {"ok"}
