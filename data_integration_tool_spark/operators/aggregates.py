@@ -1350,3 +1350,52 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_cents"),
         F.floor(gini * 1000000.0 + F.lit(0.5)).cast("bigint").alias("gini_micro"),
     )
+
+
+_QGRID_FRACTIONS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "agg_quantile_grid",
+    oracle=f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"quantile_disc(value, {q}) AS p{int(q * 100)}"
+                   for q in _QGRID_FRACTIONS
+               )}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    phase="P2",
+    tags=("agg", "quantile"),
+)
+def agg_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quantile grid (p25/p50/p75/p90/p99) per event type in ONE
+    aggregation pass — the latency/SLA report shape, where computing
+    each percentile as a separate query would re-sort the same data
+    five times. DISCRETE percentiles return actual stored doubles (the
+    anomaly_mad house rule), so every cell is hash-exact with no
+    quantization.
+
+    Scale: one sort-based agg per group; all five grid points share
+    that single per-group sort. At 100 TB swap percentile_disc for
+    approx_percentile(value, array(...)) — same single-pass shape, a
+    mergeable KLL/GK sketch instead of the exact sort, which is the
+    documented rows-only path of ``agg_approx_percentile``.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"p{int(q * 100)}")
+                for q in _QGRID_FRACTIONS
+            ],
+        )
+        .orderBy("event_type")
+    )

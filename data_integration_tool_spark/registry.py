@@ -197,8 +197,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # plan_join_strategy, dedup_keep_best, fn_winsorize, text_novelty,
     # ts_seasonal_decompose, agg_hll_merge, sample_train_test_split,
     # emb_dim_stats, etl_snapshot_diff, join_scd2_pit, agg_gini,
-    # dq_schema_contract, graph_lpa_communities — all exact-checked,
-    # never driver-rowed —
+    # dq_schema_contract, graph_lpa_communities, etl_backfill_plan,
+    # agg_quantile_grid — all exact-checked, never driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),

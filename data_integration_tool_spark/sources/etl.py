@@ -1012,3 +1012,87 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "etl_backfill_plan",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(date_trunc('day', o_orderdate)) AS DATE) AS lo,
+                   CAST(max(date_trunc('day', o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        expected AS (
+            SELECT CAST(u.d AS DATE) AS day
+            FROM bounds, unnest(generate_series(bounds.lo, bounds.hi,
+                                                INTERVAL 1 DAY)) AS u(d)
+        ),
+        present AS (
+            SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE)
+                       AS day
+            FROM orders
+            WHERE date_part('day', o_orderdate) % 5 <> 0
+        ),
+        missing AS (
+            SELECT e.day,
+                   row_number() OVER (ORDER BY e.day) AS rn
+            FROM expected e LEFT JOIN present p ON e.day = p.day
+            WHERE p.day IS NULL
+        )
+        SELECT CAST(min(day) AS TIMESTAMP) AS range_start,
+               CAST(max(day) AS TIMESTAMP) AS range_end,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM missing
+        GROUP BY day - to_days(CAST(rn AS INTEGER))
+        ORDER BY range_start
+    """,
+    phase="P3",
+    tags=("etl", "backfill", "planner"),
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: which daily partitions are missing from a
+    feed, grouped into CONTIGUOUS date ranges — the work orders a
+    scheduler submits (one backfill job per range beats one per day).
+    "Present" days are simulated by dropping every day-of-month
+    divisible by 5 from orders, so the missing set has a known
+    10-ish-day cadence and multi-day runs around the 10th/20th/30th.
+
+    Plan: calendar spine generated from the observed min/max (sequence
+    + explode — metadata scale), anti-joined against the DISTINCT
+    present days (one combinable distinct of the fact table), then
+    gaps-and-islands (day − row_number is constant within a contiguous
+    run) on the MISSING set — which is tiny by definition. The only
+    data-scale stage is the distinct; everything after runs on the
+    calendar. Output grain: one row per contiguous missing range.
+    """
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).cast("date").alias("lo"),
+        F.max(F.date_trunc("day", "o_orderdate")).cast("date").alias("hi"),
+    )
+    expected = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    present = (
+        o.filter(F.dayofmonth("o_orderdate") % 5 != 0)
+        .select(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    missing = (
+        expected.join(present, "day", "left_anti")
+        .withColumn("rn", F.row_number().over(W.orderBy("day")))
+    )
+    return (
+        missing.groupBy(
+            F.date_sub(F.col("day"), F.col("rn").cast("int")).alias("anchor")
+        )
+        .agg(
+            F.min("day").cast("timestamp").alias("range_start"),
+            F.max("day").cast("timestamp").alias("range_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("anchor")
+        .orderBy("range_start")
+    )

@@ -1143,3 +1143,54 @@ def test_lpa_communities_within_components(spark, sf_dir):
     assert sum(r.n_members for r in rows) <= n_nodes
     for r in rows:
         assert r.min_node <= r.community <= r.max_node or r.n_members >= 2
+
+
+def test_backfill_ranges_contiguous_and_complete(spark, sf_dir):
+    """Ranges must be disjoint, internally contiguous (n_days matches
+    the span), and jointly cover exactly the missing day set."""
+    from data_integration_tool_spark.sources.etl import etl_backfill_plan
+
+    rows = etl_backfill_plan(spark, sf_dir).collect()
+    assert rows
+    prev_end = None
+    total = 0
+    for r in rows:
+        span = (r.range_end.date() - r.range_start.date()).days + 1
+        assert span == r.n_days, r
+        if prev_end is not None:
+            assert r.range_start.date() > prev_end
+        prev_end = r.range_end.date()
+        total += r.n_days
+    o = load(spark, sf_dir, "orders")
+    lo, hi = o.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).cast("date"),
+        F.max(F.date_trunc("day", "o_orderdate")).cast("date"),
+    ).first()
+    n_calendar = (hi - lo).days + 1
+    n_present = (
+        o.filter(F.dayofmonth("o_orderdate") % 5 != 0)
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    # missing = full calendar spine minus surviving present days (this
+    # includes days with no orders at all — genuinely absent partitions)
+    assert total == n_calendar - n_present
+
+
+def test_quantile_grid_monotone(spark, sf_dir):
+    """Grid points must be non-decreasing and be actual data values."""
+    from data_integration_tool_spark.operators.aggregates import agg_quantile_grid
+
+    e = load(spark, sf_dir, "events")
+    vals = {
+        r.event_type: set()
+        for r in e.select("event_type").distinct().collect()
+    }
+    for r in e.select("event_type", "value").collect():
+        vals[r.event_type].add(r.value)
+    for r in agg_quantile_grid(spark, sf_dir).collect():
+        grid = [r.p25, r.p50, r.p75, r.p90, r.p99]
+        assert grid == sorted(grid)
+        for g in grid:
+            assert g in vals[r.event_type]
