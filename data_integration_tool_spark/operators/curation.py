@@ -736,3 +736,75 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rate_micro"),
     )
+
+
+_MIX_ALPHA = 0.3  # temperature exponent (mT5/XLM-R's multilingual rule)
+
+
+@query(
+    "mixture_temperature",
+    oracle=f"""
+        WITH bylang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        powed AS (
+            SELECT lang, n_docs,
+                   pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS w
+            FROM bylang
+        ),
+        tot AS (SELECT sum(w) AS wsum FROM powed)
+        SELECT p.lang, p.n_docs,
+               CAST(floor(p.w / t.wsum * 1000000.0 + 0.5) AS BIGINT)
+                   AS share_micro,
+               CAST(floor(p.w / t.wsum
+                          * (SELECT sum(n_docs) FROM bylang)
+                          + 0.5) AS BIGINT) AS target_docs
+        FROM powed p CROSS JOIN tot t
+        ORDER BY p.lang
+    """,
+    phase="P4",
+    tags=("curation", "mixture", "temperature"),
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: each language's sampling
+    share ∝ n^α with α=0.3 — the standard multilingual rebalancing rule
+    (mT5 / XLM-R): low-resource strata are upweighted relative to their
+    raw share, high-resource ones damped, with α interpolating between
+    proportional (α=1) and uniform (α=0). Complements `mixture_plan`
+    (uniform target) and `mixture_token_budget` (token-grain capping).
+
+    Plan identical in shape to its siblings: one count-by-stratum scan
+    (the only data-scale stage), pow + normalization over the
+    stratum-count relation (dozens of rows), one broadcast scalar.
+    pow() crosses libm boundaries, so shares ship micro-quantized (the
+    tfidf ln() rule); inputs to pow are identical integers on both
+    engines so divergence is ≤1 ulp — far inside the micro grid.
+    """
+    d = load(spark, sf_dir, "documents")
+    bylang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = bylang.select(
+        "lang",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)).alias("w"),
+    )
+    tot = powed.agg(
+        F.sum("w").alias("wsum"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(F.col("w") / F.col("wsum") * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_micro"),
+            F.floor(
+                F.col("w") / F.col("wsum") * F.col("total_docs") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -1194,3 +1194,19 @@ def test_quantile_grid_monotone(spark, sf_dir):
         assert grid == sorted(grid)
         for g in grid:
             assert g in vals[r.event_type]
+
+
+def test_temperature_mixture_damps_ratios(spark, sf_dir):
+    """Shares sum to ~1 and α=0.3 damping holds: for n_i > n_j the
+    share ratio must sit strictly between 1 and the raw count ratio."""
+    from data_integration_tool_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    rows = mixture_temperature(spark, sf_dir).collect()
+    assert abs(sum(r.share_micro for r in rows) - 1_000_000) <= len(rows)
+    for a in rows:
+        for b in rows:
+            if a.n_docs > b.n_docs and b.share_micro > 0:
+                ratio = a.share_micro / b.share_micro
+                assert 1.0 <= ratio < a.n_docs / b.n_docs + 1e-9, (a, b)
