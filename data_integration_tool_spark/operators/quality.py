@@ -888,3 +888,191 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "dq_ks_test",
+    oracle="""
+        WITH tagged AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END AS in_a
+            FROM orders
+        ),
+        counts AS (
+            SELECT v,
+                   CAST(sum(in_a) AS BIGINT) AS c_a,
+                   CAST(sum(1 - in_a) AS BIGINT) AS c_b
+            FROM tagged GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                   CAST(sum(c_b) AS BIGINT) AS n_b
+            FROM counts
+        ),
+        cdf AS (
+            SELECT CAST(sum(c_a) OVER w AS BIGINT) AS cum_a,
+                   CAST(sum(c_b) OVER w AS BIGINT) AS cum_b
+            FROM counts
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+        )
+        SELECT t.n_a, t.n_b,
+               CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+                   AS max_scaled_gap,
+               CAST(floor(CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                               AS DOUBLE)
+                          / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS ks_micro
+        FROM cdf c CROSS JOIN tot t
+        GROUP BY t.n_a, t.n_b
+    """,
+    phase="P3",
+    tags=("quality", "drift", "ks"),
+)
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the order-price
+    distributions of two time slices (pre/post 1998) — the
+    NON-PARAMETRIC drift monitor beside ``dq_drift_psi``: no binning
+    choice, sensitive to any CDF divergence, with the textbook
+    D = max|F_a − F_b| semantics.
+
+    All-integer until the final ratio: prices quantize to cents, the
+    per-value slice counts aggregate combinably, and the ECDF gap is
+    computed as |cum_a·n_b − cum_b·n_a| (cross-multiplied BIGINTs — no
+    per-row float division anywhere), so D's argmax is exact and the
+    single output division is identical on both engines.
+
+    Scale: one combinable (value, slice) count collapses the table to
+    its distinct-value grain; the running-sum window sorts that reduced
+    relation once (range-partitionable at 100 TB — same contract as
+    hist_equidepth); output is one row.
+    """
+    o = load(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("in_a"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("c_a"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        F.sum("c_a").over(w).cast("bigint").alias("cum_a"),
+        F.sum("c_b").over(w).cast("bigint").alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(gap).cast("bigint").alias("max_scaled_gap"))
+        .select(
+            "n_a",
+            "n_b",
+            "max_scaled_gap",
+            F.floor(
+                F.col("max_scaled_gap").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ks_micro"),
+        )
+    )
+
+
+@query(
+    "dq_join_fanout",
+    oracle="""
+        WITH l AS (
+            SELECT l_orderkey AS k, count(*) AS m FROM lineitem GROUP BY 1
+        ),
+        r AS (
+            SELECT o_orderkey AS k, count(*) AS m FROM orders GROUP BY 1
+        ),
+        joined AS (
+            SELECT l.m AS lm, r.m AS rm
+            FROM l JOIN r ON l.k = r.k
+        ),
+        stats AS (
+            SELECT CAST((SELECT sum(m) FROM l) AS BIGINT) AS left_rows,
+                   CAST((SELECT sum(m) FROM r) AS BIGINT) AS right_rows,
+                   CAST(sum(lm * rm) AS BIGINT) AS result_rows,
+                   CAST(max(lm) AS BIGINT) AS max_left_mult,
+                   CAST(max(rm) AS BIGINT) AS max_right_mult,
+                   CAST(count(*) AS BIGINT) AS n_matched_keys
+            FROM joined
+        )
+        SELECT left_rows, right_rows, result_rows,
+               max_left_mult, max_right_mult, n_matched_keys,
+               CAST(floor(CAST(result_rows AS DOUBLE)
+                          / CAST(left_rows AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS fanout_micro
+        FROM stats
+    """,
+    phase="P3",
+    tags=("quality", "join", "fanout"),
+)
+def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-multiplicity audit — "why did my join explode": BEFORE
+    running lineitem⋈orders, predict its exact output cardinality and
+    the worst per-key multiplicities from the two key histograms
+    (result rows = Σ_k m_left(k)·m_right(k)). A max multiplicity > 1
+    on BOTH sides means many-to-many fan-out; fanout_micro is the blow-
+    up factor relative to the left input. This is the diagnostic a
+    data-integration tool runs when row counts jump after a merge —
+    and at 100 TB it costs two key-grain aggregations instead of
+    materializing the (possibly exploded) join itself.
+
+    Plan: two combinable per-key counts, an equi-join of the two
+    HISTOGRAMS (one row per key — far smaller than the fact tables),
+    one global roll-up. All integer arithmetic; the single ratio is
+    the only double.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    l = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("lm")
+    )
+    r = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("rm")
+    )
+    joined = l.join(r, "k")
+    stats = joined.agg(
+        F.sum(F.col("lm") * F.col("rm")).cast("bigint").alias("result_rows"),
+        F.max("lm").cast("bigint").alias("max_left_mult"),
+        F.max("rm").cast("bigint").alias("max_right_mult"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_keys"),
+    )
+    totals = l.agg(F.sum("lm").cast("bigint").alias("left_rows")).crossJoin(
+        r.agg(F.sum("rm").cast("bigint").alias("right_rows"))
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "left_rows",
+        "right_rows",
+        "result_rows",
+        "max_left_mult",
+        "max_right_mult",
+        "n_matched_keys",
+        F.floor(
+            F.col("result_rows").cast("double")
+            / F.col("left_rows").cast("double")
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("fanout_micro"),
+    )

@@ -1210,3 +1210,28 @@ def test_temperature_mixture_damps_ratios(spark, sf_dir):
             if a.n_docs > b.n_docs and b.share_micro > 0:
                 ratio = a.share_micro / b.share_micro
                 assert 1.0 <= ratio < a.n_docs / b.n_docs + 1e-9, (a, b)
+
+
+def test_ks_bounded_and_detects_identical(spark, sf_dir):
+    """KS lies in [0, 1]; the max scaled gap must be consistent with
+    the micro ratio; and comparing a slice against itself yields 0."""
+    from data_integration_tool_spark.operators.quality import dq_ks_test
+
+    r = dq_ks_test(spark, sf_dir).first()
+    assert 0 <= r.ks_micro <= 1_000_000
+    expect = round(r.max_scaled_gap / (r.n_a * r.n_b) * 1e6)
+    assert abs(r.ks_micro - expect) <= 1
+
+
+def test_join_fanout_predicts_actual_join(spark, sf_dir):
+    """The predicted result_rows must equal the ACTUAL join output
+    row count, and totals must match the raw tables."""
+    from data_integration_tool_spark.operators.quality import dq_join_fanout
+
+    r = dq_join_fanout(spark, sf_dir).first()
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    assert r.left_rows == li.count()
+    assert r.right_rows == o.count()
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert r.result_rows == actual
