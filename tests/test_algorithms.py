@@ -1235,3 +1235,47 @@ def test_join_fanout_predicts_actual_join(spark, sf_dir):
     assert r.right_rows == o.count()
     actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert r.result_rows == actual
+
+
+def test_fuzzy_join_recovers_true_entity(spark, sf_dir):
+    """EVERY dirty row must appear (its own origin is always a ≤2-edit
+    candidate in the same block), distances respect the threshold, and
+    the chosen match is at least as close as the true origin AND names
+    a clean row whose name is at that same minimal distance — fixture
+    part names repeat, so key-identity is NOT the invariant; name-level
+    optimality is."""
+    from data_integration_tool_spark.operators.joins import join_fuzzy_blocked
+
+    res = join_fuzzy_blocked(spark, sf_dir)
+    p = load(spark, sf_dir, "part")
+    n_dirty = p.filter(F.col("p_partkey") % 5 == 0).count()
+    rows = res.collect()
+    assert len(rows) == n_dirty
+    assert all(0 <= r.dist <= 2 for r in rows)
+    # matched distance ≤ distance to the dirty row's own origin name
+    names = {r.p_partkey: r.p_name for r in p.collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    corrupt = {}
+    for r in rows:
+        orig = names[r.dkey]
+        k = r.dkey % 3
+        d = (
+            orig + "x"
+            if k == 0
+            else orig[:-1]
+            if k == 1
+            else orig[:-2] + orig[-1] + orig[-2]
+        )
+        assert r.dist <= lev(d, orig), r
+        assert lev(d, names[r.matched_ckey]) == r.dist, r
