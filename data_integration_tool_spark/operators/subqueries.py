@@ -99,3 +99,54 @@ def subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# The recursive-CTE text is ONE string shared byte-identically by the
+# Spark SQL surface and the DuckDB oracle (both speak ANSI WITH
+# RECURSIVE; Spark gained it in 4.x) — the sql_pricing_summary pattern
+# applied to iteration.
+_RECURSIVE_SQL = """
+        WITH RECURSIVE anc(key, node, depth, path_sum) AS (
+            SELECT p_partkey, p_partkey, 0, CAST(p_partkey AS BIGINT)
+            FROM part WHERE p_partkey <= 500
+            UNION ALL
+            SELECT key, CAST(floor(node / 2) AS BIGINT), depth + 1,
+                   path_sum + CAST(floor(node / 2) AS BIGINT)
+            FROM anc WHERE node > 1
+        )
+        SELECT key,
+               CAST(max(depth) AS BIGINT) AS n_ancestors,
+               CAST(max(path_sum) AS BIGINT) AS path_key_sum
+        FROM anc
+        GROUP BY key
+        ORDER BY key
+"""
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_SQL,
+    phase="P3",
+    tags=("sql", "recursive", "hierarchy"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal via ANSI ``WITH RECURSIVE`` — the org-chart
+    / bill-of-materials walk — over an implicit binary tree (each part
+    key's parent is key/2): ancestor count and path key sum up to the
+    root. The SQL string is byte-identical on both engines, making
+    this the engine-surface proof that recursive queries run natively
+    (Spark 4's recursive CTE support) rather than through the driver
+    loop (``dedup_components``) or unrolled CTEs (``graph_bfs_hops``)
+    — the repo now demonstrates all THREE iteration strategies.
+
+    Scale: the recursion depth is log₂(maxkey) (~9 here); each
+    recursive step is a self-referencing union Spark executes as an
+    iterative sub-plan with the same partial aggregation guarantees as
+    any other plan. The seed filter pushes to the scan; at 100 TB a
+    real hierarchy would carry an explicit parent key column — the
+    query text is unchanged.
+    """
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

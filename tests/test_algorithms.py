@@ -1279,3 +1279,20 @@ def test_fuzzy_join_recovers_true_entity(spark, sf_dir):
         )
         assert r.dist <= lev(d, orig), r
         assert lev(d, names[r.matched_ckey]) == r.dist, r
+
+
+def test_recursive_hierarchy_matches_arithmetic(spark, sf_dir):
+    """Depth must equal floor(log2(key)) for key ≥ 1 (parent = k//2
+    down to root 1) and the path sum must equal the halving chain."""
+    from data_integration_tool_spark.operators.subqueries import (
+        sql_recursive_hierarchy,
+    )
+
+    for r in sql_recursive_hierarchy(spark, sf_dir).collect():
+        k = r.key
+        chain, node = [k], k
+        while node > 1:
+            node //= 2
+            chain.append(node)
+        assert r.n_ancestors == len(chain) - 1, r
+        assert r.path_key_sum == sum(chain), r
