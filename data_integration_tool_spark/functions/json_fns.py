@@ -125,3 +125,49 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    phase="P2",
+    tags=("function", "variant", "semistructured"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` converts the props JSON string to the binary
+    variant encoding ONCE, ``variant_get`` extracts typed fields
+    without re-parsing — the engine-native path for JSON-heavy event
+    data (vs ``fn_json``'s per-expression get_json_object string
+    parsing, which re-tokenizes the document for every field
+    touched). At 100 TB you'd persist the variant column in parquet
+    (shredded storage) and every downstream extraction becomes a
+    columnar read; the aggregate semantics here are oracled against
+    DuckDB's JSON extraction so the variant path is value-verified,
+    not just smoke-tested.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -199,8 +199,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # emb_dim_stats, etl_snapshot_diff, join_scd2_pit, agg_gini,
     # dq_schema_contract, graph_lpa_communities, etl_backfill_plan,
     # agg_quantile_grid, mixture_temperature, dq_ks_test,
-    # dq_join_fanout, join_fuzzy_blocked, sql_recursive_hierarchy —
-    # all exact-checked, never driver-rowed —
+    # dq_join_fanout, join_fuzzy_blocked, sql_recursive_hierarchy,
+    # fn_variant — all exact-checked, never driver-rowed —
     # plus rows-only stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),
