@@ -412,3 +412,26 @@ def test_clustered_write_tightens_envelopes(spark, sf_dir):
     assert row.ok is True
     assert row.range_span_cents * 4 < row.hash_span_cents
     assert row.hash_files == row.range_files == 8
+
+
+def test_python_datasource_partition_parallel(spark, sf_dir):
+    """The custom source must expose 8 input partitions (one task
+    each) and generate exactly the arithmetic stream."""
+    from data_integration_tool_spark.sources.pysource import (
+        N_PARTS,
+        N_ROWS,
+        _register,
+        _reading,
+    )
+
+    _register(spark)
+    df = (
+        spark.read.format("sensorgen")
+        .option("n", N_ROWS)
+        .option("parts", N_PARTS)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == N_PARTS
+    sample = {r.id: r.reading for r in df.filter("id < 100").collect()}
+    assert sample == {i: _reading(i) for i in range(100)}
+    assert df.count() == N_ROWS
