@@ -411,3 +411,60 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pdf[["user_id", "event_id", "value", "ewma"]]
 
     return e.repartition("user_id").mapInPandas(ewma_fn, out_schema)
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(length(replace(text, ' ', '')) AS BIGINT)
+                   AS n_nonspace,
+               upper(substring(text, 1, 8)) AS head_upper
+        FROM documents
+        ORDER BY doc_id
+    """,
+    phase="P4",
+    tags=("udf", "mapinarrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the FOURTH and lowest-overhead Python boundary
+    (beside pandas UDF / grouped agg / mapInPandas): batches cross as
+    raw Arrow RecordBatches and the kernel runs pyarrow.compute
+    vectorized ops with NO pandas materialization — no index, no
+    object-dtype boxing, zero-copy on the string buffers. The kernel
+    here (byte length, non-space length, uppercased head) is chosen to
+    be expressible in SQL so the whole Arrow path is value-oracled
+    (the fixture's ASCII text makes length() byte-equal cross-engine).
+
+    At 100 TB this is the boundary you want for byte-level feature
+    extraction over documents: Arrow string ops run at memory
+    bandwidth, and the exchange-free map stage scales with the scan.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.binary_length(
+                            pc.replace_substring(text, " ", "")
+                        ),
+                        pa.int64(),
+                    ),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 8)),
+                ],
+                ["doc_id", "n_bytes", "n_nonspace", "head_upper"],
+            )
+
+    out_schema = (
+        "doc_id bigint, n_bytes bigint, n_nonspace bigint, head_upper string"
+    )
+    return d.mapInArrow(kernel, out_schema).orderBy("doc_id")
