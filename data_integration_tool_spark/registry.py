@@ -203,7 +203,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dq_join_fanout, join_fuzzy_blocked, sql_recursive_hierarchy,
     # fn_variant, source_python_datasource, udf_map_in_arrow — all
     # exact-checked, never driver-rowed —
-    # plus rows-only stream_session_true, etl_schema_evolution,
+    # plus rows-only stream_python_source (r6 3rd session),
+    # stream_session_true, etl_schema_evolution,
     # etl_partition_layout, and etl_clustered_write, whose invariants
     # are pytest-pinned),
     # then scan_parquet..project_expr and the remaining r1 greens

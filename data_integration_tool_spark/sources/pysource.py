@@ -123,3 +123,138 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sensor")
     )
+
+
+STREAM_BATCHES = 4
+STREAM_ROWS_PER_BATCH = 2_500  # 4 × 2 500 = the batch source's N_ROWS
+
+
+def _register_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class SensorStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked generator: offset = next row id. The engine
+        checkpoints {"id": n}; read(start) emits one micro-batch slice
+        and the new offset — replayable, so exactly-once holds even if
+        a batch is re-run (readBetweenOffsets regenerates the same
+        deterministic rows)."""
+
+        def initialOffset(self):
+            return {"id": 0}
+
+        def read(self, start):
+            lo = start["id"]
+            hi = min(lo + STREAM_ROWS_PER_BATCH, N_ROWS)
+            return (
+                [(i, i % N_SENSORS, _reading(i)) for i in range(lo, hi)],
+                {"id": hi},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                (i, i % N_SENSORS, _reading(i))
+                for i in range(start["id"], end["id"])
+            ]
+
+    class SensorStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sensorstream"
+
+        def schema(self):
+            return "id bigint, sensor bigint, reading bigint"
+
+        def simpleStreamReader(self, schema):
+            return SensorStreamReader()
+
+    spark.dataSource.register(SensorStreamSource)
+
+
+@query(
+    "stream_python_source",
+    oracle=None,  # rows-only: live streaming engine run (house rule for
+    # the stream_* harnesses); the per-sensor values reconcile against
+    # the BATCH custom source inside the query itself (all_match) and
+    # in tests/test_etl.py
+    phase="P4",
+    tags=("source", "datasource-api", "streaming"),
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector on the STREAMING side: the same pure-Python
+    sensor generator exposed through ``simpleStreamReader`` — Spark's
+    offset-checkpointed micro-batch protocol drives a user Python
+    source ({STREAM_BATCHES} batches of {STREAM_ROWS_PER_BATCH} rows,
+    availableNow drain), aggregated per sensor, then reconciled
+    full-outer against the BATCH DataSource twin
+    (``source_python_datasource``): all_match=1 proves the streaming
+    protocol delivered exactly the batch row set — no loss, no
+    duplication — across restart-replayable offsets.
+
+    This closes the connector story: one generator, both Spark
+    ingestion protocols, value-reconciled. The drain is a RESTART
+    LOOP: each availableNow run consumes one prefetched micro-batch
+    and terminates; re-starting against the SAME checkpoint resumes
+    from the committed offset with the aggregation state intact — so
+    the query also proves offsets AND state survive restarts (the
+    exactly-once story), not just in-flight delivery. State at scale:
+    one row per sensor; source parallelism comes from the engine
+    scheduling reads per offset range.
+    """
+    import shutil
+    import tempfile
+
+    _register_stream(spark)
+    ckpt = tempfile.mkdtemp(prefix="pysrc_ckpt_")
+    try:
+        total, runs = 0, 0
+        while total < N_ROWS and runs < 3 * STREAM_BATCHES:
+            stream = spark.readStream.format("sensorstream").load()
+            agg = stream.groupBy("sensor").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("reading").alias("sum_reading"),
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("stream_python_source_out")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            runs += 1
+            total = (
+                spark.table("stream_python_source_out")
+                .agg(F.sum("n"))
+                .first()[0]
+                or 0
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = spark.table("stream_python_source_out").select(
+        "sensor",
+        F.col("n").alias("s_n"),
+        F.col("sum_reading").alias("s_sum"),
+    )
+    want = source_python_datasource(spark, sf_dir).select(
+        "sensor",
+        F.col("n").alias("b_n"),
+        F.col("sum_reading").alias("b_sum"),
+    )
+    joined = got.join(want, "sensor", "full_outer")
+    ok = (
+        F.col("s_n").isNotNull()
+        & F.col("b_n").isNotNull()
+        & (F.col("s_n") == F.col("b_n"))
+        & (F.col("s_sum") == F.col("b_sum"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sensors"),
+        F.sum(ok.cast("bigint")).cast("bigint").alias("n_match"),
+        (F.count(F.lit(1)) == F.sum(ok.cast("bigint")))
+        .cast("bigint")
+        .alias("all_match"),
+    )

@@ -435,3 +435,15 @@ def test_python_datasource_partition_parallel(spark, sf_dir):
     sample = {r.id: r.reading for r in df.filter("id < 100").collect()}
     assert sample == {i: _reading(i) for i in range(100)}
     assert df.count() == N_ROWS
+
+
+def test_python_stream_source_reconciles(spark, sf_dir):
+    """The streaming custom source must deliver exactly the batch row
+    set across restart-replayed offsets — all_match invariant."""
+    from data_integration_tool_spark.sources.pysource import (
+        stream_python_source,
+    )
+
+    row = stream_python_source(spark, sf_dir).first()
+    assert row.all_match == 1
+    assert row.n_match == row.n_sensors == 8
