@@ -254,3 +254,66 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(blob)).alias("name_hex"),
         F.octet_length("c_name").cast("bigint").alias("name_bytes"),
     )
+
+
+@query(
+    "fn_collate",
+    oracle="""
+        WITH variants AS (
+            SELECT doc_id, source,
+                   upper(substring(source, 1, 1))
+                     || substring(source, 2) AS source_mixed
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN source_mixed = source
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_binary_eq,
+               CAST(sum(CASE WHEN lower(source_mixed) = lower(source)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_collation_eq
+        FROM variants
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P2",
+    tags=("function", "collation"),
+)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive comparison through Spark 4's COLLATION surface:
+    a mixed-case variant of each source tag (initcapped first letter)
+    compares unequal under binary semantics but EQUAL under the
+    ``UTF8_LCASE`` collation — ``collate(a, 'UTF8_LCASE') = collate(b,
+    'UTF8_LCASE')`` is the engine-native form (comparison, grouping,
+    and joins all honor it; no lower() scattering through the query).
+    The oracle expresses the same predicate with explicit lower() —
+    exactly the rewrite collations exist to eliminate — so the
+    collation path is value-verified against its manual twin.
+
+    Scale: collation compares are scan-stage expressions inside
+    codegen; a collated JOIN key at 100 TB hashes the collation key
+    form, which is why engine-level collation beats wrapping every
+    predicate in lower() (one canonical form, index/bucket friendly).
+    """
+    d = load(spark, sf_dir, "documents")
+    variants = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.upper(F.substring("source", 1, 1)), F.expr("substring(source, 2)")
+        ).alias("source_mixed"),
+    )
+    coll_eq = F.expr(
+        "collate(source_mixed, 'UTF8_LCASE') = collate(source, 'UTF8_LCASE')"
+    )
+    return (
+        variants.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("source_mixed") == F.col("source")).cast("bigint")).alias(
+                "n_binary_eq"
+            ),
+            F.sum(coll_eq.cast("bigint")).alias("n_collation_eq"),
+        )
+        .orderBy("source")
+    )
