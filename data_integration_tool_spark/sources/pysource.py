@@ -180,7 +180,7 @@ def _register_stream(spark: SparkSession) -> None:
     # the BATCH custom source inside the query itself (all_match) and
     # in tests/test_etl.py
     phase="P4",
-    tags=("source", "datasource-api", "streaming"),
+    tags=("source", "datasource-api", "streaming", "bench-skip"),
 )
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector on the STREAMING side: the same pure-Python
