@@ -21,7 +21,7 @@ def _owned(ci: int, cj: int, ca: int, cb: int) -> bool:
     return (ci == ca and cj == cb) or (ci == cb and cj == ca)
 
 
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 @given(
     n=st.integers(1, 60),
     max_rows=st.integers(1, 12),
@@ -41,7 +41,7 @@ def test_every_pair_owned_by_exactly_one_tile(n, max_rows, hashes):
             assert len(owners) == 1, (i, j, chunk[i], chunk[j], shared)
 
 
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 @given(n=st.integers(0, 500))
 def test_chunk_count_and_coverage(n):
     """udtf_chunk_docs arithmetic: the nchunks formula covers every
@@ -69,3 +69,51 @@ def test_chunk_count_and_coverage(n):
     if nchunks >= 2:
         prev_hi = min((nchunks - 2) * CHUNK_STRIDE + CHUNK_SIZE, n)
         assert prev_hi < n
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_ks_cross_multiplied_gap_equals_float_form(xs, ys):
+    """The dq_ks_test integer identity: max |cum_a·n_b − cum_b·n_a|
+    / (n_a·n_b) must equal the textbook max |F_a(v) − F_b(v)| over the
+    pooled support, for arbitrary integer samples."""
+    import collections
+
+    ca = collections.Counter(xs)
+    cb = collections.Counter(ys)
+    support = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    cum_a = cum_b = 0
+    max_scaled = 0
+    max_float = 0.0
+    for v in support:
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        max_scaled = max(max_scaled, abs(cum_a * nb - cum_b * na))
+        max_float = max(max_float, abs(cum_a / na - cum_b / nb))
+    assert abs(max_scaled / (na * nb) - max_float) < 1e-12
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=200), min_size=1, max_size=80)
+)
+@settings(max_examples=200, deadline=None)
+def test_backfill_islands_identity(missing):
+    """The gaps-and-islands key (day − row_number) groups EXACTLY the
+    maximal runs of consecutive integers, for arbitrary missing sets."""
+    days = sorted(missing)
+    groups: dict = {}
+    for rn, d in enumerate(days, 1):
+        groups.setdefault(d - rn, []).append(d)
+    # every group is one contiguous run
+    for run in groups.values():
+        assert run == list(range(run[0], run[0] + len(run)))
+    # runs are maximal: adjacent groups are separated by a gap > 1
+    starts = sorted(r[0] for r in groups.values())
+    ends = {r[0]: r[-1] for r in groups.values()}
+    for a, b in zip(starts, starts[1:]):
+        assert b > ends[a] + 1
+    assert sum(len(r) for r in groups.values()) == len(days)
