@@ -33,29 +33,37 @@ def _reading(i: int) -> int:
     return (i * 48271) % 65536
 
 
-class _SensorReader:
-    """Partitioned reader: each partition generates its own id slice —
-    Spark schedules one task per partition, so the custom source scans
-    in parallel exactly like a multi-file parquet read."""
-
-    def __init__(self, options):
-        self.n = int(options.get("n", N_ROWS))
-        self.parts = int(options.get("parts", N_PARTS))
-
-    def partitions(self):
-        from pyspark.sql.datasource import InputPartition
-
-        return [InputPartition(p) for p in range(self.parts)]
-
-    def read(self, partition):
-        p = partition.value
-        per = (self.n + self.parts - 1) // self.parts
-        for i in range(p * per, min((p + 1) * per, self.n)):
-            yield (i, i % N_SENSORS, _reading(i))
-
-
 def _register(spark: SparkSession) -> None:
-    from pyspark.sql.datasource import DataSource, DataSourceReader
+    # Everything the WORKER executes is defined inside this closure
+    # with literal constants: cloudpickle then ships the classes BY
+    # VALUE, so the source runs even when this package is not
+    # importable on the worker (the driver harness imports us by path,
+    # not by installed name — module-level references would make the
+    # pickled reader try `import data_integration_tool_spark` there).
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SensorReader(DataSourceReader):
+        """Partitioned reader: each partition generates its own id
+        slice — Spark schedules one task per partition, so the custom
+        source scans in parallel exactly like a multi-file parquet
+        read."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 10_000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            p = partition.value
+            per = (self.n + self.parts - 1) // self.parts
+            for i in range(p * per, min((p + 1) * per, self.n)):
+                yield (i, i % 8, (i * 48271) % 65536)
 
     class SensorSource(DataSource):
         @classmethod
@@ -66,13 +74,7 @@ def _register(spark: SparkSession) -> None:
             return "id bigint, sensor bigint, reading bigint"
 
         def reader(self, schema):
-            reader = _SensorReader(self.options)
-
-            class R(DataSourceReader):
-                partitions = staticmethod(reader.partitions)
-                read = staticmethod(reader.read)
-
-            return R()
+            return SensorReader(self.options)
 
     spark.dataSource.register(SensorSource)
 
@@ -140,22 +142,23 @@ def _register_stream(spark: SparkSession) -> None:
         checkpoints {"id": n}; read(start) emits one micro-batch slice
         and the new offset — replayable, so exactly-once holds even if
         a batch is re-run (readBetweenOffsets regenerates the same
-        deterministic rows)."""
+        deterministic rows). Literal constants only (2500-row batches
+        over 10k ids) — see _register on worker-side self-containment."""
 
         def initialOffset(self):
             return {"id": 0}
 
         def read(self, start):
             lo = start["id"]
-            hi = min(lo + STREAM_ROWS_PER_BATCH, N_ROWS)
+            hi = min(lo + 2_500, 10_000)
             return (
-                [(i, i % N_SENSORS, _reading(i)) for i in range(lo, hi)],
+                [(i, i % 8, (i * 48271) % 65536) for i in range(lo, hi)],
                 {"id": hi},
             )
 
         def readBetweenOffsets(self, start, end):
             return [
-                (i, i % N_SENSORS, _reading(i))
+                (i, i % 8, (i * 48271) % 65536)
                 for i in range(start["id"], end["id"])
             ]
 
@@ -208,6 +211,13 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_stream(spark)
     ckpt = tempfile.mkdtemp(prefix="pysrc_ckpt_")
+    # The state-store partition count is frozen by shuffle.partitions at
+    # the checkpoint's FIRST run; under a vanilla 200-partition session
+    # the 4-restart drain schedules ~thousands of empty state tasks.
+    # The checkpoint is fresh per call, so scope the knob down for the
+    # drain and restore it after (serial execution contexts only).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         total, runs = 0, 0
         while total < N_ROWS and runs < 3 * STREAM_BATCHES:
@@ -233,6 +243,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 or 0
             )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     got = spark.table("stream_python_source_out").select(
         "sensor",
