@@ -760,13 +760,16 @@ _CMS_WIDTH = 256
 @query(
     "agg_count_min",
     oracle="""
-        WITH hashed AS (
-            SELECT o_custkey AS custkey, j.j,
-                   CAST('0x' || substr(
-                       md5(CAST(j.j AS VARCHAR) || ':'
-                           || CAST(o_custkey AS VARCHAR)), 1, 8)
+        WITH digests AS (
+            SELECT o_custkey AS custkey,
+                   md5(CAST(o_custkey AS VARCHAR)) AS h
+            FROM orders
+        ),
+        hashed AS (
+            SELECT custkey, j.j,
+                   CAST('0x' || substr(h, 1 + 8 * j.j, 8)
                      AS BIGINT) % 256 AS bucket
-            FROM orders, (SELECT unnest(range(4)) AS j) j
+            FROM digests, (SELECT unnest(range(4)) AS j) j
         ),
         cells AS (
             SELECT j, bucket, count(*) AS cell_cnt
@@ -809,21 +812,17 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
 
+    # ONE md5 per input row: the 32-hex digest supplies all four hash
+    # functions as disjoint 8-char windows (the Poisson-bootstrap
+    # "four uniforms per digest" trick) — hashing is the map-side cost
+    # that scales with data, and this quarters it vs md5(j || key).
+    digest = F.md5(F.col("custkey").cast("string").cast("binary"))
+
     def bucket() -> F.Column:
         return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("j"), F.col("custkey")
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            F.conv(F.expr("substring(h, 1 + 8 * j, 8)"), 16, 10).cast(
+                "bigint"
+            )
             % _CMS_WIDTH
         ).alias("bucket")
 
@@ -831,7 +830,8 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))
     ).alias("j")
     cells = (
-        o.select("custkey", fan_j)
+        o.select("custkey", digest.alias("h"))
+        .select("custkey", "h", fan_j)
         .select("custkey", "j", bucket())
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
@@ -842,7 +842,8 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-ing d*rows pairs would add a full-size shuffle for the
     # same result.
     est = (
-        exact.select("custkey", fan_j)
+        exact.select("custkey", digest.alias("h"))
+        .select("custkey", "h", fan_j)
         .select("custkey", "j", bucket())
         .join(F.broadcast(cells), ["j", "bucket"])
         .groupBy("custkey")
