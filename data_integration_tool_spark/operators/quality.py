@@ -1076,3 +1076,65 @@ def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fanout_micro"),
     )
+
+
+@query(
+    "dq_pseudonymize",
+    oracle="""
+        WITH masked AS (
+            SELECT c_custkey,
+                   'cust_' || substr(md5(c_name), 1, 12) AS pseudonym
+            FROM customer WHERE c_custkey < 500
+        ),
+        counts AS (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT m.c_custkey AS custkey, m.pseudonym,
+               CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders
+        FROM masked m LEFT JOIN counts c ON c.o_custkey = m.c_custkey
+        ORDER BY custkey
+    """,
+    phase="P3",
+    tags=("quality", "privacy", "pseudonymization"),
+)
+def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization — the privacy transform BESIDE
+    ``pii_redact``: redaction destroys the value, pseudonymization
+    replaces it with a stable surrogate (`cust_` + md5 prefix) so
+    analytics and JOINS keep working on the masked data. Determinism
+    is the point and the risk: the same name always maps to the same
+    token (referential integrity across tables and runs — verified by
+    joining order counts through the masked dimension), which is why
+    production adds a secret salt to the digest; the fixture uses the
+    unsalted form so the oracle can reproduce it.
+
+    Scale: the mask is a scan-stage expression (map-only — no shuffle
+    added to whatever the query already did); the surrogate is
+    fixed-width, so masked tables are narrower than the originals.
+    Collision risk at 48 bits is ~n²/2^49 — negligible below ~10^7
+    distinct values, and a uniqueness audit (distinct names == distinct
+    pseudonyms) is pinned in pytest.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    masked = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(F.md5(F.col("c_name").cast("binary")), 1, 12),
+        ).alias("pseudonym"),
+    )
+    counts = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        masked.join(counts, masked.c_custkey == counts.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "pseudonym",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+        )
+        .orderBy("custkey")
+    )

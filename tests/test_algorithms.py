@@ -1298,3 +1298,26 @@ def test_recursive_hierarchy_matches_arithmetic(spark, sf_dir):
             chain.append(node)
         assert r.n_ancestors == len(chain) - 1, r
         assert r.path_key_sum == sum(chain), r
+
+
+def test_pseudonymize_bijective_and_join_preserving(spark, sf_dir):
+    """Distinct names must map to distinct pseudonyms (no collisions at
+    fixture scale), the mapping must be stable across runs, and the
+    order counts joined through the mask must equal the unmasked
+    counts."""
+    from data_integration_tool_spark.operators.quality import dq_pseudonymize
+
+    df = dq_pseudonymize(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    n_names = c.select("c_name").distinct().count()
+    assert df.select("pseudonym").distinct().count() == n_names
+    again = {r.custkey: r.pseudonym for r in dq_pseudonymize(spark, sf_dir).collect()}
+    for r in df.collect():
+        assert again[r.custkey] == r.pseudonym
+    o = load(spark, sf_dir, "orders")
+    truth = {
+        r.o_custkey: r.n
+        for r in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in df.collect():
+        assert r.n_orders == truth.get(r.custkey, 0)
