@@ -171,3 +171,58 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    phase="P2",
+    tags=("function", "xml", "format"),
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's native ``from_xml``: every order is
+    serialized to an XML document (integer cents inside the markup —
+    no float-text round trip), parsed back with a typed schema, and
+    aggregated FROM THE PARSED FIELDS ONLY. The oracle computes the
+    same aggregate directly from the table — DuckDB has no XML, but it
+    doesn't need any: parse(serialize(x)) must equal x, so any
+    escaping/typing/structure mangling in the XML path surfaces as a
+    value-hash mismatch (the etl_convert_roundtrip reconciliation
+    trick, promoted to a FULL oracle).
+
+    Scale: serialization and parse are scan-stage expressions
+    (map-only); at 100 TB real XML feeds read via the spark-xml-
+    descended ``from_xml``/XML source with the same typed-schema
+    pushdown, and the aggregate is the ordinary two-phase shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint"),
+        F.lit("</cents></order>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "key BIGINT, status STRING, cents BIGINT").alias("p")
+    ).select("p.key", "p.status", "p.cents")
+    return (
+        parsed.groupBy(F.col("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("key").cast("bigint").alias("min_key"),
+        )
+        .orderBy("status")
+    )

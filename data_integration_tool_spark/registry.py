@@ -202,7 +202,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_quantile_grid, mixture_temperature, dq_ks_test,
     # dq_join_fanout, join_fuzzy_blocked, sql_recursive_hierarchy,
     # fn_variant, source_python_datasource, udf_map_in_arrow,
-    # fn_collate, dq_pseudonymize — all exact-checked, never
+    # fn_collate, dq_pseudonymize, fn_xml — all exact-checked, never
     # driver-rowed —
     # plus rows-only stream_python_source (r6 3rd session),
     # stream_session_true, etl_schema_evolution,
