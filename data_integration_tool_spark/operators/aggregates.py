@@ -441,8 +441,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # sketch estimates are engine-specific → rows-only +
-    # pytest accuracy bound vs the exact percentile
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5)  AS exact_p50,
+               quantile_disc(l_extendedprice, 0.9)  AS exact_p90,
+               quantile_disc(l_extendedprice, 0.99) AS exact_p99,
+               CAST(1 AS BIGINT) AS sketch_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     phase="P3",
     tags=("agg", "approx", "sketch"),
 )
@@ -451,26 +459,46 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     10000): per-returnflag p50/p90/p99 of extended price. The sketch is
     map-side mergeable — at 100 TB each partition builds one bounded
     sketch and the shuffle carries sketches, not rows, unlike exact
-    percentile which must see all values per group. pytest pins the
-    estimate within the sketch's rank-error bound of the exact values
-    (tests/test_algorithms.py).
+    percentile which must see all values per group.
 
-    One sketch serves all three quantiles (single agg, then an
-    element_at projection); the output is three scalar columns because
-    the driver canonicalizer cannot hash array cells (CORRECTNESS_r05).
+    Verification surface (the agg_approx_distinct pattern, upgraded
+    from rows-only in r6): sketch values are engine-specific and can
+    never hash-match DuckDB, so the query emits the EXACT discrete
+    percentiles (data values — hash-exact cross-engine) plus one
+    boolean asserting every sketch estimate landed within 2% of its
+    exact twin. Spark's GK sketch is deterministic for fixed input, so
+    sketch_ok is a stable 1 and the whole row value-hashes; the
+    tighter rank-error bound stays pinned in pytest.
     """
     li = load(spark, sf_dir, "lineitem")
-    sketched = li.groupBy("l_returnflag").agg(
+    both = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
             "pcts"
+        ),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_p50"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_p90"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_p99"),
+    )
+    ok = None
+    for i, col in enumerate(["exact_p50", "exact_p90", "exact_p99"], 1):
+        cond = (
+            F.abs(F.element_at("pcts", i) - F.col(col))
+            <= F.lit(0.02) * F.col(col)
         )
-    )
-    return sketched.select(
+        ok = cond if ok is None else (ok & cond)
+    return both.select(
         "l_returnflag",
-        F.element_at("pcts", 1).alias("approx_p50"),
-        F.element_at("pcts", 2).alias("approx_p90"),
-        F.element_at("pcts", 3).alias("approx_p99"),
-    )
+        "exact_p50",
+        "exact_p90",
+        "exact_p99",
+        ok.cast("bigint").alias("sketch_ok"),
+    ).orderBy("l_returnflag")
 
 
 @query(

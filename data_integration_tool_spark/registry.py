@@ -127,8 +127,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # udf_apply_in_pandas, udf_map_in_pandas, multimodal_features via
     # its §reds slot) — their r6 driver rows upgrade from rows-only to
     # hash-verified. Still rows-only by design: engine-RNG sampling,
-    # GK sketch, IO round-trip, greedy packing/MMR, BLAS-path LSH,
-    # true-streaming harnesses. ---
+    # layout-dependent IO (partition/clustered/evolution), and the
+    # live-streaming harnesses — the GK sketch and the convert
+    # round-trip gained FULL oracles late in r6 (exact+tolerance /
+    # direct-stats twins). ---
     "sample_bernoulli",
     "dedup_minhash",
     "dedup_minhash_groups",

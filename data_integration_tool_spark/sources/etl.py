@@ -298,7 +298,26 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_convert_roundtrip",
-    oracle=None,  # exercises writers/readers, not SQL semantics → rows-only
+    # Upgraded from rows-only in r6 (the fn_xml trick): a LOSSLESS
+    # round trip means src and dst stats BOTH equal the direct nation
+    # stats, so the oracle states that directly — any leg that drops,
+    # duplicates, or retypes rows makes the Spark output diverge from
+    # this and the driver hash goes red. DuckDB never touches the
+    # written files; it doesn't need to.
+    oracle="""
+        WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_nationkey) AS BIGINT) AS k,
+                   CAST(sum(length(n_name)) AS BIGINT) AS l
+            FROM nation
+        )
+        SELECT 'row_count' AS "check", n AS src, n AS dst, TRUE AS ok FROM s
+        UNION ALL
+        SELECT 'key_checksum', k, k, TRUE FROM s
+        UNION ALL
+        SELECT 'name_len_sum', l, l, TRUE FROM s
+        ORDER BY "check"
+    """,
     phase="P3",
     tags=("etl", "convert", "io"),
 )
