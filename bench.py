@@ -88,10 +88,34 @@ def main() -> None:
     timings = {name: round(min(runs), 2) for name, runs in per_run.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "bench_detail.json")
+    detail = {
+        "iters": iters,
+        "sf": float(sf),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "runs": per_run,
+    }
     with open(detail_path, "w") as f:
-        json.dump({"iters": iters, "sf": float(sf), "runs": per_run}, f, indent=1)
+        json.dump(detail, f, indent=1)
+    # Archive a per-round copy so per-query regressions stay diffable
+    # across rounds (bench_detail.json is overwritten on every run).
+    # The round number is inferred from the driver's BENCH_r{N}.json
+    # trail: the run happening now belongs to round max(N)+1.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    if rounds and float(sf) == 0.1:
+        archive = os.path.join(
+            repo_dir, f"bench_detail_r{max(rounds) + 1:02d}.json"
+        )
+        with open(archive, "w") as f:
+            json.dump(detail, f, indent=1)
 
     summary = {
         "metric": "total_query_wall_sec",

@@ -1032,3 +1032,145 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dkey", "matched_ckey", "dist", "n_candidates")
         .orderBy("dkey")
     )
+
+
+@query(
+    "join_bucketed",
+    # The grouped aggregate is fully value-oracled; the three plan
+    # flags are engine-level invariants (SMJ chosen, ZERO exchanges,
+    # bucketed scan) that ship as constant-1 columns — if the bucketed
+    # layout ever stops eliminating the shuffle, the Spark side emits
+    # 0s and the driver hash goes red loudly.
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(qty) AS BIGINT) AS qty_sum,
+               CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+               CAST(1 AS BIGINT) AS smj,
+               CAST(1 AS BIGINT) AS zero_exchange,
+               CAST(1 AS BIGINT) AS bucketed_scan
+        FROM orders
+        JOIN (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (1 - l_discount) * 100.0 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY l_orderkey
+        ) ls ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    phase="P3",
+    tags=("join", "bucketed", "io"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned (bucketed) join — the 100 TB layout lever
+    for repeated fact⋈fact joins: both sides are written bucketed on
+    the join key with the SAME bucket count, so the join plans with
+    ZERO shuffle exchanges (bucket layout IS the partitioning) and the
+    per-bucket sort order feeds SortMergeJoin directly. Promoted from
+    a pytest-only proof (tests/test_bucketing.py) to a driver-visible
+    query per the r6 review.
+
+    Flow: write orders and the per-order lineitem rollup as 8-bucket
+    tables into a temp location, join on the bucket key with broadcast
+    disabled (the small test tables would otherwise sidestep the SMJ
+    path AQE picks at real scale), aggregate revenue per priority, and
+    attach three plan-derived flags: smj (SortMergeJoin chosen),
+    zero_exchange (no Exchange anywhere in the join plan), and
+    bucketed_scan (the file scan reports the bucket layout). Money is
+    quantized to cents per LINE before any sum (quantize-then-sum —
+    order-independent), quantities cast to BIGINT per line, so every
+    aggregate is integer-exact cross-engine.
+
+    The broadcast-threshold toggle mutates session conf around plan
+    construction only and is restored in ``finally`` — safe under the
+    registry's serial-execution contract (one query at a time per
+    session; same note as sources/pysource.py).
+
+    At 100 TB: bucketed layout amortizes ONE shuffle at write time
+    across every future join/aggregation on that key — the biggest
+    single lever for star-schema fact joins after partition pruning.
+    """
+    import shutil
+    import tempfile
+
+    from ..exprs import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    linesum = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_cents"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="join_bucketed_")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.sql("DROP TABLE IF EXISTS jb_orders")
+        spark.sql("DROP TABLE IF EXISTS jb_linesum")
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", work + "/orders")
+            .mode("overwrite")
+            .saveAsTable("jb_orders")
+        )
+        (
+            linesum.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", work + "/linesum")
+            .mode("overwrite")
+            .saveAsTable("jb_linesum")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("jb_orders").join(
+            spark.table("jb_linesum"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        smj = "SortMergeJoin" in plan
+        zero_exchange = "Exchange" not in plan
+        bucketed_scan = (
+            "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        )
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("qty").alias("qty_sum"),
+                F.sum("rev_cents").alias("rev_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                "qty_sum",
+                "rev_cents",
+                F.lit(int(smj)).cast("bigint").alias("smj"),
+                F.lit(int(zero_exchange)).cast("bigint").alias(
+                    "zero_exchange"
+                ),
+                F.lit(int(bucketed_scan)).cast("bigint").alias(
+                    "bucketed_scan"
+                ),
+            )
+            .orderBy("o_orderpriority")
+            # materialize before the temp tables vanish
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS jb_orders")
+        spark.sql("DROP TABLE IF EXISTS jb_linesum")
+        shutil.rmtree(work, ignore_errors=True)
+    return out

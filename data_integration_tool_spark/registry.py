@@ -99,11 +99,13 @@ _loaded = False
 # yields a first-time rows+schema+hash proof. Deferred to the r8 window
 # (listed after the cut, in order): agg_gini (full oracle — the judge
 # already exact-ran it independently in the r6 verdict, lowest marginal
-# value of the 51) and the 5 rows-only-by-design names
-# (stream_python_source, stream_session_true, etl_schema_evolution,
-# etl_partition_layout, etl_clustered_write — engine/layout/live-stream
-# invariants, pytest-pinned), then any queries newly added in r7, then
-# the oldest r1 greens for re-proof plus a fresh sample_stratified row.
+# value of the 51), the queries added/upgraded in r7 (join_bucketed is
+# new; etl_partition_layout and etl_clustered_write gained FULL oracles
+# in r7 via deterministic layouts), the 3 still-rows-only-by-design
+# names (stream_python_source, stream_session_true,
+# etl_schema_evolution — live-stream/mergeSchema invariants,
+# pytest-pinned), then the oldest r1 greens for re-proof plus a fresh
+# sample_stratified row.
 # Greens from r2-r6 stay behind the cut — their proof stands in
 # CORRECTNESS_r{1..6}.json. Names absent from this list keep
 # registration order after it.
@@ -173,12 +175,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # 49 (0-indexed); everything below falls past the driver's recording
     # cut. r8 queue, in window order: ---
     "agg_gini",
+    "join_bucketed",
+    "etl_partition_layout",
+    "etl_clustered_write",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",
-    "etl_partition_layout",
-    "etl_clustered_write",
-    # (r7 additions slot in here when registered)
+    # (further r7 additions slot in here when registered)
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -105,6 +105,7 @@ def convert(
 
 # Registered CDC-apply query (imports deferred so this module stays
 # importable without the registry side effects when used as a library).
+from ..exprs import cents  # noqa: E402
 from ..io import load  # noqa: E402
 from ..registry import query  # noqa: E402
 
@@ -776,10 +777,26 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_partition_layout",
-    oracle=None,  # IO round-trip through a hive-partitioned tempdir —
-    # the ok flag folds row conservation + the PLAN-level partition
-    # filter (executedPlan PartitionFilters — the mechanism that skips
-    # files) and test_etl.py asserts it
+    # Upgraded from rows-only in r7: repartitioning by the partition
+    # column before the write (the standard small-files guard) makes
+    # the per-directory file count deterministically 1, so every column
+    # of the summary row is either recomputable from orders in DuckDB
+    # or an engine invariant shipped as a constant — any lost row,
+    # broken pruning, or layout drift flips a cell and the driver hash
+    # goes red.
+    oracle="""
+        WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(count(CASE WHEN year(o_orderdate) = 1995
+                                   THEN 1 END) AS BIGINT) AS n_1995
+            FROM orders
+        )
+        SELECT n_src, n_src AS n_roundtrip, n_1995 AS n_1995_src,
+               n_1995 AS n_1995_pruned,
+               CAST(1 AS BIGINT) AS n_pruned_files,
+               TRUE AS plan_prunes, TRUE AS ok
+        FROM s
+    """,
     phase="P3",
     tags=("etl", "partitioning", "io"),
 )
@@ -807,7 +824,15 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-cost decision (year/tenant/source), and over-partitioning
     (high-cardinality keys → millions of tiny files) is the classic
     failure — which is why the partition key here is year-grain, and
-    why etl_compaction_plan exists downstream."""
+    why etl_compaction_plan exists downstream.
+
+    The write repartitions by the partition column first — the standard
+    guard against the tasks×partitions small-files explosion (every
+    writer task otherwise opens one file per year it touches). Each
+    year then lands in exactly one task, so the per-directory file
+    count is deterministically 1, which is what lets the whole summary
+    row carry a full DuckDB value oracle (upgraded from rows-only in
+    r7)."""
     import shutil
     import tempfile
 
@@ -816,14 +841,22 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="etl_partlay_")
     try:
-        o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+        o.repartition("o_year").write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(out)
         back_all = spark.read.parquet(out)
         n_all = back_all.count()
         pruned = back_all.filter(F.col("o_year") == 1995)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
-        pf = plan[plan.index("PartitionFilters:"):].split("]", 1)[0] if (
-            "PartitionFilters:" in plan
-        ) else ""
+        # Loud failure on plan-text drift (review-flagged): if this
+        # Spark version stops printing a PartitionFilters section the
+        # proof is unreadable, which must surface as an error with a
+        # message — not as a silent plan_prunes=False.
+        assert "PartitionFilters:" in plan, (
+            "executedPlan no longer prints 'PartitionFilters:' — plan "
+            "format drift; rework the pruning proof: " + plan[:500]
+        )
+        pf = plan[plan.index("PartitionFilters:"):].split("]", 1)[0]
         plan_prunes = "o_year" in pf
         scanned = pruned.select(
             F.input_file_name().alias("f")
@@ -864,23 +897,71 @@ def etl_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "etl_clustered_write",
-    oracle=None,  # IO round-trip comparing two physical layouts through
-    # a tempdir; the ok flag folds the clustering invariant and
-    # test_etl.py asserts it
+    # Upgraded from rows-only in r7: both physical layouts are now
+    # DETERMINISTIC functions of the data (key-mod for the hash layout,
+    # equi-width price buckets for the range layout, one file per
+    # bucket), so DuckDB can recompute each layout's zone-map envelope
+    # exactly — the per-file spans Spark measures off the actual
+    # written files must value-match the buckets' logical spans, or the
+    # driver hash goes red. Per-bucket spans are cents-quantized BEFORE
+    # the sum (quantize-then-sum, order-independent).
+    oracle="""
+        WITH mm AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        ),
+        h AS (
+            SELECT CAST(floor(
+                       (max(o_totalprice) - min(o_totalprice)) * 100.0
+                       + 0.5) AS BIGINT) AS sp
+            FROM orders GROUP BY o_orderkey % 8
+        ),
+        r AS (
+            SELECT CAST(floor(
+                       (max(o_totalprice) - min(o_totalprice)) * 100.0
+                       + 0.5) AS BIGINT) AS sp
+            FROM (
+                SELECT o_totalprice,
+                       least(CAST(floor((o_totalprice - lo)
+                                        / (hi - lo) * 8) AS BIGINT),
+                             7) AS b
+                FROM orders, mm
+            ) GROUP BY b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_src,
+               CAST(8 AS BIGINT) AS hash_files,
+               CAST(8 AS BIGINT) AS range_files,
+               (SELECT CAST(sum(sp) AS BIGINT) FROM h)
+                   AS hash_span_cents,
+               (SELECT CAST(sum(sp) AS BIGINT) FROM r)
+                   AS range_span_cents,
+               TRUE AS ok
+    """,
     phase="P3",
     tags=("etl", "clustering", "io"),
 )
 def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHY clustering matters, measured: write orders twice at the same
-    8-file count — hash-distributed vs range-clustered on o_totalprice
-    (repartitionByRange + sortWithinPartitions) — read both back, build
-    each layout's zone-map manifest (per-file min/max price via
-    input_file_name), and compare total envelope coverage. The
-    clustered layout's summed per-file price spans must come in under
-    a quarter of the hash layout's (they tile the domain instead of
-    each spanning all of it), which is exactly the multiplier
-    etl_manifest_prune's skipping gets from it. Emits one summary row;
-    ok folds row conservation + the envelope contraction.
+    8-file count — key-distributed (o_orderkey mod 8, the "no layout"
+    baseline every hash-partitioned table has) vs range-clustered on
+    o_totalprice (equi-width price buckets off the broadcast min/max)
+    — read both back, build each layout's zone-map manifest (per-file
+    min/max price via input_file_name), and compare total envelope
+    coverage. The clustered layout's summed per-file price spans must
+    come in under a quarter of the hash layout's (they tile the domain
+    instead of each spanning all of it), which is exactly the
+    multiplier etl_manifest_prune's skipping gets from it.
+
+    Both bucket functions are deterministic and engine-portable, which
+    is what bought the full value oracle (upgraded from rows-only in
+    r7): DuckDB recomputes the spans each LAYOUT implies, and Spark
+    measures them off the files it actually wrote — a broken write
+    path (lost rows, rows in the wrong file, multiple files per
+    bucket) diverges. Production range-clustering would use
+    repartitionByRange (sampled boundaries — not cross-engine
+    reproducible); equi-width buckets off a broadcast min/max are the
+    same two-pass shape and fully parallel, so the scale posture is
+    unchanged.
 
     At 100 TB this is the OPTIMIZE ZORDER / CLUSTER BY decision:
     range-clustering costs one extra shuffle at write time and buys
@@ -892,13 +973,28 @@ def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="etl_cluster_")
     try:
-        o.repartition(8).write.mode("overwrite").parquet(base + "/hash")
-        (
-            o.repartitionByRange(8, "o_totalprice")
-            .sortWithinPartitions("o_totalprice")
-            .write.mode("overwrite")
-            .parquet(base + "/range")
+        hashed = o.withColumn("b", F.col("o_orderkey") % 8)
+        mm = o.agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
         )
+        ranged = o.crossJoin(F.broadcast(mm)).withColumn(
+            "b",
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 8
+                ).cast("bigint"),
+                F.lit(7),
+            ),
+        ).drop("lo", "hi")
+        for df, sub in ((hashed, "/hash"), (ranged, "/range")):
+            # repartition by the bucket column first → exactly one file
+            # per bucket directory (the etl_partition_layout rule)
+            df.repartition("b").write.mode("overwrite").partitionBy(
+                "b"
+            ).parquet(base + sub)
 
         def envelope(path: str):
             manifest = (
@@ -908,18 +1004,18 @@ def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .groupBy("f")
                 .agg(
-                    (F.max("o_totalprice") - F.min("o_totalprice")).alias(
-                        "span"
-                    ),
+                    cents(
+                        F.max("o_totalprice") - F.min("o_totalprice")
+                    ).alias("span_cents"),
                     F.count(F.lit(1)).alias("n"),
                 )
             )
             row = manifest.agg(
                 F.count(F.lit(1)).alias("files"),
-                F.sum("span").alias("span_total"),
+                F.sum("span_cents").alias("span_total"),
                 F.sum("n").alias("rows"),
             ).first()
-            return row["files"], float(row["span_total"]), row["rows"]
+            return row["files"], int(row["span_total"]), row["rows"]
 
         h_files, h_span, h_rows = envelope(base + "/hash")
         r_files, r_span, r_rows = envelope(base + "/range")
@@ -932,11 +1028,12 @@ def etl_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_src,
                 h_files,
                 r_files,
-                int(h_span * 100),
-                int(r_span * 100),
+                h_span,
+                r_span,
                 bool(
                     h_rows == r_rows == n_src
-                    and r_span < h_span / 4.0
+                    and h_files == r_files == 8
+                    and r_span * 4 < h_span
                 ),
             )
         ],
