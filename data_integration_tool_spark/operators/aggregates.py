@@ -1095,7 +1095,12 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines (the ts_autocorr house pattern) — engine-native corr() uses
 # different one-pass update rules and is NOT cross-engine stable.
 # Bounds: price ≤ 105_000 units → Σx² ≤ 1.1e10·rows, inside int64 up to
-# ~10^8 rows; beyond that, re-scale the quantization grid.
+# ~10^8 rows; beyond that, re-scale the quantization grid. The bound is
+# ENFORCED at runtime (assert_true on n inside the plan — review-
+# flagged): past it Spark's BIGINT sums would wrap silently while
+# DuckDB promotes to HUGEINT, surfacing as an undiagnosable cross-
+# engine hash divergence instead of an error.
+_CORR_MAX_ROWS = 100_000_000
 _CORR_MEASURES = (
     ("quantity", "CAST(l_quantity AS BIGINT)"),
     ("extendedprice", "CAST(floor(l_extendedprice + 0.5) AS BIGINT)"),
@@ -1197,7 +1202,22 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.lit(a).alias("col_a"),
                             F.lit(b).alias("col_b"),
-                            F.col("n").alias("n_rows"),
+                            # loud headroom guard: raise_error fires
+                            # (instead of the moments wrapping silently)
+                            # once n exceeds the int64 bound documented
+                            # at _CORR_MEASURES. NOTE: the branches must
+                            # DIFFER — if(cond, n, n) around assert_true
+                            # gets SimplifyConditionals-folded to n and
+                            # the check vanishes (caught by the paired
+                            # unit test).
+                            F.expr(
+                                f"CASE WHEN n <= {_CORR_MAX_ROWS} THEN n"
+                                " ELSE CAST(raise_error("
+                                "'agg_corr_matrix: row count exceeds"
+                                " the int64 moment headroom — re-scale"
+                                " the quantization grid') AS BIGINT)"
+                                " END"
+                            ).alias("n_rows"),
                             F.floor(
                                 F.expr(_pearson_sql(a, b)) * 1000000.0 + F.lit(0.5)
                             )

@@ -1174,6 +1174,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [(i, j) for i in range(d) for j in range(i, d)]
     mom = q.agg(
         F.count(F.lit(1)).alias("n"),
+        # one extra combinable moment so the int64 headroom of the
+        # product sums is CHECKED, not assumed (review-flagged: past
+        # the bound Spark BIGINT sums wrap silently while DuckDB
+        # promotes to HUGEINT — a red hash with no diagnosis)
+        F.max(
+            F.greatest(*[F.abs(F.col(f"q{i}")) for i in range(d)])
+        ).alias("qmax"),
         *[F.sum(f"q{i}").alias(f"s{i}") for i in range(d)],
         *[
             F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
@@ -1181,6 +1188,12 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).collect()[0]  # driver-scalar: 45 moment scalars -> d x d eigensolve
     n = mom["n"]
+    qmax = mom["qmax"] or 0
+    if qmax * qmax * max(n, 1) > 2**62:
+        raise ValueError(
+            "emb_pca_project: scatter moments exceed int64 headroom "
+            f"(n={n}, max|q|={qmax}) — re-scale the quantization grid"
+        )
     if not n:
         # Degenerate: empty corpus. The oracle's NULL-propagating CTEs
         # also emit zero rows; mirror that without crashing the

@@ -29,6 +29,14 @@ gate in tests/oracle_check.py):
 3. **Floats that cross a ln()/summation-order boundary ship as
    micro-unit BIGINTs** (``floor(x*1e6 + 0.5)`` on both engines — the
    text.py house rule).
+4. **Builders run SERIALLY, one at a time per session.** A handful of
+   builders scope a session conf around their work and restore it in
+   ``finally`` (sources/pysource.py drops shuffle partitions for the
+   stream drain; operators/joins.py's join_bucketed disables the
+   broadcast threshold around planning). A driver that ever runs
+   registered builders CONCURRENTLY in one session would let those
+   scoped values leak mid-query — that driver must give each builder
+   its own session (``spark.newSession()``) instead.
 """
 
 from __future__ import annotations

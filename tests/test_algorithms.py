@@ -1325,3 +1325,56 @@ def test_pseudonymize_bijective_and_join_preserving(spark, sf_dir):
     }
     for r in df.collect():
         assert r.n_orders == truth.get(r.custkey, 0)
+
+
+def test_corr_moment_headroom_guard_trips(spark):
+    """The int64-headroom guard must raise LOUDLY, not let moments wrap
+    silently (review-flagged): replaying agg_corr_matrix's guarded n
+    expression against an over-bound n raises, an in-bound n passes."""
+    from data_integration_tool_spark.operators.aggregates import (
+        _CORR_MAX_ROWS,
+    )
+
+    guard = (
+        f"CASE WHEN n <= {_CORR_MAX_ROWS} THEN n"
+        " ELSE CAST(raise_error('agg_corr_matrix: row count exceeds"
+        " the int64 moment headroom — re-scale the quantization grid')"
+        " AS BIGINT) END"
+    )
+    okdf = spark.createDataFrame(
+        [(int(_CORR_MAX_ROWS),)], "n bigint"
+    ).selectExpr(f"{guard} AS n_rows")
+    assert okdf.collect()[0].n_rows == _CORR_MAX_ROWS
+    baddf = spark.createDataFrame(
+        [(int(_CORR_MAX_ROWS) + 1,)], "n bigint"
+    ).selectExpr(f"{guard} AS n_rows")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="headroom"):
+        baddf.collect()
+
+
+def test_pca_moment_headroom_guard_trips(spark, sf_dir, monkeypatch):
+    """emb_pca_project's driver-side scatter-moment guard raises once
+    n·max|q|² exceeds the int64 budget — simulated by shrinking the
+    budget is impossible (constant), so drive the real function over a
+    fabricated embeddings table with values big enough to trip it."""
+    import pytest as _pytest
+
+    from data_integration_tool_spark.operators import similarity as sim
+
+    # quantized |q| = 2.5e9: each per-row product (6.25e18) still fits
+    # int64 — ANSI arithmetic stays quiet — but qmax^2 > 2^62 trips the
+    # driver-side budget check. ONE row only: two rows would overflow
+    # the ANSI sum itself before the guard gets to speak.
+    big = 2.5e6
+    d = sim._PCA_DIMS
+    fake = spark.createDataFrame(
+        [(1, "a", [big] * d)],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    monkeypatch.setattr(
+        sim, "load", lambda _spark, _sf, _name: fake
+    )
+    with _pytest.raises(ValueError, match="headroom"):
+        sim.emb_pca_project(spark, sf_dir)
