@@ -1484,3 +1484,64 @@ def agg_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                    AS BIGINT) AS n_discounted,
+               CAST(sum(CAST(l_quantity AS BIGINT))
+                        FILTER (WHERE l_linestatus = 'F')
+                    AS BIGINT) AS qty_finished,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT))
+                        FILTER (WHERE l_tax = 0)
+                    AS BIGINT) AS taxfree_cents,
+               CAST(count(DISTINCT l_suppkey)
+                        FILTER (WHERE l_quantity >= 40)
+                    AS BIGINT) AS bulk_suppliers
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    phase="P2",
+    tags=("agg", "filter-clause"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation — several differently-predicated
+    aggregates computed in ONE grouped pass (the reporting shape that
+    otherwise spawns N self-joined subqueries or a pivot): overall
+    count, discounted count, finished-line quantity, tax-free revenue,
+    and bulk-order supplier reach, each with its own WHERE.
+
+    Spark has supported the FILTER clause in SQL expressions since 3.0,
+    so the builder uses it verbatim via F.expr — one HashAggregate,
+    map-side combinable, every conditional evaluated in the same scan
+    (the distinct-count branch adds the usual expand, still one pass
+    over the data). Money is quantized to cents per line BEFORE the
+    sum (quantize-then-sum house rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("count(*)").alias("n_all"),
+            F.expr(
+                "count(*) FILTER (WHERE l_discount > 0.05)"
+            ).alias("n_discounted"),
+            F.expr(
+                "sum(CAST(l_quantity AS BIGINT))"
+                " FILTER (WHERE l_linestatus = 'F')"
+            ).alias("qty_finished"),
+            F.expr(
+                "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))"
+                " FILTER (WHERE l_tax = 0)"
+            ).alias("taxfree_cents"),
+            F.expr(
+                "count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 40)"
+            ).alias("bulk_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )

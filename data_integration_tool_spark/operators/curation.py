@@ -808,3 +808,107 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_EPOCH_CAP_MICRO = 4_000_000  # max 4 epochs over any source
+_BUDGET_MULT = 2  # train-token budget = 2x the corpus total
+
+
+@query(
+    "mixture_epochs",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(tokens) AS BIGINT) * {_BUDGET_MULT} AS budget,
+                   CAST(count(*) AS BIGINT) AS n_src
+            FROM per_src
+        ),
+        plan AS (
+            SELECT p.source, p.n_docs, p.tokens,
+                   CAST(floor(CAST(t.budget AS DOUBLE) / t.n_src)
+                        AS BIGINT) AS target_tokens
+            FROM per_src p, tot t
+        )
+        SELECT source, n_docs, tokens, target_tokens,
+               least(CAST({_EPOCH_CAP_MICRO} AS BIGINT),
+                     CAST(floor(CAST(target_tokens AS DOUBLE)
+                                * 1000000.0 / tokens) AS BIGINT))
+                   AS epochs_micro,
+               CAST(floor(CAST(tokens AS DOUBLE)
+                          * least(CAST({_EPOCH_CAP_MICRO} AS BIGINT),
+                                  CAST(floor(CAST(target_tokens AS DOUBLE)
+                                             * 1000000.0 / tokens)
+                                       AS BIGINT)) / 1000000.0)
+                    AS BIGINT) AS effective_tokens,
+               CAST(floor(CAST(target_tokens AS DOUBLE)
+                          * 1000000.0 / tokens) AS BIGINT)
+                   > CAST({_EPOCH_CAP_MICRO} AS BIGINT) AS capped
+        FROM plan
+        ORDER BY source
+    """,
+    phase="P4",
+    tags=("curation", "mixture", "epochs"),
+)
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-multiplier mixture planning — the data-constrained form of
+    budget allocation (`mixture_token_budget` DOWN-samples to the
+    smallest source; real training budgets usually exceed the corpus,
+    so sources must REPEAT): given a token budget of 2x the corpus and
+    an even per-source split, each source's epoch multiplier is
+    target/tokens capped at 4 epochs (past ~4 repeats, marginal value
+    collapses — the data-constrained-scaling rule of thumb), with the
+    effective token contribution and a `capped` flag marking sources
+    too small to absorb their share (their deficit is the signal to
+    re-weight or acquire data).
+
+    Scale shape: identical to the rest of the mixture family — ONE
+    combinable per-source aggregate over the corpus (token counting is
+    a map-side expression), then budget/target/epoch arithmetic on the
+    sources relation (rows = #sources, metadata scale). Integer tokens
+    and micro-unit epochs end to end; the double divisions are the
+    same IEEE expression on both engines."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    budget = (
+        F.sum("tokens").over(w).cast("bigint") * F.lit(_BUDGET_MULT)
+    ).cast("bigint")
+    n_src = F.count(F.lit(1)).over(w).cast("bigint")
+    plan = per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.floor(budget.cast("double") / n_src)
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    raw_epochs = F.floor(
+        F.col("target_tokens").cast("double")
+        * F.lit(1000000.0)
+        / F.col("tokens")
+    ).cast("bigint")
+    epochs = F.least(F.lit(_EPOCH_CAP_MICRO).cast("bigint"), raw_epochs)
+    return plan.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "target_tokens",
+        epochs.alias("epochs_micro"),
+        F.floor(
+            F.col("tokens").cast("double") * epochs / F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("effective_tokens"),
+        (raw_epochs > F.lit(_EPOCH_CAP_MICRO).cast("bigint")).alias(
+            "capped"
+        ),
+    ).orderBy("source")

@@ -1138,3 +1138,78 @@ def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+_UNIQ_TABLES = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "user_id"),
+)
+
+_UNIQ_ORACLE_LEG = """
+        SELECT '{t}' AS tbl, '{k}' AS key_col,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_keys,
+               CAST(max(c) AS BIGINT) AS max_multiplicity,
+               CAST(floor(CAST(sum(c) AS DOUBLE) * 1000000.0
+                          / count(*) + 0.5) AS BIGINT) AS dup_factor_micro
+        FROM (SELECT {k}, count(*) AS c FROM {t} GROUP BY {k})"""
+
+
+@query(
+    "dq_uniqueness",
+    oracle=" UNION ALL ".join(
+        _UNIQ_ORACLE_LEG.format(t=t, k=k) for t, k in _UNIQ_TABLES
+    )
+    + " ORDER BY tbl",
+    phase="P3",
+    tags=("quality", "uniqueness"),
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit across the lake in one report — the
+    first check every ingest contract runs ("is this column actually a
+    primary key?"): per (table, declared key) the row count, distinct
+    key count, number of violated keys, worst multiplicity, and the
+    duplication factor (rows per key, micro-units). orders/customer
+    must come out exactly unique; lineitem (line grain under order
+    keys) and events (event grain under user keys) quantify their
+    expected fan-out.
+
+    Scale shape: one combinable two-level aggregate per table — the
+    inner per-key count shuffles once on the key, the outer roll-up is
+    a single-row reduce; tables audit independently (a UNION ALL of
+    per-table plans, trivially parallel across the lake at 100 TB).
+    Integer everywhere; the one ratio ships in micro-units."""
+    legs = []
+    for t, k in _UNIQ_TABLES:
+        per_key = (
+            load(spark, sf_dir, t)
+            .groupBy(F.col(k))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        legs.append(
+            per_key.agg(
+                F.lit(t).alias("tbl"),
+                F.lit(k).alias("key_col"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum((F.col("c") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_dup_keys"),
+                F.max("c").cast("bigint").alias("max_multiplicity"),
+                F.floor(
+                    F.sum("c").cast("double")
+                    * F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("dup_factor_micro"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("tbl")

@@ -84,3 +84,59 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-row dedup — partial map-side distinct before the shuffle."""
     li = load(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus", "l_shipdate").distinct()
+
+
+_MULTISET_A = (
+    "SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty "
+    "FROM lineitem WHERE year(l_shipdate) = 1996"
+)
+_MULTISET_B = (
+    "SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty "
+    "FROM lineitem WHERE year(l_shipdate) = 1997"
+)
+
+
+def _lineitem_slice(spark: SparkSession, sf_dir: str, yr: int) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.year("l_shipdate") == yr).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"{_MULTISET_A} INTERSECT ALL {_MULTISET_B}",
+    phase="P2",
+    tags=("setop", "multiset"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection — each row kept min(countA, countB) times
+    (ANSI INTERSECT ALL), over two heavily-duplicated lineitem slices
+    (flags x statuses x 50 quantities → thousands of copies per row).
+    Unlike the distinct variant this preserves multiplicity, which is
+    what reconciliation workloads need ("how many of THESE rows appear
+    in both feeds"), and Spark plans it as ONE aggregate-style shuffle
+    per side on the row hash carrying (row, count) — never a row-by-row
+    expansion, so it scales exactly like a groupBy."""
+    return _lineitem_slice(spark, sf_dir, 1996).intersectAll(
+        _lineitem_slice(spark, sf_dir, 1997)
+    )
+
+
+@query(
+    "set_except_all",
+    oracle=f"{_MULTISET_A} EXCEPT ALL {_MULTISET_B}",
+    phase="P2",
+    tags=("setop", "multiset"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference — each row kept max(countA - countB, 0)
+    times (ANSI EXCEPT ALL): the "what's left after cancelling matched
+    copies" shape of ledger/feed reconciliation. Same (row, count)
+    shuffle plan as set_intersect_all — multiplicity travels as ONE
+    counter per distinct row, not as physical duplicates."""
+    return _lineitem_slice(spark, sf_dir, 1996).exceptAll(
+        _lineitem_slice(spark, sf_dir, 1997)
+    )

@@ -468,3 +468,115 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_bytes bigint, n_nonspace bigint, head_upper string"
     )
     return d.mapInArrow(kernel, out_schema).orderBy("doc_id")
+
+
+XOVER_FAST = 0.3  # fast EWMA alpha (reuses win_ewma's verified 0.3)
+XOVER_SLOW = 0.1  # slow EWMA alpha
+
+
+@query(
+    "ts_ewma_crossover",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, rn, value AS f, value AS s
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.event_id, b.rn,
+                   (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.f
+                   + CAST(0.3 AS DOUBLE) * b.value,
+                   (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * r.s
+                   + CAST(0.1 AS DOUBLE) * b.value
+            FROM r JOIN base b
+              ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        ), d AS (
+            SELECT user_id, event_id, f, s, f - s AS diff,
+                   lag(f - s) OVER (
+                       PARTITION BY user_id ORDER BY rn) AS prev_diff
+            FROM r
+        )
+        SELECT user_id, event_id,
+               CASE WHEN diff > 0 THEN 'up' ELSE 'down' END AS direction,
+               CAST(floor(f * 1000000.0 + 0.5) AS BIGINT) AS fast_micro,
+               CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS slow_micro
+        FROM d
+        WHERE prev_diff * diff < 0
+        ORDER BY user_id, event_id
+    """,
+    phase="P4",
+    tags=("udf", "timeseries", "ewma", "signal"),
+)
+def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow EWMA crossover detection per user — the classic
+    signal-generation shape (golden cross / death cross): two
+    exponential averages of event value (alpha 0.3 vs 0.1) tracked per
+    user in event order; a signal fires whenever their difference
+    changes sign, 'up' when the fast line breaks above the slow one.
+
+    Same sanctioned Arrow path as win_ewma (per-row recursion is the
+    one thing SQL windows cannot express): repartition by user, ONE
+    vectorized pandas kernel computes BOTH ewm lines, the sign-change
+    filter and direction per batch — no second shuffle, the lag rides
+    the same per-user sort the recursion needed anyway. FULLY oracled
+    via the win_ewma recursive-CTE technique carrying two accumulators:
+    pandas ewm(adjust=False) is bitwise the plain recursion for both
+    alphas ((1-a)+a rounds to exactly 1.0 in IEEE for 0.3 AND 0.1, so
+    the weight normalization divides by 1.0), the sign test compares
+    identical doubles, and the reported levels ship micro-quantized."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("direction", T.StringType()),
+            T.StructField("fast_micro", T.LongType()),
+            T.StructField("slow_micro", T.LongType()),
+        ]
+    )
+
+    def xover_fn(batches):
+        import numpy as np
+
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        g = pdf.groupby("user_id", sort=False)["value"]
+        fast = g.transform(
+            lambda sr: sr.ewm(alpha=XOVER_FAST, adjust=False).mean()
+        )
+        slow = g.transform(
+            lambda sr: sr.ewm(alpha=XOVER_SLOW, adjust=False).mean()
+        )
+        diff = fast - slow
+        prev = diff.groupby(pdf["user_id"], sort=False).shift(1)
+        hit = (prev * diff) < 0
+        out = pd.DataFrame(
+            {
+                "user_id": pdf.loc[hit, "user_id"],
+                "event_id": pdf.loc[hit, "event_id"],
+                "direction": np.where(diff[hit] > 0, "up", "down"),
+                "fast_micro": np.floor(
+                    fast[hit] * 1000000.0 + 0.5
+                ).astype("int64"),
+                "slow_micro": np.floor(
+                    slow[hit] * 1000000.0 + 0.5
+                ).astype("int64"),
+            }
+        )
+        yield out
+
+    return (
+        e.repartition("user_id")
+        .mapInPandas(xover_fn, out_schema)
+        .orderBy("user_id", "event_id")
+    )

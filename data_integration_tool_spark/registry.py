@@ -186,6 +186,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bucketed",
     "etl_partition_layout",
     "etl_clustered_write",
+    "set_intersect_all",
+    "set_except_all",
+    "agg_filtered",
+    "dq_uniqueness",
+    "mixture_epochs",
+    "ts_ewma_crossover",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1378,3 +1378,76 @@ def test_pca_moment_headroom_guard_trips(spark, sf_dir, monkeypatch):
     )
     with _pytest.raises(ValueError, match="headroom"):
         sim.emb_pca_project(spark, sf_dir)
+
+
+def test_multiset_ops_partition_identity(spark, sf_dir):
+    """Multiset identity |A ∩all B| + |A \\all B| = |A|: INTERSECT ALL
+    and EXCEPT ALL must partition the left slice's multiplicity
+    exactly — any off-by-one in the (row, count) plan breaks the sum."""
+    from data_integration_tool_spark.operators.setops import (
+        _lineitem_slice,
+        set_except_all,
+        set_intersect_all,
+    )
+
+    n_a = _lineitem_slice(spark, sf_dir, 1996).count()
+    n_inter = set_intersect_all(spark, sf_dir).count()
+    n_except = set_except_all(spark, sf_dir).count()
+    assert n_inter + n_except == n_a
+    assert n_inter > 0 and n_except > 0  # both branches exercised
+
+
+def test_mixture_epochs_invariants(spark, sf_dir):
+    """Epoch plan sanity: multipliers never exceed the cap, effective
+    tokens never exceed tokens*cap, and `capped` marks exactly the
+    sources whose uncapped multiplier overflowed."""
+    from data_integration_tool_spark.operators.curation import (
+        _EPOCH_CAP_MICRO,
+        mixture_epochs,
+    )
+
+    rows = mixture_epochs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.epochs_micro <= _EPOCH_CAP_MICRO
+        assert r.effective_tokens <= r.tokens * _EPOCH_CAP_MICRO // 1_000_000
+        raw = r.target_tokens * 1_000_000 // r.tokens
+        assert r.capped == (raw > _EPOCH_CAP_MICRO)
+        if not r.capped:
+            # uncapped sources hit their target within rounding
+            assert abs(r.effective_tokens - r.target_tokens) <= r.tokens
+
+
+def test_ewma_crossover_alternates(spark, sf_dir):
+    """Consecutive crossovers per user must alternate direction (a
+    sign can only flip back after having flipped), and every reported
+    row must have fast and slow on the side its direction claims."""
+    from data_integration_tool_spark.operators.udfs import ts_ewma_crossover
+
+    rows = ts_ewma_crossover(spark, sf_dir).collect()
+    assert rows
+    last: dict = {}
+    for r in rows:  # already ordered by user_id, event_id
+        if r.user_id in last:
+            assert r.direction != last[r.user_id], r
+        last[r.user_id] = r.direction
+        if r.direction == "up":
+            assert r.fast_micro >= r.slow_micro, r
+        else:
+            assert r.fast_micro <= r.slow_micro, r
+
+
+def test_dq_uniqueness_flags_key_grain(spark, sf_dir):
+    """orders/customer keys must audit exactly unique (dup factor
+    1.0); lineitem under order keys and events under user keys must
+    show fan-out > 1."""
+    from data_integration_tool_spark.operators.quality import dq_uniqueness
+
+    by_tbl = {r.tbl: r for r in dq_uniqueness(spark, sf_dir).collect()}
+    for t in ("orders", "customer"):
+        assert by_tbl[t].n_dup_keys == 0
+        assert by_tbl[t].dup_factor_micro == 1_000_000
+        assert by_tbl[t].max_multiplicity == 1
+    for t in ("lineitem", "events"):
+        assert by_tbl[t].n_dup_keys > 0
+        assert by_tbl[t].dup_factor_micro > 1_000_000
