@@ -470,41 +470,72 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_ok is a stable 1 and the whole row value-hashes; the
     tighter rank-error bound stays pinned in pytest.
 
-    Plan (reworked in r7 — was the slowest warm bench query at 3.4 s):
-    the three exact twins previously ran as three independent
+    Plan (reworked TWICE in r7 — was the slowest warm bench query at
+    3.4 s): the three exact twins previously ran as three independent
     ``percentile_disc`` aggregates, each buffering the full per-group
-    value set. They now share ONE per-group sort: a single
-    row_number/count window over (flag, price) and a rank filter at
-    ceil(q*n) — the smallest value whose cumulative distribution
-    reaches q, exactly percentile_disc's pick even under ties (equal
-    values share the selected value regardless of which tied row the
-    index lands on). The window sort is the engine's spillable sort,
-    so the exact path degrades gracefully at scale too. ~20x faster
-    (1.27 s → 0.06 s warm at sf0.1); oracle unchanged.
+    value set; an intermediate rework shared one row_number window,
+    but a window partitioned by a 3-value group key runs THREE tasks
+    no matter the cluster — a genuine 100 TB defect. The final shape
+    is two-phase distributed selection (the textbook algorithm):
+    (1) ONE combinable histogram aggregate counts rows per (group,
+    price-bucket) — fully parallel, output is buckets not rows;
+    (2) cumulative counts over the TINY bucket relation locate, for
+    each target rank ceil(q*n), the bucket containing it and the rank
+    within it; (3) a broadcast semi-filter re-scans only the ~9
+    candidate buckets' rows (a few dozen each) and a row_number over
+    that sliver picks the exact value. Selecting the k-th smallest by
+    rank returns percentile_disc's pick even under ties (tied rows
+    share the selected VALUE), and equal prices always share a bucket
+    (floor(price/W) is monotonic). 1.5 s → 0.8 s under bench
+    conditions, every stage parallel at any scale; oracle unchanged.
     """
     li = load(spark, sf_dir, "lineitem")
     qs = [(50, 0.5), (90, 0.9), (99, 0.99)]
-    vals = li.select("l_returnflag", "l_extendedprice")
-    w_rank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    w_all = Window.partitionBy("l_returnflag")
-    ranked = vals.select(
+    bucket_w = 32.0  # ~3.4k buckets over the price domain
+    vals = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.floor(F.col("l_extendedprice") / F.lit(bucket_w))
+        .cast("bigint")
+        .alias("bkt"),
     )
-    hit = ranked.where(
-        " or ".join(f"rn = ceil({q} * n)" for _, q in qs)
+    hist = vals.groupBy("l_returnflag", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    exact = hit.groupBy("l_returnflag").agg(
+    w_cum = Window.partitionBy("l_returnflag").orderBy("bkt")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bkt",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    selectors = None
+    for p, q in qs:
+        r = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        s = cum.where(
+            (F.col("cum") >= r) & (F.col("cum") - F.col("c") < r)
+        ).select(
+            "l_returnflag",
+            "bkt",
+            (r - (F.col("cum") - F.col("c"))).alias("within_rank"),
+            F.lit(p).alias("pq"),
+        )
+        selectors = s if selectors is None else selectors.unionAll(s)
+    cand = vals.join(F.broadcast(selectors), ["l_returnflag", "bkt"])
+    w_pick = Window.partitionBy("l_returnflag", "pq").orderBy(
+        "l_extendedprice"
+    )
+    picked = cand.withColumn("rn", F.row_number().over(w_pick)).where(
+        F.col("rn") == F.col("within_rank")
+    )
+    exact = picked.groupBy("l_returnflag").agg(
         *[
             F.min(
-                F.when(
-                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
-                    F.col("l_extendedprice"),
-                )
+                F.when(F.col("pq") == p, F.col("l_extendedprice"))
             ).alias(f"exact_p{p}")
-            for p, q in qs
+            for p, _ in qs
         ]
     )
     sketch = li.groupBy("l_returnflag").agg(
