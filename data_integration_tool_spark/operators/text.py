@@ -678,3 +678,70 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bpe_pair_freq",
+    oracle="""
+        WITH words AS (
+            SELECT w, count(*) AS c
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+            FROM words,
+                 unnest(generate_series(1, length(w) - 1)) AS t(i)
+            WHERE length(w) >= 2
+        )
+        SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+        FROM pairs
+        GROUP BY pair
+        ORDER BY freq DESC, pair
+        LIMIT 50
+    """,
+    phase="P4",
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round's candidate table: corpus-weighted adjacent
+    character-pair frequencies — the statistic byte-pair-encoding
+    tokenizer induction recomputes at every merge step (the top row IS
+    the next merge). Character-level here (the first round); subsequent
+    rounds would rewrite the vocabulary and repeat.
+
+    Scale shape — the tokenizer-training trick that makes BPE feasible
+    on a corpus at all: pair counting runs over the DISTINCT WORD
+    VOCABULARY weighted by word frequency, never over raw text (the
+    corpus re-derives from the vocabulary relation, which is thousands
+    of times smaller — same vocabulary-scale reasoning as
+    join_fuzzy_blocked's distance kernel). One combinable word-count
+    aggregate is the only data-scale stage; the bigram explode and
+    pair roll-up run at vocabulary scale. Integer counts end to end;
+    LIMIT carries the (freq DESC, pair) total order."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )

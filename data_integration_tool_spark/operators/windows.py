@@ -586,3 +586,81 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_cents"
         ),
     )
+
+
+@query(
+    "win_reset_running_total",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP))
+                                - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_reset
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ), grouped AS (
+            SELECT user_id, event_id, ts, value, is_reset,
+                   sum(is_reset) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS grp
+            FROM flagged
+        )
+        SELECT user_id, event_id,
+               CAST(grp AS BIGINT) AS session_no,
+               CAST(floor(sum(value) OVER (
+                        PARTITION BY user_id, grp
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                    * 1000000.0 + 0.5) AS BIGINT) AS running_micro
+        FROM grouped
+        ORDER BY user_id, event_id
+    """,
+    phase="P2",
+    tags=("window", "sessionization", "islands"),
+)
+def win_reset_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total WITH CONDITIONAL RESET — the accumulator that
+    starts over whenever the user pauses >30 min (per-session spend /
+    usage meters). A plain window frame cannot express "reset on
+    condition"; the gaps-and-islands composition can, in three stacked
+    windows over ONE partitioning: lag() marks resets, a running sum of
+    the marks numbers the islands, and the running value total
+    restarts automatically because the island id joins the partition
+    key. All three windows share the per-user sort, so Spark plans ONE
+    exchange + ONE sort for the whole thing (same trick as
+    win_running's frame family).
+
+    The running float sum is order-pinned by (ts, event_id), making
+    the micro-quantized cumulative values hash-exact cross-engine
+    (sum-then-quantize is safe HERE because the window order, and
+    therefore the accumulation order, is total and identical on both
+    engines — unlike grouped sums, where quantize-then-sum is the
+    rule)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap on BOTH engines (unix_micros / epoch_us) —
+    # second-truncating casts could disagree on sub-second boundaries
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "is_reset",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn("grp", F.sum("is_reset").over(w))
+    w_run = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    return (
+        grouped.select(
+            "user_id",
+            "event_id",
+            F.col("grp").cast("bigint").alias("session_no"),
+            F.floor(
+                F.sum("value").over(w_run) * F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("running_micro"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -192,6 +192,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_uniqueness",
     "mixture_epochs",
     "ts_ewma_crossover",
+    "win_reset_running_total",
+    "text_bpe_pair_freq",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",
