@@ -1174,3 +1174,100 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TABLE IF EXISTS jb_linesum")
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+        WITH cpts AS (
+            SELECT c_custkey,
+                   (c_custkey * 2654435761) % 1000000 AS xa,
+                   (c_custkey * 3266489917) % 1000000 AS ya
+            FROM customer
+        ), spts AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 2246822519) % 1000000 AS xb,
+                   (s_suppkey * 668265263) % 1000000 AS yb
+            FROM supplier
+        )
+        SELECT c.c_custkey, s.s_suppkey,
+               CAST((c.xa - s.xb) * (c.xa - s.xb)
+                    + (c.ya - s.yb) * (c.ya - s.yb) AS BIGINT)
+                   AS dist2_milli
+        FROM cpts c, spts s
+        WHERE (c.xa - s.xb) * (c.xa - s.xb)
+              + (c.ya - s.yb) * (c.ya - s.yb) <= 25000000
+        ORDER BY c_custkey, s_suppkey
+    """,
+    phase="P2",
+    tags=("join", "spatial", "grid-blocked"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial within-radius join via GRID BLOCKING — the standard
+    re-expression of "all pairs closer than r" that never evaluates
+    the quadratic pair space. Coordinates are derived deterministically
+    from the keys (Knuth/xxhash multiplicative mixes mod 1e6, i.e.
+    integer MILLI-coordinates on a 1000×1000 plane) so the whole
+    query — cells, candidate pairs, squared distances — is exact
+    BIGINT arithmetic with zero float anywhere, and the oracle can
+    verify it value-exactly from a plain cross-join + filter.
+
+    Plan: each side buckets into r-sized grid cells (cell = coord/r);
+    the supplier side explodes to its 3×3 cell neighborhood (9×, still
+    the small side), the join runs on the (cell_x, cell_y) pair, and
+    the exact distance filter keeps true hits. Candidates per point ≈
+    points within a 3r×3r box — constant under uniform density —
+    versus |A|·|B| for the naive theta-join.
+
+    Scale shape: at sf0.1 the exploded supplier side broadcasts; at
+    100 TB both sides hash-shuffle on the SAME cell key, so the join
+    is co-located with ~9× replication of one side only, and skewed
+    cells (dense cities) are ordinary AQE skew-join work. This is the
+    map-grid sibling of join_range_grid's 1-D tiling (joins.py:570)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761)) % 1000000).alias("xa"),
+        ((F.col("c_custkey") * F.lit(3266489917)) % 1000000).alias("ya"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * F.lit(2246822519)) % 1000000).alias("xb"),
+        ((F.col("s_suppkey") * F.lit(668265263)) % 1000000).alias("yb"),
+    )
+    r = 5000  # 5.0 units in milli-coordinates
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    supp_cells = (
+        supp.withColumn("dx", off)
+        .withColumn(
+            "dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .select(
+            "s_suppkey",
+            "xb",
+            "yb",
+            (F.floor(F.col("xb") / r) + F.col("dx")).alias("cell_x"),
+            (F.floor(F.col("yb") / r) + F.col("dy")).alias("cell_y"),
+        )
+    )
+    cust_cells = cust.select(
+        "c_custkey",
+        "xa",
+        "ya",
+        F.floor(F.col("xa") / r).alias("cell_x"),
+        F.floor(F.col("ya") / r).alias("cell_y"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        cust_cells.join(supp_cells, ["cell_x", "cell_y"])
+        .filter(d2 <= F.lit(r * r))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("bigint").alias("dist2_milli"),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -745,3 +745,99 @@ def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(50)
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM arrs
+        ), big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM idx
+        ), tf2 AS (
+            SELECT doc_id, w1, w2, count(*) AS cnt
+            FROM big GROUP BY doc_id, w1, w2
+        ), with_freq AS (
+            SELECT doc_id, cnt,
+                   sum(cnt) OVER (PARTITION BY w1)     AS freq1,
+                   sum(cnt) OVER (PARTITION BY w1, w2) AS freq2
+            FROM tf2
+        ), per_doc AS (
+            SELECT doc_id,
+                   sum(cnt) AS n_bigrams,
+                   sum(cnt * (ln(freq1) - ln(freq2))) AS s_ln
+            FROM with_freq GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               {{micro_expr}} AS avg_neg_logprob_micro
+        FROM per_doc
+        ORDER BY doc_id
+    """.format(micro_expr=MICRO_SQL.format(x="(s_ln / n_bigrams)")),
+    phase="P3",
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the
+    conditional sibling of text_unigram_logprob: average bigram
+    negative log-probability −ln P(w₂|w₁) with P estimated from the
+    corpus itself (C(w₁,w₂)/C(w₁,·)), the perplexity-style fluency
+    signal that separates well-formed prose from shuffled-token soup
+    (which unigram scores cannot — same tokens, same unigram score).
+
+    One lineage, no self-joins past the bigram pairing: posexplode
+    keeps token order, a per-doc lag window forms bigram occurrences,
+    ONE groupBy yields per-doc bigram counts, and BOTH corpus
+    frequencies (C(w₁,·) and C(w₁,w₂)) attach as window sums over the
+    same relation — partition by w1 and by (w1,w2) respectively — so
+    the corpus never re-scans (the basket_rules/unigram trick). Then
+    avg −ln P = Σ cnt·(ln C(w₁,·) − ln C(w₁,w₂)) / Σ cnt per doc.
+    ln() crosses engines → micro-quantized.
+
+    Scale shape: corpus-sized stages are the explode and one
+    (doc,bigram) groupBy; the two frequency windows shuffle at
+    DISTINCT-bigram grain (vocabulary², but Zipf-truncated in
+    practice), and the final reduce is per-doc. Hot head-words (the
+    w1 partition) are ordinary AQE skew work."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("ord", "w"),
+    ).filter(F.col("w") != "")
+    w_seq = Window.partitionBy("doc_id").orderBy("ord")
+    seq = toks.select(
+        "doc_id", "w", F.lag("w").over(w_seq).alias("w1")
+    ).filter(F.col("w1").isNotNull())
+    tf2 = seq.groupBy(
+        "doc_id", "w1", F.col("w").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    with_freq = tf2.select(
+        "doc_id",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("w1")).alias("freq1"),
+        F.sum("cnt").over(Window.partitionBy("w1", "w2")).alias("freq2"),
+    )
+    per_doc = with_freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(
+            F.col("cnt") * (F.log("freq1") - F.log("freq2"))
+        ).alias("s_ln"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            micro(F.col("s_ln") / F.col("n_bigrams")).alias(
+                "avg_neg_logprob_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )

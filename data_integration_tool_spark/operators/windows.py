@@ -664,3 +664,73 @@ def win_reset_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_moving_regression",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1
+                        AS BIGINT) AS x,
+                   {MICRO_SQL.format(x='value')} AS y
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(count(*) OVER f AS BIGINT)            AS n_obs,
+               CAST(count(*) OVER f * sum(x * y) OVER f
+                    - sum(x) OVER f * sum(y) OVER f
+                    AS BIGINT)                            AS slope_num,
+               CAST(count(*) OVER f * sum(x * x) OVER f
+                    - sum(x) OVER f * sum(x) OVER f
+                    AS BIGINT)                            AS slope_den
+        FROM seq
+        WINDOW f AS (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    phase="P2",
+    tags=("window", "regression", "rolling"),
+)
+def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares slope per user over the last 8
+    events — the windowed trend detector (is this meter accelerating?)
+    that pandas users write as ``rolling().apply(linregress)`` and then
+    cannot scale. Here it is FOUR built-in frame sums over one shared
+    (partition, sort): with x = the per-user event index and y the
+    micro-quantized value, slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    Both numerator and denominator are EXACT BIGINT arithmetic — no
+    float accumulation anywhere — so the result is hash-identical
+    cross-engine and the caller divides (or compares num·den' vs
+    num'·den) without ever losing the exactness.
+
+    Scale shape: one exchange on user_id, one sort, and every frame
+    aggregate runs in the same window pass; no Python, no self-join,
+    JVM codegen end-to-end. Int64 headroom: |num| ≤ n²·max(x)·max(y)
+    ≈ 64·L·1e8 for per-user history length L and |value| ≤ 100 —
+    safe to L ≈ 1e9 rows per user, far past any real per-key history."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w_seq) - F.lit(1)).cast("bigint").alias("x"),
+        micro(F.col("value")).alias("y"),
+    )
+    f = Window.partitionBy("user_id").orderBy("x").rowsBetween(-7, 0)
+    n = F.count(F.lit(1)).over(f)
+    sx = F.sum("x").over(f)
+    sy = F.sum("y").over(f)
+    sxy = F.sum(F.col("x") * F.col("y")).over(f)
+    sxx = F.sum(F.col("x") * F.col("x")).over(f)
+    return seq.select(
+        "user_id",
+        "event_id",
+        n.cast("bigint").alias("n_obs"),
+        (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
+        (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
+    ).orderBy("user_id", "event_id")

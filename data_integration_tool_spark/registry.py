@@ -194,6 +194,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_ewma_crossover",
     "win_reset_running_total",
     "text_bpe_pair_freq",
+    "win_moving_regression",
+    "etl_cdc_apply",
+    "join_spatial_grid",
+    "text_bigram_lm",
+    "ts_holt_winters",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1212,3 +1212,90 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("anchor")
         .orderBy("range_start")
     )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT user_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   event_id,
+                   CASE event_type
+                        WHEN 'signup' THEN 'insert'
+                        WHEN 'error'  THEN 'delete'
+                        ELSE 'update' END AS op,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ), latest AS (
+            SELECT user_id, op, k, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_versions,
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_deletes
+            FROM log
+        )
+        SELECT user_id,
+               k        AS final_k,
+               op       AS final_op,
+               n_versions,
+               n_deletes
+        FROM latest
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY user_id
+    """,
+    phase="P6",
+    tags=("etl", "cdc", "upsert"),
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log to materialize current state —
+    the Debezium/DMS-consumer pattern: a keyed stream of
+    insert/update/delete ops folds to one row per key (last writer
+    wins; a trailing delete removes the key). The event log maps to
+    CDC ops by type (signup→insert, error→delete, else update); the
+    fold is ONE window over (key, ts DESC): row_number picks the final
+    op, the same partitioning carries the version/delete counters, and
+    a filter drops keys whose last op was a delete. No join against
+    the previous snapshot is needed when the log is complete; for
+    incremental application, `etl_scd_upsert` is the snapshot+delta
+    sibling.
+
+    Scale shape: one exchange on the CDC key, one sort; every op for a
+    key lands in one task regardless of log length, and AQE handles
+    hot keys. A 100 TB log with billions of keys plans identically —
+    the state never materializes driver-side."""
+    e = load(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wp = Window.partitionBy("user_id")
+    latest = log.select(
+        "user_id",
+        F.col("k").alias("final_k"),
+        F.col("op").alias("final_op"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_versions"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .over(wp)
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("final_op") != "delete"))
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -1189,3 +1189,114 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS tot_micro
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, tot_micro,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ),
+        rec AS (
+            SELECT event_type, day, rn, tot_micro,
+                   CAST(tot_micro AS DOUBLE) AS l,
+                   CAST(0 AS DOUBLE) AS b
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.day, s.rn, s.tot_micro,
+                   0.5 * CAST(s.tot_micro AS DOUBLE) + 0.5 * (r.l + r.b),
+                   0.5 * ((0.5 * CAST(s.tot_micro AS DOUBLE)
+                           + 0.5 * (r.l + r.b)) - r.l)
+                       + 0.5 * r.b
+            FROM rec r
+            JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, day, tot_micro,
+               CAST(floor(l + 0.5) AS BIGINT)         AS level_micro,
+               CAST(floor(b + 0.5) AS BIGINT)         AS trend_micro,
+               CAST(floor(l + b + 0.5) AS BIGINT)     AS forecast_micro
+        FROM rec
+        ORDER BY event_type, day
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "smoothing", "pandas-udf"),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over
+    daily per-type volume — the forecasting recurrence
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1} with α = β = 1/2, plus the
+    one-step-ahead forecast l+b. Unlike win_ewma's single-state
+    recurrence (closed geometric form) or ts_cusum_alarm's
+    reflection identity, the coupled two-state recursion has no
+    window re-expression — this is the applyInPandas class: the
+    corpus-scale stage is the combinable (type, day) aggregate, the
+    recurrence runs at SERIES grain inside one Arrow batch per key.
+
+    Cross-engine exactness without quantizing the state: α = β = 1/2
+    and integer-micro inputs make every recurrence step pure IEEE
+    double arithmetic with identical operand order in the Python
+    kernel and the recursive-CTE oracle — bitwise-equal trajectories,
+    so the final floor(x+0.5) can never straddle a boundary
+    differently. Scale shape: thousands of series parallelize across
+    the groupBy keys; per-series work is linear and bounded by the
+    day count, never the event count."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(micro(F.col("value"))).alias("tot_micro"))
+
+    out_schema = (
+        "event_type string, day timestamp, tot_micro long, "
+        "level_micro long, trend_micro long, forecast_micro long"
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, trd = [], []
+        l = b = 0.0
+        for i, y in enumerate(pdf["tot_micro"].tolist()):
+            if i == 0:
+                l, b = float(y), 0.0
+            else:
+                l_new = 0.5 * float(y) + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            lvl.append(l)
+            trd.append(b)
+        pdf["level_micro"] = [int(math.floor(x + 0.5)) for x in lvl]
+        pdf["trend_micro"] = [int(math.floor(x + 0.5)) for x in trd]
+        pdf["forecast_micro"] = [
+            int(math.floor(x + y + 0.5)) for x, y in zip(lvl, trd)
+        ]
+        return pdf[
+            [
+                "event_type",
+                "day",
+                "tot_micro",
+                "level_micro",
+                "trend_micro",
+                "forecast_micro",
+            ]
+        ]
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(holt, schema=out_schema)
+        .orderBy("event_type", "day")
+    )

@@ -1451,3 +1451,164 @@ def test_dq_uniqueness_flags_key_grain(spark, sf_dir):
     for t in ("lineitem", "events"):
         assert by_tbl[t].n_dup_keys > 0
         assert by_tbl[t].dup_factor_micro > 1_000_000
+
+
+def test_moving_regression_exact_algebra(spark, sf_dir):
+    """For a full 8-row frame over consecutive integer x, the OLS
+    denominator is the closed form n²(n²−1)/12 = 336; a constant-y
+    stretch must yield slope_num = 0; and num/den must equal numpy's
+    polyfit slope on a recomputed sample user."""
+    import numpy as np
+
+    from data_integration_tool_spark.operators.windows import (
+        win_moving_regression,
+    )
+
+    rows = win_moving_regression(spark, sf_dir).collect()
+    assert rows
+    full = [r for r in rows if r.n_obs == 8]
+    assert full, "at least one user has ≥8 events"
+    assert all(r.slope_den == 336 for r in full)
+    assert all(r.slope_den >= 0 for r in rows)
+    assert all((r.slope_den == 0) == (r.n_obs == 1) for r in rows)
+
+    # numpy cross-check on the busiest user
+    from collections import Counter
+
+    busiest = Counter(r.user_id for r in rows).most_common(1)[0][0]
+    urows = [r for r in rows if r.user_id == busiest]
+    from data_integration_tool_spark.io import load
+    import pyspark.sql.functions as F
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == busiest)
+        .orderBy("ts", "event_id")
+        .select(F.floor(F.col("value") * 1e6 + 0.5).alias("y"))
+        .collect()
+    )
+    ys = [r.y for r in e]
+    for i, r in enumerate(urows):
+        lo = max(0, i - 7)
+        x = np.arange(lo, i + 1, dtype=float)
+        y = np.array(ys[lo : i + 1], dtype=float)
+        if len(x) >= 2:
+            slope = np.polyfit(x, y, 1)[0]
+            assert abs(r.slope_num / r.slope_den - slope) < 1e-6, i
+
+
+def test_cdc_apply_fold_semantics(spark, sf_dir):
+    """The CDC fold must agree with an independent last-event
+    recompute: surviving keys are exactly the users whose latest
+    event is not an 'error' (delete), and final_k is that event's k."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import etl_cdc_apply
+
+    out = {r.user_id: r for r in etl_cdc_apply(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events")
+    last = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "props")
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    import json
+
+    for r in last:
+        if r.m.event_type == "error":
+            assert r.user_id not in out
+        else:
+            got = out[r.user_id]
+            assert got.final_k == json.loads(r.m.props)["k"]
+            assert got.n_versions == r.n
+    assert len(out) == sum(1 for r in last if r.m.event_type != "error")
+
+
+def test_spatial_grid_matches_bruteforce(spark):
+    """Grid blocking must lose nothing: at sf0.001 the result set
+    equals the brute-force cross-join within-radius set exactly."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.joins import (
+        join_spatial_grid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.c_custkey, r.s_suppkey, r.dist2_milli)
+        for r in join_spatial_grid(spark, sf).collect()
+    }
+    cust = load(spark, sf, "customer").select("c_custkey").collect()
+    supp = load(spark, sf, "supplier").select("s_suppkey").collect()
+    want = set()
+    for c in cust:
+        xa = c.c_custkey * 2654435761 % 1000000
+        ya = c.c_custkey * 3266489917 % 1000000
+        for s in supp:
+            xb = s.s_suppkey * 2246822519 % 1000000
+            yb = s.s_suppkey * 668265263 % 1000000
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 25_000_000:
+                want.add((c.c_custkey, s.s_suppkey, d2))
+    assert got == want
+
+
+def test_bigram_lm_token_identity(spark, sf_dir):
+    """Per doc: n_bigrams = n_tokens − 1 (same whitespace split), and
+    every score is ≥ 0 (C(w₁,·) ≥ C(w₁,w₂) always)."""
+    from data_integration_tool_spark.operators.text import (
+        text_bigram_lm,
+        text_token_count,
+    )
+
+    big = {r.doc_id: r for r in text_bigram_lm(spark, sf_dir).collect()}
+    toks = {
+        r.doc_id: r.n_tokens_ws
+        for r in text_token_count(spark, sf_dir).collect()
+    }
+    assert big
+    for doc_id, r in big.items():
+        assert r.n_bigrams == toks[doc_id] - 1, doc_id
+        assert r.avg_neg_logprob_micro >= 0
+
+
+def test_holt_winters_recurrence(spark, sf_dir):
+    """The distributed result must replay exactly against a local
+    recurrence over the collected daily series, and forecast must be
+    the (separately quantized) level+trend within 1 micro."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_holt_winters,
+    )
+
+    rows = ts_holt_winters(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, series in by_type.items():
+        assert series == sorted(series, key=lambda r: r.day)
+        l = b = 0.0
+        for i, r in enumerate(series):
+            y = float(r.tot_micro)
+            if i == 0:
+                l, b = y, 0.0
+            else:
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            assert r.level_micro == int(math.floor(l + 0.5)), (et, i)
+            assert r.trend_micro == int(math.floor(b + 0.5)), (et, i)
+            assert r.forecast_micro == int(math.floor(l + b + 0.5))
+            assert abs(
+                r.forecast_micro - (r.level_micro + r.trend_micro)
+            ) <= 1
