@@ -1271,3 +1271,116 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@query(
+    "join_skew_aqe",
+    # Aggregate fully value-oracled; skew_split / smj are engine-level
+    # plan invariants shipped as constant-1 columns (join_bucketed's
+    # pattern): if AQE ever stops splitting the hot partition, the
+    # Spark side emits 0 and the driver hash goes red loudly.
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 10 < 8
+                        THEN 1 ELSE l_orderkey END AS k,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS rev
+            FROM lineitem
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT)  AS n_lines,
+               CAST(sum(rev) AS BIGINT)  AS rev_cents,
+               CAST(1 AS BIGINT)         AS skew_split,
+               CAST(1 AS BIGINT)         AS smj
+        FROM fact
+        JOIN orders ON k = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    phase="P3",
+    tags=("join", "skew", "aqe"),
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join mitigation, driver-visible: a fact side
+    with a deterministic hot key (80% of lineitem collapses onto
+    key 1) sort-merge-joins the orders dim, and ADAPTIVE execution —
+    not any hand-rolled salt — splits the hot partition from runtime
+    map-output statistics (`SortMergeJoin(skew=true)` +
+    `AQEShuffleRead ... skewed` in the final plan). The manual
+    counterpart is join_skew_salted (joins.py:442): same data shape,
+    explicit salting; THIS query proves the engine-native path the
+    100 TB posture docs lean on ("hot keys are ordinary AQE work").
+
+    Scoped session confs (restored in ``finally``; serial-execution
+    contract, registry rule 4): the skew threshold/advisory sizes
+    scale DOWN to the fixture's ~100 KB hot partition (defaults are
+    256 MB — at production scale the DEFAULTS fire on genuinely large
+    hot partitions with no force flag), plus forceOptimizeSkewedJoin
+    because the demo's extra-shuffle guard would otherwise veto the
+    split, and broadcast disabled so the tiny dim doesn't sidestep
+    the SMJ path under test. The fact side round-robins to 16 map
+    tasks first so the hot partition spans multiple map outputs —
+    AQE splits along map boundaries (single-file inputs at small SF
+    would otherwise leave nothing to split).
+
+    The 5-group aggregate is collected once to finalize the adaptive
+    plan and read the flags; re-emission via createDataFrame keeps
+    one execution per call. Money quantized to cents per line before
+    the sum (quantize-then-sum)."""
+    from ..exprs import cents
+
+    f = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        cents(F.col("l_extendedprice")).alias("rev"),
+    )
+    dim = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    scoped = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "4k"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    # get(key, None) is None for keys not EXPLICITLY set — restore
+    # must unset those, not pin them to today's engine default
+    prior: dict[str, str | None] = {
+        key: spark.conf.get(key, None) for key in scoped
+    }
+    try:
+        for key, val in scoped.items():
+            spark.conf.set(key, val)
+        agg = (
+            f.repartition(16)
+            .join(dim, "k")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.sum("rev").cast("bigint").alias("rev_cents"),
+            )
+        )
+        rows = agg.collect()  # driver-scalar: 5 priority groups + flags
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew_split = "skew=true" in plan
+        smj = "SortMergeJoin" in plan
+    finally:
+        for key, val in prior.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    out = spark.createDataFrame(
+        rows, "o_orderpriority string, n_lines long, rev_cents long"
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_lines",
+        "rev_cents",
+        F.lit(int(skew_split)).cast("bigint").alias("skew_split"),
+        F.lit(int(smj)).cast("bigint").alias("smj"),
+    ).orderBy("o_orderpriority")

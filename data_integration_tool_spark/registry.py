@@ -199,6 +199,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_spatial_grid",
     "text_bigram_lm",
     "ts_holt_winters",
+    "join_skew_aqe",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1612,3 +1612,30 @@ def test_holt_winters_recurrence(spark, sf_dir):
             assert abs(
                 r.forecast_micro - (r.level_micro + r.trend_micro)
             ) <= 1
+
+
+def test_skew_aqe_flags_and_conf_restore(spark, sf_dir):
+    """The AQE skew-split and SMJ flags must actually fire (constant-1
+    columns are the oracle's claim), the scoped confs must restore
+    after the run, and the line count must reconcile with the fact
+    table (every lineitem row joins exactly one order)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.joins import join_skew_aqe
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    rows = join_skew_aqe(spark, sf_dir).collect()
+    after = {
+        k: spark.conf.get(k, None) for k in before
+    }
+    assert before == after, "scoped confs leaked"
+    assert rows
+    assert all(r.skew_split == 1 and r.smj == 1 for r in rows)
+    n_lines = load(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == n_lines
