@@ -1536,3 +1536,186 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_pos")
     )
+
+
+_KM_K = 4  # clusters
+_KM_ITERS = 3  # fixed Lloyd update rounds (then one final assignment)
+
+
+def _kmeans_oracle() -> str:
+    """Unroll the fixed-round Lloyd recursion as DuckDB CTEs over the
+    LONG (vec_id, dim_pos, v) form. Assignment ties encode as
+    dist*K + cid so argmin-with-smallest-cid is ONE exact-integer
+    min(); centroid updates floor-divide exact BIGINT sums (double
+    division is exact here: |sum| < 2^53)."""
+    k = _KM_K
+    ctes = [
+        f"""q AS (
+            SELECT vec_id,
+                   unnest(list_transform(embedding, (x, i) -> i - 1))
+                       AS dim_pos,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                       + 0.5) AS BIGINT))) AS v
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid,
+                   dim_pos, v AS c
+            FROM q
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        ctes.append(f"""a{t} AS (
+            SELECT q.vec_id,
+                   CAST(min(s.enc) % {k} AS BIGINT) AS cid
+            FROM q
+            JOIN (
+                SELECT q.vec_id, {prev}.cid,
+                       sum((q.v - {prev}.c) * (q.v - {prev}.c)) * {k}
+                           + {prev}.cid AS enc
+                FROM q JOIN {prev} ON q.dim_pos = {prev}.dim_pos
+                GROUP BY q.vec_id, {prev}.cid
+            ) s ON s.vec_id = q.vec_id
+            GROUP BY q.vec_id
+        )""")
+        ctes.append(f"""c{t} AS (
+            SELECT a{t}.cid, q.dim_pos,
+                   CAST(floor(CAST(sum(q.v) AS DOUBLE)
+                              / count(DISTINCT q.vec_id)) AS BIGINT) AS c
+            FROM q JOIN a{t} ON q.vec_id = a{t}.vec_id
+            GROUP BY a{t}.cid, q.dim_pos
+        )""")
+        prev = f"c{t}"
+    ctes.append(f"""final AS (
+            SELECT vec_id,
+                   CAST(min(enc) % {k} AS BIGINT) AS cid,
+                   CAST((min(enc) - min(enc) % {k}) / {k} AS BIGINT)
+                       AS dist
+            FROM (
+                SELECT q.vec_id,
+                       sum((q.v - {prev}.c) * (q.v - {prev}.c)) * {k}
+                           + {prev}.cid AS enc
+                FROM q JOIN {prev} ON q.dim_pos = {prev}.dim_pos
+                GROUP BY q.vec_id, {prev}.cid
+            )
+            GROUP BY vec_id
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT cid,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia
+        FROM final
+        GROUP BY cid
+        ORDER BY cid
+    """
+    )
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    phase="P4",
+    tags=("similarity", "embeddings", "iterative", "kmeans"),
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, VALUE-EXACT end to end — the
+    iterative-algorithm flagship next to dedup_components' label
+    propagation: K=4 centroids seeded from the K smallest vec_ids,
+    three full assign→update rounds, then a final assignment with
+    per-cluster sizes and total inertia. Everything is exact integer
+    arithmetic: embeddings quantize to micro-unit BIGINTs, squared L2
+    distances are BIGINT sums, argmin-with-tie-break encodes as ONE
+    min over dist·K+cid, and centroid updates floor-divide exact
+    sums — so the full 3-round trajectory is hash-identical to the
+    unrolled recursive oracle (no float drift can flip an assignment).
+
+    Scale shape (the sanctioned k-means pattern VERDICT r6 names):
+    per round, centroids collect to the driver as K·64 scalars
+    (# driver-scalar) and re-enter as BROADCAST literals — the data-
+    sized work is one scan computing K vectorized array-expression
+    distances (zip_with/aggregate in JVM codegen, no shuffle) plus
+    ONE (cid, dim) aggregation whose width is K·64 regardless of row
+    count. Rounds are fixed (3), so the lineage stays bounded; at
+    larger K/dim swap literal arrays for a broadcast join, same plan.
+
+    Int64 headroom: per-dim diff ≤ 2e6 → dist ≤ 64·4e12 ≈ 2.6e14,
+    ×K + cid ≪ 2^63; inertia sums dist over rows — safe past 1e4 rows
+    per fixture and re-scalable by dropping the quantization to 1e3
+    for billion-row corpora."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    k = _KM_K
+
+    seed_rows = (
+        e.orderBy("vec_id").limit(k).collect()
+    )  # driver-scalar: K seed vectors (K*64 ints), the k-means pattern
+    centroids = [list(r.qv) for r in seed_rows]
+
+    def dist_enc(cid: int, cvec: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"), lit, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return d * F.lit(k) + F.lit(cid)
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        enc = F.least(
+            *[dist_enc(cid, c) for cid, c in enumerate(centroids)]
+        )
+        assigned = e.select(
+            "vec_id", "qv", (enc % k).cast("bigint").alias("cid")
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid",
+                "dim",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .collect()
+        )  # driver-scalar: K*64 centroid components per round
+        new_c = [list(c) for c in centroids]
+        for r in upd:
+            new_c[r.cid][r.dim] = r.c
+        centroids = new_c
+
+    enc = F.least(*[dist_enc(cid, c) for cid, c in enumerate(centroids)])
+    final = e.select(
+        "vec_id",
+        (enc % k).cast("bigint").alias("cid"),
+        ((enc - enc % k) / k).cast("bigint").alias("dist"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cid")
+    )

@@ -200,6 +200,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bigram_lm",
     "ts_holt_winters",
     "join_skew_aqe",
+    "emb_kmeans_lloyd",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1639,3 +1639,58 @@ def test_skew_aqe_flags_and_conf_restore(spark, sf_dir):
     assert all(r.skew_split == 1 and r.smj == 1 for r in rows)
     n_lines = load(spark, sf_dir, "lineitem").count()
     assert sum(r.n_lines for r in rows) == n_lines
+
+
+def test_kmeans_lloyd_partition_and_inertia(spark, sf_dir):
+    """Clusters must partition the corpus (sizes sum to the vector
+    count, all K non-empty on the fixture), and the final inertia must
+    beat the single-centroid baseline (k-means can only improve on
+    'everything in one cluster around the K-seed mean')."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        _KM_K,
+        emb_kmeans_lloyd,
+    )
+
+    rows = emb_kmeans_lloyd(spark, sf_dir).collect()
+    assert len(rows) == _KM_K
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    assert sum(r.n_members for r in rows) == n
+    assert all(r.n_members > 0 for r in rows)
+
+    # single-centroid baseline: quantized global mean, same arithmetic
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qv")
+    )
+    dims = q.select(F.posexplode("qv").alias("dim", "v"))
+    mean = {
+        r.dim: r.c
+        for r in dims.groupBy("dim")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    }
+    mean_arr = F.array(
+        *[F.lit(int(mean[d])) for d in sorted(mean)]
+    )
+    base = q.select(
+        F.aggregate(
+            F.zip_with(
+                "qv", mean_arr, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("d")
+    ).agg(F.sum("d").alias("inertia")).collect()[0].inertia
+    assert sum(r.inertia for r in rows) < base
