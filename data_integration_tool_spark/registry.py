@@ -201,6 +201,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_holt_winters",
     "join_skew_aqe",
     "emb_kmeans_lloyd",
+    "etl_vacuum_plan",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1299,3 +1299,102 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "etl_vacuum_plan",
+    oracle="""
+        WITH manifest AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS created_v,
+                   o_orderpriority AS part,
+                   CAST(count(*) * 128 AS BIGINT) AS file_bytes
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        lineage AS (
+            SELECT created_v, part, file_bytes,
+                   CASE WHEN created_v
+                             < max(created_v) OVER (PARTITION BY part)
+                        THEN created_v + 1 END AS replaced_v,
+                   max(created_v) OVER () AS latest_v
+            FROM manifest
+        )
+        SELECT created_v,
+               CAST(count(*) FILTER (WHERE replaced_v IS NOT NULL
+                                     AND replaced_v <= latest_v - 3)
+                    AS BIGINT) AS n_delete,
+               CAST(coalesce(sum(file_bytes) FILTER (
+                        WHERE replaced_v IS NOT NULL
+                        AND replaced_v <= latest_v - 3), 0)
+                    AS BIGINT) AS bytes_delete,
+               CAST(count(*) FILTER (WHERE replaced_v IS NULL
+                                     OR replaced_v > latest_v - 3)
+                    AS BIGINT) AS n_keep,
+               CAST(coalesce(sum(file_bytes) FILTER (
+                        WHERE replaced_v IS NULL
+                        OR replaced_v > latest_v - 3), 0)
+                    AS BIGINT) AS bytes_keep
+        FROM lineage
+        GROUP BY created_v
+        ORDER BY created_v
+    """,
+    phase="P6",
+    tags=("etl", "vacuum", "maintenance"),
+)
+def etl_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-based VACUUM planner (Delta VACUUM / Iceberg
+    expire_snapshots shape), completing the lake-maintenance family
+    (compaction → etl_compaction_plan, stats pruning →
+    etl_manifest_prune, clustering → etl_zorder_layout, diffing →
+    etl_snapshot_diff): a table's file manifest is synthesized
+    deterministically from orders (one file per year×priority
+    partition, created at version=year), each file is superseded when
+    the NEXT year rewrites its partition (the latest year per
+    partition stays live), and the plan deletes exactly the files
+    whose superseding version has aged past the 3-version retention
+    horizon — never a live file, never a file a time-travel reader
+    inside the horizon could still need.
+
+    Scale shape: the only data-sized stage is the combinable
+    manifest aggregate; lineage and the delete/keep decision are
+    METADATA-scale window/CASE work (one row per file). A 100 TB
+    table's vacuum plan reads only its manifest — the same posture
+    as etl_manifest_prune. FILTER-clause aggregates keep the
+    delete/keep split one pass."""
+    o = load(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("created_v"),
+        F.col("o_orderpriority").alias("part"),
+    ).agg((F.count(F.lit(1)) * 128).cast("bigint").alias("file_bytes"))
+    w_part = Window.partitionBy("part")
+    lineage = manifest.select(
+        "created_v",
+        "part",
+        "file_bytes",
+        F.when(
+            F.col("created_v") < F.max("created_v").over(w_part),
+            F.col("created_v") + 1,
+        ).alias("replaced_v"),
+        F.max("created_v").over(Window.partitionBy()).alias("latest_v"),
+    )
+    doomed = F.col("replaced_v").isNotNull() & (
+        F.col("replaced_v") <= F.col("latest_v") - 3
+    )
+    return (
+        lineage.groupBy("created_v")
+        .agg(
+            F.count(F.when(doomed, 1)).cast("bigint").alias("n_delete"),
+            F.coalesce(
+                F.sum(F.when(doomed, F.col("file_bytes"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("bytes_delete"),
+            F.count(F.when(~doomed, 1)).cast("bigint").alias("n_keep"),
+            F.coalesce(
+                F.sum(F.when(~doomed, F.col("file_bytes"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("bytes_keep"),
+        )
+        .orderBy("created_v")
+    )

@@ -447,3 +447,36 @@ def test_python_stream_source_reconciles(spark, sf_dir):
     row = stream_python_source(spark, sf_dir).first()
     assert row.all_match == 1
     assert row.n_match == row.n_sensors == 8
+
+
+def test_vacuum_plan_never_deletes_reachable(spark, sf_dir):
+    """Vacuum must never delete a live file (latest per partition) or
+    any file whose superseding version is inside the retention
+    horizon; totals must reconcile with the manifest size."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import etl_vacuum_plan
+
+    rows = etl_vacuum_plan(spark, sf_dir).collect()
+    assert rows
+    o = load(spark, sf_dir, "orders")
+    n_files = (
+        o.select(F.year("o_orderdate").alias("v"), "o_orderpriority")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_delete + r.n_keep for r in rows) == n_files
+    latest = max(r.created_v for r in rows)
+    for r in rows:
+        # live files (created at the latest version) are always kept
+        if r.created_v == latest:
+            assert r.n_delete == 0
+        # inside the horizon nothing is deleted: replaced_v=created_v+1
+        # > latest-3 whenever created_v > latest-4
+        if r.created_v > latest - 4:
+            assert r.n_delete == 0
+        else:
+            assert r.n_delete > 0
+        assert (r.bytes_delete == 0) == (r.n_delete == 0)
+        assert (r.bytes_keep == 0) == (r.n_keep == 0)
