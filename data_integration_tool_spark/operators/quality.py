@@ -1213,3 +1213,88 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("tbl")
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+        WITH vals AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS vc
+            FROM lineitem
+        ), fences AS (
+            SELECT l_returnflag,
+                   quantile_disc(vc, 0.25) AS q1c,
+                   quantile_disc(vc, 0.75) AS q3c
+            FROM vals GROUP BY l_returnflag
+        )
+        SELECT v.l_returnflag,
+               CAST(f.q1c AS BIGINT)          AS q1_cents,
+               CAST(f.q3c AS BIGINT)          AS q3_cents,
+               CAST(f.q3c - f.q1c AS BIGINT)  AS iqr_cents,
+               CAST(count(*) FILTER (
+                    WHERE 2 * v.vc < 2 * f.q1c - 3 * (f.q3c - f.q1c))
+                    AS BIGINT)                AS n_low,
+               CAST(count(*) FILTER (
+                    WHERE 2 * v.vc > 2 * f.q3c + 3 * (f.q3c - f.q1c))
+                    AS BIGINT)                AS n_high,
+               CAST(count(*) AS BIGINT)       AS n_total
+        FROM vals v JOIN fences f USING (l_returnflag)
+        GROUP BY v.l_returnflag, f.q1c, f.q3c
+        ORDER BY v.l_returnflag
+    """,
+    phase="P5",
+    tags=("quality", "outliers", "iqr"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot (IQR-fence) outlier audit per group — the
+    quartile-based member of the robust-detector family
+    (anomaly_zscore: moment-based; anomaly_mad: median-absolute;
+    win_hampel_outliers: windowed): values beyond Q1 − 1.5·IQR or
+    Q3 + 1.5·IQR count as outliers. Quartiles are DISCRETE (actual
+    data points, the agg_percentile_disc rule) over cents-quantized
+    values, and the fences compare in HALF-CENTS (2·v vs 2·Q1 − 3·IQR)
+    so the ×1.5 never leaves integer arithmetic — every column is
+    hash-exact cross-engine.
+
+    Plan: one quantile aggregate at group grain (3 groups — the
+    value-buffering percentile is fine at this cardinality; the
+    two-phase histogram in agg_approx_percentile is the shape to swap
+    in when group counts explode), broadcast-joined back onto the
+    scan for a single combinable fence-count pass."""
+    from ..exprs import cents
+
+    vals = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents(F.col("l_extendedprice")).alias("vc")
+    )
+    fences = vals.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY vc)")
+        .cast("bigint")
+        .alias("q1c"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY vc)")
+        .cast("bigint")
+        .alias("q3c"),
+    )
+    iqr = F.col("q3c") - F.col("q1c")
+    low = 2 * F.col("vc") < 2 * F.col("q1c") - 3 * iqr
+    high = 2 * F.col("vc") > 2 * F.col("q3c") + 3 * iqr
+    return (
+        vals.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "q1c", "q3c")
+        .agg(
+            F.count(F.when(low, 1)).cast("bigint").alias("n_low"),
+            F.count(F.when(high, 1)).cast("bigint").alias("n_high"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("q1c").alias("q1_cents"),
+            F.col("q3c").alias("q3_cents"),
+            iqr.cast("bigint").alias("iqr_cents"),
+            "n_low",
+            "n_high",
+            "n_total",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -202,6 +202,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_skew_aqe",
     "emb_kmeans_lloyd",
     "etl_vacuum_plan",
+    "dq_outlier_iqr",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1694,3 +1694,45 @@ def test_kmeans_lloyd_partition_and_inertia(spark, sf_dir):
         ).alias("d")
     ).agg(F.sum("d").alias("inertia")).collect()[0].inertia
     assert sum(r.inertia for r in rows) < base
+
+
+def test_iqr_fences_reconcile(spark, sf_dir):
+    """IQR audit sanity: quartiles ordered, totals equal the table
+    slice, and an independent pandas quantile check agrees on the
+    outlier counts for one group."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_outlier_iqr,
+    )
+
+    rows = dq_outlier_iqr(spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem")
+    assert sum(r.n_total for r in rows) == li.count()
+    for r in rows:
+        assert r.q1_cents <= r.q3_cents
+        assert r.iqr_cents == r.q3_cents - r.q1_cents
+        assert r.n_low + r.n_high < r.n_total
+
+    flag = rows[0].l_returnflag
+    vals = sorted(
+        v.vc
+        for v in li.filter(F.col("l_returnflag") == flag)
+        .select(
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("vc")
+        )
+        .collect()
+    )
+    import math
+
+    # discrete quantile: smallest value at cume_dist >= p
+    q1 = vals[math.ceil(0.25 * len(vals)) - 1]
+    q3 = vals[math.ceil(0.75 * len(vals)) - 1]
+    assert (q1, q3) == (rows[0].q1_cents, rows[0].q3_cents)
+    n_low = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * (q3 - q1))
+    n_high = sum(1 for v in vals if 2 * v > 2 * q3 + 3 * (q3 - q1))
+    assert (n_low, n_high) == (rows[0].n_low, rows[0].n_high)
