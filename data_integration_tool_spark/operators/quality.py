@@ -1298,3 +1298,80 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Candidate functional dependencies (table, lhs, rhs): a mix of true
+# FDs (keys, the nation→region hierarchy) and expected violations, so
+# the report proves the checker in both directions.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+)
+
+_FD_ORACLE_LEG = """
+        SELECT '{t}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(count(*) FILTER (WHERE d > 1) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(max(d) AS BIGINT) AS max_rhs_per_lhs,
+               CAST(CASE WHEN max(d) = 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS holds
+        FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d
+              FROM {t} GROUP BY {lhs})"""
+
+
+@query(
+    "dq_fd_discovery",
+    oracle=" UNION ALL ".join(
+        _FD_ORACLE_LEG.format(t=t, lhs=lhs, rhs=rhs)
+        for t, lhs, rhs in _FD_CANDIDATES
+    )
+    + " ORDER BY tbl, lhs, rhs",
+    phase="P5",
+    tags=("quality", "profiling", "functional-dependency"),
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency checker over declared candidates — the
+    Metanome-style profiling primitive behind schema normalization,
+    key inference, and mapping validation in data-integration work:
+    A→B holds iff every A value maps to exactly one B value. Each
+    candidate reports its LHS cardinality, how many LHS values
+    violate, the worst fan-out, and the verdict — a mix of true FDs
+    (keys, the nation→region hierarchy) and known violations keeps
+    both branches honest.
+
+    Plan: per candidate, ONE two-level aggregate (groupBy lhs with
+    count(DISTINCT rhs) → single summary row); the report is a
+    UNION ALL of one-row results, so at lake scale every candidate
+    audits independently — same posture as dq_uniqueness. Exhaustive
+    column-pair search would square the candidate set; the operator
+    takes the declared list instead, which is how production FD
+    checks run (profile once, re-verify declared FDs per ingest)."""
+    legs = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        per_lhs = (
+            load(spark, sf_dir, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        legs.append(
+            per_lhs.agg(
+                F.lit(t).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.count(F.when(F.col("d") > 1, 1))
+                .cast("bigint")
+                .alias("n_violating_lhs"),
+                F.max("d").cast("bigint").alias("max_rhs_per_lhs"),
+                (F.max("d") == 1).cast("bigint").alias("holds"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("tbl", "lhs", "rhs")

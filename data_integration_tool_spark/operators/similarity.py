@@ -1660,9 +1660,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = _KM_K
 
-    seed_rows = (
-        e.orderBy("vec_id").limit(k).collect()
-    )  # driver-scalar: K seed vectors (K*64 ints), the k-means pattern
+    # driver-scalar markers: K seed vectors / K*64 centroid components
+    # per round — the sanctioned k-means pattern (VERDICT r6)
+    seed_rows = e.orderBy("vec_id").limit(k).collect()  # driver-scalar: seeds
     centroids = [list(r.qv) for r in seed_rows]
 
     def dist_enc(cid: int, cvec: list[int]) -> Column:
@@ -1698,8 +1698,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("c"),
             )
-            .collect()
-        )  # driver-scalar: K*64 centroid components per round
+            .collect()  # driver-scalar: K*64 centroid components
+        )
         new_c = [list(c) for c in centroids]
         for r in upd:
             new_c[r.cid][r.dim] = r.c

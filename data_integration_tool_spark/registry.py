@@ -203,6 +203,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_kmeans_lloyd",
     "etl_vacuum_plan",
     "dq_outlier_iqr",
+    "dq_fd_discovery",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

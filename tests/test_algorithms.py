@@ -1736,3 +1736,26 @@ def test_iqr_fences_reconcile(spark, sf_dir):
     n_low = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * (q3 - q1))
     n_high = sum(1 for v in vals if 2 * v > 2 * q3 + 3 * (q3 - q1))
     assert (n_low, n_high) == (rows[0].n_low, rows[0].n_high)
+
+
+def test_fd_discovery_verdicts(spark, sf_dir):
+    """Known-true FDs (primary keys, nation→region) must hold; the
+    planted violations (order→returnflag fan-out, user→event_type)
+    must not; violation counts must bound the LHS cardinality."""
+    from data_integration_tool_spark.operators.quality import (
+        dq_fd_discovery,
+    )
+
+    rows = {
+        (r.tbl, r.lhs, r.rhs): r
+        for r in dq_fd_discovery(spark, sf_dir).collect()
+    }
+    assert rows[("orders", "o_orderkey", "o_custkey")].holds == 1
+    assert rows[("customer", "c_custkey", "c_mktsegment")].holds == 1
+    assert rows[("nation", "n_nationkey", "n_regionkey")].holds == 1
+    assert rows[("lineitem", "l_orderkey", "l_returnflag")].holds == 0
+    assert rows[("events", "user_id", "event_type")].holds == 0
+    for r in rows.values():
+        assert 0 <= r.n_violating_lhs <= r.n_lhs
+        assert (r.holds == 1) == (r.max_rhs_per_lhs == 1)
+        assert (r.holds == 1) == (r.n_violating_lhs == 0)

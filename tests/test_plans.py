@@ -124,9 +124,11 @@ def test_no_collect_inside_operators():
                     else:
                         offenders.append(f"{py.name}:{i}:{bad}")
     assert not offenders, offenders
-    assert marked == 3, (
-        "expected exactly the 2 dedup_components convergence scalars + "
-        f"the emb_pca_project moment row, found {marked}"
+    assert marked == 6, (
+        "expected exactly the 2 dedup_components convergence scalars, "
+        "the emb_pca_project moment row, the join_skew_aqe flag "
+        "materialization, and the 2 emb_kmeans_lloyd centroid "
+        f"round-trips, found {marked}"
     )
 
 
