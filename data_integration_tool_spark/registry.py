@@ -204,6 +204,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_vacuum_plan",
     "dq_outlier_iqr",
     "dq_fd_discovery",
+    "seq_markov_stationary",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1300,3 +1300,146 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(holt, schema=out_schema)
         .orderBy("event_type", "day")
     )
+
+
+_MARKOV_STATES = ("click", "error", "purchase", "signup", "view")
+_MARKOV_ITERS = 20
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration π ← πP over the 5-state transition
+    matrix. The matrix CTE pivots the transition counts into 25 scalar
+    columns (row-normalized doubles, absent cells → 0); the recursive
+    CTE then replays the identical left-to-right multiply-add order
+    the Spark builder's driver loop uses, so the 20-step trajectory is
+    bitwise IEEE-identical and the final micro quantization cannot
+    straddle a boundary."""
+    k = len(_MARKOV_STATES)
+    cells = []
+    for i, a in enumerate(_MARKOV_STATES):
+        for j, b in enumerate(_MARKOV_STATES):
+            cells.append(
+                f"coalesce(CAST(max(n) FILTER (WHERE event_type = '{a}'"
+                f" AND next_type = '{b}') AS DOUBLE)"
+                f" / NULLIF(max(tot) FILTER (WHERE event_type = '{a}'),"
+                f" 0), 0.0) AS p{i}_{j}"
+            )
+    rowsums = ", ".join(
+        f"CAST(max(tot) FILTER (WHERE event_type = "
+        f"'{a}') AS BIGINT) AS out{i}"
+        for i, a in enumerate(_MARKOV_STATES)
+    )
+    step = ", ".join(
+        "("
+        + " + ".join(f"r.v{i} * m.p{i}_{j}" for i in range(k))
+        + f") AS v{j}"
+        for j in range(k)
+    )
+    init = ", ".join(f"CAST(0.2 AS DOUBLE) AS v{j}" for j in range(k))
+    finals = "\n UNION ALL ".join(
+        f"""SELECT '{s}' AS state,
+               CAST(floor(r.v{j} * 1000000.0 + 0.5) AS BIGINT)
+                   AS stationary_micro,
+               m.out{j} AS n_out
+        FROM rec r, matrix m WHERE r.it = {_MARKOV_ITERS}"""
+        for j, s in enumerate(_MARKOV_STATES)
+    )
+    return f"""
+        WITH RECURSIVE counts AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ) AS next_type
+                FROM events
+            )
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        ), with_tot AS (
+            SELECT event_type, next_type, n,
+                   sum(n) OVER (PARTITION BY event_type) AS tot
+            FROM counts
+        ), matrix AS (
+            SELECT {", ".join(cells)}, {rowsums}
+            FROM with_tot
+        ), rec AS (
+            SELECT 0 AS it, {init}
+            UNION ALL
+            SELECT r.it + 1, {step}
+            FROM rec r, matrix m WHERE r.it < {_MARKOV_ITERS}
+        )
+        {finals}
+        ORDER BY state
+    """
+
+
+@query(
+    "seq_markov_stationary",
+    oracle=_markov_oracle(),
+    phase="P4",
+    tags=("stream", "sequence", "markov", "iterative"),
+)
+def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — the
+    long-run fraction of time the event stream spends in each state,
+    the PageRank-style summary that turns seq_transition_matrix's raw
+    counts into "where do journeys settle". Twenty power-iteration
+    steps π ← πP from the uniform start.
+
+    Scale shape (the PCA/k-means driver-iteration pattern): the ONLY
+    data-sized stage is the transition count (one per-user window +
+    one combinable groupBy); the chain itself is 25 scalars that
+    collect once (# driver-scalar) and iterate in plain Python. The
+    oracle replays the identical left-to-right multiply-add order, so
+    the 20-step trajectory is bitwise IEEE-identical cross-engine —
+    iteration without a quantized state, same contract as
+    ts_holt_winters. State count is fixed by the schema (5 event
+    types); a 10⁶-state chain would move the iteration into the
+    engine (matrix as a DataFrame, π as a broadcast join), same
+    math."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = counts.collect()  # driver-scalar: 25 transition counts
+    states = list(_MARKOV_STATES)
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    n = [[0] * k for _ in range(k)]
+    for r in rows:
+        n[idx[r.event_type]][idx[r.next_type]] = r.n
+    tot = [sum(row) for row in n]
+    p = [
+        [
+            (float(n[i][j]) / tot[i]) if tot[i] else 0.0
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    pi = [0.2] * k
+    for _ in range(_MARKOV_ITERS):
+        nxt = []
+        for j in range(k):
+            acc = pi[0] * p[0][j]
+            for i in range(1, k):
+                acc = acc + pi[i] * p[i][j]
+            nxt.append(acc)
+        pi = nxt
+    import math
+
+    out = [
+        (states[j], int(math.floor(pi[j] * 1000000.0 + 0.5)), tot[j])
+        for j in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "state string, stationary_micro long, n_out long"
+    ).orderBy("state")

@@ -1759,3 +1759,36 @@ def test_fd_discovery_verdicts(spark, sf_dir):
         assert 0 <= r.n_violating_lhs <= r.n_lhs
         assert (r.holds == 1) == (r.max_rhs_per_lhs == 1)
         assert (r.holds == 1) == (r.n_violating_lhs == 0)
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    """π must be a probability vector (micro components summing to 1e6
+    within per-state rounding) and a fixed point of the empirical
+    transition matrix: one more exact power step moves no component
+    by more than the quantization grain."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        _MARKOV_STATES,
+        seq_markov_stationary,
+        seq_transition_matrix,
+    )
+
+    rows = seq_markov_stationary(spark, sf_dir).collect()
+    assert [r.state for r in rows] == sorted(_MARKOV_STATES)
+    assert abs(sum(r.stationary_micro for r in rows) - 1_000_000) <= len(
+        rows
+    )
+    assert all(r.n_out > 0 for r in rows)
+
+    trans = seq_transition_matrix(spark, sf_dir).collect()
+    idx = {s: i for i, s in enumerate(sorted(_MARKOV_STATES))}
+    k = len(idx)
+    n = [[0] * k for _ in range(k)]
+    for t in trans:
+        n[idx[t.event_type]][idx[t.next_type]] = t.n_transitions
+    tot = [sum(r) for r in n]
+    pi = [r.stationary_micro / 1e6 for r in rows]
+    for j in range(k):
+        stepped = sum(
+            pi[i] * (n[i][j] / tot[i]) for i in range(k) if tot[i]
+        )
+        assert abs(stepped - pi[j]) < 2e-3, (j, stepped, pi[j])

@@ -124,11 +124,12 @@ def test_no_collect_inside_operators():
                     else:
                         offenders.append(f"{py.name}:{i}:{bad}")
     assert not offenders, offenders
-    assert marked == 6, (
+    assert marked == 7, (
         "expected exactly the 2 dedup_components convergence scalars, "
         "the emb_pca_project moment row, the join_skew_aqe flag "
-        "materialization, and the 2 emb_kmeans_lloyd centroid "
-        f"round-trips, found {marked}"
+        "materialization, the 2 emb_kmeans_lloyd centroid round-trips, "
+        "and the seq_markov_stationary transition-count collect, "
+        f"found {marked}"
     )
 
 
