@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import MICRO_SQL, micro
 from ..io import load
 from ..registry import query
 
@@ -1576,3 +1577,74 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_entropy_categorical",
+    oracle=f"""
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ), seg AS (
+            SELECT c_mktsegment,
+                   CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_categories,
+                   sum(CAST(n AS DOUBLE)
+                       * ln(CAST(n AS DOUBLE))) AS s_nlnn
+            FROM counts GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n_orders, n_categories,
+               {MICRO_SQL.format(
+                   x="(ln(CAST(n_orders AS DOUBLE))"
+                     " - s_nlnn / CAST(n_orders AS DOUBLE))")}
+                   AS entropy_micro,
+               {MICRO_SQL.format(
+                   x="ln(CAST(n_categories AS DOUBLE))")}
+                   AS max_entropy_micro
+        FROM seg
+        ORDER BY c_mktsegment
+    """,
+    phase="P2",
+    tags=("agg", "entropy", "profiling"),
+)
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group — the
+    diversity/balance profile (is this segment's order-priority mix
+    uniform or collapsed onto one value?) that complements
+    text_entropy's char-level form at relational grain, with the
+    uniform-mix ceiling ln(k) alongside for normalization.
+
+    Algebra keeps it combinable: H = ln N − (Σ n·ln n)/N needs only
+    per-category counts, so the plan is two stacked combinable
+    aggregates (category grain → group grain) — no window, no second
+    scan. The inner ln() terms sum per group (≤ 5 categories; double
+    addition error ~1e-15 against the 1e-6 quantization grain — the
+    text.py ln-sum rule)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    seg = counts.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(
+            F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+        ).alias("s_nlnn"),
+    )
+    h = F.log(F.col("n_orders").cast("double")) - F.col("s_nlnn") / F.col(
+        "n_orders"
+    ).cast("double")
+    return seg.select(
+        "c_mktsegment",
+        "n_orders",
+        "n_categories",
+        micro(h).alias("entropy_micro"),
+        micro(F.log(F.col("n_categories").cast("double"))).alias(
+            "max_entropy_micro"
+        ),
+    ).orderBy("c_mktsegment")

@@ -734,3 +734,103 @@ def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
         (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
     ).orderBy("user_id", "event_id")
+
+
+# Rolling Pearson over integer-exact frame sums, spelled out manually
+# so BOTH engines run the identical IEEE double expression over
+# identical BIGINT operands (the ts_autocorr rule) — engine-native
+# corr() is avoided because the two engines' single-pass covariance
+# updates round differently.
+_RCORR_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_RCORR_DEN = (
+    "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@query(
+    "win_rolling_corr",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   {MICRO_SQL.format(x='value')} AS x,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS y,
+                   CAST(ts AS TIMESTAMP) AS tts
+            FROM events
+        ), sums AS (
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER f AS BIGINT)      AS n,
+                   CAST(sum(x) OVER f AS BIGINT)        AS sx,
+                   CAST(sum(y) OVER f AS BIGINT)        AS sy,
+                   CAST(sum(x * y) OVER f AS BIGINT)    AS sxy,
+                   CAST(sum(x * x) OVER f AS BIGINT)    AS sxx,
+                   CAST(sum(y * y) OVER f AS BIGINT)    AS syy
+            FROM seq
+            WINDOW f AS (PARTITION BY user_id ORDER BY tts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, n,
+               CASE WHEN n >= 2 AND {_RCORR_DEN} > 0
+                    THEN CAST(floor({_RCORR_NUM} / {_RCORR_DEN}
+                              * 1000000.0 + 0.5) AS BIGINT)
+               END AS corr_micro
+        FROM sums
+        ORDER BY user_id, event_id
+    """,
+    phase="P2",
+    tags=("window", "correlation", "rolling"),
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between a user's event value and
+    its payload counter over the trailing 8 events — the pairs/
+    cointegration-style windowed dependence monitor. Six exact-BIGINT
+    frame sums (n, Σx, Σy, Σxy, Σx², Σy²) share ONE (user, sort)
+    window pass; the correlation itself is ONE manually-spelled IEEE
+    expression over those exact operands, identical on both engines
+    (the ts_autocorr discipline — native corr() is banned because the
+    engines' streaming covariance updates round differently), then
+    micro-quantized. NULL where the frame is degenerate (n<2 or zero
+    variance), identically on both sides.
+
+    Scale shape: one exchange on user_id, one sort, every frame sum
+    in the same Window operator, JVM codegen end to end. Int64
+    headroom: Σx² ≤ 8·(1e8)² = 8e16 ≪ 2^63."""
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        micro(F.col("value")).alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    f = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -7, 0
+    )
+    sums = seq.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum("x").over(f).cast("bigint").alias("sx"),
+        F.sum("y").over(f).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).cast("bigint").alias("syy"),
+    )
+    num = F.expr(_RCORR_NUM)
+    den = F.expr(_RCORR_DEN)
+    return sums.select(
+        "user_id",
+        "event_id",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (den > 0),
+            F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("corr_micro"),
+    ).orderBy("user_id", "event_id")

@@ -205,6 +205,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_outlier_iqr",
     "dq_fd_discovery",
     "seq_markov_stationary",
+    "win_rolling_corr",
+    "agg_entropy_categorical",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1792,3 +1792,63 @@ def test_markov_stationary_is_fixed_point(spark, sf_dir):
             pi[i] * (n[i][j] / tot[i]) for i in range(k) if tot[i]
         )
         assert abs(stepped - pi[j]) < 2e-3, (j, stepped, pi[j])
+
+
+def test_rolling_corr_bounds_and_numpy_check(spark, sf_dir):
+    """Correlations must live in [-1, 1] (micro units, rounding slack)
+    and match numpy's corrcoef on a recomputed sample user's frames."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.windows import (
+        win_rolling_corr,
+    )
+
+    rows = win_rolling_corr(spark, sf_dir).collect()
+    assert rows
+    vals = [r.corr_micro for r in rows if r.corr_micro is not None]
+    assert vals and all(-1_000_001 <= v <= 1_000_001 for v in vals)
+
+    uid = rows[0].user_id
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select(
+            F.floor(F.col("value") * 1e6 + 0.5).alias("x"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in e]
+    ys = [r.y for r in e]
+    urows = [r for r in rows if r.user_id == uid]
+    checked = 0
+    for i, r in enumerate(urows):
+        lo = max(0, i - 7)
+        x = np.array(xs[lo : i + 1], dtype=float)
+        y = np.array(ys[lo : i + 1], dtype=float)
+        if len(x) >= 2 and x.std() > 0 and y.std() > 0:
+            want = np.corrcoef(x, y)[0, 1]
+            assert abs(r.corr_micro / 1e6 - want) < 1e-5, i
+            checked += 1
+    assert checked > 0
+
+
+def test_entropy_categorical_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(k) per group (with quantization slack), and a group
+    with all five priorities near-uniform sits near the ceiling."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_entropy_categorical,
+    )
+
+    rows = agg_entropy_categorical(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy_micro <= r.max_entropy_micro + 1
+        assert r.n_categories >= 1
+    # TPC-H priorities are near-uniform: entropy within 2% of ln(5)
+    for r in rows:
+        if r.n_categories == 5:
+            assert r.entropy_micro > 0.98 * r.max_entropy_micro
