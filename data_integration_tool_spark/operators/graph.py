@@ -621,3 +621,165 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy(F.desc("n_members"), F.asc("community"))
     )
+
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round keeps nodes with degree ≥ k in the
+    CURRENT edge set, then keeps edges with both ends kept. Five
+    rounds stabilize on the fixture (round 5 reproduces round 4 at
+    every SF); the converged flag is itself part of the oracled
+    output, so a fixture where five rounds were NOT enough would show
+    converged=0 identically on both engines rather than silently
+    diverging. CTEs are MATERIALIZED: DuckDB would otherwise
+    re-expand every reference and exhaust file handles on the 3-per-
+    round fan-out (the Catalyst no-CSE trap, DuckDB edition)."""
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 = 0
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+            SELECT node
+            FROM (SELECT pa AS node FROM e{r - 1}
+                  UNION ALL SELECT pb FROM e{r - 1})
+            GROUP BY node HAVING count(*) >= {k}
+        )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+            SELECT e.pa, e.pb
+            FROM e{r - 1} e
+            JOIN n{r} x ON e.pa = x.node
+            JOIN n{r} y ON e.pb = y.node
+        )""")
+    last, prev = rounds, rounds - 1
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST({rounds} AS BIGINT) AS rounds,
+               CAST((SELECT count(*) FROM n{last}) AS BIGINT)
+                   AS n_nodes_core,
+               CAST((SELECT count(*) FROM e{last}) AS BIGINT)
+                   AS n_edges_core,
+               CAST((SELECT min(d) FROM (
+                        SELECT count(*) AS d
+                        FROM (SELECT pa AS node FROM e{last}
+                              UNION ALL SELECT pb FROM e{last})
+                        GROUP BY node)) AS BIGINT) AS min_core_degree,
+               CAST(CASE WHEN (SELECT count(*) FROM n{last})
+                              = (SELECT count(*) FROM n{prev})
+                         AND (SELECT count(*) FROM e{last})
+                              = (SELECT count(*) FROM e{prev})
+                    THEN 1 ELSE 0 END AS BIGINT) AS converged
+    """
+    )
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    phase="P4",
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=12) of the co-purchase graph by
+    iterative peeling — the community-density filter ("drop everyone
+    with fewer than k surviving neighbors, repeat") behind spam
+    subgraph mining and dense-cluster seeding. Six peeling rounds
+    with a CONVERGED flag in the oracled output: the flag is computed
+    from the data on both engines, so an under-provisioned round
+    budget shows up as converged=0, never as silent divergence
+    (measured: the node/edge sets are stable by round 5 — i.e. round
+    5 reproduces round 4 — at every fixture SF).
+
+    Plan shape: each round is one degree aggregate (union-all of both
+    endpoints → combinable count) plus two semi-join-shaped inner
+    joins back onto the edge set, with an EAGER localCheckpoint per
+    round — Catalyst does no cross-branch CSE, so a lazily-unrolled
+    6-round plan would re-expand the base co-purchase join 3^6 times
+    (the decon_ngram lesson at loop scale). Checkpointing keeps each
+    round's plan flat and the whole run is 6 bounded jobs with no
+    driver-side data. At 100 TB the edge set shuffles on node id once
+    per round — the same per-round cost class as dedup_components,
+    with the round count bounded by the peeling depth, not the graph
+    size."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 5 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    b = a.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        a.join(b, (a.l_orderkey == b.bo) & (a.l_partkey < b.pb))
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_e = e
+    for _ in range(_KCORE_ROUNDS):
+        prev_e = e
+        # ONE job per round: deg stays lazy (two copies of the
+        # degree aggregate over the CHECKPOINTED edge RDD — bounded,
+        # no re-expansion) and broadcasts into both endpoint joins;
+        # the single eager checkpoint is the round barrier. Local-mode
+        # wall clock is dominated by these per-round job barriers
+        # (~0.3 s each), not data — the in-process twin wins at
+        # fixture scale exactly the way BASELINE.md's scheduling-
+        # floor profile describes, and the ratio inverts with size.
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+        e = (
+            e.join(F.broadcast(deg.withColumnRenamed("node", "pa")), "pa")
+            .join(F.broadcast(deg.withColumnRenamed("node", "pb")), "pb")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+
+    # one degree pass per edge set yields ALL the summary stats:
+    # n_nodes = |degree relation|, min degree directly, and
+    # |E| = Σdeg/2 (handshake identity) — two aggregate subtrees
+    # instead of five
+    def deg_stats(edges: DataFrame, prefix: str) -> DataFrame:
+        return (
+            edges.select(F.col("pa").alias("node"))
+            .unionAll(edges.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}nodes"),
+                (F.sum("d") / 2).cast("bigint").alias(f"{prefix}edges"),
+                F.min("d").alias(f"{prefix}min_deg"),
+            )
+        )
+
+    stats = deg_stats(e, "core_").crossJoin(deg_stats(prev_e, "prev_"))
+    return stats.select(
+        F.lit(_KCORE_K).cast("bigint").alias("k"),
+        F.lit(_KCORE_ROUNDS).cast("bigint").alias("rounds"),
+        F.col("core_nodes").cast("bigint").alias("n_nodes_core"),
+        F.col("core_edges").cast("bigint").alias("n_edges_core"),
+        F.col("core_min_deg").cast("bigint").alias("min_core_degree"),
+        (
+            (F.col("core_nodes") == F.col("prev_nodes"))
+            & (F.col("core_edges") == F.col("prev_edges"))
+        )
+        .cast("bigint")
+        .alias("converged"),
+    )

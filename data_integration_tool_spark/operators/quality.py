@@ -1413,3 +1413,93 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+@query(
+    "dq_feed_gaps",
+    oracle="""
+        WITH mins AS (
+            SELECT DISTINCT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS m
+            FROM events
+        ), seq AS (
+            SELECT event_type, m,
+                   lead(m) OVER (PARTITION BY event_type ORDER BY m)
+                       AS nxt
+            FROM mins
+        ), gaps AS (
+            SELECT event_type, m + 1 AS gap_start_min,
+                   nxt - 1 AS gap_end_min, nxt - m - 1 AS dark_minutes
+            FROM seq WHERE nxt IS NOT NULL AND nxt - m > 1
+        )
+        SELECT event_type,
+               CAST(gap_start_min AS BIGINT) AS gap_start_min,
+               CAST(gap_end_min AS BIGINT) AS gap_end_min,
+               CAST(dark_minutes AS BIGINT) AS dark_minutes,
+               CAST((SELECT count(*) FROM gaps g2
+                     WHERE g2.event_type = gaps.event_type) AS BIGINT)
+                   AS n_gaps,
+               CAST((SELECT sum(dark_minutes) FROM gaps g3
+                     WHERE g3.event_type = gaps.event_type) AS BIGINT)
+                   AS total_dark_minutes
+        FROM gaps
+        ORDER BY dark_minutes DESC, event_type, gap_start_min
+        LIMIT 20
+    """,
+    phase="P5",
+    tags=("quality", "sequence", "gaps", "freshness"),
+)
+def dq_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-outage detection — "did the clickstream go dark, and for
+    how long?": per event type, the minutes-grain activity timeline is
+    scanned for interruptions via ONE lead() pass over the DISTINCT
+    active minutes, reporting the 20 longest dark windows with
+    per-type gap totals (the SLA evidence behind dq_freshness's
+    point-in-time staleness check).
+
+    Plan: the data-sized stage is the DISTINCT (type, minute)
+    reduction — combinable, output bounded by types × span-minutes
+    regardless of event volume; the gap window then runs at timeline
+    grain, PARTITIONED by type (never a global sort), and the per-type
+    totals attach as window sums over the metadata-sized gap
+    relation. Minute ids are exact integer division of epoch
+    microseconds on both engines. The top-20 is deterministically
+    tied by (dark_minutes DESC, type, gap_start)."""
+    e = load(spark, sf_dir, "events")
+    mins = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 60000000").alias("m"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("m")
+    gaps = (
+        mins.select(
+            "event_type", "m", F.lead("m").over(w).alias("nxt")
+        )
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") - F.col("m") > 1))
+        .select(
+            "event_type",
+            (F.col("m") + 1).cast("bigint").alias("gap_start_min"),
+            (F.col("nxt") - 1).cast("bigint").alias("gap_end_min"),
+            (F.col("nxt") - F.col("m") - 1)
+            .cast("bigint")
+            .alias("dark_minutes"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    return (
+        gaps.select(
+            "event_type",
+            "gap_start_min",
+            "gap_end_min",
+            "dark_minutes",
+            F.count(F.lit(1)).over(w_type).cast("bigint").alias("n_gaps"),
+            F.sum("dark_minutes")
+            .over(w_type)
+            .cast("bigint")
+            .alias("total_dark_minutes"),
+        )
+        .orderBy(
+            F.col("dark_minutes").desc(), "event_type", "gap_start_min"
+        )
+        .limit(20)
+    )

@@ -207,6 +207,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_markov_stationary",
     "win_rolling_corr",
     "agg_entropy_categorical",
+    "dq_feed_gaps",
+    "graph_kcore",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1852,3 +1852,96 @@ def test_entropy_categorical_bounds(spark, sf_dir):
     for r in rows:
         if r.n_categories == 5:
             assert r.entropy_micro > 0.98 * r.max_entropy_micro
+
+
+def test_feed_gaps_reconcile_with_distinct_minutes(spark, sf_dir):
+    """Per-type totals must equal span − active-minutes recomputed
+    independently, and every reported window must be genuinely dark
+    (no event inside it)."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import dq_feed_gaps
+
+    rows = dq_feed_gaps(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 60000000").alias("m")
+    )
+    per_type = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("m").alias("active"),
+            F.min("m").alias("lo"),
+            F.max("m").alias("hi"),
+        )
+        .collect()
+    }
+    seen = {}
+    for r in rows:
+        t = per_type[r.event_type]
+        span = t.hi - t.lo + 1
+        assert r.total_dark_minutes == span - t.active, r.event_type
+        assert r.gap_start_min <= r.gap_end_min
+        assert r.dark_minutes == r.gap_end_min - r.gap_start_min + 1
+        seen.setdefault(r.event_type, []).append(r)
+    # spot-verify the biggest window of one type is truly empty
+    t0 = rows[0]
+    n_inside = e.filter(
+        (F.col("event_type") == t0.event_type)
+        & F.col("m").between(t0.gap_start_min, t0.gap_end_min)
+    ).count()
+    assert n_inside == 0
+
+
+def test_kcore_is_true_core(spark, sf_dir):
+    """The peeled result must be the TRUE k-core: converged flag set,
+    min degree ≥ k, and a local-python peel over the recomputed edge
+    set reaches the identical (nodes, edges) fixpoint."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        _KCORE_K,
+        graph_kcore,
+    )
+
+    row = graph_kcore(spark, sf_dir).collect()[0]
+    assert row.converged == 1
+    assert row.min_core_degree >= _KCORE_K
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    )
+    a = li.select("l_orderkey", "l_partkey")
+    b = a.withColumnRenamed("l_partkey", "pb").withColumnRenamed(
+        "l_orderkey", "bo"
+    )
+    pairs = {
+        (r.l_partkey, r.pb)
+        for r in a.join(
+            b, (a.l_orderkey == F.col("bo")) & (a.l_partkey < F.col("pb"))
+        )
+        .select("l_partkey", "pb")
+        .distinct()
+        .collect()
+    }
+    from collections import defaultdict
+
+    edges = set(pairs)
+    while True:
+        deg = defaultdict(int)
+        for x, y in edges:
+            deg[x] += 1
+            deg[y] += 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(x, y) for x, y in edges if x in keep and y in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    nodes = {n for xy in edges for n in xy}
+    assert (row.n_nodes_core, row.n_edges_core) == (
+        len(nodes),
+        len(edges),
+    )
