@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import HASH_CUTOFF_SQL, hash_cutoff
+from ..exprs import HASH_CUTOFF_SQL, hash_cutoff, micro
 from ..io import load
 from ..registry import query
 
@@ -912,3 +912,150 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capped"
         ),
     ).orderBy("source")
+
+
+@query(
+    "feat_pit_window",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+            FROM events
+        ), feat AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(count(*) OVER f AS BIGINT)  AS n_prior_60m,
+                   CAST(coalesce(sum(vm) OVER f, 0) AS BIGINT)
+                       AS sum_value_micro_60m,
+                   CAST(us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id)
+                        AS BIGINT) AS us_since_last
+            FROM seq
+            WINDOW f AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, n_prior_60m, sum_value_micro_60m,
+               us_since_last
+        FROM feat
+        WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id
+    """,
+    phase="P4",
+    tags=("curation", "features", "point-in-time"),
+)
+def feat_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature extraction — the feature-store primitive
+    with LEAKAGE-PROOF semantics: for every purchase event, the
+    user's activity in the 60 minutes STRICTLY before it (count, sum
+    of micro-quantized values, microseconds since the previous
+    event). "Strictly before" is the whole point — a training
+    pipeline that includes the anchor row itself leaks the label.
+
+    Plan: no self-join — ONE integer RANGE frame
+    (3600000000 µs PRECEDING .. 1 PRECEDING) over the per-user sort
+    computes every trailing aggregate, and the anchor filter applies
+    AFTER the window so non-purchase events still contribute history.
+    The frame bound excludes the current row by construction
+    (1 PRECEDING), identically on both engines; all sums are
+    quantize-then-frame-sum BIGINTs. One exchange on user_id; at
+    100 TB hot users are AQE work and the frame cost is bounded by
+    events-per-hour, not history length."""
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        micro(F.col("value")).alias("vm"),
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    feat = seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n_prior_60m"),
+        F.coalesce(F.sum("vm").over(f), F.lit(0))
+        .cast("bigint")
+        .alias("sum_value_micro_60m"),
+        (F.col("us") - F.lag("us").over(w_lag))
+        .cast("bigint")
+        .alias("us_since_last"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "feat_target_encode",
+    oracle="""
+        WITH vals AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   CAST(sum(vm) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM vals GROUP BY event_type
+        )
+        SELECT v.event_id, v.event_type,
+               CAST(st.s - v.vm AS BIGINT) AS loo_num,
+               CAST(st.n - 1 AS BIGINT)    AS loo_den,
+               CAST(floor(CAST(st.s - v.vm AS DOUBLE)
+                          / (st.n - 1) + 0.5) AS BIGINT)
+                   AS enc_micro
+        FROM vals v JOIN stats st USING (event_type)
+        ORDER BY v.event_id
+    """,
+    phase="P4",
+    tags=("curation", "features", "target-encoding"),
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    workhorse with the standard anti-leakage twist: each row's
+    category is encoded as the mean target of all OTHER rows in the
+    category ((Σ−own)/(n−1)), so a row never sees its own label. The
+    exact numerator/denominator ship as BIGINTs alongside the rounded
+    encoding, so downstream consumers can re-derive the float at any
+    precision.
+
+    Plan: ONE combinable (category) aggregate broadcast-joined back
+    onto the scan — never a per-category window (a 5-partition window
+    runs 5 tasks at any cluster size; the broadcast shape scans
+    fully parallel). Σvm ≤ 1e8·n keeps int64 headroom to ~1e10 rows
+    per category; the division of two exact integers is identical
+    IEEE on both engines before the half-up rounding."""
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        "event_id", "event_type", micro(F.col("value")).alias("vm")
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.sum("vm").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        vals.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("s") - F.col("vm")).cast("bigint").alias("loo_num"),
+            (F.col("n") - 1).cast("bigint").alias("loo_den"),
+            F.floor(
+                (F.col("s") - F.col("vm")).cast("double")
+                / (F.col("n") - 1)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("enc_micro"),
+        )
+        .orderBy("event_id")
+    )

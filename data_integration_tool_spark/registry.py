@@ -209,6 +209,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_entropy_categorical",
     "dq_feed_gaps",
     "graph_kcore",
+    "feat_pit_window",
+    "feat_target_encode",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -1945,3 +1945,79 @@ def test_kcore_is_true_core(spark, sf_dir):
         len(nodes),
         len(edges),
     )
+
+
+def test_pit_window_no_leakage(spark, sf_dir):
+    """Recompute one user's purchase features in Python: counts/sums
+    must cover exactly the events with anchor−60min ≤ t < anchor —
+    the anchor row itself NEVER contributes (leakage check)."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        feat_pit_window,
+    )
+
+    rows = feat_pit_window(spark, sf_dir).collect()
+    assert rows
+    uid = rows[0].user_id
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("bigint").alias(
+                "vm"
+            ),
+        )
+        .collect()
+    )
+    by_id = {r.event_id: r for r in ev}
+    for r in [x for x in rows if x.user_id == uid]:
+        anchor = by_id[r.event_id]
+        prior = [
+            x
+            for x in ev
+            if anchor.us - 3_600_000_000 <= x.us < anchor.us
+        ]
+        assert r.n_prior_60m == len(prior), r.event_id
+        assert r.sum_value_micro_60m == sum(x.vm for x in prior)
+
+
+def test_target_encode_identities(spark, sf_dir):
+    """LOO identities: within a category, Σ(loo_num) = (n−1)·Σvm and
+    every den = n−1; the encoding of a row above the category mean
+    must sit BELOW the mean (and vice versa) — the LOO signature."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        feat_target_encode,
+    )
+
+    rows = feat_target_encode(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("bigint").alias("vm"),
+    )
+    vm = {r.event_id: r.vm for r in e.collect()}
+    from collections import defaultdict
+
+    by_cat = defaultdict(list)
+    for r in rows:
+        by_cat[r.event_type].append(r)
+    for cat, rs in by_cat.items():
+        n = len(rs)
+        s = sum(vm[r.event_id] for r in rs)
+        assert all(r.loo_den == n - 1 for r in rs)
+        assert sum(r.loo_num for r in rs) == (n - 1) * s
+        mean = s / n
+        for r in rs[:50]:
+            own = vm[r.event_id]
+            if own > mean:
+                assert r.enc_micro <= mean + 1
+            elif own < mean:
+                assert r.enc_micro >= mean - 1
