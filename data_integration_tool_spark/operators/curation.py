@@ -1059,3 +1059,68 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_HASH_DIM = 1024  # feature buckets
+_HASH_MOD = 1_048_576  # 2^20 fold modulus: acc*31+127 < 2^25, no overflow
+
+
+@query(
+    "feat_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0, list_transform(
+                           string_split(w, ''), c -> ord(c))),
+                       (a, b) -> (a * 31 + b) % {_HASH_MOD}
+                   ) % {_HASH_DIM} AS bucket
+            FROM toks WHERE w <> ''
+        )
+        SELECT doc_id,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM hashed
+        GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket
+    """,
+    phase="P4",
+    tags=("curation", "features", "hashing-trick"),
+)
+def feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Vowpal/HashingVectorizer shape):
+    every token maps to one of 1024 feature buckets through a
+    PORTABLE polynomial rolling hash (fold (acc·31 + ord(c)) mod 2²⁰
+    over the characters, then mod the dimension), and the document
+    becomes long-form (doc_id, bucket, tf) sparse counts — the
+    fixed-width featurizer that needs NO vocabulary pass, no
+    dictionary broadcast, and no OOV handling at any corpus size.
+
+    The hash is deliberately engine-portable (array fold over
+    character codes — identical integers in Spark's aggregate() and
+    DuckDB's list_reduce) so the whole feature matrix is value-exact
+    cross-engine; a production swap to xxhash64(w) % D keeps the
+    plan identical and costs one expression. Plan: explode →
+    map-side hash → ONE combinable (doc, bucket) count — the only
+    shuffle, bounded by docs × min(1024, vocab). No UDF, no Python."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.aggregate(
+            F.split(F.col("w"), ""),
+            F.lit(0),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _HASH_MOD,
+        )
+        % _HASH_DIM
+    )
+    return (
+        toks.select("doc_id", bucket.cast("bigint").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )

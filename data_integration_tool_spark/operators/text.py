@@ -841,3 +841,97 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_OOV_VOCAB_K = 500
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, w, count(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY doc_id, w
+        ), freq AS (
+            SELECT w, sum(cnt) AS f FROM tf GROUP BY w
+        ), vocab AS (
+            SELECT w FROM (
+                SELECT w, row_number() OVER (ORDER BY f DESC, w) AS rk
+                FROM freq
+            ) WHERE rk <= {_OOV_VOCAB_K}
+        )
+        SELECT tf.doc_id,
+               CAST(sum(tf.cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.w IS NULL THEN tf.cnt ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(floor(CAST(sum(CASE WHEN v.w IS NULL THEN tf.cnt
+                                        ELSE 0 END) AS DOUBLE)
+                          * 1000000.0 / sum(tf.cnt) + 0.5) AS BIGINT)
+                   AS oov_micro
+        FROM tf LEFT JOIN vocab v ON tf.w = v.w
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
+    """,
+    phase="P3",
+    tags=("text", "vocabulary", "oov"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-500 vocabulary — the tokenizer-coverage health check run
+    before committing to a vocab size ("what fraction of each doc
+    would become <unk>?"). Vocabulary membership is deterministic:
+    rank by (frequency DESC, token) so ties can never flip between
+    engines.
+
+    Plan: tf (the one corpus-scale shuffle) → token-grain frequency
+    (combinable) → top-K rank over the VOCABULARY-sized relation
+    (Zipf-bounded; at extreme vocab the agg_approx_percentile
+    two-phase selection is the swap-in) → broadcast LEFT join marks
+    OOV tokens → per-doc reduce. Ratio ships micro-quantized from
+    exact integer counts."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freq = tf.groupBy("w").agg(F.sum("cnt").alias("f"))
+    vocab = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), "w")
+            ),
+        )
+        .filter(F.col("rk") <= _OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = tf.join(F.broadcast(vocab), "w", "left")
+    n_oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            F.floor(
+                n_oov.cast("double")
+                * F.lit(1000000.0)
+                / F.sum("cnt")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("oov_micro"),
+        )
+        .orderBy("doc_id")
+    )

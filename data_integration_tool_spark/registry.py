@@ -211,6 +211,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_kcore",
     "feat_pit_window",
     "feat_target_encode",
+    "feat_hashing",
+    "text_oov_rate",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

