@@ -1719,3 +1719,101 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "eval_auc_rank",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0
+                              + 0.5) AS BIGINT) AS s,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ), grp AS (
+            SELECT s,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS n_pos_s
+            FROM scored GROUP BY s
+        ), cum AS (
+            SELECT s, cnt, n_pos_s,
+                   CAST(sum(cnt) OVER (ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+            FROM grp
+        ), agg AS (
+            SELECT CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt - n_pos_s) AS BIGINT) AS n_neg,
+                   CAST(sum(n_pos_s * (2 * c - cnt + 1)) AS BIGINT)
+                       AS r2_pos
+            FROM cum
+        )
+        SELECT n_pos, n_neg,
+               CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+               CAST(2 * n_pos * n_neg AS BIGINT)            AS auc_den,
+               CAST(floor(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                          / (2 * n_pos * n_neg) * 1000000.0 + 0.5)
+                    AS BIGINT) AS auc_micro
+        FROM agg
+    """,
+    phase="P4",
+    tags=("similarity", "evaluation", "auc"),
+)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank statistic — the
+    model-evaluation primitive (here scoring label-0 membership by
+    the first embedding dimension; any score column plugs in): with
+    tie-aware average ranks, AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋).
+    Doubling the rank identity keeps EVERYTHING integer: for a score
+    group, 2·avg_rank = 2·cum − cnt + 1, so the numerator
+    R2₊ − n₊(n₊+1) and denominator 2·n₊·n₋ ship as exact BIGINTs
+    beside the micro-rounded AUC — no float ranks, no sort of the
+    raw rows.
+
+    Plan: one combinable (score) aggregate collapses the corpus to
+    DISTINCT-SCORE grain, ONE running-count window at that reduced
+    grain (the win_drawdown day-grain rule; at extreme score
+    cardinality, bucket the scores first — the approximate-AUC swap —
+    or run agg_approx_percentile's two-phase selection), and a final
+    single-row reduce. Threshold-free, tie-correct, and cheap at any
+    corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = e.select(
+        micro(F.element_at("embedding", 1).cast("double")).alias("s"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("n_pos_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "s",
+        "cnt",
+        "n_pos_s",
+        F.sum("cnt").over(w).cast("bigint").alias("c"),
+    )
+    agg = cum.agg(
+        F.sum("n_pos_s").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("n_pos_s"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(
+            F.col("n_pos_s") * (2 * F.col("c") - F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        num.cast("bigint").alias("auc_num"),
+        den.cast("bigint").alias("auc_den"),
+        F.floor(
+            num.cast("double") / den * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
+    )

@@ -213,6 +213,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feat_target_encode",
     "feat_hashing",
     "text_oov_rate",
+    "etl_golden_record",
+    "eval_auc_rank",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

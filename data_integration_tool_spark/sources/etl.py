@@ -1398,3 +1398,100 @@ def etl_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("created_v")
     )
+
+
+@query(
+    "etl_golden_record",
+    oracle="""
+        WITH feed_a AS (
+            SELECT c_custkey, c_name,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                       AS bal_cents,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 3 <> 0
+        ), feed_b AS (
+            SELECT c_custkey,
+                   upper(c_name) AS c_name,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 500
+                       AS bal_cents,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 5 <> 0
+        )
+        SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+               coalesce(a.c_name, b.c_name)       AS golden_name,
+               CAST(CASE WHEN a.c_custkey IS NOT NULL
+                              AND b.c_custkey IS NOT NULL
+                         THEN greatest(a.bal_cents, b.bal_cents)
+                         ELSE coalesce(a.bal_cents, b.bal_cents) END
+                    AS BIGINT)                    AS golden_bal_cents,
+               coalesce(a.c_mktsegment, b.c_mktsegment)
+                                                  AS golden_segment,
+               CASE WHEN a.c_custkey IS NOT NULL
+                         AND b.c_custkey IS NOT NULL THEN 'both'
+                    WHEN a.c_custkey IS NOT NULL THEN 'a_only'
+                    ELSE 'b_only' END             AS provenance
+        FROM feed_a a FULL OUTER JOIN feed_b b USING (c_custkey)
+        ORDER BY c_custkey
+    """,
+    phase="P6",
+    tags=("etl", "survivorship", "golden-record"),
+)
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the MDM core of every
+    data-integration tool: two overlapping feeds of the same entity
+    (derived deterministically from customer: feed A drops every 3rd
+    key and keeps raw values, feed B drops every 5th key, upcases
+    names and inflates balances) reconcile into one record per key
+    with PER-FIELD precedence rules: name prefers feed A (the
+    trusted-case source), balance takes the field-level maximum when
+    both feeds report (freshness-by-value), and every row carries its
+    provenance for audit.
+
+    Plan: ONE full-outer hash join on the entity key + pure
+    expression-level survivorship (coalesce / greatest / CASE) — the
+    etl_scd_upsert shape generalized from snapshot-vs-delta to
+    source-vs-source. Both feeds prune to the survivorship columns at
+    scan; at 100 TB per-field rules stay expression-level no matter
+    how many fields, and N>2 sources fold left through the same
+    join."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_mktsegment",
+    )
+    feed_a = base.filter(F.col("c_custkey") % 3 != 0)
+    feed_b = base.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("bal_cents") + 500).alias("bal_cents"),
+        "c_mktsegment",
+    )
+    a = feed_a.alias("a")
+    b = feed_b.alias("b")
+    both = F.col("a.c_custkey").isNotNull() & F.col(
+        "b.c_custkey"
+    ).isNotNull()
+    return (
+        a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full")
+        .select(
+            F.coalesce("a.c_custkey", "b.c_custkey").alias("c_custkey"),
+            F.coalesce("a.c_name", "b.c_name").alias("golden_name"),
+            F.when(
+                both,
+                F.greatest("a.bal_cents", "b.bal_cents"),
+            )
+            .otherwise(F.coalesce("a.bal_cents", "b.bal_cents"))
+            .cast("bigint")
+            .alias("golden_bal_cents"),
+            F.coalesce("a.c_mktsegment", "b.c_mktsegment").alias(
+                "golden_segment"
+            ),
+            F.when(both, "both")
+            .when(F.col("a.c_custkey").isNotNull(), "a_only")
+            .otherwise("b_only")
+            .alias("provenance"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -2081,3 +2081,86 @@ def test_oov_rate_monotone_in_vocab(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert 0 <= r.oov_micro <= 1_000_000
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir):
+    """Per-field rules must hold: keys in both feeds take feed A's
+    name and the max balance; single-feed keys pass through; every
+    customer key except those missing from BOTH feeds appears once."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import etl_golden_record
+
+    out = {r.c_custkey: r for r in etl_golden_record(spark, sf_dir).collect()}
+    cust = {
+        r.c_custkey: r
+        for r in load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("bigint")
+            .alias("bal"),
+        )
+        .collect()
+    }
+    for k, r in cust.items():
+        in_a, in_b = k % 3 != 0, k % 5 != 0
+        if not (in_a or in_b):
+            assert k not in out
+            continue
+        g = out[k]
+        if in_a and in_b:
+            assert g.provenance == "both"
+            assert g.golden_name == r.c_name  # A's casing wins
+            assert g.golden_bal_cents == max(r.bal, r.bal + 500)
+        elif in_a:
+            assert g.provenance == "a_only"
+            assert g.golden_bal_cents == r.bal
+        else:
+            assert g.provenance == "b_only"
+            assert g.golden_name == r.c_name.upper()
+            assert g.golden_bal_cents == r.bal + 500
+    assert len(out) == sum(
+        1 for k in cust if k % 3 != 0 or k % 5 != 0
+    )
+
+
+def test_auc_rank_matches_sklearn_free_reference(spark, sf_dir):
+    """The rank-statistic AUC must equal a brute-force pair-counting
+    AUC (wins + half-ties over all pos×neg pairs) computed in
+    Python, and sit in [0, 1e6]."""
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        eval_auc_rank,
+    )
+
+    row = eval_auc_rank(spark, sf_dir).collect()[0]
+    assert 0 <= row.auc_micro <= 1_000_000
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 1e6 + 0.5
+            )
+            .cast("bigint")
+            .alias("s"),
+            (F.col("label") == 0).alias("pos"),
+        )
+        .collect()
+    )
+    pos = sorted(r.s for r in e if r.pos)
+    neg = sorted(r.s for r in e if not r.pos)
+    import bisect
+
+    num2 = 0  # 2 * (wins + 0.5 * ties)
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        num2 += 2 * lo + (hi - lo)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert row.auc_num == num2
+    assert row.auc_den == 2 * len(pos) * len(neg)
