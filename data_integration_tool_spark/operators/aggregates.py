@@ -1648,3 +1648,109 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy_micro"
         ),
     ).orderBy("c_mktsegment")
+
+
+# Welch t from exact integer moments, spelled manually so both engines
+# run the identical IEEE expression (the ts_autocorr discipline).
+_TT_M1 = "(CAST(s1 AS DOUBLE) / n1)"
+_TT_M2 = "(CAST(s2 AS DOUBLE) / n2)"
+_TT_V1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / n1) / (n1 - 1))"
+)
+_TT_V2 = (
+    "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / n2) / (n2 - 1))"
+)
+_TT_SE2 = f"({_TT_V1} / n1 + {_TT_V2} / n2)"
+_TT_T = f"(({_TT_M1} - {_TT_M2}) / sqrt({_TT_SE2}))"
+_TT_DF = (
+    f"({_TT_SE2} * {_TT_SE2} / "
+    f"({_TT_V1} * {_TT_V1} / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+    f" + {_TT_V2} * {_TT_V2} / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))))"
+)
+
+
+@query(
+    "agg_welch_ttest",
+    oracle=f"""
+        WITH vals AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ), m AS (
+            SELECT
+                CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS BIGINT) AS n1,
+                CAST(sum(v) FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS BIGINT) AS s1,
+                CAST(sum(v * v) FILTER (
+                     WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                     AS q1,
+                CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                     AS BIGINT) AS n2,
+                CAST(sum(v) FILTER (WHERE o_orderpriority = '5-LOW')
+                     AS BIGINT) AS s2,
+                CAST(sum(v * v) FILTER (
+                     WHERE o_orderpriority = '5-LOW') AS BIGINT) AS q2
+            FROM vals
+        )
+        SELECT n1, s1, q1, n2, s2, q2,
+               CAST(floor({_TT_T} * 1000000.0 + 0.5) AS BIGINT)
+                   AS t_micro,
+               CAST(floor({_TT_DF} * 1000000.0 + 0.5) AS BIGINT)
+                   AS df_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (A/B-testing
+    workhorse) between urgent and low-priority order values: the t
+    statistic and Welch–Satterthwaite degrees of freedom, both
+    derived from SIX exact integer moments (n, Σv, Σv² per arm) that
+    ship alongside so any consumer can recompute at full precision.
+
+    ONE combinable FILTER-clause aggregate produces all six moments
+    in a single pass (no per-arm scans); t and df are manually-
+    spelled IEEE expressions over those exact BIGINTs — identical
+    operand order on both engines (ts_autocorr's rule; engine-native
+    var/stddev is banned because single-pass update rounding
+    differs). Dollar-grade quantization bounds Σv² ≤ n·(6e5)²: int64-
+    safe to ~2.5e7 rows per arm at this value range; rescale the
+    quantization grain for bigger arms (documented, the
+    agg_corr_matrix convention)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    v = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    m = o.select(v.alias("v"), urgent.alias("u"), low.alias("l")).agg(
+        F.count(F.when(F.col("u"), 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("u"), F.col("v"))).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("u"), F.col("v") * F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.count(F.when(F.col("l"), 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("l"), F.col("v"))).cast("bigint").alias("s2"),
+        F.sum(F.when(F.col("l"), F.col("v") * F.col("v")))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    return m.select(
+        "n1",
+        "s1",
+        "q1",
+        "n2",
+        "s2",
+        "q2",
+        F.floor(F.expr(_TT_T) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_micro"),
+        F.floor(F.expr(_TT_DF) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("df_micro"),
+    )

@@ -1817,3 +1817,96 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_micro"),
     )
+
+
+@query(
+    "eval_confusion_threshold",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0.0
+                        THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ), m AS (
+            SELECT
+                CAST(sum(pred * pos) AS BIGINT)              AS tp,
+                CAST(sum(pred * (1 - pos)) AS BIGINT)        AS fp,
+                CAST(sum((1 - pred) * pos) AS BIGINT)        AS fn,
+                CAST(sum((1 - pred) * (1 - pos)) AS BIGINT)  AS tn
+            FROM scored
+        )
+        SELECT tp, fp, fn, tn,
+               CAST(floor(CAST(tp AS DOUBLE) / (tp + fp)
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS precision_micro,
+               CAST(floor(CAST(tp AS DOUBLE) / (tp + fn)
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS recall_micro,
+               CAST(floor(CAST(2 * tp AS DOUBLE)
+                          / (2 * tp + fp + fn) * 1000000.0 + 0.5)
+                    AS BIGINT) AS f1_micro
+        FROM m
+    """,
+    phase="P3",
+    tags=("similarity", "evaluation", "classification"),
+)
+def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded classification metrics — the confusion matrix plus
+    precision/recall/F1 for a fixed decision boundary (here: first
+    embedding dimension ≥ 0 predicts label 0), the companion to
+    eval_auc_rank's threshold-free ranking view. All four cells come
+    from ONE combinable aggregate (indicator products — no join, no
+    window, no second pass); the exact BIGINT cells ship beside the
+    micro-rounded ratios, and F1 uses the 2tp/(2tp+fp+fn) identity so
+    no intermediate ratio rounds twice.
+
+    At 100 TB this is a single map-side-combinable pass — the
+    cheapest possible evaluation sweep; per-segment variants add the
+    segment to the groupBy key with identical cost structure."""
+    e = load(spark, sf_dir, "embeddings")
+    pred = (
+        F.element_at("embedding", 1).cast("double") >= 0.0
+    ).cast("int")
+    pos = (F.col("label") == 0).cast("int")
+    m = e.select(pred.alias("pred"), pos.alias("pos")).agg(
+        F.sum(F.col("pred") * F.col("pos")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.floor(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("precision_micro"),
+        F.floor(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.floor(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("f1_micro"),
+    )

@@ -215,6 +215,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_oov_rate",
     "etl_golden_record",
     "eval_auc_rank",
+    "agg_welch_ttest",
+    "eval_confusion_threshold",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

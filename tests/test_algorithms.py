@@ -2164,3 +2164,61 @@ def test_auc_rank_matches_sklearn_free_reference(spark, sf_dir):
     assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
     assert row.auc_num == num2
     assert row.auc_den == 2 * len(pos) * len(neg)
+
+
+def test_welch_ttest_matches_scipy_formula(spark, sf_dir):
+    """t and df must match a straight numpy recompute from the raw
+    values (same Welch formulas), and the exact moments must
+    reconcile with the table."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_welch_ttest,
+    )
+
+    r = agg_welch_ttest(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    vals = {
+        p: np.array(
+            [
+                int(np.floor(x.o_totalprice + 0.5))
+                for x in o.filter(F.col("o_orderpriority") == p)
+                .select("o_totalprice")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        for p in ("1-URGENT", "5-LOW")
+    }
+    a, b = vals["1-URGENT"], vals["5-LOW"]
+    assert (r.n1, r.n2) == (len(a), len(b))
+    assert r.s1 == int(a.sum()) and r.s2 == int(b.sum())
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / (
+        v1**2 / (len(a) ** 2 * (len(a) - 1))
+        + v2**2 / (len(b) ** 2 * (len(b) - 1))
+    )
+    assert abs(r.t_micro / 1e6 - t) < 1e-4
+    assert abs(r.df_micro / 1e6 - df) < 1e-1
+
+
+def test_confusion_cells_partition_and_f1(spark, sf_dir):
+    """Cells must partition the corpus; F1 must equal the harmonic
+    mean of the exact precision/recall."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        eval_confusion_threshold,
+    )
+
+    r = eval_confusion_threshold(spark, sf_dir).collect()[0]
+    n = load(spark, sf_dir, "embeddings").count()
+    assert r.tp + r.fp + r.fn + r.tn == n
+    assert r.tp > 0 and r.tn > 0
+    p = r.tp / (r.tp + r.fp)
+    rec = r.tp / (r.tp + r.fn)
+    f1 = 2 * p * rec / (p + rec)
+    assert abs(r.f1_micro / 1e6 - f1) < 2e-6
