@@ -1754,3 +1754,95 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("df_micro"),
     )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+        WITH obs AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT seg, pri, o,
+                   CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT)
+                       AS row_tot,
+                   CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT)
+                       AS col_tot,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM obs
+        ), cells AS (
+            SELECT (CAST(o AS DOUBLE)
+                    - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n)
+                       AS contrib,
+                   seg, pri
+            FROM tot
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((count(DISTINCT seg) - 1)
+                    * (count(DISTINCT pri) - 1) AS BIGINT) AS dof,
+               CAST(floor(sum(contrib) * 1000000.0 + 0.5) AS BIGINT)
+                   AS chi2_micro
+        FROM cells
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test"),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer segment and
+    order priority — the categorical-association member of the
+    statistics family (Welch t: means; KS: distributions; PSI: drift;
+    Benford: digit law). Observed counts are exact integers; expected
+    counts and cell contributions are identical IEEE expressions on
+    both engines (row_tot·col_tot/n from exact BIGINTs), and the
+    statistic sums 25 cell contributions — micro-quantized, with the
+    cell count and degrees of freedom alongside.
+
+    Plan: one joined combinable count to contingency grain (25
+    rows), margins as window sums over that TINY relation (three
+    partitionings of 25 rows — metadata scale), one final reduce.
+    The data-sized stage is only the first aggregate; contingency
+    grain is bounded by category-product, never rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    tot = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).cast("bigint").alias(
+            "row_tot"
+        ),
+        F.sum("o").over(Window.partitionBy("pri")).cast("bigint").alias(
+            "col_tot"
+        ),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    )
+    contrib = (F.col("o").cast("double") - exp) * (
+        F.col("o").cast("double") - exp
+    ) / exp
+    return tot.select("seg", "pri", contrib.alias("contrib")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.floor(F.sum("contrib") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )

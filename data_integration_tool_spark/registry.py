@@ -217,6 +217,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_auc_rank",
     "agg_welch_ttest",
     "eval_confusion_threshold",
+    "agg_chi2_independence",
     "stream_python_source",
     "stream_session_true",
     "etl_schema_evolution",

@@ -2222,3 +2222,37 @@ def test_confusion_cells_partition_and_f1(spark, sf_dir):
     rec = r.tp / (r.tp + r.fn)
     f1 = 2 * p * rec / (p + rec)
     assert abs(r.f1_micro / 1e6 - f1) < 2e-6
+
+
+def test_chi2_matches_numpy_contingency(spark, sf_dir):
+    """chi2 must match a scipy-free numpy recompute from the
+    contingency table; dof = (r−1)(c−1)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_chi2_independence,
+    )
+
+    r = agg_chi2_independence(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    segs = sorted({x.c_mktsegment for x in obs})
+    pris = sorted({x.o_orderpriority for x in obs})
+    t = np.zeros((len(segs), len(pris)))
+    for x in obs:
+        t[segs.index(x.c_mktsegment), pris.index(x.o_orderpriority)] = (
+            x["count"]
+        )
+    exp = t.sum(1, keepdims=True) * t.sum(0, keepdims=True) / t.sum()
+    chi2 = ((t - exp) ** 2 / exp).sum()
+    assert r.dof == (len(segs) - 1) * (len(pris) - 1)
+    assert r.n_cells == (t > 0).sum()
+    assert abs(r.chi2_micro / 1e6 - chi2) < 1e-4
