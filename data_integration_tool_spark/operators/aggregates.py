@@ -1846,3 +1846,237 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_micro"),
     )
+
+
+# One-way ANOVA, spelled once over the exact integer moments
+# (k, n_tot, s_tot, q_tot, cm_sum) — cm_sum is the quantize-then-summed
+# Σ floor(s_g²/n_g·1e6+0.5), which makes the cross-group reduction
+# order-free (the house rule; a float Σ s_g²/n_g would depend on which
+# group combines first).
+_ANOVA_G = "(CAST(s_tot AS DOUBLE) * s_tot / n_tot)"
+_ANOVA_SSB = f"(CAST(cm_sum AS DOUBLE) / 1000000.0 - {_ANOVA_G})"
+_ANOVA_SSW = "(CAST(q_tot AS DOUBLE) - CAST(cm_sum AS DOUBLE) / 1000000.0)"
+_ANOVA_F = f"(({_ANOVA_SSB} / (k - 1)) / ({_ANOVA_SSW} / (n_tot - k)))"
+
+
+@query(
+    "agg_anova_oneway",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(floor(value + 0.5) AS BIGINT) AS v
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT)   AS n_g,
+                   CAST(sum(v) AS BIGINT)     AS s_g,
+                   CAST(sum(v * v) AS BIGINT) AS q_g
+            FROM vals GROUP BY event_type
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT)  AS k,
+                   CAST(sum(n_g) AS BIGINT)  AS n_tot,
+                   CAST(sum(s_g) AS BIGINT)  AS s_tot,
+                   CAST(sum(q_g) AS BIGINT)  AS q_tot,
+                   CAST(sum(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cm_sum
+            FROM g
+        )
+        SELECT k, n_tot, s_tot, q_tot, cm_sum,
+               CAST(floor({_ANOVA_SSB} * 1000000.0 + 0.5) AS BIGINT)
+                   AS ssb_micro,
+               CAST(floor({_ANOVA_SSW} * 1000000.0 + 0.5) AS BIGINT)
+                   AS ssw_micro,
+               CAST(floor({_ANOVA_F} * 1000000.0 + 0.5) AS BIGINT)
+                   AS f_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test"),
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across the five event-type arms — the
+    k-group generalization of agg_welch_ttest ("do ANY of the arms
+    differ?", the gate before pairwise testing).  F = (SSB/(k−1)) /
+    (SSW/(N−k)) with SSB/SSW derived from per-group integer moments
+    (n, Σv, Σv² at unit grain, the Welch quantization).
+
+    Cross-engine exactness: each group's s²/n lands in the reduction
+    micro-quantized (cm_sum is an integer sum — order-free), and the
+    grand term S²/N plus the F ratio are ONE shared spelled IEEE
+    expression over the five exact integers shipped in the output.
+    Engine-native var/covar aggregates stay banned (streaming-update
+    rounding differs).
+
+    Plan: one combinable (event_type) aggregate, then a k-row reduce
+    to a single row — two map-side-combined exchanges totalling k
+    rows of traffic at any corpus size.  Int64 headroom: Σv² ≤
+    n·(6e5)² safe to ~2.5e7 rows/arm at this value range, ssw_micro
+    to ~1e9 total rows; re-scale the quantization grain past that
+    (the agg_corr_matrix convention)."""
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    g = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_g"),
+    )
+    cm = F.floor(
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_tot"),
+        F.sum("s_g").cast("bigint").alias("s_tot"),
+        F.sum("q_g").cast("bigint").alias("q_tot"),
+        F.sum(cm).cast("bigint").alias("cm_sum"),
+    )
+    return m.select(
+        "k",
+        "n_tot",
+        "s_tot",
+        "q_tot",
+        "cm_sum",
+        F.floor(F.expr(_ANOVA_SSB) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ssb_micro"),
+        F.floor(F.expr(_ANOVA_SSW) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ssw_micro"),
+        F.floor(F.expr(_ANOVA_F) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("f_micro"),
+    )
+
+
+# Spearman rho = Pearson over tie-aware DOUBLED average ranks (ax =
+# 2·cum − cnt + 1 at distinct-value grain keeps every rank an exact
+# integer; doubling cancels in the correlation).  Shared spelling over
+# the six exact BIGINT moments.
+_SPEAR_RHO = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sax AS DOUBLE) * say)"
+    " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sax AS DOUBLE) * sax)"
+    " * sqrt(CAST(n AS DOUBLE) * syy - CAST(say AS DOUBLE) * say)))"
+)
+
+# 4n³ must stay under 2^63 (Σ(2r)² ≤ n·(2n)²) → n ≤ ~1.31e6 rows.
+_SPEAR_MAX_ROWS = 1_300_000
+
+
+@query(
+    "agg_spearman_corr",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM lineitem
+        ), dx AS (
+            SELECT x, CAST(2 * sum(count(*)) OVER (ORDER BY x
+                        ROWS UNBOUNDED PRECEDING)
+                        - count(*) + 1 AS BIGINT) AS ax
+            FROM vals GROUP BY x
+        ), dy AS (
+            SELECT y, CAST(2 * sum(count(*)) OVER (ORDER BY y
+                        ROWS UNBOUNDED PRECEDING)
+                        - count(*) + 1 AS BIGINT) AS ay
+            FROM vals GROUP BY y
+        ), ranked AS (
+            SELECT dx.ax AS ax, dy.ay AS ay
+            FROM vals JOIN dx USING (x) JOIN dy USING (y)
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT)      AS n,
+                   CAST(sum(ax) AS BIGINT)       AS sax,
+                   CAST(sum(ay) AS BIGINT)       AS say,
+                   CAST(sum(ax * ay) AS BIGINT)  AS sxy,
+                   CAST(sum(ax * ax) AS BIGINT)  AS sxx,
+                   CAST(sum(ay * ay) AS BIGINT)  AS syy
+            FROM ranked
+        )
+        SELECT CASE WHEN n <= {_SPEAR_MAX_ROWS} THEN n
+                    ELSE CAST(error('agg_spearman_corr: row count'
+                         ' exceeds the int64 rank-moment headroom')
+                         AS BIGINT) END AS n_rows,
+               sax, say, sxy, sxx, syy,
+               CAST(floor({_SPEAR_RHO} * 1000000.0 + 0.5) AS BIGINT)
+                   AS rho_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "correlation"),
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order quantity and extended
+    price — the monotone-association member of the statistics family
+    (Pearson in agg_corr_matrix assumes linearity; Spearman survives
+    any monotone transform and price outliers).  Tie-aware average
+    ranks come from the eval_auc_rank doubling identity: at
+    distinct-value grain, 2·avg_rank = 2·cum − cnt + 1 is an exact
+    integer, and the ×2 scaling cancels inside the correlation.
+
+    Plan: per variable, ONE combinable distinct-value aggregate plus
+    one running window at that reduced grain (quantity has ~50
+    distinct values — its rank table broadcasts; price ranks join
+    back on the value key).  The six rank moments reduce in a single
+    combinable pass; rho is one shared spelled IEEE expression over
+    those exact BIGINTs, and the loud raise_error headroom guard
+    fires past n = 1.3e6 rows (4n³ int64 bound) instead of letting
+    moments wrap — at larger corpora, bucket the ranks (the
+    score-bucketing swap in eval_auc_rank) before correlating."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def doubled_ranks(col: str, alias: str) -> DataFrame:
+        grp = vals.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return grp.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("bigint")
+            .alias(alias),
+        )
+
+    ranked = vals.join(doubled_ranks("x", "ax"), "x").join(
+        doubled_ranks("y", "ay"), "y"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ax").cast("bigint").alias("sax"),
+        F.sum("ay").cast("bigint").alias("say"),
+        F.sum(F.col("ax") * F.col("ay")).cast("bigint").alias("sxy"),
+        F.sum(F.col("ax") * F.col("ax")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ay") * F.col("ay")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        # loud headroom guard (branches differ — see agg_corr_matrix)
+        F.expr(
+            f"CASE WHEN n <= {_SPEAR_MAX_ROWS} THEN n"
+            " ELSE CAST(raise_error('agg_spearman_corr: row count"
+            " exceeds the int64 rank-moment headroom') AS BIGINT)"
+            " END"
+        ).alias("n_rows"),
+        "sax",
+        "say",
+        "sxy",
+        "sxx",
+        "syy",
+        F.floor(F.expr(_SPEAR_RHO) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rho_micro"),
+    )

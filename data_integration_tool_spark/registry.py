@@ -90,6 +90,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "data_integration_tool_spark.operators.curation",
     "data_integration_tool_spark.operators.quality",
     "data_integration_tool_spark.operators.graph",
+    "data_integration_tool_spark.operators.evaluation",
     "data_integration_tool_spark.sources.etl",
     "data_integration_tool_spark.plans.advisor",
     "data_integration_tool_spark.sources.pysource",
@@ -222,6 +223,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session_true",
     "etl_schema_evolution",
     # (further r7 additions slot in here when registered)
+    "eval_ndcg_at_k",
+    "eval_calibration_bins",
+    "eval_lift_deciles",
+    "eval_pr_auc",
+    "agg_anova_oneway",
+    "agg_spearman_corr",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -2256,3 +2256,198 @@ def test_chi2_matches_numpy_contingency(spark, sf_dir):
     assert r.dof == (len(segs) - 1) * (len(pris) - 1)
     assert r.n_cells == (t > 0).sum()
     assert abs(r.chi2_micro / 1e6 - chi2) < 1e-4
+
+
+def test_ndcg_matches_python_recompute(spark, sf_dir):
+    """Per-user NDCG@10 must equal a straight Python recompute (same
+    gain quantization), DCG can never exceed IDCG, and NDCG sits in
+    [0, 1e6] when defined."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_ndcg_at_k,
+    )
+
+    out = {r.user_id: r for r in eval_ndcg_at_k(spark, sf_dir).collect()}
+    rel_map = {"purchase": 3, "signup": 2, "click": 1}
+    rows = load(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        s = math.floor(r.value * 1e6 + 0.5)
+        by_user.setdefault(r.user_id, []).append(
+            (s, r.event_id, rel_map.get(r.event_type, 0))
+        )
+
+    def gain(rel, pos):
+        return math.floor(
+            (2.0**rel - 1.0) / math.log2(pos + 1.0) * 1e6 + 0.5
+        )
+
+    for uid, evs in by_user.items():
+        model = sorted(evs, key=lambda t: (-t[0], t[1]))
+        ideal = sorted(evs, key=lambda t: (-t[2], t[1]))
+        dcg = sum(gain(t[2], i + 1) for i, t in enumerate(model[:10]))
+        idcg = sum(gain(t[2], i + 1) for i, t in enumerate(ideal[:10]))
+        r = out[uid]
+        assert (r.dcg_num, r.idcg_num) == (dcg, idcg), uid
+        assert r.n_events == len(evs)
+        if idcg > 0:
+            assert r.ndcg_micro == math.floor(dcg / idcg * 1e6 + 0.5)
+            assert 0 <= r.ndcg_micro <= 1_000_000
+        assert r.dcg_num <= r.idcg_num
+
+
+def test_calibration_bins_partition_and_bounds(spark, sf_dir):
+    """Calibration bins must partition the table, keep each bin's mean
+    prediction inside the bin's probability range, and reconcile
+    gap = avg_pred − obs."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_calibration_bins,
+    )
+
+    rows = eval_calibration_bins(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        # mean prediction lies inside the bin's [bin/10, (bin+1)/10)
+        # range (±1 micro for the rounding at the edges)
+        assert r.bin * 100_000 - 1 <= r.avg_pred_micro <= (r.bin + 1) * 100_000 + 1
+        assert 0 <= r.obs_micro <= 1_000_000
+        assert r.gap_micro == r.avg_pred_micro - r.obs_micro
+        assert 0 <= r.n_pos <= r.n
+
+
+def test_lift_deciles_monotone_and_complete(spark, sf_dir):
+    """Cumulative gains must be monotone, end at 100% of positives
+    with lift exactly 1.0, and decile sizes must cover the table
+    within the tie-coarsening tolerance."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_lift_deciles,
+    )
+
+    rows = sorted(
+        eval_lift_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_total
+    last = rows[-1]
+    assert last.cum_n == n_total
+    assert last.gain_micro == 1_000_000
+    assert last.lift_micro == 1_000_000
+    prev_pos, prev_n = 0, 0
+    for r in rows:
+        assert r.cum_pos >= prev_pos and r.cum_n > prev_n
+        prev_pos, prev_n = r.cum_pos, r.cum_n
+
+
+def test_pr_auc_matches_python_recompute(spark, sf_dir):
+    """AP must equal the Python step recompute over distinct
+    descending thresholds with the same per-term quantization, and
+    reconcile with the class counts."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_pr_auc,
+    )
+
+    r = eval_pr_auc(spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "embeddings").collect()
+    pts = [
+        (math.floor(float(x.embedding[0]) * 1e6 + 0.5), x.label == 0)
+        for x in e
+    ]
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in pts)
+    pos = Counter(s for s, p in pts if p)
+    cum_n = cum_pos = ap_num = 0
+    for s in sorted(cnt, reverse=True):
+        cum_n += cnt[s]
+        cum_pos += pos.get(s, 0)
+        ap_num += math.floor(cum_pos * pos.get(s, 0) / cum_n * 1e6 + 0.5)
+    n_pos = sum(pos.values())
+    assert r.n_pos == n_pos
+    assert r.n_neg == len(pts) - n_pos
+    assert r.n_thresholds == len(cnt)
+    assert r.ap_num_micro == ap_num
+    assert r.ap_micro == math.floor(ap_num / n_pos + 0.5)
+    # imbalance sanity: AP at least the positive base rate
+    assert r.ap_micro >= math.floor(n_pos / len(pts) * 1e6 + 0.5) // 2
+
+
+def test_anova_matches_numpy_formula(spark, sf_dir):
+    """F must match a scipy-free numpy recompute from the raw unit-
+    quantized values; moments must reconcile with the table."""
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_anova_oneway,
+    )
+
+    r = agg_anova_oneway(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    groups: dict[str, list[int]] = {}
+    for x in rows:
+        groups.setdefault(x.event_type, []).append(
+            math.floor(x.value + 0.5)
+        )
+    arrs = [np.array(v, dtype=float) for v in groups.values()]
+    n = sum(len(a) for a in arrs)
+    k = len(arrs)
+    grand = sum(a.sum() for a in arrs) / n
+    ssb = sum(len(a) * (a.mean() - grand) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.k, r.n_tot) == (k, n)
+    assert r.s_tot == sum(int(a.sum()) for a in arrs)
+    assert abs(r.ssb_micro / 1e6 - ssb) < 0.01
+    assert abs(r.ssw_micro / 1e6 - ssw) < 0.01
+    assert abs(r.f_micro / 1e6 - f) < 1e-3
+
+
+def test_spearman_matches_scipy_free_recompute(spark, sf_dir):
+    """rho must match a numpy recompute using tie-aware average ranks
+    (scipy.stats.spearmanr semantics), and sit in [-1, 1]."""
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_spearman_corr,
+    )
+
+    r = agg_spearman_corr(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "lineitem").collect()
+    x = np.array([math.floor(t.l_quantity + 0.5) for t in rows])
+    y = np.array(
+        [math.floor(t.l_extendedprice * 100.0 + 0.5) for t in rows]
+    )
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert r.n_rows == len(rows)
+    assert r.sax == r.say == len(rows) * (len(rows) + 1)
+    assert -1_000_000 <= r.rho_micro <= 1_000_000
+    assert abs(r.rho_micro / 1e6 - rho) < 1e-5
