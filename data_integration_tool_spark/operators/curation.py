@@ -1124,3 +1124,162 @@ def feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "feat_quantile_bin",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+            FROM events
+        ), grp AS (
+            SELECT vm, CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY vm
+        ), cum AS (
+            SELECT vm, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY vm
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+            FROM grp
+        ), binned AS (
+            SELECT CAST(floor((c - 1) * 8.0 / n_total) AS BIGINT)
+                       AS bin,
+                   vm, cnt
+            FROM cum
+        )
+        SELECT bin,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(min(vm) AS BIGINT)  AS lo_micro,
+               CAST(max(vm) AS BIGINT)  AS hi_micro
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    phase="P4",
+    tags=("curation", "features", "discretization"),
+)
+def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) discretization of a continuous
+    feature into 8 bins — the binning step before monotone models,
+    WoE encoding, or histogram features.  Bin edges are DATA-DERIVED
+    percentile cuts with ties kept together: a distinct value lands
+    in the bin of its LAST occupant, floor((cum−1)·8/N) — the
+    deterministic upper-boundary rule shared with eval_lift_deciles
+    (never ntile(), whose tie placement is engine-specific).  The
+    output is the fitted binning dictionary itself (per-bin row
+    count, distinct-value count, inclusive micro-value range) — the
+    artifact a transform step would broadcast.
+
+    Plan: ONE combinable distinct-value aggregate collapses the
+    corpus, one running window at that reduced grain assigns bins,
+    and an 8-row re-aggregate emits the dictionary.  The only
+    full-width work is the initial map-side-combined groupBy; at
+    extreme value cardinality the same score-bucketing swap as
+    eval_auc_rank pre-coarsens the grain."""
+    e = load(spark, sf_dir, "events")
+    grp = (
+        e.select(micro(F.col("value")).alias("vm"))
+        .groupBy("vm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = Window.orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = grp.select(
+        "vm",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("c"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_total"),
+    )
+    binned = cum.select(
+        F.floor((F.col("c") - 1) * F.lit(8.0) / F.col("n_total"))
+        .cast("bigint")
+        .alias("bin"),
+        "vm",
+        "cnt",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.min("vm").cast("bigint").alias("lo_micro"),
+            F.max("vm").cast("bigint").alias("hi_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "feat_onehot_topk",
+    oracle="""
+        WITH cnts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ), ranked AS (
+            SELECT lang, n_docs,
+                   row_number() OVER (ORDER BY n_docs DESC, lang)
+                       AS rk
+            FROM cnts
+        ), mapped AS (
+            SELECT CASE WHEN rk <= 3 THEN rk - 1 ELSE 3 END
+                       AS feature_idx,
+                   CASE WHEN rk <= 3 THEN lang ELSE '__other__' END
+                       AS category,
+                   n_docs
+            FROM ranked
+        )
+        SELECT feature_idx, category,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT)    AS n_merged
+        FROM mapped
+        GROUP BY feature_idx, category
+        ORDER BY feature_idx
+    """,
+    phase="P4",
+    tags=("curation", "features", "encoding"),
+)
+def feat_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K one-hot encoder FIT over a categorical column: the top 3
+    languages by document count each get a dense feature index
+    (rank order, ties broken by name), and every remaining category
+    collapses into a shared `__other__` slot — the
+    vocabulary-truncation rule that keeps one-hot width bounded when
+    category cardinality is open-ended (the sibling of feat_hashing,
+    which trades collisions instead of an OOV bucket).  The output
+    IS the encoder dictionary (index → category, support counts,
+    merge arity) that a transform stage broadcasts; the transform
+    itself is then one expression-level CASE lookup, no shuffle.
+
+    Plan: one combinable (category) aggregate to category grain,
+    one row_number window over that TINY relation (cardinality of
+    the dictionary, never of the corpus), and a ≤K+1-row re-
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    cnts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_docs").desc(), "lang")
+    )
+    ranked = cnts.select("lang", "n_docs", rk.alias("rk"))
+    mapped = ranked.select(
+        F.when(F.col("rk") <= 3, F.col("rk") - 1)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("feature_idx"),
+        F.when(F.col("rk") <= 3, F.col("lang"))
+        .otherwise("__other__")
+        .alias("category"),
+        "n_docs",
+    )
+    return (
+        mapped.groupBy("feature_idx", "category")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .orderBy("feature_idx")
+    )

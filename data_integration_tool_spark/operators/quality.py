@@ -1503,3 +1503,67 @@ def dq_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+        WITH grp AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(count(*) AS BIGINT)  AS n_groups,
+               CAST(sum(sz) AS BIGINT)   AS n_rows,
+               CAST(min(sz) AS BIGINT)   AS k_anonymity,
+               CAST(count(*) FILTER (WHERE sz < 10) AS BIGINT)
+                   AS groups_below_10,
+               CAST(coalesce(sum(sz) FILTER (WHERE sz < 10), 0)
+                    AS BIGINT) AS rows_below_10,
+               CAST(floor(CAST(coalesce(sum(sz) FILTER (WHERE sz < 10),
+                          0) AS DOUBLE) * 1000000.0 / sum(sz) + 0.5)
+                    AS BIGINT) AS pct_below_micro
+        FROM grp
+    """,
+    phase="P3",
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation,
+    market segment) — the re-identification risk gate run before a
+    dataset release: k is the SMALLEST equivalence-class size (an
+    attacker can narrow any record to no fewer than k people), and
+    the below-threshold counts size the suppression/generalization
+    work needed to reach k ≥ 10.  Companion to dq_pseudonymize
+    (which transforms identifiers; this measures whether the
+    remaining quasi-identifiers still leak).
+
+    Plan: ONE combinable groupBy to equivalence-class grain followed
+    by a single-row FILTER-clause reduce — the class relation is
+    bounded by the QI-value product, never by table size, so the
+    audit is two map-side-combined exchanges at any corpus scale.
+    All outputs are exact BIGINTs; the one ratio ships micro-
+    quantized beside its exact numerator/denominator."""
+    c = load(spark, sf_dir, "customer")
+    grp = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    below = F.col("sz") < 10
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.count(F.when(below, 1)).cast("bigint").alias("groups_below_10"),
+        F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_below_10"),
+        F.floor(
+            F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+            .cast("double")
+            * F.lit(1000000.0)
+            / F.sum("sz")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pct_below_micro"),
+    )

@@ -229,6 +229,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_pr_auc",
     "agg_anova_oneway",
     "agg_spearman_corr",
+    "feat_quantile_bin",
+    "feat_onehot_topk",
+    "dq_k_anonymity",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -2451,3 +2451,88 @@ def test_spearman_matches_scipy_free_recompute(spark, sf_dir):
     assert r.sax == r.say == len(rows) * (len(rows) + 1)
     assert -1_000_000 <= r.rho_micro <= 1_000_000
     assert abs(r.rho_micro / 1e6 - rho) < 1e-5
+
+
+def test_quantile_bins_equal_frequency_and_ordered(spark, sf_dir):
+    """Bins must partition the table, be value-ordered and disjoint,
+    and stay within the tie-coarsening tolerance of N/8 rows each."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        feat_quantile_bin,
+    )
+
+    rows = sorted(
+        feat_quantile_bin(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    n_total = load(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == n_total
+    assert [r.bin for r in rows] == list(range(len(rows)))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi_micro < cur.lo_micro
+    # equal frequency within the tie-coarsening slack: each bin holds
+    # N/8 rows ± the largest tie group it absorbed
+    import collections
+
+    vm_counts = collections.Counter(
+        int(r.value * 1e6 + 0.5)
+        for r in load(spark, sf_dir, "events").select("value").collect()
+    )
+    max_tie = max(vm_counts.values())
+    for r in rows:
+        assert abs(r.n_rows - n_total / 8) <= max_tie + 1
+
+
+def test_onehot_topk_dictionary_covers_table(spark, sf_dir):
+    """The encoder dictionary must cover every document exactly once,
+    rank the top-3 languages by count, and merge the tail into
+    __other__."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        feat_onehot_topk,
+    )
+
+    rows = sorted(
+        feat_onehot_topk(spark, sf_dir).collect(),
+        key=lambda r: r.feature_idx,
+    )
+    d = load(spark, sf_dir, "documents")
+    by_lang = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert sum(r.n_docs for r in rows) == sum(by_lang.values())
+    ranked = sorted(by_lang.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i in range(min(3, len(ranked))):
+        assert rows[i].feature_idx == i
+        assert rows[i].category == ranked[i][0]
+        assert rows[i].n_docs == ranked[i][1]
+        assert rows[i].n_merged == 1
+    if len(ranked) > 3:
+        other = rows[3]
+        assert other.category == "__other__"
+        assert other.n_merged == len(ranked) - 3
+        assert other.n_docs == sum(c for _, c in ranked[3:])
+
+
+def test_k_anonymity_matches_python_groupby(spark, sf_dir):
+    """k and the below-threshold tallies must match a Python
+    recompute over the quasi-identifier pair."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_k_anonymity,
+    )
+
+    r = dq_k_anonymity(spark, sf_dir).collect()[0]
+    c = load(spark, sf_dir, "customer").collect()
+    sizes = collections.Counter(
+        (x.c_nationkey, x.c_mktsegment) for x in c
+    )
+    below = [v for v in sizes.values() if v < 10]
+    assert r.n_groups == len(sizes)
+    assert r.n_rows == len(c)
+    assert r.k_anonymity == min(sizes.values())
+    assert r.groups_below_10 == len(below)
+    assert r.rows_below_10 == sum(below)
+    assert r.pct_below_micro == math.floor(
+        sum(below) * 1e6 / len(c) + 0.5
+    )
