@@ -783,3 +783,129 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("converged"),
     )
+
+
+# Newman's degree assortativity over an undirected edge list, cleared
+# of denominators: with M edges and per-edge endpoint degrees (j, k),
+# r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) − (Σ(j+k))²) — every
+# moment an exact BIGINT, one spelled IEEE division at the end.
+_ASSORT_NUM = "(4.0 * m * sjk - CAST(sj AS DOUBLE) * sj)"
+_ASSORT_DEN = "(2.0 * m * sjj - CAST(sj AS DOUBLE) * sj)"
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 = 0
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (
+                SELECT pa AS node FROM pairs
+                UNION ALL
+                SELECT pb AS node FROM pairs
+            ) GROUP BY node
+        ), m0 AS (
+            SELECT CAST(count(*) AS BIGINT)                  AS m,
+                   CAST(sum(dj.d * dk.d) AS BIGINT)          AS sjk,
+                   CAST(sum(dj.d + dk.d) AS BIGINT)          AS sj,
+                   CAST(sum(dj.d * dj.d + dk.d * dk.d)
+                        AS BIGINT)                           AS sjj
+            FROM pairs
+            JOIN deg dj ON pairs.pa = dj.node
+            JOIN deg dk ON pairs.pb = dk.node
+        )
+        SELECT m AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               sj, sjj, sjk,
+               CASE WHEN {_ASSORT_DEN} != 0.0 THEN
+                    CAST(floor({_ASSORT_NUM} / {_ASSORT_DEN}
+                               * 1000000.0 + 0.5) AS BIGINT)
+               END AS r_micro
+        FROM m0
+    """,
+    phase="P3",
+    tags=("graph", "assortativity"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the part co-occurrence
+    graph — do high-degree nodes attach to other hubs (r > 0, social
+    shape) or to the periphery (r < 0, hub-and-spoke)?  The one-
+    number structure summary that decides whether degree-ordered
+    join strategies (graph_triangles' skew guard) will pay off.
+    Same edge base as graph_triangles: distinct within-order part
+    pairs, oriented pa < pb, every 5th order.
+
+    Exactness: r is Pearson over the edge-endpoint degree pairs,
+    symmetrized and cleared of denominators — all four moments
+    (M, Σjk, Σ(j+k), Σ(j²+k²)) are exact BIGINTs from ONE combinable
+    aggregate, so r is a single spelled IEEE division (NULL for a
+    degree-regular graph where the variance vanishes, never 0/0).
+    Int64 headroom: 4·M·Σjk needs M·d_max⁴ < 2⁶³ — holds to ~1e9
+    edges at d_max 1e3; cap degrees (the standard truncation) past
+    that.
+
+    Plan: the degree table is ONE combinable count over the exploded
+    endpoints; joining it back twice shuffles on node keys (AQE
+    handles the hub skew); moments reduce map-side to a single row.
+    Cost is bounded by the edge list, never edges²."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dj = deg.select(F.col("node").alias("pa"), F.col("d").alias("j"))
+    dk = deg.select(F.col("node").alias("pb"), F.col("d").alias("k"))
+    m0 = (
+        pairs.join(dj, "pa")
+        .join(dk, "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+            F.sum(F.col("j") + F.col("k")).cast("bigint").alias("sj"),
+            F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+            .cast("bigint")
+            .alias("sjj"),
+        )
+    )
+    n_nodes = F.broadcast(
+        deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    return m0.crossJoin(n_nodes).select(
+        F.col("m").alias("n_edges"),
+        "n_nodes",
+        "sj",
+        "sjj",
+        "sjk",
+        F.when(
+            F.expr(_ASSORT_DEN) != 0.0,
+            F.floor(
+                F.expr(_ASSORT_NUM) / F.expr(_ASSORT_DEN)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("r_micro"),
+    )

@@ -232,6 +232,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feat_quantile_bin",
     "feat_onehot_topk",
     "dq_k_anonymity",
+    "ts_changepoint_mean",
+    "graph_degree_assortativity",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -1443,3 +1443,114 @@ def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "state string, stationary_micro long, n_out long"
     ).orderBy("state")
+
+
+# Binary-segmentation changepoint gain, spelled once over the exact
+# integer prefix moments (sl, nl = left micro-sum / count; s_tot, n_tot
+# = totals).  gain = SL²/nL + SR²/nR − S²/N is the between-segment sum
+# of squares — the reduction in SSE from splitting at this boundary.
+_CP_SLD = "(CAST(sl AS DOUBLE) / 1000000.0)"
+_CP_SRD = "(CAST(s_tot - sl AS DOUBLE) / 1000000.0)"
+_CP_STD = "(CAST(s_tot AS DOUBLE) / 1000000.0)"
+_CP_GAIN = (
+    f"({_CP_SLD} * {_CP_SLD} / nl"
+    f" + {_CP_SRD} * {_CP_SRD} / (n_tot - nl)"
+    f" - {_CP_STD} * {_CP_STD} / n_tot)"
+)
+
+
+@query(
+    "ts_changepoint_mean",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_d,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS s_d
+            FROM events GROUP BY 1
+        ), pre AS (
+            SELECT day,
+                   CAST(sum(n_d) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+                   CAST(sum(s_d) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                   CAST(sum(n_d) OVER () AS BIGINT) AS n_tot,
+                   CAST(sum(s_d) OVER () AS BIGINT) AS s_tot,
+                   CAST(count(*) OVER () AS BIGINT) AS n_days
+            FROM daily
+        )
+        SELECT day AS split_day, n_days, nl AS n_left,
+               CAST(n_tot - nl AS BIGINT) AS n_right,
+               CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT)
+                   AS left_mean_micro,
+               CAST(floor(CAST(s_tot - sl AS DOUBLE) / (n_tot - nl)
+                          + 0.5) AS BIGINT) AS right_mean_micro,
+               CAST(floor({_CP_GAIN} * 1000000.0 + 0.5) AS BIGINT)
+                   AS gain_micro
+        FROM pre
+        WHERE nl < n_tot
+        ORDER BY gain_micro DESC, split_day
+        LIMIT 1
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "changepoint"),
+)
+def ts_changepoint_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint by binary segmentation — the
+    first split of the CUSUM/PELT family (ts_cusum_alarm raises the
+    alarm; this LOCATES the level shift): choose the day boundary
+    maximizing the between-segment sum of squares
+    SL²/nL + SR²/nR − S²/N, i.e. the split that most reduces total
+    SSE under a piecewise-constant-mean model.
+
+    Cross-engine exactness: prefix sums are exact micro BIGINTs at
+    DAY grain, the gain is ONE shared spelled IEEE expression over
+    them, and the argmax orders by the micro-QUANTIZED gain with the
+    day as tiebreak — float ties can never flip the winner between
+    engines.
+
+    Plan: combinable (day) aggregate collapses the corpus to
+    calendar grain, one running window at that tiny grain scores
+    every candidate split, and a TakeOrdered(1) picks the argmax —
+    no per-candidate re-scan (the naive formulation re-aggregates
+    both segments per split = O(days²)); recursing into the winning
+    segment repeats the same O(grain) step."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum(micro(F.col("value"))).cast("bigint").alias("s_d"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.sum("n_d").over(w_cum).cast("bigint").alias("nl"),
+        F.sum("s_d").over(w_cum).cast("bigint").alias("sl"),
+        F.sum("n_d").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("s_d").over(w_all).cast("bigint").alias("s_tot"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
+    )
+    cand = pre.filter(F.col("nl") < F.col("n_tot")).select(
+        F.col("day").alias("split_day"),
+        "n_days",
+        F.col("nl").alias("n_left"),
+        (F.col("n_tot") - F.col("nl")).cast("bigint").alias("n_right"),
+        F.floor(F.col("sl").cast("double") / F.col("nl") + F.lit(0.5))
+        .cast("bigint")
+        .alias("left_mean_micro"),
+        F.floor(
+            (F.col("s_tot") - F.col("sl")).cast("double")
+            / (F.col("n_tot") - F.col("nl"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("right_mean_micro"),
+        F.floor(F.expr(_CP_GAIN) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("gain_micro"),
+    )
+    return cand.orderBy(
+        F.col("gain_micro").desc(), F.col("split_day")
+    ).limit(1)

@@ -2536,3 +2536,90 @@ def test_k_anonymity_matches_python_groupby(spark, sf_dir):
     assert r.pct_below_micro == math.floor(
         sum(below) * 1e6 / len(c) + 0.5
     )
+
+
+def test_changepoint_maximizes_sse_reduction(spark, sf_dir):
+    """The chosen split must achieve the maximum between-segment SSE
+    reduction over an exhaustive Python scan of day boundaries, and
+    the reported means must reconcile."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_changepoint_mean,
+    )
+
+    r = ts_changepoint_mean(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    daily_n: dict = collections.Counter()
+    daily_s: dict = collections.Counter()
+    for x in rows:
+        d = x.ts.date()
+        daily_n[d] += 1
+        daily_s[d] += math.floor(x.value * 1e6 + 0.5)
+    days = sorted(daily_n)
+    N = sum(daily_n.values())
+    S = sum(daily_s.values())
+    best = None
+    nl = sl = 0
+    for d in days[:-1]:
+        nl += daily_n[d]
+        sl += daily_s[d]
+        sld, srd, std = sl / 1e6, (S - sl) / 1e6, S / 1e6
+        gain = sld * sld / nl + srd * srd / (N - nl) - std * std / N
+        gm = math.floor(gain * 1e6 + 0.5)
+        if best is None or gm > best[0]:
+            best = (gm, d, nl, sl)
+    gm, d, nl, sl = best
+    assert r.split_day == d
+    assert r.gain_micro == gm
+    assert (r.n_left, r.n_right) == (nl, N - nl)
+    assert r.left_mean_micro == math.floor(sl / nl + 0.5)
+    assert r.n_days == len(days)
+    assert r.gain_micro >= 0
+
+
+def test_assortativity_matches_networkx_free_recompute(spark, sf_dir):
+    """r must match a Python recompute of Newman's formula over the
+    same edge list, and sit in [-1e6, 1e6]."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_degree_assortativity,
+    )
+
+    r = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").collect()
+    by_order: dict = collections.defaultdict(set)
+    for x in li:
+        if x.l_orderkey % 5 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg: dict = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    sjk = sum(deg[a] * deg[b] for a, b in edges)
+    sj = sum(deg[a] + deg[b] for a, b in edges)
+    sjj = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    assert (r.n_edges, r.n_nodes) == (m, len(deg))
+    assert (r.sj, r.sjj, r.sjk) == (sj, sjj, sjk)
+    den = 2.0 * m * sjj - float(sj) * sj
+    if den != 0:
+        import math
+
+        want = math.floor(
+            (4.0 * m * sjk - float(sj) * sj) / den * 1e6 + 0.5
+        )
+        assert r.r_micro == want
+        assert -1_000_000 <= r.r_micro <= 1_000_000
+    else:
+        assert r.r_micro is None
