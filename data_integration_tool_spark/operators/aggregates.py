@@ -2080,3 +2080,140 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rho_micro"),
     )
+
+
+# Mutual-information cell/margin terms, each pico-quantized (1e12) the
+# moment it is computed so every cross-cell reduction is an order-free
+# integer sum (ln crosses libm: identical rational inputs differ by
+# ≤1 ulp ~1e-16 relative, far inside the 1e-12 grain).
+_MI_CELL = (
+    "CAST(floor((CAST(o AS DOUBLE) / n)"
+    " * ln(CAST(o AS DOUBLE) * n / (CAST(row_tot AS DOUBLE) * col_tot))"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+_MI_HX = (
+    "CAST(floor(-(CAST(row_tot AS DOUBLE) / n)"
+    " * ln(CAST(row_tot AS DOUBLE) / n)"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+_MI_HY = (
+    "CAST(floor(-(CAST(col_tot AS DOUBLE) / n)"
+    " * ln(CAST(col_tot AS DOUBLE) / n)"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "agg_mutual_info",
+    oracle=f"""
+        WITH obs AS (
+            SELECT event_type AS x,
+                   CAST(extract(hour FROM CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS y,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT x, y, o,
+                   CAST(sum(o) OVER (PARTITION BY x) AS BIGINT)
+                       AS row_tot,
+                   CAST(sum(o) OVER (PARTITION BY y) AS BIGINT)
+                       AS col_tot,
+                   CAST(sum(o) OVER () AS BIGINT) AS n
+            FROM obs
+        ), terms AS (
+            SELECT n, x, y, o, row_tot, col_tot,
+                   {_MI_CELL} AS mi_t,
+                   CASE WHEN row_number() OVER (PARTITION BY x
+                        ORDER BY y) = 1 THEN {_MI_HX} END AS hx_t,
+                   CASE WHEN row_number() OVER (PARTITION BY y
+                        ORDER BY x) = 1 THEN {_MI_HY} END AS hy_t
+            FROM tot
+        ), m AS (
+            SELECT CAST(max(n) AS BIGINT)         AS n_total,
+                   CAST(count(*) AS BIGINT)       AS n_cells,
+                   CAST(sum(mi_t) AS BIGINT)      AS mi_pico,
+                   CAST(sum(hx_t) AS BIGINT)      AS hx_pico,
+                   CAST(sum(hy_t) AS BIGINT)      AS hy_pico
+            FROM terms
+        )
+        SELECT n_total, n_cells, mi_pico, hx_pico, hy_pico,
+               CAST(floor(CAST(mi_pico AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS mi_micro,
+               CAST(floor(CAST(mi_pico AS DOUBLE)
+                          / sqrt(CAST(hx_pico AS DOUBLE) * hy_pico)
+                          * 1000000.0 + 0.5) AS BIGINT) AS nmi_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "information"),
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event type and hour-of-day,
+    with sqrt-normalized NMI — the information-theoretic association
+    member of the statistics family (chi2: significance of
+    dependence; MI: STRENGTH of dependence in nats, the feature-
+    selection screen).  I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the
+    contingency cells; NMI = I/√(H(X)·H(Y)) rescales to [0,1].
+
+    Exactness: counts are exact BIGINTs; every ln-crossing term
+    (cell MI, margin entropies) quantizes to PICO units the moment
+    it is computed, so all reductions are order-free integer sums —
+    and the margin entropy terms attach to exactly ONE cell per
+    margin (row_number = 1) so they are summed once without a
+    separate margin scan.
+
+    Plan: the agg_chi2_independence shape — one combinable joined
+    count to contingency grain (≤ |types|·24 rows), margin window
+    sums over that TINY relation, a single-row reduce.  Bounded by
+    the category product, never by rows."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = obs.select(
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).cast("bigint").alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("y")).cast("bigint").alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    rx = F.row_number().over(Window.partitionBy("x").orderBy("y"))
+    ry = F.row_number().over(Window.partitionBy("y").orderBy("x"))
+    terms = tot.select(
+        "n",
+        "o",
+        "row_tot",
+        "col_tot",
+        F.expr(_MI_CELL).alias("mi_t"),
+        F.when(rx == 1, F.expr(_MI_HX)).alias("hx_t"),
+        F.when(ry == 1, F.expr(_MI_HY)).alias("hy_t"),
+    )
+    m = terms.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("mi_t").cast("bigint").alias("mi_pico"),
+        F.sum("hx_t").cast("bigint").alias("hx_pico"),
+        F.sum("hy_t").cast("bigint").alias("hy_pico"),
+    )
+    return m.select(
+        "n_total",
+        "n_cells",
+        "mi_pico",
+        "hx_pico",
+        "hy_pico",
+        F.floor(
+            F.col("mi_pico").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mi_micro"),
+        F.floor(
+            F.col("mi_pico").cast("double")
+            / F.sqrt(F.col("hx_pico").cast("double") * F.col("hy_pico"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nmi_micro"),
+    )

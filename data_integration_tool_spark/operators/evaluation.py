@@ -483,3 +483,126 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ap_micro"),
     )
+
+
+# Regression-metric formulas spelled once over the exact integer
+# moments.  SSE/SST use UNIT-grain integers (the Welch quantization —
+# micro-grain squared residuals would overflow int64 within ~40 rows);
+# MAE uses micro grain (|r| sums stay linear).
+_REG_SST = "(CAST(q_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * s_tot / n)"
+_REG_R2 = f"(1.0 - CAST(sse_units AS DOUBLE) / {_REG_SST})"
+
+
+@query(
+    "eval_regression_metrics",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+                   CAST(floor(value + 0.5) AS BIGINT) AS v
+            FROM events
+        ), fit AS (
+            SELECT event_type,
+                   CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS pred_micro,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS pred_u
+            FROM vals GROUP BY event_type
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(abs(vm - pred_micro)) AS BIGINT)
+                       AS sae_micro,
+                   CAST(sum((v - pred_u) * (v - pred_u)) AS BIGINT)
+                       AS sse_units,
+                   CAST(sum(v) AS BIGINT)     AS s_tot,
+                   CAST(sum(v * v) AS BIGINT) AS q_tot
+            FROM vals JOIN fit USING (event_type)
+        )
+        SELECT n, sse_units, sae_micro, s_tot, q_tot,
+               CAST(floor(CAST(sae_micro AS DOUBLE) / n + 0.5)
+                    AS BIGINT) AS mae_micro,
+               CAST(floor(sqrt(CAST(sse_units AS DOUBLE) / n)
+                          * 1000000.0 + 0.5) AS BIGINT) AS rmse_micro,
+               CAST(floor({_REG_R2} * 1000000.0 + 0.5) AS BIGINT)
+                   AS r2_micro
+        FROM m
+    """,
+    phase="P4",
+    tags=("evaluation", "regression"),
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression evaluation — MAE, RMSE, and R² for a predictor
+    against a continuous target, completing the evaluation family
+    (classification: eval_confusion_threshold; ranking:
+    eval_auc_rank/eval_ndcg_at_k; calibration: eval_calibration_bins).
+    The fixture "model" is the per-event-type conditional mean (the
+    in-sample group-mean baseline), so R² here measures exactly how
+    much variance the categorical feature explains — the same
+    quantity ANOVA's SSB/SST tests.
+
+    Grain split for exactness: squared terms (SSE, SST moments) use
+    UNIT-grain integers — micro-grain squares overflow int64 within
+    ~40 rows — while MAE's linear |residual| sum keeps full micro
+    precision; both ship exact beside the rounded metrics, and
+    RMSE/R² are shared spelled IEEE expressions.
+
+    Plan: one combinable (group) aggregate fits the means, a
+    BROADCAST join-back scores rows (never a per-group window — the
+    feat_target_encode rule), one combinable global reduce collects
+    the five moments.  Two map-side-combined exchanges, k rows of
+    traffic, at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        micro(F.col("value")).alias("vm"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    fit = vals.groupBy("event_type").agg(
+        F.floor(
+            F.sum("vm").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pred_micro"),
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pred_u"),
+    )
+    m = (
+        vals.join(F.broadcast(fit), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.abs(F.col("vm") - F.col("pred_micro")))
+            .cast("bigint")
+            .alias("sae_micro"),
+            F.sum(
+                (F.col("v") - F.col("pred_u"))
+                * (F.col("v") - F.col("pred_u"))
+            )
+            .cast("bigint")
+            .alias("sse_units"),
+            F.sum("v").cast("bigint").alias("s_tot"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_tot"),
+        )
+    )
+    return m.select(
+        "n",
+        "sse_units",
+        "sae_micro",
+        "s_tot",
+        "q_tot",
+        F.floor(F.col("sae_micro").cast("double") / F.col("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mae_micro"),
+        F.floor(
+            F.sqrt(F.col("sse_units").cast("double") / F.col("n"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rmse_micro"),
+        F.floor(F.expr(_REG_R2) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("r2_micro"),
+    )

@@ -234,6 +234,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_k_anonymity",
     "ts_changepoint_mean",
     "graph_degree_assortativity",
+    "eval_regression_metrics",
+    "ts_bollinger_bands",
+    "agg_mutual_info",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -1554,3 +1554,135 @@ def ts_changepoint_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.col("gain_micro").desc(), F.col("split_day")
     ).limit(1)
+
+
+# Rolling 7-day population variance over the integer micro daily means,
+# spelled once: var = (Σx² − (Σx)²/cnt)/cnt.  The integer sums stay
+# int64-exact (7·(5e8)² ≈ 1.75e18); the square of Σx is computed in
+# DOUBLE (its integer form would overflow), identically on both engines.
+_BB_VAR = (
+    "((CAST(sq AS DOUBLE)"
+    " - CAST(smd AS DOUBLE) * smd / cnt7) / cnt7)"
+)
+_BB_SD = f"sqrt(greatest({_BB_VAR}, 0.0))"
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(CAST(sum(CAST(floor(value * 1000000.0
+                        + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS md
+            FROM events GROUP BY 1, 2
+        ), rolled AS (
+            SELECT event_type, day, md,
+                   CAST(count(*) OVER w AS BIGINT)       AS cnt7,
+                   CAST(sum(md) OVER w AS BIGINT)        AS smd,
+                   CAST(sum(md * md) OVER w AS BIGINT)   AS sq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, md AS md_micro,
+               CASE WHEN cnt7 = 7 THEN
+                    CAST(floor(CAST(smd AS DOUBLE) / cnt7 + 0.5)
+                         AS BIGINT) END AS mean7_micro,
+               CASE WHEN cnt7 = 7 THEN
+                    CAST(floor({_BB_SD} + 0.5) AS BIGINT)
+               END AS sd7_micro,
+               CASE WHEN cnt7 = 7 THEN
+                    CAST(floor(CAST(smd AS DOUBLE) / cnt7
+                               + 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+               END AS ub_micro,
+               CASE WHEN cnt7 = 7 THEN
+                    CAST(floor(CAST(smd AS DOUBLE) / cnt7
+                               - 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+               END AS lb_micro,
+               CASE WHEN cnt7 = 7 THEN
+                    md > CAST(floor(CAST(smd AS DOUBLE) / cnt7
+                              + 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+                    OR md < CAST(floor(CAST(smd AS DOUBLE) / cnt7
+                              - 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+               END AS breakout
+        FROM rolled
+        ORDER BY event_type, day
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "volatility"),
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing 7-day mean ± 2σ) over the daily mean
+    value per event type, with a breakout flag — the rolling-
+    volatility envelope behind alerting and regime detection
+    (ts_cusum_alarm's windowed, variance-aware sibling: CUSUM finds
+    sustained level shifts; bands flag single-day excursions scaled
+    to LOCAL volatility).
+
+    Exactness: the daily series is integer micro means, the rolling
+    frame carries exact integer Σx/Σx² (7·(5e8)² stays inside
+    int64; (Σx)² alone crosses to DOUBLE — spelled identically),
+    and the breakout compare runs on the micro-QUANTIZED band edges
+    so an IEEE tie cannot flip the flag between engines.  Warm-up
+    rows (fewer than 7 prior days) yield NULL bands, never a
+    short-frame band that looks real.
+
+    Plan: combinable (type, day) aggregate collapses the corpus to
+    calendar grain first; the three-sum rolling window then runs on
+    that dictionary-sized relation (the feat_pit_window day-grain
+    rule), so full-width cost is one map-side-combined exchange."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(micro(F.col("value"))).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("md")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "day",
+        "md",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt7"),
+        F.sum("md").over(w).cast("bigint").alias("smd"),
+        F.sum(F.col("md") * F.col("md")).over(w).cast("bigint").alias("sq"),
+    )
+    full = F.col("cnt7") == 7
+    mean7 = F.floor(
+        F.col("smd").cast("double") / F.col("cnt7") + F.lit(0.5)
+    ).cast("bigint")
+    sd = F.expr(_BB_SD)
+    ub = F.floor(
+        F.col("smd").cast("double") / F.col("cnt7")
+        + F.lit(2.0) * sd
+        + F.lit(0.5)
+    ).cast("bigint")
+    lb = F.floor(
+        F.col("smd").cast("double") / F.col("cnt7")
+        - F.lit(2.0) * sd
+        + F.lit(0.5)
+    ).cast("bigint")
+    return rolled.select(
+        "event_type",
+        "day",
+        F.col("md").alias("md_micro"),
+        F.when(full, mean7).alias("mean7_micro"),
+        F.when(full, F.floor(sd + F.lit(0.5)).cast("bigint")).alias(
+            "sd7_micro"
+        ),
+        F.when(full, ub).alias("ub_micro"),
+        F.when(full, lb).alias("lb_micro"),
+        F.when(full, (F.col("md") > ub) | (F.col("md") < lb)).alias(
+            "breakout"
+        ),
+    ).orderBy("event_type", "day")

@@ -2623,3 +2623,110 @@ def test_assortativity_matches_networkx_free_recompute(spark, sf_dir):
         assert -1_000_000 <= r.r_micro <= 1_000_000
     else:
         assert r.r_micro is None
+
+
+def test_regression_metrics_match_numpy(spark, sf_dir):
+    """MAE/RMSE/R² must match a numpy recompute of the group-mean
+    baseline with the same grain split (unit squares, micro MAE)."""
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_regression_metrics,
+    )
+
+    r = eval_regression_metrics(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    import collections
+
+    vm_by, v_by = collections.defaultdict(list), collections.defaultdict(list)
+    for x in rows:
+        vm_by[x.event_type].append(math.floor(x.value * 1e6 + 0.5))
+        v_by[x.event_type].append(math.floor(x.value + 0.5))
+    sae = sse = s_tot = q_tot = n = 0
+    for t in vm_by:
+        pm = math.floor(sum(vm_by[t]) / len(vm_by[t]) + 0.5)
+        pu = math.floor(sum(v_by[t]) / len(v_by[t]) + 0.5)
+        sae += sum(abs(x - pm) for x in vm_by[t])
+        sse += sum((x - pu) ** 2 for x in v_by[t])
+        s_tot += sum(v_by[t])
+        q_tot += sum(x * x for x in v_by[t])
+        n += len(v_by[t])
+    assert (r.n, r.sae_micro, r.sse_units) == (n, sae, sse)
+    assert r.mae_micro == math.floor(sae / n + 0.5)
+    assert r.rmse_micro == math.floor(math.sqrt(sse / n) * 1e6 + 0.5)
+    sst = q_tot - s_tot * s_tot / n
+    assert abs(r.r2_micro / 1e6 - (1 - sse / sst)) < 2e-6
+    assert 0 <= r.r2_micro <= 1_000_000
+
+
+def test_bollinger_bands_warmup_and_envelope(spark, sf_dir):
+    """Warm-up rows must have NULL bands; full-frame rows must satisfy
+    lb ≤ mean7 ≤ ub with ub−mean7 == mean7−lb ± 1 micro, and the
+    breakout flag must reconcile with the band compare."""
+    import collections
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_bollinger_bands,
+    )
+
+    rows = ts_bollinger_bands(spark, sf_dir).collect()
+    assert rows
+    seen = collections.defaultdict(int)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        seen[r.event_type] += 1
+        if seen[r.event_type] < 7:
+            assert r.mean7_micro is None and r.breakout is None
+        else:
+            assert r.lb_micro <= r.mean7_micro <= r.ub_micro
+            spread_hi = r.ub_micro - r.mean7_micro
+            spread_lo = r.mean7_micro - r.lb_micro
+            assert abs(spread_hi - spread_lo) <= 1
+            assert r.breakout == (
+                r.md_micro > r.ub_micro or r.md_micro < r.lb_micro
+            )
+
+
+def test_mutual_info_matches_python_and_bounds(spark, sf_dir):
+    """MI must match a Python recompute with the same pico
+    quantization; NMI must sit in [0, 1e6]; independence bound
+    MI ≤ min(H(X), H(Y)) must hold."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_mutual_info,
+    )
+
+    r = agg_mutual_info(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    cells = collections.Counter(
+        (x.event_type, x.ts.hour) for x in rows
+    )
+    rowt = collections.Counter()
+    colt = collections.Counter()
+    for (a, b), c in cells.items():
+        rowt[a] += c
+        colt[b] += c
+    n = sum(cells.values())
+    mi = sum(
+        math.floor(
+            (c / n) * math.log(c * n / (rowt[a] * colt[b])) * 1e12 + 0.5
+        )
+        for (a, b), c in cells.items()
+    )
+    hx = sum(
+        math.floor(-(v / n) * math.log(v / n) * 1e12 + 0.5)
+        for v in rowt.values()
+    )
+    hy = sum(
+        math.floor(-(v / n) * math.log(v / n) * 1e12 + 0.5)
+        for v in colt.values()
+    )
+    assert (r.n_total, r.n_cells) == (n, len(cells))
+    assert (r.mi_pico, r.hx_pico, r.hy_pico) == (mi, hx, hy)
+    assert 0 <= r.nmi_micro <= 1_000_000
+    assert r.mi_pico <= min(hx, hy) + len(cells)  # quantization slack
