@@ -2217,3 +2217,216 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nmi_micro"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS v,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ), grp AS (
+            SELECT v, CAST(sum(w) AS BIGINT) AS w_v
+            FROM vals GROUP BY v
+        ), cum AS (
+            SELECT v, w_v,
+                   CAST(sum(w_v) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(sum(w_v) OVER () AS BIGINT) AS w_tot
+            FROM grp
+        )
+        SELECT CAST(max(w_tot) AS BIGINT) AS w_total,
+               CAST(count(*) AS BIGINT)   AS n_values,
+               CAST(min(CASE WHEN 4 * cw >= w_tot THEN v END)
+                    AS BIGINT) AS p25_cents,
+               CAST(min(CASE WHEN 2 * cw >= w_tot THEN v END)
+                    AS BIGINT) AS p50_cents,
+               CAST(min(CASE WHEN 4 * cw >= 3 * w_tot THEN v END)
+                    AS BIGINT) AS p75_cents
+        FROM cum
+    """,
+    phase="P2",
+    tags=("agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quartiles (p25/median/p75 of price, weighted by
+    quantity — "the price of the median UNIT SHIPPED", not the median
+    order line): the inventory/revenue-weighted location statistics
+    that plain percentiles get wrong whenever weight and value
+    correlate.  The p-quantile is the smallest value whose cumulative
+    weight reaches p·W — selected by the ALL-INTEGER predicate
+    4·cw ≥ p·4·W, so no float crosses the selection boundary at all.
+
+    Plan: the two-phase histogram selection shape
+    (agg_approx_percentile's exact path): one combinable
+    distinct-value weight aggregate collapses the corpus, one running
+    window at that reduced grain, and a single-row conditional-min
+    reduce — never a per-group sort of raw rows, and the weight
+    grain (not the row count) bounds the window input."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+    )
+    grp = vals.groupBy("v").agg(F.sum("w").cast("bigint").alias("w_v"))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "v",
+        F.sum("w_v").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("w_v").over(Window.partitionBy()).cast("bigint").alias("w_tot"),
+    )
+    return cum.agg(
+        F.max("w_tot").cast("bigint").alias("w_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.min(F.when(4 * F.col("cw") >= F.col("w_tot"), F.col("v")))
+        .cast("bigint")
+        .alias("p25_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("w_tot"), F.col("v")))
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("w_tot"), F.col("v")))
+        .cast("bigint")
+        .alias("p75_cents"),
+    )
+
+
+@query(
+    "agg_kmv_jaccard",
+    oracle="""
+        WITH halves AS (
+            SELECT user_id,
+                   CAST(max(CASE WHEN extract(day FROM
+                        CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in_a,
+                   CAST(max(CASE WHEN extract(day FROM
+                        CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in_b,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT in_a, in_b, h,
+                   row_number() OVER (ORDER BY h) AS rk
+            FROM halves
+        ), sk AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_eff,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS inter_kmv,
+                   max(CAST('0x' || substr(h, 1, 8) AS BIGINT)) AS u_k
+            FROM ranked WHERE rk <= 64
+        ), ex AS (
+            SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+                   CAST(sum(in_b) AS BIGINT) AS n_b,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+            FROM halves
+        )
+        SELECT k_eff, inter_kmv, n_a, n_b, n_inter,
+               CAST(floor(CAST(inter_kmv AS DOUBLE) / k_eff
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS jaccard_est_micro,
+               CAST(floor(CAST(n_inter AS DOUBLE)
+                          / (n_a + n_b - n_inter) * 1000000.0 + 0.5)
+                    AS BIGINT) AS jaccard_true_micro,
+               CAST(floor((k_eff - 1.0)
+                          / (CAST(u_k AS DOUBLE) / 4294967296.0) + 0.5)
+                    AS BIGINT) AS union_card_est
+        FROM sk, ex
+    """,
+    phase="P2",
+    tags=("agg", "sketch", "set-similarity"),
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-similarity sketch between the
+    first-half and second-half monthly active user sets: the k=64
+    smallest user digests of the UNION form the sketch, the fraction
+    of them present in BOTH sets estimates Jaccard, and the k-th
+    smallest normalized hash estimates union cardinality
+    ((k−1)/u_k) — the mergeable sketch behind audience-overlap and
+    cross-corpus-similarity dashboards, where the exact intersection
+    is a shuffle too far.  The exact Jaccard ships alongside (cheap
+    at membership grain) so the sketch error is VISIBLE in the
+    output — the agg_approx_distinct reporting convention.
+
+    Determinism: md5 replaces the usual random hash (byte-identical
+    on both engines — the sample_hash_consistent rule), so the
+    sketch, not just its accuracy class, is oracle-exact; ranks
+    order by the full digest with no ties possible.
+
+    Plan: ONE combinable per-user membership aggregate collapses
+    events to user grain; the row_number window and both reduces run
+    at that reduced grain.  At true 100 TB user cardinality the
+    global window swaps for the standard per-partition top-k +
+    merge (TakeOrdered k over partial k-mins) — same sketch, no
+    global sort; sketches for different sets/epochs merge by
+    re-ranking the union of their k-mins."""
+    e = load(spark, sf_dir, "events")
+    halves = e.groupBy("user_id").agg(
+        F.max(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_a"),
+        F.max(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_b"),
+    )
+    halves = halves.select(
+        "in_a",
+        "in_b",
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+    )
+    ranked = halves.select(
+        "in_a",
+        "in_b",
+        "h",
+        F.row_number().over(Window.orderBy("h")).alias("rk"),
+    )
+    sk = ranked.filter(F.col("rk") <= 64).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("bigint")
+        .alias("inter_kmv"),
+        F.max(
+            F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint")
+        ).alias("u_k"),
+    )
+    ex = halves.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("bigint")
+        .alias("n_inter"),
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "k_eff",
+        "inter_kmv",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.floor(
+            F.col("inter_kmv").cast("double") / F.col("k_eff")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("jaccard_est_micro"),
+        F.floor(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("jaccard_true_micro"),
+        F.floor(
+            (F.col("k_eff") - F.lit(1.0))
+            / (F.col("u_k").cast("double") / F.lit(4294967296.0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("union_card_est"),
+    )

@@ -237,6 +237,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_regression_metrics",
     "ts_bollinger_bands",
     "agg_mutual_info",
+    "agg_weighted_median",
+    "agg_kmv_jaccard",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

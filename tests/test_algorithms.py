@@ -2730,3 +2730,81 @@ def test_mutual_info_matches_python_and_bounds(spark, sf_dir):
     assert (r.mi_pico, r.hx_pico, r.hy_pico) == (mi, hx, hy)
     assert 0 <= r.nmi_micro <= 1_000_000
     assert r.mi_pico <= min(hx, hy) + len(cells)  # quantization slack
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    """Weighted quartiles must match a Python recompute over the
+    cumulative-weight definition, and order p25 ≤ p50 ≤ p75."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    r = agg_weighted_median(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").collect()
+    w_by = collections.Counter()
+    for x in li:
+        v = math.floor(x.l_extendedprice * 100.0 + 0.5)
+        w_by[v] += math.floor(x.l_quantity + 0.5)
+    W = sum(w_by.values())
+
+    def pick(num, den):
+        cw = 0
+        for v in sorted(w_by):
+            cw += w_by[v]
+            if den * cw >= num * W:
+                return v
+        raise AssertionError
+
+    assert r.w_total == W
+    assert r.n_values == len(w_by)
+    assert r.p25_cents == pick(1, 4)
+    assert r.p50_cents == pick(1, 2)
+    assert r.p75_cents == pick(3, 4)
+    assert r.p25_cents <= r.p50_cents <= r.p75_cents
+
+
+def test_kmv_jaccard_sketch_and_truth(spark, sf_dir):
+    """The sketch must equal a Python recompute over the same md5
+    ranking; the exact Jaccard must reconcile; and with k ≥ the
+    user count the estimate must EQUAL the truth's numerator set."""
+    import hashlib
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_kmv_jaccard,
+    )
+
+    r = agg_kmv_jaccard(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    in_a: set = set()
+    in_b: set = set()
+    users: set = set()
+    for x in rows:
+        users.add(x.user_id)
+        if x.ts.day <= 15:
+            in_a.add(x.user_id)
+        else:
+            in_b.add(x.user_id)
+    hs = sorted(
+        (hashlib.md5(str(u).encode()).hexdigest(), u) for u in users
+    )
+    k = min(64, len(hs))
+    kmv = hs[:k]
+    inter = sum(1 for _, u in kmv if u in in_a and u in in_b)
+    assert r.k_eff == k
+    assert r.inter_kmv == inter
+    assert (r.n_a, r.n_b) == (len(in_a), len(in_b))
+    assert r.n_inter == len(in_a & in_b)
+    assert r.jaccard_est_micro == math.floor(inter / k * 1e6 + 0.5)
+    assert r.jaccard_true_micro == math.floor(
+        len(in_a & in_b) / len(in_a | in_b) * 1e6 + 0.5
+    )
+    u_k = int(kmv[-1][0][:8], 16)
+    assert r.union_card_est == math.floor(
+        (k - 1.0) / (u_k / 4294967296.0) + 0.5
+    )
