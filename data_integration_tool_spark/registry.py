@@ -115,6 +115,15 @@ _loaded = False
 # etl_schema_evolution — live-stream/mergeSchema invariants,
 # pytest-pinned), then the oldest r1 greens for re-proof plus a fresh
 # sample_stratified row.
+# r7 third-session update: 16 NEW operators registered after the r7
+# window froze. The first 11 (eval_ndcg_at_k .. graph_degree_
+# assortativity) slot into the queue so the prospective r8 window
+# (entries 50-99 of specs()) is EXACTLY 50 = 47 full-oracle + the 3
+# rows-only-by-design stream/schema names. The remaining 5
+# (eval_regression_metrics, ts_bollinger_bands, agg_mutual_info,
+# agg_weighted_median, agg_kmv_jaccard — all full-oracle, all
+# exact-checked at sf0.001/0.01/0.1) land at entries 100-104 and head
+# the r9 queue, in front of the oldest-r1-green re-proof block.
 # Greens from r2-r6 stay behind the cut — their proof stands in
 # CORRECTNESS_r{1..6}.json. Names absent from this list keep
 # registration order after it.
