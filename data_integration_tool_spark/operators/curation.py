@@ -1283,3 +1283,107 @@ def feat_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature_idx")
     )
+
+
+# Weight-of-evidence / information-value terms over the smoothed cell
+# rates, spelled once.  Laplace +0.5 per cell (+K/2 on each class
+# total, K = 24 hour cells) keeps empty cells finite; both the woe and
+# the iv contribution pico-quantize at the cell so the IV reduction is
+# an order-free integer sum.
+_WOE = (
+    "ln(((CAST(pos_c AS DOUBLE) + 0.5) / (p_tot + 12.0))"
+    " / ((CAST(neg_c AS DOUBLE) + 0.5) / (n_tot + 12.0)))"
+)
+_WOE_T = f"CAST(floor({_WOE} * 1000000000000.0 + 0.5) AS BIGINT)"
+_IV_T = (
+    f"CAST(floor(((CAST(pos_c AS DOUBLE) + 0.5) / (p_tot + 12.0)"
+    f" - (CAST(neg_c AS DOUBLE) + 0.5) / (n_tot + 12.0)) * {_WOE}"
+    f" * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "feat_woe_iv",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS hour_of_day,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS pos_c,
+                   CAST(count(*) FILTER (WHERE event_type <> 'purchase')
+                        AS BIGINT) AS neg_c
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT hour_of_day, pos_c, neg_c,
+                   CAST(sum(pos_c) OVER () AS BIGINT) AS p_tot,
+                   CAST(sum(neg_c) OVER () AS BIGINT) AS n_tot
+            FROM cells
+        ), terms AS (
+            SELECT hour_of_day, pos_c, neg_c,
+                   {_WOE_T} AS woe_pico,
+                   {_IV_T}  AS iv_term_pico
+            FROM tot
+        )
+        SELECT hour_of_day, pos_c, neg_c, woe_pico, iv_term_pico,
+               CAST(sum(iv_term_pico) OVER () AS BIGINT) AS iv_total_pico
+        FROM terms
+        ORDER BY hour_of_day
+    """,
+    phase="P4",
+    tags=("curation", "features", "woe"),
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value for a
+    categorical feature against a binary target (hour-of-day vs
+    purchase) — the credit-scoring-standard supervised encoder and
+    its feature-strength summary (IV < 0.02 useless, > 0.3 strong):
+    WoE_c = ln((pos_c/P)/(neg_c/N)) with Laplace +0.5 smoothing so an
+    empty cell yields a finite extreme score instead of ±inf.
+    Companion to feat_target_encode (continuous target) — this is
+    the binary-target sibling whose encoding is monotone in the
+    cell's class ratio.
+
+    Exactness: cell counts are exact BIGINTs; WoE and the IV
+    contribution pico-quantize per cell (the ln rule), so the IV
+    total is an order-free integer window sum over the 24-cell
+    relation.  Everything after the first aggregate touches only the
+    dictionary-sized cell table.
+
+    Plan: ONE combinable FILTER-clause (cell) aggregate collapses
+    the corpus; class totals are window sums over the TINY cell
+    relation (the agg_chi2_independence shape).  The fitted encoder
+    broadcasts; applying it is an expression-level CASE."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("pos_c"),
+        F.count(F.when(F.col("event_type") != "purchase", 1))
+        .cast("bigint")
+        .alias("neg_c"),
+    )
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "hour_of_day",
+        "pos_c",
+        "neg_c",
+        F.sum("pos_c").over(w_all).cast("bigint").alias("p_tot"),
+        F.sum("neg_c").over(w_all).cast("bigint").alias("n_tot"),
+    )
+    terms = tot.select(
+        "hour_of_day",
+        "pos_c",
+        "neg_c",
+        F.expr(_WOE_T).alias("woe_pico"),
+        F.expr(_IV_T).alias("iv_term_pico"),
+    )
+    return terms.select(
+        "hour_of_day",
+        "pos_c",
+        "neg_c",
+        "woe_pico",
+        "iv_term_pico",
+        F.sum("iv_term_pico").over(w_all).cast("bigint").alias("iv_total_pico"),
+    ).orderBy("hour_of_day")

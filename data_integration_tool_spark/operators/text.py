@@ -935,3 +935,133 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Zipf rank-frequency OLS over pico-quantized log terms, spelled once.
+# Moment columns: n (ranks fitted), sx/sy (Σ pico ln rank / ln freq),
+# sxy/sxx (Σ pico of the PRODUCTS, quantized per-rank — a product of two
+# pico ints would overflow int64, and a float Σ would be order-
+# dependent).  Every /1e12 de-scaling is explicit in the one spelling.
+_ZIPF_SLOPE = (
+    "((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sy AS DOUBLE) / 1000000000000.0))"
+    " / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sx AS DOUBLE) / 1000000000000.0)))"
+)
+_ZIPF_ICEPT = (
+    f"((CAST(sy AS DOUBLE) / 1000000000000.0) / n"
+    f" - {_ZIPF_SLOPE} * (CAST(sx AS DOUBLE) / 1000000000000.0) / n)"
+)
+
+_ZIPF_HEAD = 200
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS f
+            FROM toks WHERE token <> '' GROUP BY token
+        ), ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+            FROM freq
+        ), terms AS (
+            SELECT CAST(floor(ln(CAST(r AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS qx,
+                   CAST(floor(ln(CAST(f AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS qy,
+                   CAST(floor(ln(CAST(r AS DOUBLE))
+                        * ln(CAST(f AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS qxy,
+                   CAST(floor(ln(CAST(r AS DOUBLE))
+                        * ln(CAST(r AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS qxx
+            FROM ranked WHERE r <= {_ZIPF_HEAD}
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(qx) AS BIGINT)  AS sx,
+                   CAST(sum(qy) AS BIGINT)  AS sy,
+                   CAST(sum(qxy) AS BIGINT) AS sxy,
+                   CAST(sum(qxx) AS BIGINT) AS sxx
+            FROM terms
+        )
+        SELECT n, sx, sy, sxy, sxx,
+               CAST(floor({_ZIPF_SLOPE} * 1000000.0 + 0.5) AS BIGINT)
+                   AS slope_micro,
+               CAST(floor({_ZIPF_ICEPT} * 1000000.0 + 0.5) AS BIGINT)
+                   AS intercept_micro
+        FROM m
+    """,
+    phase="P3",
+    tags=("text", "zipf", "corpus-health"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: OLS slope of
+    ln(frequency) on ln(rank) for the top-200 tokens — natural text
+    sits near slope −1, and a corpus whose exponent drifts (template
+    spam: too flat; boilerplate floods: too steep) fails the
+    corpus-health gate before training.  Intercept estimates
+    ln(top-frequency), closing the (rank → expected count) model.
+
+    Exactness: frequencies and ranks are exact integers (rank ties
+    broken by token); each ln-crossing regression term (x, y, xy, xx)
+    is PICO-quantized the moment it is computed — a pico×pico
+    integer product would overflow and a float Σ would be order-
+    dependent — so all moments are order-free BIGINT sums, and
+    slope/intercept are one shared spelled IEEE expression.
+
+    Plan: combinable token-frequency aggregate (corpus → vocabulary
+    grain), one ranking window at that reduced grain with an
+    immediate head filter (200 rows survive), and a single-row
+    reduce.  The fit cost is vocabulary-bounded, never corpus-
+    bounded; at open-vocabulary scale the head filter swaps to
+    agg_heavy_hitters' top-k first."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "token"))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_HEAD)
+    lnr = F.log(F.col("r").cast("double"))
+    lnf = F.log(F.col("f").cast("double"))
+    pico = F.lit(1000000000000.0)
+    terms = ranked.select(
+        F.floor(lnr * pico + F.lit(0.5)).cast("bigint").alias("qx"),
+        F.floor(lnf * pico + F.lit(0.5)).cast("bigint").alias("qy"),
+        F.floor(lnr * lnf * pico + F.lit(0.5)).cast("bigint").alias("qxy"),
+        F.floor(lnr * lnr * pico + F.lit(0.5)).cast("bigint").alias("qxx"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum("qxy").cast("bigint").alias("sxy"),
+        F.sum("qxx").cast("bigint").alias("sxx"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.floor(F.expr(_ZIPF_SLOPE) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.floor(F.expr(_ZIPF_ICEPT) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("intercept_micro"),
+    )

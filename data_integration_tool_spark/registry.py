@@ -248,6 +248,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_mutual_info",
     "agg_weighted_median",
     "agg_kmv_jaccard",
+    "text_zipf_fit",
+    "feat_woe_iv",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -2808,3 +2808,84 @@ def test_kmv_jaccard_sketch_and_truth(spark, sf_dir):
     assert r.union_card_est == math.floor(
         (k - 1.0) / (u_k / 4294967296.0) + 0.5
     )
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Slope/intercept must match a numpy OLS over the same quantized
+    log terms, and the slope must be negative (frequency decreasing
+    in rank)."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import text_zipf_fit
+
+    r = text_zipf_fit(spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents").collect()
+    freq = collections.Counter()
+    for d in docs:
+        for t in d.text.lower().split(" "):
+            if t:
+                freq[t] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    n = len(ranked)
+    qx = [math.floor(math.log(i + 1) * 1e12 + 0.5) for i in range(n)]
+    qy = [
+        math.floor(math.log(f) * 1e12 + 0.5) for _, f in ranked
+    ]
+    qxy = [
+        math.floor(math.log(i + 1) * math.log(f) * 1e12 + 0.5)
+        for i, (_, f) in enumerate(ranked)
+    ]
+    qxx = [
+        math.floor(math.log(i + 1) ** 2 * 1e12 + 0.5) for i in range(n)
+    ]
+    assert (r.n, r.sx, r.sy, r.sxy, r.sxx) == (
+        n, sum(qx), sum(qy), sum(qxy), sum(qxx),
+    )
+    sx, sy, sxy, sxx = (
+        sum(qx) / 1e12, sum(qy) / 1e12, sum(qxy) / 1e12, sum(qxx) / 1e12,
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = sy / n - slope * sx / n
+    assert abs(r.slope_micro / 1e6 - slope) < 2e-6
+    assert abs(r.intercept_micro / 1e6 - icept) < 2e-6
+    assert r.slope_micro < 0
+
+
+def test_woe_iv_matches_python_and_sums(spark, sf_dir):
+    """Per-cell WoE must match a Python recompute with the same
+    smoothing and quantization; IV total must equal the term sum and
+    be non-negative."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import feat_woe_iv
+
+    rows = feat_woe_iv(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").collect()
+    pos = collections.Counter()
+    neg = collections.Counter()
+    for x in ev:
+        (pos if x.event_type == "purchase" else neg)[x.ts.hour] += 1
+    P = sum(pos.values())
+    N = sum(neg.values())
+    iv_sum = 0
+    for r in rows:
+        p_c, n_c = pos.get(r.hour_of_day, 0), neg.get(r.hour_of_day, 0)
+        assert (r.pos_c, r.neg_c) == (p_c, n_c)
+        woe = math.log(
+            ((p_c + 0.5) / (P + 12.0)) / ((n_c + 0.5) / (N + 12.0))
+        )
+        assert r.woe_pico == math.floor(woe * 1e12 + 0.5)
+        t = math.floor(
+            ((p_c + 0.5) / (P + 12.0) - (n_c + 0.5) / (N + 12.0))
+            * woe * 1e12 + 0.5
+        )
+        assert r.iv_term_pico == t
+        iv_sum += t
+    assert all(r.iv_total_pico == iv_sum for r in rows)
+    # IV is a sum of (a-b)ln(a/b) terms — each non-negative up to
+    # quantization slack
+    assert iv_sum >= -len(rows)
