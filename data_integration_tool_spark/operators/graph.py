@@ -909,3 +909,128 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("r_micro"),
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 = 0
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (
+                SELECT pa AS node FROM pairs
+                UNION ALL
+                SELECT pb AS node FROM pairs
+            ) GROUP BY node
+        ), w AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ), tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.pb = e2.pa
+            JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0 THEN
+                    CAST(floor(3.0 * n_triangles / n_wedges
+                               * 1000000.0 + 0.5) AS BIGINT)
+               END AS global_cc_micro
+        FROM w, tri, m
+    """,
+    phase="P3",
+    tags=("graph", "clustering-coefficient"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-occurrence graph: C = 3·triangles / wedges — what fraction of
+    open two-paths close.  The density companion to
+    graph_degree_assortativity (who hubs attach to) and
+    graph_triangles (the raw closure count): together they
+    characterize whether the basket graph is clique-like (recommender
+    co-purchase neighborhoods work) or hub-and-spoke (they won't).
+    Same edge base and %5 order slice, shared with the oracle.
+
+    Exactness: all four counts are exact BIGINTs; wedges fold from
+    the degree table as Σd(d−1)/2 (integer — d(d−1) is always even);
+    the coefficient is one IEEE division, NULL for a wedge-free
+    graph.
+
+    Plan: wedges come from ONE combinable degree aggregate — no
+    wedge enumeration; only the triangle closure enumerates paths
+    (the key-ordered two-hop + closure joins, each a keyed shuffle
+    AQE re-balances).  Cost is the triangle join, identical to
+    graph_triangles' class; the three scalar relations combine via
+    broadcast single-row cross joins."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    w = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        w.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    F.lit(3.0)
+                    * F.col("n_triangles")
+                    / F.col("n_wedges")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("global_cc_micro"),
+        )
+    )

@@ -1567,3 +1567,70 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_below_micro"),
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+        WITH grp AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS sz,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0)
+                        AS BIGINT)) AS BIGINT) AS l
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(sz) AS BIGINT)  AS n_rows,
+               CAST(min(l) AS BIGINT)   AS l_diversity,
+               CAST(count(*) FILTER (WHERE l < 3) AS BIGINT)
+                   AS classes_below_3,
+               CAST(coalesce(sum(sz) FILTER (WHERE l < 3), 0)
+                    AS BIGINT) AS rows_below_3,
+               CAST(floor(CAST(coalesce(sum(sz) FILTER (WHERE l < 3),
+                          0) AS DOUBLE) * 1000000.0 / sum(sz) + 0.5)
+                    AS BIGINT) AS pct_below_micro
+        FROM grp
+    """,
+    phase="P3",
+    tags=("quality", "privacy", "l-diversity"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — dq_k_anonymity's stronger sibling: a
+    k-anonymous class is still unsafe if everyone in it SHARES the
+    sensitive value (the homogeneity attack), so l counts DISTINCT
+    sensitive values (account-balance band, 2000-wide) per
+    quasi-identifier class and reports the worst class plus the
+    population exposed below l = 3.  Run together, the pair gates a
+    release on both class size AND class heterogeneity.
+
+    Plan: ONE combinable groupBy with a distinct-count to
+    equivalence-class grain (the distinct folds inside the same
+    exchange — Spark expands it to a two-level aggregate, still one
+    shuffle family), then a single-row FILTER-clause reduce.
+    Bounded by the QI-value product; all outputs exact BIGINTs with
+    the one ratio micro-quantized beside num/den."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint")
+    grp = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct(band).cast("bigint").alias("l"),
+    )
+    low = F.col("l") < 3
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.count(F.when(low, 1)).cast("bigint").alias("classes_below_3"),
+        F.coalesce(F.sum(F.when(low, F.col("sz"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_below_3"),
+        F.floor(
+            F.coalesce(F.sum(F.when(low, F.col("sz"))), F.lit(0))
+            .cast("double")
+            * F.lit(1000000.0)
+            / F.sum("sz")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pct_below_micro"),
+    )

@@ -250,6 +250,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_kmv_jaccard",
     "text_zipf_fit",
     "feat_woe_iv",
+    "dq_l_diversity",
+    "etl_late_arriving_dim",
+    "graph_clustering_coeff",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -1495,3 +1495,82 @@ def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "etl_late_arriving_dim",
+    oracle="""
+        WITH available AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+        ), waiting AS (
+            SELECT o.o_custkey AS custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders_waiting,
+                   min(CAST(o.o_orderdate AS DATE)) AS first_order_date,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS waiting_cents
+            FROM orders o
+            LEFT JOIN available a ON o.o_custkey = a.c_custkey
+            WHERE a.c_custkey IS NULL
+            GROUP BY o.o_custkey
+        )
+        SELECT custkey, n_orders_waiting, first_order_date,
+               waiting_cents,
+               'INFERRED-' || CAST(custkey AS VARCHAR) AS placeholder_name
+        FROM waiting
+        ORDER BY custkey
+    """,
+    phase="P3",
+    tags=("etl", "late-arriving-dimension"),
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handler (Kimball's "inferred members"):
+    facts that reference a dimension key the dimension feed has not
+    delivered yet must not be dropped or block the load — the
+    warehouse inserts a placeholder row per missing key and resolves
+    it when the real member lands.  This emits exactly that insert
+    plan: one placeholder per fact-referenced-but-absent key, with
+    the waiting-fact exposure (count, first date, revenue) that
+    prioritizes chasing the upstream feed.  The "late" subset is
+    simulated by withholding every 97th customer (shared predicate
+    with the oracle), the etl_partition_layout determinism
+    convention.
+
+    Plan: LEFT ANTI semantics via a null-probed LEFT join from facts
+    to the available dimension keys (the dim side is the small build
+    side — broadcast at any realistic dim/fact ratio), then ONE
+    combinable per-key aggregate.  One full-width pass over facts;
+    output is bounded by the missing-key count, which is exactly the
+    thing being audited."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    available = c.filter(F.col("c_custkey") % 97 != 0).select("c_custkey")
+    waiting = (
+        o.join(
+            F.broadcast(available),
+            o.o_custkey == available.c_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_waiting"),
+            F.min(F.col("o_orderdate").cast("date")).alias(
+                "first_order_date"
+            ),
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("waiting_cents"),
+        )
+    )
+    return waiting.select(
+        "custkey",
+        "n_orders_waiting",
+        "first_order_date",
+        "waiting_cents",
+        F.concat(F.lit("INFERRED-"), F.col("custkey").cast("string")).alias(
+            "placeholder_name"
+        ),
+    ).orderBy("custkey")

@@ -2889,3 +2889,105 @@ def test_woe_iv_matches_python_and_sums(spark, sf_dir):
     # IV is a sum of (a-b)ln(a/b) terms — each non-negative up to
     # quantization slack
     assert iv_sum >= -len(rows)
+
+
+def test_l_diversity_matches_python(spark, sf_dir):
+    """l and the exposure tallies must match a Python recompute over
+    the QI classes and sensitive bands; l ≤ k for every class."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_l_diversity,
+    )
+
+    r = dq_l_diversity(spark, sf_dir).collect()[0]
+    c = load(spark, sf_dir, "customer").collect()
+    classes = collections.defaultdict(list)
+    for x in c:
+        classes[(x.c_nationkey, x.c_mktsegment)].append(
+            math.floor(x.c_acctbal / 2000.0)
+        )
+    ls = {k: len(set(v)) for k, v in classes.items()}
+    low = [k for k, l in ls.items() if l < 3]
+    assert r.n_classes == len(classes)
+    assert r.n_rows == len(c)
+    assert r.l_diversity == min(ls.values())
+    assert r.classes_below_3 == len(low)
+    assert r.rows_below_3 == sum(len(classes[k]) for k in low)
+    for k, l in ls.items():
+        assert l <= len(classes[k])
+
+
+def test_late_arriving_dim_covers_exactly_missing_keys(spark, sf_dir):
+    """The inferred-member plan must list exactly the fact-referenced
+    keys withheld by the %97 rule, with correct waiting stats."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        etl_late_arriving_dim,
+    )
+
+    rows = {r.custkey: r for r in etl_late_arriving_dim(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").collect()
+    cust = {c.c_custkey for c in load(spark, sf_dir, "customer").collect()}
+    available = {k for k in cust if k % 97 != 0}
+    waiting = collections.defaultdict(list)
+    for o in orders:
+        if o.o_custkey not in available:
+            waiting[o.o_custkey].append(o)
+    assert set(rows) == set(waiting)
+    for k, os_ in waiting.items():
+        r = rows[k]
+        assert r.n_orders_waiting == len(os_)
+        assert r.waiting_cents == sum(
+            math.floor(o.o_totalprice * 100.0 + 0.5) for o in os_
+        )
+        assert r.placeholder_name == f"INFERRED-{k}"
+
+
+def test_clustering_coeff_matches_python(spark, sf_dir):
+    """Wedges, triangles, and the coefficient must match a Python
+    recompute over the same sliced edge list; 3T ≤ W always."""
+    import collections
+    import itertools
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_clustering_coeff,
+    )
+
+    r = graph_clustering_coeff(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").collect()
+    by_order = collections.defaultdict(set)
+    for x in li:
+        if x.l_orderkey % 5 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    eset = edges
+    tris = 0
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    for a, b in edges:
+        tris += len(adj[a] & adj[b])
+    assert (r.n_nodes, r.n_edges) == (len(deg), len(edges))
+    assert r.n_wedges == wedges
+    assert r.n_triangles == tris
+    assert 3 * r.n_triangles <= r.n_wedges
+    if wedges:
+        assert r.global_cc_micro == math.floor(
+            3.0 * tris / wedges * 1e6 + 0.5
+        )
