@@ -253,6 +253,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_l_diversity",
     "etl_late_arriving_dim",
     "graph_clustering_coeff",
+    "emb_silhouette",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

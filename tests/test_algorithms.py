@@ -2991,3 +2991,59 @@ def test_clustering_coeff_matches_python(spark, sf_dir):
         assert r.global_cc_micro == math.floor(
             3.0 * tris / wedges * 1e6 + 0.5
         )
+
+
+def test_silhouette_matches_numpy_recompute(spark, sf_dir):
+    """Per-label simplified silhouette must match a numpy recompute
+    with the same quantization chain, and sit in [-1e6, 1e6]."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        emb_silhouette,
+    )
+
+    out = {r.label: r for r in emb_silhouette(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "embeddings").collect()
+    vm = {
+        x.vec_id: np.array(
+            [math.floor(float(v) * 1e6 + 0.5) for v in x.embedding],
+            dtype=np.int64,
+        )
+        for x in e
+    }
+    lab = {x.vec_id: x.label for x in e}
+    by_label = collections.defaultdict(list)
+    for vid, l in lab.items():
+        by_label[l].append(vid)
+    cent = {
+        l: np.array(
+            [
+                math.floor(sum(int(vm[v][d]) for v in vs) / len(vs) + 0.5)
+                for d in range(64)
+            ],
+            dtype=np.int64,
+        )
+        for l, vs in by_label.items()
+    }
+    sums = collections.Counter()
+    ns = collections.Counter()
+    for vid, l in lab.items():
+        dds = {
+            cl: int(((vm[vid] - c) ** 2).sum()) for cl, c in cent.items()
+        }
+        a = math.sqrt(dds[l])
+        b = math.sqrt(min(v for cl, v in dds.items() if cl != l))
+        s = math.floor((b - a) / max(a, b) * 1e6 + 0.5)
+        sums[l] += s
+        ns[l] += 1
+    for l, r in out.items():
+        assert r.n == ns[l]
+        assert r.s_sum_micro == sums[l]
+        assert r.mean_silhouette_micro == math.floor(
+            sums[l] / ns[l] + 0.5
+        )
+        assert -1_000_000 <= r.mean_silhouette_micro <= 1_000_000
