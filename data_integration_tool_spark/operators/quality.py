@@ -1634,3 +1634,138 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_below_micro"),
     )
+
+
+@query(
+    "dq_expectation_suite",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'lineitem_row_count_range' AS expectation,
+                   CAST(count(*) AS BIGINT) AS observed,
+                   'between 1e3 and 1e12' AS threshold,
+                   count(*) BETWEEN 1000 AND 1000000000000 AS pass
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders_custkey_not_null',
+                   CAST(count(*) FILTER (WHERE o_custkey IS NULL)
+                        AS BIGINT),
+                   '= 0',
+                   count(*) FILTER (WHERE o_custkey IS NULL) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'customer_custkey_unique',
+                   CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+                   '= 0',
+                   count(*) - count(DISTINCT c_custkey) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'orders_customer_referential',
+                   CAST(count(*) AS BIGINT),
+                   '= 0',
+                   count(*) = 0
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+            UNION ALL
+            SELECT 'events_freshness_min_date',
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(max(ts) AS DATE)) AS BIGINT),
+                   'max(ts) >= 2024-01-01',
+                   CAST(max(ts) AS DATE) >= DATE '2024-01-01'
+            FROM events
+            UNION ALL
+            SELECT 'events_type_in_domain',
+                   CAST(count(*) FILTER (WHERE event_type NOT IN
+                        ('click','view','purchase','signup','error'))
+                        AS BIGINT),
+                   '= 0',
+                   count(*) FILTER (WHERE event_type NOT IN
+                        ('click','view','purchase','signup','error'))
+                        = 0
+            FROM events
+        )
+        ORDER BY expectation
+    """,
+    phase="P3",
+    tags=("quality", "expectations", "suite"),
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite — the Great-Expectations-style
+    contract run as ONE query: six expectations (volume range,
+    not-null, uniqueness, referential integrity, freshness, value
+    domain) each emit a (name, observed, threshold, pass) audit row,
+    so a scheduler gates a load on `bool_and(pass)` and a human reads
+    WHICH contract broke and by how much — the one-stop alternative
+    to running dq_profile/dq_rules/dq_referential/dq_freshness
+    separately when all you need is the gate.
+
+    Plan: a UNION of six independent combinable audits — each is one
+    map-side-combined aggregate over exactly the columns it needs
+    (the referential check is a broadcast anti-join count); Spark
+    runs the branches as independent stages, so the suite's wall
+    clock is the slowest single audit, and each audit's exchange
+    carries one row.  Observations are exact BIGINTs; thresholds are
+    static strings so the report is self-describing."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    known = ("click", "view", "purchase", "signup", "error")
+    r1 = li.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lineitem_row_count_range").alias("expectation"),
+        F.col("n").cast("bigint").alias("observed"),
+        F.lit("between 1e3 and 1e12").alias("threshold"),
+        F.col("n").between(1000, 1000000000000).alias("pass"),
+    )
+    r2 = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")
+    ).select(
+        F.lit("orders_custkey_not_null").alias("expectation"),
+        F.col("n").cast("bigint").alias("observed"),
+        F.lit("= 0").alias("threshold"),
+        (F.col("n") == 0).alias("pass"),
+    )
+    r3 = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n")
+    ).select(
+        F.lit("customer_custkey_unique").alias("expectation"),
+        F.col("n").cast("bigint").alias("observed"),
+        F.lit("= 0").alias("threshold"),
+        (F.col("n") == 0).alias("pass"),
+    )
+    r4 = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("orders_customer_referential").alias("expectation"),
+            F.col("n").cast("bigint").alias("observed"),
+            F.lit("= 0").alias("threshold"),
+            (F.col("n") == 0).alias("pass"),
+        )
+    )
+    r5 = e.agg(F.max(F.col("ts").cast("date")).alias("d")).select(
+        F.lit("events_freshness_min_date").alias("expectation"),
+        F.unix_date(F.col("d")).cast("bigint").alias("observed"),
+        F.lit("max(ts) >= 2024-01-01").alias("threshold"),
+        (F.col("d") >= F.lit("2024-01-01").cast("date")).alias("pass"),
+    )
+    r6 = e.agg(
+        F.count(F.when(~F.col("event_type").isin(*known), 1)).alias("n")
+    ).select(
+        F.lit("events_type_in_domain").alias("expectation"),
+        F.col("n").cast("bigint").alias("observed"),
+        F.lit("= 0").alias("threshold"),
+        (F.col("n") == 0).alias("pass"),
+    )
+    return (
+        r1.unionAll(r2)
+        .unionAll(r3)
+        .unionAll(r4)
+        .unionAll(r5)
+        .unionAll(r6)
+        .orderBy("expectation")
+    )

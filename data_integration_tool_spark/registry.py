@@ -256,6 +256,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_late_arriving_dim",
     "graph_clustering_coeff",
     "emb_silhouette",
+    "ts_theil_sen",
+    "seq_attribution",
+    "dq_expectation_suite",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

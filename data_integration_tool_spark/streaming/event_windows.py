@@ -1686,3 +1686,266 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breakout"
         ),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(floor(CAST(sum(CAST(floor(value * 1000000.0
+                        + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), slopes AS (
+            SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) / (b.d - a.d)
+                        * 1000000.0 + 0.5) AS BIGINT) AS sm
+            FROM daily a JOIN daily b ON a.d < b.d
+        ), scum AS (
+            SELECT sm, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(count(*)) OVER (ORDER BY sm
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER () AS BIGINT) AS p
+            FROM slopes GROUP BY sm
+        ), fit AS (
+            SELECT CAST(min(CASE WHEN 2 * c >= p THEN sm END)
+                        AS BIGINT) AS slope_micro,
+                   CAST(max(p) AS BIGINT) AS n_pairs
+            FROM scum
+        ), icepts AS (
+            SELECT CAST(d.y * 1000000 - f.slope_micro * d.d AS BIGINT)
+                       AS bm
+            FROM daily d, fit f
+        ), icum AS (
+            SELECT bm, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(count(*)) OVER (ORDER BY bm
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER () AS BIGINT) AS p
+            FROM icepts GROUP BY bm
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+               f.n_pairs, f.slope_micro,
+               (SELECT CAST(floor(CAST(min(CASE WHEN 2 * c >= p
+                        THEN bm END) AS DOUBLE) / 1000000.0 + 0.5)
+                        AS BIGINT) FROM icum) AS intercept_micro
+        FROM fit f
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "robust-regression"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise daily
+    slopes, with the matching median intercept — the trend estimator
+    that shrugs off the outlier days that pull win_moving_regression's
+    OLS around (29.3% breakdown point vs OLS's zero).  Output is the
+    fitted line (micro-slope per day, micro-intercept at epoch) over
+    the daily mean-value series.
+
+    Exactness: every pairwise slope micro-quantizes the moment it is
+    computed (one IEEE division of exact integers), the median picks
+    by the ALL-INTEGER 2·cum ≥ P rule at distinct-slope grain (the
+    agg_weighted_median machinery — no engine median() whose
+    interpolation differs), and the intercept candidates
+    y·1e6 − slope_micro·d are EXACT integers, so the second median
+    is pure integer selection.
+
+    Plan: the corpus collapses to calendar grain first (one
+    combinable day aggregate); the pairwise self-join is
+    GRAIN-bounded — days², never rows² (a decade of dailies is ~6.6M
+    pairs, one task) — and both medians run the reduced-grain
+    histogram-selection shape.  The fitted scalar re-enters as a
+    broadcast single row, never a driver scalar."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d")
+    ).agg(
+        F.floor(
+            F.sum(micro(F.col("value"))).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.floor(
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sm")
+    )
+
+    def int_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Lower median by the all-integer 2·cum ≥ P selection at
+        distinct-value grain."""
+        grp = df.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = grp.select(
+            col,
+            F.sum("cnt").over(w).cast("bigint").alias("c"),
+            F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("p"),
+        )
+        return cum.agg(
+            F.min(F.when(2 * F.col("c") >= F.col("p"), F.col(col)))
+            .cast("bigint")
+            .alias(out),
+            F.max("p").cast("bigint").alias(f"_n_{out}"),
+        )
+
+    fit = int_median(slopes, "sm", "slope_micro")
+    icepts = daily.crossJoin(F.broadcast(fit)).select(
+        (F.col("y") * F.lit(1000000) - F.col("slope_micro") * F.col("d"))
+        .cast("bigint")
+        .alias("bm")
+    )
+    ifit = int_median(icepts, "bm", "b_raw")
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(ifit))
+        .select(
+            "n_days",
+            F.col("_n_slope_micro").alias("n_pairs"),
+            "slope_micro",
+            F.floor(
+                F.col("b_raw").cast("double") / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("intercept_micro"),
+        )
+    )
+
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1000000  # 7-day lookback
+
+
+@query(
+    "seq_attribution",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END AS touch
+            FROM events
+        ), attributed AS (
+            SELECT event_type, vm,
+                   coalesce(last_value(touch IGNORE NULLS) OVER w,
+                            '(none)') AS last_ch,
+                   coalesce(first_value(touch IGNORE NULLS) OVER w,
+                            '(none)') AS first_ch
+            FROM seq
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                               AND 1 PRECEDING)
+        ), purchases AS (
+            SELECT last_ch, first_ch, vm FROM attributed
+            WHERE event_type = 'purchase'
+        ), last_t AS (
+            SELECT last_ch AS channel,
+                   CAST(count(*) AS BIGINT) AS n_last_touch,
+                   CAST(sum(vm) AS BIGINT)  AS rev_last_micro
+            FROM purchases GROUP BY last_ch
+        ), first_t AS (
+            SELECT first_ch AS channel,
+                   CAST(count(*) AS BIGINT) AS n_first_touch,
+                   CAST(sum(vm) AS BIGINT)  AS rev_first_micro
+            FROM purchases GROUP BY first_ch
+        )
+        SELECT coalesce(l.channel, f.channel) AS channel,
+               CAST(coalesce(l.n_last_touch, 0) AS BIGINT)
+                   AS n_last_touch,
+               CAST(coalesce(l.rev_last_micro, 0) AS BIGINT)
+                   AS rev_last_micro,
+               CAST(coalesce(f.n_first_touch, 0) AS BIGINT)
+                   AS n_first_touch,
+               CAST(coalesce(f.rev_first_micro, 0) AS BIGINT)
+                   AS rev_first_micro
+        FROM last_t l FULL OUTER JOIN first_t f USING (channel)
+        ORDER BY channel
+    """,
+    phase="P3",
+    tags=("stream", "sequence", "attribution"),
+)
+def seq_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: credit each purchase to the LAST and
+    the FIRST touch event (click/view) in the 7 days strictly before
+    it, and roll purchases + revenue up by channel — the first-touch
+    vs last-touch comparison every growth team runs, with '(none)'
+    capturing organic purchases that had no touch in window.
+    Complements funnel_conversion (did the journey complete?) with
+    WHO GETS CREDIT.
+
+    Exactness: both credits come from IGNORE-NULLS edge values over
+    one integer-µs RANGE frame that excludes the purchase itself
+    (1 PRECEDING — the feat_pit_window leakage rule); (user, ts) is
+    unique in the fixture so the frame ordering is total (production
+    adds an event-id tiebreak to the order key).  Revenue is
+    quantize-then-sum.
+
+    Plan: NO self-join — one per-user sort exchange carries both
+    window edge-values, then two dictionary-sized channel aggregates
+    full-outer-merge (broadcast-sized relation).  Cost is one
+    full-width shuffle on user_id at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        micro(F.col("value")).alias("vm"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    attributed = seq.select(
+        "event_type",
+        "vm",
+        F.coalesce(F.last("touch", ignorenulls=True).over(w), F.lit("(none)")).alias("last_ch"),
+        F.coalesce(F.first("touch", ignorenulls=True).over(w), F.lit("(none)")).alias("first_ch"),
+    )
+    purchases = attributed.filter(F.col("event_type") == "purchase")
+    last_t = purchases.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_last_touch"),
+        F.sum("vm").cast("bigint").alias("rev_last_micro"),
+    )
+    first_t = purchases.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_first_touch"),
+        F.sum("vm").cast("bigint").alias("rev_first_micro"),
+    )
+    return (
+        last_t.join(first_t, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_last_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_last_touch"),
+            F.coalesce("rev_last_micro", F.lit(0))
+            .cast("bigint")
+            .alias("rev_last_micro"),
+            F.coalesce("n_first_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_first_touch"),
+            F.coalesce("rev_first_micro", F.lit(0))
+            .cast("bigint")
+            .alias("rev_first_micro"),
+        )
+        .orderBy("channel")
+    )

@@ -3047,3 +3047,95 @@ def test_silhouette_matches_numpy_recompute(spark, sf_dir):
             sums[l] / ns[l] + 0.5
         )
         assert -1_000_000 <= r.mean_silhouette_micro <= 1_000_000
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
+    """Slope/intercept must match a Python recompute of the
+    median-of-pairwise-slopes definition with the same quantization
+    and lower-median selection."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_theil_sen,
+    )
+
+    r = ts_theil_sen(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "events").collect()
+    n_by, s_by = collections.Counter(), collections.Counter()
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for x in rows:
+        d = (x.ts.date() - epoch).days
+        n_by[d] += 1
+        s_by[d] += math.floor(x.value * 1e6 + 0.5)
+    daily = {
+        d: math.floor(s_by[d] / n_by[d] + 0.5) for d in n_by
+    }
+    ds = sorted(daily)
+
+    def lower_median(vals):
+        sv = sorted(vals)
+        p = len(sv)
+        cum = 0
+        seen = collections.Counter(sv)
+        for v in sorted(seen):
+            cum += seen[v]
+            if 2 * cum >= p:
+                return v
+        raise AssertionError
+
+    slopes = [
+        math.floor((daily[b] - daily[a]) / (b - a) * 1e6 + 0.5)
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+    ]
+    slope = lower_median(slopes)
+    icepts = [daily[d] * 1000000 - slope * d for d in ds]
+    b_raw = lower_median(icepts)
+    assert r.n_days == len(ds)
+    assert r.n_pairs == len(slopes)
+    assert r.slope_micro == slope
+    assert r.intercept_micro == math.floor(b_raw / 1e6 + 0.5)
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Both credit schemes must distribute every purchase exactly
+    once, revenue must reconcile with the purchase total, and the
+    channel domain must be touches + '(none)'."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_attribution,
+    )
+
+    rows = seq_attribution(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").collect()
+    purchases = [x for x in ev if x.event_type == "purchase"]
+    total_rev = sum(math.floor(x.value * 1e6 + 0.5) for x in purchases)
+    assert sum(r.n_last_touch for r in rows) == len(purchases)
+    assert sum(r.n_first_touch for r in rows) == len(purchases)
+    assert sum(r.rev_last_micro for r in rows) == total_rev
+    assert sum(r.rev_first_micro for r in rows) == total_rev
+    assert {r.channel for r in rows} <= {"click", "view", "(none)"}
+
+
+def test_expectation_suite_reflects_fixture_contracts(spark, sf_dir):
+    """Every expectation must pass on the clean fixture, observed
+    values must match direct recomputes, and the report must be
+    self-describing (one row per expectation)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_expectation_suite,
+    )
+
+    rows = {r.expectation: r for r in dq_expectation_suite(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    assert all(r.pass_ if hasattr(r, "pass_") else r["pass"] for r in rows.values())
+    li_n = load(spark, sf_dir, "lineitem").count()
+    assert rows["lineitem_row_count_range"].observed == li_n
+    assert rows["orders_custkey_not_null"].observed == 0
+    assert rows["customer_custkey_unique"].observed == 0
+    assert rows["orders_customer_referential"].observed == 0
+    assert rows["events_type_in_domain"].observed == 0
