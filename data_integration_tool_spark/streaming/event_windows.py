@@ -1949,3 +1949,171 @@ def seq_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "seq_survival_km",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS t_last,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_evt
+            FROM events GROUP BY user_id
+        ), durs AS (
+            SELECT CASE WHEN t_evt IS NOT NULL
+                        THEN CAST(floor((t_evt - t0) / 86400000000.0)
+                             AS BIGINT)
+                        ELSE CAST(floor((t_last - t0) / 86400000000.0)
+                             AS BIGINT)
+                   END AS dur_days,
+                   CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS evt
+            FROM per_user
+        ), grp AS (
+            SELECT dur_days,
+                   CAST(sum(evt) AS BIGINT)       AS d,
+                   CAST(sum(1 - evt) AS BIGINT)   AS c,
+                   CAST(count(*) AS BIGINT)       AS cnt
+            FROM durs GROUP BY dur_days
+        ), risk AS (
+            SELECT dur_days, d, c,
+                   CAST(sum(cnt) OVER () - (sum(cnt) OVER (
+                        ORDER BY dur_days ROWS UNBOUNDED PRECEDING)
+                        - cnt) AS BIGINT) AS n_risk
+            FROM grp
+        ), terms AS (
+            SELECT dur_days, d, c, n_risk,
+                   CASE WHEN d > 0 AND d < n_risk THEN
+                        CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                             * 1000000000000.0 + 0.5) AS BIGINT)
+                        WHEN d = 0 THEN CAST(0 AS BIGINT)
+                   END AS lt
+            FROM risk
+        ), cum AS (
+            SELECT dur_days, d, c, n_risk,
+                   CAST(sum(lt) OVER (ORDER BY dur_days
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cl
+            FROM terms
+        )
+        SELECT dur_days, n_risk,
+               d AS n_events, c AS n_censored,
+               CASE WHEN cl IS NOT NULL THEN
+                    CAST(floor(exp(CAST(cl AS DOUBLE)
+                         / 1000000000000.0) * 1000000.0 + 0.5)
+                         AS BIGINT)
+               END AS survival_micro
+        FROM cum
+        WHERE d > 0
+        ORDER BY dur_days
+    """,
+    phase="P3",
+    tags=("stream", "sequence", "survival"),
+)
+def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase (days
+    from a user's first event), right-censoring users who never
+    purchase at their last observed activity — THE estimator for
+    time-to-event questions (conversion latency, churn, time-to-
+    failure) because naive averages are biased the moment anyone is
+    still alive at the end of the window.  Ŝ(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ) over event times, with the at-risk set shrinking by
+    both events and censorings.
+
+    Exactness: durations, event/censor tallies, and at-risk counts
+    are exact integers from ONE per-user reduce + one duration-grain
+    fold; the product becomes a SUM via ln (each step's
+    ln(1 − d/n) PICO-quantized at compute — the agg_mutual_info
+    rule), accumulated by an integer running window, and exp
+    re-crosses only at the final micro-quantized output.  A step
+    where d = n_risk (everyone fails) yields NULL downstream rather
+    than ln(0).
+
+    Plan: events collapse to USER grain in one combinable aggregate,
+    then to distinct-DURATION grain in a second; the risk-set window
+    and the cumulative-hazard window share one tiny sort at that
+    calendar-bounded grain.  One full-width exchange on user_id,
+    everything after is dictionary-sized."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("t_evt"),
+    )
+    day_us = F.lit(86400000000)
+    durs = per_user.select(
+        F.when(
+            F.col("t_evt").isNotNull(),
+            F.floor(
+                (F.col("t_evt") - F.col("t0")) / day_us.cast("double")
+            ).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("t_last") - F.col("t0")) / day_us.cast("double")
+            ).cast("bigint")
+        )
+        .alias("dur_days"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    grp = durs.groupBy("dur_days").agg(
+        F.sum("evt").cast("bigint").alias("d"),
+        F.sum(1 - F.col("evt")).cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    risk = grp.select(
+        "dur_days",
+        "d",
+        "c",
+        (
+            F.sum("cnt").over(w_all)
+            - (F.sum("cnt").over(w_cum) - F.col("cnt"))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    lt = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(
+            F.log(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+            )
+            * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).when(F.col("d") == 0, F.lit(0).cast("bigint"))
+    terms = risk.select("dur_days", "d", "c", "n_risk", lt.alias("lt"))
+    cum = terms.select(
+        "dur_days",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lt").over(w_cum).cast("bigint").alias("cl"),
+    )
+    return (
+        cum.filter(F.col("d") > 0)
+        .select(
+            "dur_days",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(
+                F.col("cl").isNotNull(),
+                F.floor(
+                    F.exp(
+                        F.col("cl").cast("double") / F.lit(1000000000000.0)
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("survival_micro"),
+        )
+        .orderBy("dur_days")
+    )

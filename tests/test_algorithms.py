@@ -3139,3 +3139,63 @@ def test_expectation_suite_reflects_fixture_contracts(spark, sf_dir):
     assert rows["customer_custkey_unique"].observed == 0
     assert rows["orders_customer_referential"].observed == 0
     assert rows["events_type_in_domain"].observed == 0
+
+
+def test_survival_km_matches_lifelines_free_recompute(spark, sf_dir):
+    """The curve must match a Python Kaplan-Meier recompute with the
+    same censoring rule, be non-increasing, and start ≤ 1."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_survival_km,
+    )
+
+    rows = sorted(
+        seq_survival_km(spark, sf_dir).collect(), key=lambda r: r.dur_days
+    )
+    ev = load(spark, sf_dir, "events").collect()
+    per = collections.defaultdict(list)
+    for x in ev:
+        per[x.user_id].append(x)
+    durs = []
+    for xs in per.values():
+        t0 = min(x.ts for x in xs)
+        purch = [x.ts for x in xs if x.event_type == "purchase"]
+        if purch:
+            t = min(purch)
+            durs.append((math.floor((t - t0).total_seconds() / 86400), 1))
+        else:
+            t = max(x.ts for x in xs)
+            durs.append((math.floor((t - t0).total_seconds() / 86400), 0))
+    grp_d = collections.Counter()
+    grp_c = collections.Counter()
+    for d, e_ in durs:
+        (grp_d if e_ else grp_c)[d] += 1
+    times = sorted(set(grp_d) | set(grp_c))
+    n = len(durs)
+    removed = 0
+    cl = 0
+    expect = {}
+    for t in times:
+        at_risk = n - removed
+        d = grp_d.get(t, 0)
+        if 0 < d < at_risk:
+            cl += math.floor(math.log(1.0 - d / at_risk) * 1e12 + 0.5)
+        if d > 0:
+            expect[t] = (
+                at_risk,
+                d,
+                grp_c.get(t, 0),
+                math.floor(math.exp(cl / 1e12) * 1e6 + 0.5),
+            )
+        removed += d + grp_c.get(t, 0)
+    assert {r.dur_days for r in rows} == set(expect)
+    prev = 1_000_001
+    for r in rows:
+        nr, d, c, s = expect[r.dur_days]
+        assert (r.n_risk, r.n_events, r.n_censored) == (nr, d, c)
+        assert r.survival_micro == s
+        assert r.survival_micro <= prev
+        prev = r.survival_micro
