@@ -1065,3 +1065,182 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_micro"),
     )
+
+
+@query(
+    "text_keyword_rake",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, u.i AS pos, ts[u.i] AS token
+            FROM (
+                SELECT doc_id, string_split(lower(text), ' ') AS ts
+                FROM documents
+            ), unnest(range(1, len(ts) + 1)) AS u(i)
+            WHERE ts[u.i] <> ''
+        ), freq0 AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS f
+            FROM toks GROUP BY token
+        ), stop AS (
+            SELECT token FROM (
+                SELECT token, row_number() OVER (ORDER BY f DESC,
+                       token) AS rk
+                FROM freq0
+            ) WHERE rk <= 5
+            UNION SELECT 'the' UNION SELECT 'a'
+        ), nonstop AS (
+            SELECT t.doc_id, t.pos, t.token,
+                   t.pos - row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.pos) AS island
+            FROM toks t LEFT JOIN stop s USING (token)
+            WHERE s.token IS NULL
+        ), occ AS (
+            SELECT doc_id, island,
+                   string_agg(token, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM nonstop GROUP BY doc_id, island
+        ), wstat AS (
+            SELECT n.token,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(o.plen) AS BIGINT) AS deg
+            FROM nonstop n JOIN occ o USING (doc_id, island)
+            GROUP BY n.token
+        ), wscore AS (
+            SELECT token,
+                   CAST(floor(CAST(deg AS DOUBLE) / freq
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS ws
+            FROM wstat
+        ), oscore AS (
+            SELECT o.phrase, o.plen,
+                   CAST(sum(w.ws) AS BIGINT) AS score_pico
+            FROM nonstop n
+            JOIN occ o USING (doc_id, island)
+            JOIN wscore w USING (token)
+            GROUP BY o.doc_id, o.island, o.phrase, o.plen
+        )
+        SELECT phrase, CAST(max(plen) AS BIGINT) AS phrase_len,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(floor(CAST(max(score_pico) AS DOUBLE)
+                    / 1000000.0 + 0.5) AS BIGINT) AS score_micro
+        FROM oscore
+        GROUP BY phrase
+        ORDER BY score_micro DESC, phrase
+        LIMIT 20
+    """,
+    phase="P3",
+    tags=("text", "keywords", "rake"),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs, each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it —
+    words that live in long collocations outrank merely-frequent
+    ones), and a phrase scores the sum of its word scores — the
+    phrase-level complement to text_tfidf's single-token keywords.
+    The stoplist is DATA-DERIVED (top-5 corpus tokens, count-ranked
+    with name tiebreak) plus the English articles present in the
+    fixture — the standard RAKE fallback when no language list
+    exists.
+
+    Exactness: runs come from the gaps-and-islands identity
+    (pos − row_number is constant within a run — the win_streak
+    trick); phrase text assembles in position order on both engines;
+    word scores pico-quantize per word (one IEEE division of exact
+    BIGINTs) so phrase scores are order-free integer sums; the
+    top-20 orders by the QUANTIZED score with the phrase as
+    tiebreak.
+
+    Plan: one posexplode scan → tiny stoplist broadcast anti-join →
+    per-doc islands window (bounded by document length, the
+    feat_pit rule) → three combinable aggregates (occurrences, word
+    stats, phrase scores) whose join keys are (doc, island) and
+    token — every shuffle is on reduced grain; the final TakeOrdered
+    is a 20-row reduce."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias(
+                "pos0", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    freq0 = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    top5 = (
+        freq0.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "token"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("token")
+    )
+    stop = top5.unionAll(
+        spark.createDataFrame([("the",), ("a",)], ["token"])
+    ).distinct()
+    nonstop = toks.join(F.broadcast(stop), "token", "left_anti").select(
+        "doc_id",
+        "pos",
+        "token",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("island"),
+    )
+    occ = nonstop.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "token"))
+                ),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    wstat = (
+        nonstop.join(occ, ["doc_id", "island"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "token",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq")
+            * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ws"),
+    )
+    oscore = (
+        nonstop.join(occ, ["doc_id", "island"])
+        .join(wscore, "token")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(F.sum("ws").cast("bigint").alias("score_pico"))
+    )
+    return (
+        oscore.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("phrase_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.floor(
+                F.max("score_pico").cast("double") / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(20)
+    )

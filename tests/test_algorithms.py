@@ -3199,3 +3199,71 @@ def test_survival_km_matches_lifelines_free_recompute(spark, sf_dir):
         assert r.survival_micro == s
         assert r.survival_micro <= prev
         prev = r.survival_micro
+
+
+def test_rake_matches_python_reference(spark, sf_dir):
+    """The top-20 phrases must match a straight Python RAKE with the
+    same data-derived stoplist, islands, and quantization chain."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        text_keyword_rake,
+    )
+
+    rows = text_keyword_rake(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").collect()
+    freq0 = collections.Counter()
+    toks_by_doc = {}
+    for d in docs:
+        ts = [t for t in d.text.lower().split(" ") if t]
+        toks_by_doc[d.doc_id] = ts
+        freq0.update(ts)
+    top5 = {
+        t
+        for t, _ in sorted(freq0.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    }
+    stop = top5 | {"the", "a"}
+    occurrences = []  # (phrase_tokens,)
+    for ts in toks_by_doc.values():
+        run = []
+        for t in ts:
+            if t in stop:
+                if run:
+                    occurrences.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            occurrences.append(run)
+    freq = collections.Counter()
+    deg = collections.Counter()
+    for run in occurrences:
+        for t in run:
+            freq[t] += 1
+            deg[t] += len(run)
+    ws = {
+        t: math.floor(deg[t] / freq[t] * 1e12 + 0.5) for t in freq
+    }
+    by_phrase = collections.defaultdict(list)
+    for run in occurrences:
+        by_phrase[" ".join(run)].append(sum(ws[t] for t in run))
+    scored = sorted(
+        (
+            (
+                math.floor(max(v) / 1e6 + 0.5),
+                p,
+                len(p.split(" ")),
+                len(v),
+            )
+            for p, v in by_phrase.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    assert len(rows) == 20
+    for r, (score, phrase, plen, nocc) in zip(rows, scored):
+        assert r.phrase == phrase
+        assert r.score_micro == score
+        assert r.phrase_len == plen
+        assert r.n_occ == nocc
