@@ -1854,27 +1854,24 @@ _ATTR_WINDOW_US = 7 * 24 * 3600 * 1000000  # 7-day lookback
         ), purchases AS (
             SELECT last_ch, first_ch, vm FROM attributed
             WHERE event_type = 'purchase'
-        ), last_t AS (
-            SELECT last_ch AS channel,
-                   CAST(count(*) AS BIGINT) AS n_last_touch,
-                   CAST(sum(vm) AS BIGINT)  AS rev_last_micro
-            FROM purchases GROUP BY last_ch
-        ), first_t AS (
-            SELECT first_ch AS channel,
-                   CAST(count(*) AS BIGINT) AS n_first_touch,
-                   CAST(sum(vm) AS BIGINT)  AS rev_first_micro
-            FROM purchases GROUP BY first_ch
+        ), melted AS (
+            SELECT 'last' AS kind, last_ch AS channel, vm
+            FROM purchases
+            UNION ALL
+            SELECT 'first' AS kind, first_ch AS channel, vm
+            FROM purchases
         )
-        SELECT coalesce(l.channel, f.channel) AS channel,
-               CAST(coalesce(l.n_last_touch, 0) AS BIGINT)
+        SELECT channel,
+               CAST(count(*) FILTER (WHERE kind = 'last') AS BIGINT)
                    AS n_last_touch,
-               CAST(coalesce(l.rev_last_micro, 0) AS BIGINT)
-                   AS rev_last_micro,
-               CAST(coalesce(f.n_first_touch, 0) AS BIGINT)
+               CAST(coalesce(sum(vm) FILTER (WHERE kind = 'last'), 0)
+                    AS BIGINT) AS rev_last_micro,
+               CAST(count(*) FILTER (WHERE kind = 'first') AS BIGINT)
                    AS n_first_touch,
-               CAST(coalesce(f.rev_first_micro, 0) AS BIGINT)
-                   AS rev_first_micro
-        FROM last_t l FULL OUTER JOIN first_t f USING (channel)
+               CAST(coalesce(sum(vm) FILTER (WHERE kind = 'first'), 0)
+                    AS BIGINT) AS rev_first_micro
+        FROM melted
+        GROUP BY channel
         ORDER BY channel
     """,
     phase="P3",
@@ -1897,9 +1894,14 @@ def seq_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize-then-sum.
 
     Plan: NO self-join — one per-user sort exchange carries both
-    window edge-values, then two dictionary-sized channel aggregates
-    full-outer-merge (broadcast-sized relation).  Cost is one
-    full-width shuffle on user_id at any corpus size."""
+    window edge-values; the two credit schemes then MELT into
+    (kind, channel) long form via an explode so a single
+    FILTER-clause aggregate produces all four measures.  The melt
+    (not a full-outer join of two per-scheme aggregates) matters:
+    Catalyst does no cross-branch CSE, so a join of two aggregates
+    over the same windowed subtree would scan and window the corpus
+    TWICE (the decon_ngram lesson).  Cost is one full-width shuffle
+    on user_id at any corpus size."""
     e = load(spark, sf_dir, "events")
     seq = e.select(
         "user_id",
@@ -1922,28 +1924,35 @@ def seq_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.first("touch", ignorenulls=True).over(w), F.lit("(none)")).alias("first_ch"),
     )
     purchases = attributed.filter(F.col("event_type") == "purchase")
-    last_t = purchases.groupBy(F.col("last_ch").alias("channel")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_last_touch"),
-        F.sum("vm").cast("bigint").alias("rev_last_micro"),
-    )
-    first_t = purchases.groupBy(F.col("first_ch").alias("channel")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_first_touch"),
-        F.sum("vm").cast("bigint").alias("rev_first_micro"),
-    )
+    melted = purchases.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last").alias("kind"),
+                    F.col("last_ch").alias("channel"),
+                    F.col("vm").alias("vm"),
+                ),
+                F.struct(
+                    F.lit("first").alias("kind"),
+                    F.col("first_ch").alias("channel"),
+                    F.col("vm").alias("vm"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.kind", "m.channel", "m.vm")
+    is_last = F.col("kind") == "last"
+    is_first = F.col("kind") == "first"
     return (
-        last_t.join(first_t, "channel", "full_outer")
-        .select(
-            "channel",
-            F.coalesce("n_last_touch", F.lit(0))
-            .cast("bigint")
-            .alias("n_last_touch"),
-            F.coalesce("rev_last_micro", F.lit(0))
+        melted.groupBy("channel")
+        .agg(
+            F.count(F.when(is_last, 1)).cast("bigint").alias("n_last_touch"),
+            F.coalesce(F.sum(F.when(is_last, F.col("vm"))), F.lit(0))
             .cast("bigint")
             .alias("rev_last_micro"),
-            F.coalesce("n_first_touch", F.lit(0))
+            F.count(F.when(is_first, 1))
             .cast("bigint")
             .alias("n_first_touch"),
-            F.coalesce("rev_first_micro", F.lit(0))
+            F.coalesce(F.sum(F.when(is_first, F.col("vm"))), F.lit(0))
             .cast("bigint")
             .alias("rev_first_micro"),
         )
