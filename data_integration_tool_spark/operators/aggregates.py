@@ -2430,3 +2430,109 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("union_card_est"),
     )
+
+
+# Cramér's V and its Bergsma-corrected variant, spelled once over the
+# exact integers (chi2 pico-quantized — it crosses float division).
+_CV_PHI2 = "(CAST(chi2_pico AS DOUBLE) / 1000000000000.0 / n)"
+_CV_V = f"sqrt({_CV_PHI2} / least(r - 1, c - 1))"
+
+
+@query(
+    "agg_cramers_v",
+    oracle=f"""
+        WITH obs AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT seg, pri, o,
+                   CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT)
+                       AS row_tot,
+                   CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT)
+                       AS col_tot,
+                   CAST(sum(o) OVER () AS BIGINT) AS nn
+            FROM obs
+        ), cells AS (
+            SELECT nn, seg, pri,
+                   CAST(floor((CAST(o AS DOUBLE)
+                        - CAST(row_tot AS DOUBLE) * col_tot / nn)
+                        * (CAST(o AS DOUBLE)
+                           - CAST(row_tot AS DOUBLE) * col_tot / nn)
+                        / (CAST(row_tot AS DOUBLE) * col_tot / nn)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS cp
+            FROM tot
+        ), m AS (
+            SELECT CAST(max(nn) AS BIGINT) AS n,
+                   CAST(count(DISTINCT seg) AS BIGINT) AS r,
+                   CAST(count(DISTINCT pri) AS BIGINT) AS c,
+                   CAST(sum(cp) AS BIGINT) AS chi2_pico
+            FROM cells
+        )
+        SELECT n, r, c, chi2_pico,
+               CAST(floor({_CV_V} * 1000000.0 + 0.5) AS BIGINT)
+                   AS v_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "effect-size"),
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT SIZE companion to
+    agg_chi2_independence's significance test (a p-value only says
+    dependence exists; V = √(χ²/n / min(r−1, c−1)) says how strong,
+    on a [0,1] scale comparable across tables): segment × priority
+    association strength, closing the categorical trio with
+    agg_mutual_info's information view.
+
+    Exactness: unlike the chi2 sibling (which float-sums 25 cell
+    contributions — acceptable at fixed contingency grain), every
+    cell contribution here PICO-quantizes at compute, so χ² reduces
+    as an order-free integer sum and V is one shared spelled IEEE
+    expression over four exact integers.
+
+    Plan: the contingency shape — one joined combinable count to
+    cell grain, margin windows over that tiny relation, single-row
+    reduce.  Bounded by the category product."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    tot = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).cast("bigint").alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("pri")).cast("bigint").alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).cast("bigint").alias("nn"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("nn")
+    cp = F.floor(
+        (F.col("o").cast("double") - exp)
+        * (F.col("o").cast("double") - exp)
+        / exp
+        * F.lit(1000000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = tot.select("nn", "seg", "pri", cp.alias("cp")).agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("r"),
+        F.countDistinct("pri").cast("bigint").alias("c"),
+        F.sum("cp").cast("bigint").alias("chi2_pico"),
+    )
+    return m.select(
+        "n",
+        "r",
+        "c",
+        "chi2_pico",
+        F.floor(F.expr(_CV_V) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_micro"),
+    )

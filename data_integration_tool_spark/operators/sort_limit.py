@@ -503,3 +503,83 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "sample_balanced_downsample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        ), target AS (
+            SELECT CAST(min(n) AS BIGINT) AS n_min FROM counts
+        ), ranked AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                event_id) AS rk
+            FROM events
+        )
+        SELECT r.event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(max(c.n) AS BIGINT) AS n_before,
+               CAST(max(t.n_min) AS BIGINT) AS n_target,
+               CAST(min(r.event_id) AS BIGINT) AS min_kept_id,
+               CAST(max(r.event_id) AS BIGINT) AS max_kept_id
+        FROM ranked r
+        JOIN counts c USING (event_type)
+        CROSS JOIN target t
+        WHERE r.rk <= t.n_min
+        GROUP BY r.event_type
+        ORDER BY r.event_type
+    """,
+    phase="P3",
+    tags=("sample", "class-balance"),
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class downsamples to the
+    MINORITY class size by keeping the N-smallest key digests — the
+    imbalance fix applied before training a classifier on skewed
+    labels, in the reproducible deterministic form (same kept set
+    every run, engine, and backfill — never sampleBy's RNG).  The
+    audit emits per-class kept/before/target counts plus the kept-id
+    envelope, so the downsample is verifiable without shipping the
+    row set.
+
+    Plan: one combinable class-count pass derives the minority
+    target (a broadcast single row); ranking reuses the
+    sample_topn_stratified digest-rank machinery — at 100 TB the
+    same two-phase cutoff prefilter applies (hash-filter to ~3·N
+    survivors per class before ranking, Chernoff-safe) since the
+    minority count is known before the window runs.  Here the
+    per-class window is the exact reference implementation."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    target = counts.agg(F.min("n").cast("bigint").alias("n_min"))
+    ranked = e.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.md5(F.col("event_id").cast("string").cast("binary")),
+                "event_id",
+            )
+        ).alias("rk"),
+    )
+    kept = ranked.crossJoin(F.broadcast(target)).filter(
+        F.col("rk") <= F.col("n_min")
+    )
+    return (
+        kept.join(F.broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("n").cast("bigint").alias("n_before"),
+            F.max("n_min").cast("bigint").alias("n_target"),
+            F.min("event_id").cast("bigint").alias("min_kept_id"),
+            F.max("event_id").cast("bigint").alias("max_kept_id"),
+        )
+        .orderBy("event_type")
+    )

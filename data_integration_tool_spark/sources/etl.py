@@ -1574,3 +1574,106 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "placeholder_name"
         ),
     ).orderBy("custkey")
+
+
+@query(
+    "etl_surrogate_key_plan",
+    oracle="""
+        WITH existing AS (
+            SELECT c_custkey AS nk,
+                   row_number() OVER (ORDER BY c_custkey) AS sk
+            FROM customer WHERE c_custkey % 97 <> 0
+        ), hwm AS (
+            SELECT CAST(coalesce(max(sk), 0) AS BIGINT) AS high_water
+            FROM existing
+        ), arrivals AS (
+            SELECT c.c_custkey AS nk
+            FROM customer c LEFT JOIN existing e ON c.c_custkey = e.nk
+            WHERE e.nk IS NULL
+        ), assigned AS (
+            SELECT nk,
+                   CAST((SELECT high_water FROM hwm)
+                        + row_number() OVER (ORDER BY nk) AS BIGINT)
+                       AS sk,
+                   'new' AS origin
+            FROM arrivals
+            UNION ALL
+            SELECT nk, CAST(sk AS BIGINT) AS sk, 'existing' AS origin
+            FROM existing
+        )
+        SELECT origin,
+               CAST(count(*) AS BIGINT)  AS n_keys,
+               CAST(min(sk) AS BIGINT)   AS sk_min,
+               CAST(max(sk) AS BIGINT)   AS sk_max,
+               CAST(count(DISTINCT sk) AS BIGINT) AS n_distinct_sk,
+               CAST(max(nk) AS BIGINT)   AS nk_max
+        FROM assigned
+        GROUP BY origin
+        ORDER BY origin
+    """,
+    phase="P3",
+    tags=("etl", "surrogate-keys"),
+)
+def etl_surrogate_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment with high-water-mark
+    continuation — the warehouse SK problem done RIGHT: existing
+    dimension members keep their keys, new arrivals get
+    high_water + rank(natural key), so re-running the load assigns
+    the SAME keys (the fix for monotonically_increasing_id /
+    row-order SKs, which are partition-layout-dependent and
+    non-reproducible by construction — banned here like RNG
+    sampling).  The audit emits, per origin, the key-range envelope
+    and a distinct-count that proves no collision across the
+    existing/new boundary.  Existing members simulate as the %97
+    complement (the etl_late_arriving_dim convention).
+
+    Plan: the arrivals anti-join broadcasts the key side; the two
+    row_number rankings run over key-sorted relations (the existing
+    side would be a stored attribute in production, not recomputed);
+    a dimension's cardinality bounds every stage — SK assignment is
+    dimension-scale work, never fact-scale."""
+    c = load(spark, sf_dir, "customer")
+    existing = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(F.col("c_custkey").alias("nk"))
+        .select(
+            "nk",
+            F.row_number().over(Window.orderBy("nk")).alias("sk"),
+        )
+    )
+    hwm = existing.agg(
+        F.coalesce(F.max("sk"), F.lit(0)).cast("bigint").alias("high_water")
+    )
+    arrivals = c.select(F.col("c_custkey").alias("nk")).join(
+        F.broadcast(existing.select("nk")), "nk", "left_anti"
+    )
+    new_assigned = (
+        arrivals.select(
+            "nk",
+            F.row_number().over(Window.orderBy("nk")).alias("rk"),
+        )
+        .crossJoin(F.broadcast(hwm))
+        .select(
+            "nk",
+            (F.col("high_water") + F.col("rk")).cast("bigint").alias("sk"),
+            F.lit("new").alias("origin"),
+        )
+    )
+    assigned = new_assigned.unionAll(
+        existing.select(
+            "nk",
+            F.col("sk").cast("bigint").alias("sk"),
+            F.lit("existing").alias("origin"),
+        )
+    )
+    return (
+        assigned.groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.min("sk").cast("bigint").alias("sk_min"),
+            F.max("sk").cast("bigint").alias("sk_max"),
+            F.countDistinct("sk").cast("bigint").alias("n_distinct_sk"),
+            F.max("nk").cast("bigint").alias("nk_max"),
+        )
+        .orderBy("origin")
+    )

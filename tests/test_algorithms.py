@@ -3267,3 +3267,90 @@ def test_rake_matches_python_reference(spark, sf_dir):
         assert r.score_micro == score
         assert r.phrase_len == plen
         assert r.n_occ == nocc
+
+
+def test_cramers_v_matches_numpy(spark, sf_dir):
+    """V must match a numpy recompute from the contingency table and
+    sit in [0, 1e6]."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_cramers_v,
+    )
+
+    r = agg_cramers_v(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    segs = sorted({x.c_mktsegment for x in obs})
+    pris = sorted({x.o_orderpriority for x in obs})
+    t = np.zeros((len(segs), len(pris)))
+    for x in obs:
+        t[segs.index(x.c_mktsegment), pris.index(x.o_orderpriority)] = x["count"]
+    exp = t.sum(1, keepdims=True) * t.sum(0, keepdims=True) / t.sum()
+    chi2 = ((t - exp) ** 2 / exp)[t > 0].sum()
+    v = math.sqrt(chi2 / t.sum() / min(len(segs) - 1, len(pris) - 1))
+    assert (r.r, r.c) == (len(segs), len(pris))
+    assert abs(r.chi2_pico / 1e12 - chi2) < 1e-6
+    assert abs(r.v_micro / 1e6 - v) < 1e-5
+    assert 0 <= r.v_micro <= 1_000_000
+
+
+def test_balanced_downsample_exact_minority_size(spark, sf_dir):
+    """Every class must keep exactly the minority-class count, and the
+    kept set must be the N smallest digests per class."""
+    import collections
+    import hashlib
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_balanced_downsample,
+    )
+
+    rows = sample_balanced_downsample(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").collect()
+    by_t = collections.defaultdict(list)
+    for x in ev:
+        by_t[x.event_type].append(x.event_id)
+    n_min = min(len(v) for v in by_t.values())
+    assert {r.event_type for r in rows} == set(by_t)
+    for r in rows:
+        assert r.n_kept == n_min
+        assert r.n_target == n_min
+        assert r.n_before == len(by_t[r.event_type])
+        kept = sorted(
+            by_t[r.event_type],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:n_min]
+        assert r.min_kept_id == min(kept)
+        assert r.max_kept_id == max(kept)
+
+
+def test_surrogate_keys_dense_and_collision_free(spark, sf_dir):
+    """Existing keys form 1..H, new keys continue H+1..H+M, and the
+    combined range is dense with no collisions."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        etl_surrogate_key_plan,
+    )
+
+    rows = {r.origin: r for r in etl_surrogate_key_plan(spark, sf_dir).collect()}
+    cust = [c.c_custkey for c in load(spark, sf_dir, "customer").collect()]
+    n_existing = sum(1 for k in cust if k % 97 != 0)
+    n_new = len(cust) - n_existing
+    ex, nw = rows["existing"], rows["new"]
+    assert (ex.n_keys, ex.n_distinct_sk) == (n_existing, n_existing)
+    assert (ex.sk_min, ex.sk_max) == (1, n_existing)
+    if n_new:
+        assert (nw.n_keys, nw.n_distinct_sk) == (n_new, n_new)
+        assert nw.sk_min == n_existing + 1
+        assert nw.sk_max == n_existing + n_new
