@@ -2126,3 +2126,181 @@ def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_days")
     )
+
+
+_PACF_L = 5
+
+
+def _durbin_steps(L: int) -> list[tuple[str, str]]:
+    """Durbin-Levinson recursion as an ORDERED list of (column, SQL)
+    steps in terms of the de-scaled lag correlations d1..dL and
+    previously-named phi columns.  Naming every level's coefficients
+    (instead of textually inlining the recursion) keeps the
+    expression LINEAR in L — the inlined tree grows ~5× per level
+    (111 KB at L=5) — and both engines evaluate each coefficient
+    exactly once, in the same order, from the same spelling."""
+    steps: list[tuple[str, str]] = [("p1_1", "d1")]
+    for k in range(2, L + 1):
+        num = " + ".join(f"p{k-1}_{j} * d{k-j}" for j in range(1, k))
+        den = " + ".join(f"p{k-1}_{j} * d{j}" for j in range(1, k))
+        steps.append(
+            (f"p{k}_{k}", f"((d{k} - ({num})) / (1.0 - ({den})))")
+        )
+        for j in range(1, k):
+            steps.append(
+                (f"p{k}_{j}", f"(p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j})")
+            )
+    return steps
+
+
+@query(
+    "ts_pacf_durbin",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT rev,
+                   {", ".join(
+                       f"lag(rev, {k}) OVER (ORDER BY day) AS l{k}"
+                       for k in range(1, _PACF_L + 1)
+                   )}
+            FROM daily
+        ),
+        pairs AS (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS lag, rev AS x, l{k} AS y FROM lagged "
+                f"WHERE l{k} IS NOT NULL"
+                for k in range(1, _PACF_L + 1)
+            )}
+        ),
+        moments AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sx2,
+                   CAST(sum(y * y) AS BIGINT) AS sy2
+            FROM pairs GROUP BY lag
+        ),
+        rho AS (
+            SELECT {", ".join(
+                f"max(CASE WHEN lag = {k} THEN CAST(floor(({_ACF_EXPR})"
+                f" * 1000000000000.0 + 0.5) AS BIGINT) END)"
+                f" AS r{k}_pico"
+                for k in range(1, _PACF_L + 1)
+            )}
+            FROM moments
+        ),
+        d AS (
+            SELECT *, {", ".join(
+                f"CAST(r{k}_pico AS DOUBLE) / 1000000000000.0 AS d{k}"
+                for k in range(1, _PACF_L + 1)
+            )}
+            FROM rho
+        )
+        {"".join(
+            f", lv{i} AS (SELECT *, {sql} AS {name} FROM "
+            f"{'d' if i == 0 else f'lv{i-1}'})"
+            for i, (name, sql) in enumerate(_durbin_steps(_PACF_L))
+        )}
+        SELECT * FROM (
+            {" UNION ALL ".join(
+                f"SELECT CAST({k} AS BIGINT) AS lag,"
+                f" CAST(r{k}_pico AS BIGINT) AS rho_pico,"
+                f" CAST(floor(p{k}_{k} * 1000000.0 + 0.5) AS BIGINT)"
+                f" AS pacf_micro"
+                f" FROM lv{len(_durbin_steps(_PACF_L)) - 1}"
+                for k in range(1, _PACF_L + 1)
+            )}
+        )
+        ORDER BY lag
+    """,
+    phase="P3",
+    tags=("timeseries", "pacf", "durbin-levinson"),
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1..5 via the
+    Durbin-Levinson recursion — ts_autocorr's model-selection
+    companion (ACF tails off / PACF cuts at p identifies an AR(p);
+    the pair is the Box-Jenkins order-picking toolkit).  PACF(k) is
+    the correlation at lag k AFTER removing what shorter lags
+    already explain — exactly the last coefficient of the
+    order-k Yule-Walker fit the recursion computes.
+
+    Exactness: lag correlations come from exact integer moments and
+    PICO-quantize before entering the recursion, so both engines
+    start from identical integers; the recursion itself is a chain
+    of NAMED single-row columns generated from ONE shared
+    `_durbin_steps` spelling (naming keeps the expression linear in
+    L — textually inlining the recursion quintuples per level,
+    111 KB at L=5 — and fixes the IEEE evaluation order).  No
+    driver round-trip: the "iteration" is L unrolled expression
+    steps over a one-row relation.
+
+    Plan: identical data shape to ts_autocorr — one map-side
+    combinable day aggregate is the only full-width stage; the lag
+    window, moment reduce, pivot, and the entire recursion run on
+    calendar-bounded (then single-row) relations."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, _PACF_L + 1)],
+    )
+    pairs = None
+    for k in range(1, _PACF_L + 1):
+        part = lagged.filter(F.col(f"l{k}").isNotNull()).select(
+            F.lit(k).alias("lag"),
+            F.col("rev").alias("x"),
+            F.col(f"l{k}").alias("y"),
+        )
+        pairs = part if pairs is None else pairs.unionAll(part)
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    acf_pico = F.floor(
+        F.expr(_ACF_EXPR) * F.lit(1000000000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    rho = moments.select("lag", acf_pico.alias("acf_pico")).agg(
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col("acf_pico"))
+            ).alias(f"r{k}_pico")
+            for k in range(1, _PACF_L + 1)
+        ]
+    )
+    cur = rho
+    for k in range(1, _PACF_L + 1):
+        cur = cur.withColumn(
+            f"d{k}",
+            F.col(f"r{k}_pico").cast("double") / F.lit(1000000000000.0),
+        )
+    for name, sql in _durbin_steps(_PACF_L):
+        cur = cur.withColumn(name, F.expr(sql))
+    out = None
+    for k in range(1, _PACF_L + 1):
+        row = cur.select(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col(f"r{k}_pico").cast("bigint").alias("rho_pico"),
+            F.floor(
+                F.col(f"p{k}_{k}") * F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pacf_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("lag")

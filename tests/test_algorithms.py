@@ -3354,3 +3354,35 @@ def test_surrogate_keys_dense_and_collision_free(spark, sf_dir):
         assert (nw.n_keys, nw.n_distinct_sk) == (n_new, n_new)
         assert nw.sk_min == n_existing + 1
         assert nw.sk_max == n_existing + n_new
+
+
+def test_pacf_matches_yule_walker_solve(spark, sf_dir):
+    """Each PACF(k) must equal the last coefficient of the order-k
+    Yule-Walker system solved independently with numpy.linalg from
+    the same quantized lag correlations."""
+    import numpy as np
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_pacf_durbin,
+    )
+
+    rows = sorted(
+        ts_pacf_durbin(spark, sf_dir).collect(), key=lambda r: r.lag
+    )
+    rho = {r.lag: r.rho_pico / 1e12 for r in rows}
+    for r in rows:
+        k = r.lag
+        # Toeplitz system R a = r  (R_ij = rho[|i-j|], rho[0] = 1)
+        R = np.array(
+            [
+                [1.0 if i == j else rho[abs(i - j)] for j in range(k)]
+                for i in range(k)
+            ]
+        )
+        rhs = np.array([rho[j] for j in range(1, k + 1)])
+        a = np.linalg.solve(R, rhs)
+        assert abs(r.pacf_micro / 1e6 - a[-1]) < 1e-4, k
+        assert -1_100_000 <= r.pacf_micro <= 1_100_000
+    assert rows[0].pacf_micro == round(rho[1] * 1e6) or abs(
+        rows[0].pacf_micro - rho[1] * 1e6
+    ) <= 1
