@@ -1182,52 +1182,57 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = top5.unionAll(
         spark.createDataFrame([("the",), ("a",)], ["token"])
     ).distinct()
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
     nonstop = toks.join(F.broadcast(stop), "token", "left_anti").select(
         "doc_id",
         "pos",
         "token",
-        (
-            F.col("pos")
-            - F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("pos")
-            )
-        ).alias("island"),
+        (F.col("pos") - F.row_number().over(w_isl)).alias("island"),
     )
-    occ = nonstop.groupBy("doc_id", "island").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "token"))
-                ),
-                lambda x: x["token"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    # plen rides the SAME per-doc sort as the island id (a second
+    # window over (doc, island) — no occurrence-table join-back; the
+    # earlier occ⋈nonstop formulation scanned the token relation three
+    # times, 3.4 s → ~1 s).
+    nonstop = nonstop.withColumn(
+        "plen",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "island"))
+        .cast("bigint"),
     )
-    wstat = (
-        nonstop.join(occ, ["doc_id", "island"])
-        .groupBy("token")
+    nonstop = nonstop.localCheckpoint(eager=False)
+    wscore = (
+        nonstop.groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("freq"),
             F.sum("plen").cast("bigint").alias("deg"),
         )
-    )
-    wscore = wstat.select(
-        "token",
-        F.floor(
-            F.col("deg").cast("double") / F.col("freq")
-            * F.lit(1000000000000.0)
-            + F.lit(0.5)
+        .select(
+            "token",
+            F.floor(
+                F.col("deg").cast("double") / F.col("freq")
+                * F.lit(1000000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ws"),
         )
-        .cast("bigint")
-        .alias("ws"),
     )
     oscore = (
-        nonstop.join(occ, ["doc_id", "island"])
-        .join(wscore, "token")
-        .groupBy("doc_id", "island", "phrase", "plen")
-        .agg(F.sum("ws").cast("bigint").alias("score_pico"))
+        nonstop.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").cast("bigint").alias("plen"),
+            F.sum("ws").cast("bigint").alias("score_pico"),
+        )
     )
     return (
         oscore.groupBy("phrase")

@@ -2283,6 +2283,12 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, _PACF_L + 1)
         ]
     )
+    # Lineage cut: the recursion chains ~20 dependent projections, and
+    # each withColumn re-analyzes the FULL upstream tree (5-lag window
+    # + union + aggregate) — ~2 s of pure planning on a 1-row relation.
+    # Checkpointing the single-row rho caps every re-analysis at one
+    # leaf (measured 2.3 s → ~0.4 s; the ts_theil_sen daily-grain cut).
+    rho = rho.localCheckpoint(eager=False)
     cur = rho
     for k in range(1, _PACF_L + 1):
         cur = cur.withColumn(
@@ -2291,16 +2297,31 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for name, sql in _durbin_steps(_PACF_L):
         cur = cur.withColumn(name, F.expr(sql))
-    out = None
-    for k in range(1, _PACF_L + 1):
-        row = cur.select(
-            F.lit(k).cast("bigint").alias("lag"),
-            F.col(f"r{k}_pico").cast("bigint").alias("rho_pico"),
-            F.floor(
-                F.col(f"p{k}_{k}") * F.lit(1000000.0) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("pacf_micro"),
+    # ONE explode projection, not a 5-branch union — each union branch
+    # would re-analyze the 20-deep projection chain (pure planning
+    # cost on a 1-row relation).
+    return (
+        cur.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("lag"),
+                            F.col(f"r{k}_pico")
+                            .cast("bigint")
+                            .alias("rho_pico"),
+                            F.floor(
+                                F.col(f"p{k}_{k}") * F.lit(1000000.0)
+                                + F.lit(0.5)
+                            )
+                            .cast("bigint")
+                            .alias("pacf_micro"),
+                        )
+                        for k in range(1, _PACF_L + 1)
+                    ]
+                )
+            ).alias("row")
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("lag")
+        .select("row.lag", "row.rho_pico", "row.pacf_micro")
+        .orderBy("lag")
+    )
