@@ -36,7 +36,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
-    from oracle_check import compare_frames, duck_connect
+    from oracle_check import TOLERANT_QUERIES, compare_frames, duck_connect
 
     from data_integration_tool_spark import registry
 
@@ -54,7 +54,12 @@ def main() -> int:
                 continue
             sp = df.toPandas()
             du = con.execute(spec.oracle).fetchdf()
-            problems = compare_frames(sp, du, name)
+            # Mirror the parity suite (and the driver's rounding hash):
+            # the calibrated TOLERANT_QUERIES list opts into rtol=1e-7
+            # for its documented last-ULP float-sum/libm divergences.
+            problems = compare_frames(
+                sp, du, name, exact=name not in TOLERANT_QUERIES
+            )
             print(f"{name}: {'OK' if not problems else 'MISMATCH'}")
             for p in problems:
                 print("   ", p)
