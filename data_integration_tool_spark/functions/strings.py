@@ -317,3 +317,80 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# RFC-4122 version-3 (name-based, md5) UUID formatting from a 32-hex
+# digest, spelled once: version nibble forced to '3', variant nibble
+# mapped into the 8/9/a/b range by its high two bits.
+_UUID3 = (
+    "substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-3' ||"
+    " substr({h}, 14, 3) || '-' ||"
+    " CASE WHEN substr({h}, 17, 1) IN ('0','1','2','3') THEN '8'"
+    "      WHEN substr({h}, 17, 1) IN ('4','5','6','7') THEN '9'"
+    "      WHEN substr({h}, 17, 1) IN ('8','9','a','b') THEN 'a'"
+    "      ELSE 'b' END ||"
+    " substr({h}, 18, 3) || '-' || substr({h}, 21, 12)"
+)
+
+
+@query(
+    "fn_uuid_name",
+    oracle=f"""
+        WITH minted AS (
+            SELECT c_custkey,
+                   {_UUID3.format(
+                       h="md5('customer:' || CAST(c_custkey AS VARCHAR))"
+                   )} AS entity_uuid
+            FROM customer
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT entity_uuid) AS BIGINT) AS n_distinct,
+               min(entity_uuid) AS uuid_min,
+               max(entity_uuid) AS uuid_max,
+               CAST(sum(CASE WHEN entity_uuid LIKE
+                    '________-____-3___-____-____________'
+                    AND substr(entity_uuid, 20, 1) IN ('8','9','a','b')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rfc_valid
+        FROM minted
+    """,
+    phase="P2",
+    tags=("function", "uuid", "identity"),
+)
+def fn_uuid_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based (RFC-4122 version-3) UUID minting from natural keys
+    — deterministic entity IDs for cross-system joins: the same
+    'customer:<key>' name yields the SAME UUID on every run, engine,
+    and table (unlike uuid()/rand-based IDs, banned here like RNG
+    sampling; the string-keyed sibling of etl_surrogate_key_plan's
+    dense integers).  The namespace prefix keeps customer:1 and
+    supplier:1 distinct.  The audit row proves bijectivity (distinct
+    = rows), RFC shape (version nibble 3, variant in 8/9/a/b), and
+    pins the lexical envelope.
+
+    Exactness: md5 hex is byte-identical cross-engine
+    (sample_hash_consistent's rule) and the UUID is pure shared-
+    spelling string surgery on it — scan-stage expressions, one
+    combinable audit reduce.  At 100 TB, minting is map-only work
+    with zero coordination — the entire point versus sequence-based
+    IDs."""
+    c = load(spark, sf_dir, "customer")
+    minted = c.select(
+        "c_custkey",
+        F.expr(
+            _UUID3.format(
+                h="md5(cast('customer:' || CAST(c_custkey AS STRING) as binary))"
+            )
+        ).alias("entity_uuid"),
+    )
+    rfc_ok = F.col("entity_uuid").rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    return minted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("entity_uuid").cast("bigint").alias("n_distinct"),
+        F.min("entity_uuid").alias("uuid_min"),
+        F.max("entity_uuid").alias("uuid_max"),
+        F.sum(F.when(rfc_ok, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rfc_valid"),
+    )

@@ -19,7 +19,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import MICRO_SQL, micro, splitmix64
+from ..exprs import MICRO_SQL, hash_cutoff, micro, splitmix64
 from ..io import load
 from ..registry import query
 
@@ -2044,4 +2044,108 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_silhouette_micro"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "sim_pairwise_diversity",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        ), cut AS (
+            SELECT CASE WHEN 64.0 / n >= 1.0 THEN 'g'
+                   ELSE lpad(lower(hex(CAST(least(floor(64.0 / n
+                        * 4294967296.0), 4294967295.0) AS BIGINT))),
+                        8, '0')
+                   END AS cutoff
+            FROM cnt
+        ), sampled AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e, cut
+            WHERE substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)
+                  < cut.cutoff
+        ), pairs AS (
+            SELECT CAST(floor({_duck_cosine('a.embedding', 'b.embedding')}
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+            FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sampled)
+                   AS n_sampled,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(floor(CAST(sum(cos_micro) AS DOUBLE) / count(*)
+                          + 0.5) AS BIGINT) AS mean_cos_micro,
+               CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
+               CAST(max(cos_micro) AS BIGINT) AS max_cos_micro
+        FROM pairs
+    """,
+    phase="P3",
+    tags=("similarity", "diversity", "corpus-health"),
+)
+def sim_pairwise_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity probe: the pairwise-cosine distribution over a
+    deterministic hash sample of ~64 vectors (~2k pairs) — mean near
+    zero means healthy spread; drifting upward means mode collapse or
+    duplicate floods, caught BEFORE an index build or training run
+    (the corpus-level companion to emb_dim_stats' per-dimension view
+    and emb_silhouette's label-conditioned view).
+
+    Two-stage sampling makes all-pairs tractable at ANY corpus size:
+    hash-sample VECTORS at rate 64/n (E[pairs] ≈ 2k stays constant as
+    n grows — sampling pairs directly would still enumerate n²), then
+    exact cosines over the survivors.  md5 keeps the sample — not
+    just its size — engine-identical and reproducible across runs
+    and backfills; each pair cosine micro-quantizes so the mean is
+    an order-free integer division.
+
+    Plan: one combinable count derives the broadcast cutoff, the
+    sample filter is a scan-stage predicate, and the ~64×64 pair
+    join plus the single-row reduce are constant work regardless of
+    corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rate = F.lit(64.0) / F.col("n")
+    cut = cnt.select(
+        F.when(rate >= 1.0, F.lit("g"))
+        .otherwise(hash_cutoff(rate))
+        .alias("cutoff")
+    )
+    digest = F.substring(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
+    )
+    sampled = (
+        e.crossJoin(F.broadcast(cut))
+        .filter(digest < F.col("cutoff"))
+        .select("vec_id", "embedding")
+    )
+    sampled = sampled.localCheckpoint(eager=False)
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        micro(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias(
+            "cos_micro"
+        )
+    )
+    n_sampled = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled")
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.floor(
+                F.sum("cos_micro").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_cos_micro"),
+            F.min("cos_micro").cast("bigint").alias("min_cos_micro"),
+            F.max("cos_micro").cast("bigint").alias("max_cos_micro"),
+        )
+        .crossJoin(F.broadcast(n_sampled))
+        .select(
+            "n_sampled",
+            "n_pairs",
+            "mean_cos_micro",
+            "min_cos_micro",
+            "max_cos_micro",
+        )
     )

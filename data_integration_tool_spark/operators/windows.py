@@ -834,3 +834,95 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("corr_micro"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_concurrency_sweep",
+    oracle="""
+        WITH deltas AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS delta
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE) + INTERVAL 7 DAY,
+                   CAST(-count(*) AS BIGINT)
+            FROM orders GROUP BY 1
+        ), timeline AS (
+            SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+            FROM deltas GROUP BY day
+        ), swept AS (
+            SELECT day,
+                   CAST(sum(delta) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_now,
+                   CAST(count(*) OVER () AS BIGINT) AS n_days
+            FROM timeline
+        )
+        SELECT CAST(day AS DATE) AS peak_day, open_now AS peak_open,
+               n_days,
+               CAST((SELECT sum(CASE WHEN open_now = 0 THEN 1 ELSE 0
+                     END) FROM swept) AS BIGINT) AS n_idle_days
+        FROM swept
+        ORDER BY open_now DESC, day
+        LIMIT 1
+    """,
+    phase="P2",
+    tags=("window", "sweep-line", "concurrency"),
+)
+def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: how many orders are OPEN at
+    once (each order open for 7 days from its order date), answered
+    without ever materializing an interval join — the capacity-
+    planning primitive (max concurrent sessions / jobs / loans) that
+    naive per-day interval-containment joins get quadratically wrong.
+    Emits the earliest peak day, the peak count, the timeline span,
+    and the idle-day count from the same sweep.
+
+    Sweep line: every interval contributes +1 at open and −1 at
+    close; the running sum of per-day deltas IS the concurrency.
+    All-integer, so the argmax on (open_now, day) is tie-exact
+    cross-engine.
+
+    Plan: TWO combinable (day) counts (open and close sides — each a
+    map-side-combined aggregate of calendar cardinality), a UNION at
+    day grain, ONE running window over the tiny timeline, and a
+    TakeOrdered(1).  The corpus is touched exactly twice at scan
+    stage; the window input is bounded by the calendar, never by
+    rows — the interval-join formulation this replaces grows with
+    rows × average open length."""
+    o = load(spark, sf_dir, "orders")
+    opens = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("delta")
+    )
+    closes = o.groupBy(
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("day")
+    ).agg((-F.count(F.lit(1))).cast("bigint").alias("delta"))
+    timeline = (
+        opens.unionAll(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    swept = timeline.select(
+        "day",
+        F.sum("delta").over(w_cum).cast("bigint").alias("open_now"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
+    )
+    idle = swept.agg(
+        F.sum(F.when(F.col("open_now") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_idle_days")
+    )
+    return (
+        swept.crossJoin(F.broadcast(idle))
+        .select(
+            F.col("day").alias("peak_day"),
+            F.col("open_now").alias("peak_open"),
+            "n_days",
+            "n_idle_days",
+        )
+        .orderBy(F.col("peak_open").desc(), "peak_day")
+        .limit(1)
+    )

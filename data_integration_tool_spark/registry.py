@@ -119,15 +119,16 @@ _loaded = False
 # window froze. The first 11 (eval_ndcg_at_k .. graph_degree_
 # assortativity) slot into the queue so the prospective r8 window
 # (entries 50-99 of specs()) is EXACTLY 50 = 47 full-oracle + the 3
-# rows-only-by-design stream/schema names. The remaining 20
+# rows-only-by-design stream/schema names. The remaining 23
 # (eval_regression_metrics, ts_bollinger_bands, agg_mutual_info,
 # agg_weighted_median, agg_kmv_jaccard, text_zipf_fit, feat_woe_iv,
 # dq_l_diversity, etl_late_arriving_dim, graph_clustering_coeff,
 # emb_silhouette, ts_theil_sen, seq_attribution,
 # dq_expectation_suite, seq_survival_km, text_keyword_rake,
 # agg_cramers_v, sample_balanced_downsample, etl_surrogate_key_plan,
-# ts_pacf_durbin — all full-oracle, all exact-checked at
-# sf0.001/0.01/0.1) land at entries 100-119 and
+# ts_pacf_durbin, fn_uuid_name, win_concurrency_sweep,
+# sim_pairwise_diversity — all full-oracle, all exact-checked at
+# sf0.001/0.01/0.1) land at entries 100-122 and
 # head the r9 queue,
 # in front of the oldest-r1-green re-proof block.
 # Greens from r2-r6 stay behind the cut — their proof stands in
@@ -269,6 +270,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_balanced_downsample",
     "etl_surrogate_key_plan",
     "ts_pacf_durbin",
+    "fn_uuid_name",
+    "win_concurrency_sweep",
+    "sim_pairwise_diversity",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

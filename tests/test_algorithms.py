@@ -3386,3 +3386,123 @@ def test_pacf_matches_yule_walker_solve(spark, sf_dir):
     assert rows[0].pacf_micro == round(rho[1] * 1e6) or abs(
         rows[0].pacf_micro - rho[1] * 1e6
     ) <= 1
+
+
+def test_uuid_name_is_rfc4122_v3_and_bijective(spark, sf_dir):
+    """Every minted UUID must match a Python uuid3-style recompute
+    from the same md5 digest, be RFC-shaped, and be unique."""
+    import hashlib
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.functions.strings import fn_uuid_name
+
+    r = fn_uuid_name(spark, sf_dir).collect()[0]
+    keys = [
+        c.c_custkey for c in load(spark, sf_dir, "customer").collect()
+    ]
+
+    def mint(k):
+        h = hashlib.md5(f"customer:{k}".encode()).hexdigest()
+        variant = {"0": "8", "1": "8", "2": "8", "3": "8",
+                   "4": "9", "5": "9", "6": "9", "7": "9",
+                   "8": "a", "9": "a", "a": "a", "b": "a"}.get(h[16], "b")
+        return f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}-{h[20:32]}"
+
+    minted = sorted(mint(k) for k in keys)
+    assert r.n_rows == len(keys)
+    assert r.n_distinct == len(set(minted))
+    assert r.n_rfc_valid == len(keys)
+    assert r.uuid_min == minted[0]
+    assert r.uuid_max == minted[-1]
+
+
+def test_concurrency_sweep_matches_interval_count(spark, sf_dir):
+    """The sweep's peak must equal a brute-force per-day open-interval
+    count over the same 7-day windows."""
+    import collections
+    import datetime
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.windows import (
+        win_concurrency_sweep,
+    )
+
+    r = win_concurrency_sweep(spark, sf_dir).collect()[0]
+    orders = load(spark, sf_dir, "orders").collect()
+    opens = collections.Counter()
+    for o in orders:
+        d = o.o_orderdate
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        opens[d] += 1
+    days = sorted(opens)
+    lo, hi = days[0], days[-1] + datetime.timedelta(days=7)
+    best = (-1, None)
+    d = lo
+    while d <= hi:
+        c = sum(
+            v
+            for k, v in opens.items()
+            if k <= d < k + datetime.timedelta(days=7)
+        )
+        if c > best[0]:
+            best = (c, d)
+        d += datetime.timedelta(days=1)
+    peak_day = r.peak_day
+    if isinstance(peak_day, datetime.datetime):
+        peak_day = peak_day.date()
+    assert (r.peak_open, peak_day) == (best[0], best[1])
+
+
+def test_pairwise_diversity_matches_numpy_sample(spark, sf_dir):
+    """The sampled pair set and its cosine stats must match a numpy
+    recompute with the same hash sample and quantization."""
+    import hashlib
+    import itertools
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        sim_pairwise_diversity,
+    )
+
+    r = sim_pairwise_diversity(spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "embeddings").collect()
+    n = len(e)
+    rate = 64.0 / n
+    if rate >= 1.0:
+        cutoff = "g"
+    else:
+        cutoff = format(
+            min(int(rate * 4294967296.0), 4294967295), "08x"
+        )
+    sampled = [
+        (x.vec_id, np.array([float(v) for v in x.embedding]))
+        for x in e
+        if hashlib.md5(str(x.vec_id).encode()).hexdigest()[:8] < cutoff
+    ]
+    sampled.sort()
+    cos = []
+    for (ia, va), (ib, vb) in itertools.combinations(sampled, 2):
+        # in-order dot like F.aggregate / list folding
+        d_ab = 0.0
+        d_aa = 0.0
+        d_bb = 0.0
+        for x, y in zip(va, vb):
+            d_ab += x * y
+        for x in va:
+            d_aa += x * x
+        for y in vb:
+            d_bb += y * y
+        cos.append(
+            math.floor(
+                d_ab / (math.sqrt(d_aa) * math.sqrt(d_bb)) * 1e6 + 0.5
+            )
+        )
+    assert r.n_sampled == len(sampled)
+    assert r.n_pairs == len(cos)
+    assert r.min_cos_micro == min(cos)
+    assert r.max_cos_micro == max(cos)
+    assert r.mean_cos_micro == math.floor(sum(cos) / len(cos) + 0.5)
