@@ -100,106 +100,26 @@ _loaded = False
 
 # Driver-facing ordering. The driver records CORRECTNESS rows for only
 # the FIRST 50 entries of queries() (dict insertion order) — every query
-# past the cut gets no row at all (observed rounds 1-6: exactly 50 rows
+# past the cut gets no row at all (observed rounds 1-7: exactly 50 rows
 # each). This list rotates per round so never-driver-verified queries
-# land inside the 50-entry window. Round-7 rotation (per VERDICT r6
-# §Next items 1-2): 56 queries added during round 6 have never had a
-# driver row; the 50 FULL-ORACLE ones fill this window so every slot
-# yields a first-time rows+schema+hash proof. Deferred to the r8 window
-# (listed after the cut, in order): agg_gini (full oracle — the judge
-# already exact-ran it independently in the r6 verdict, lowest marginal
-# value of the 51), the queries added/upgraded in r7 (join_bucketed is
-# new; etl_partition_layout and etl_clustered_write gained FULL oracles
-# in r7 via deterministic layouts), the 3 still-rows-only-by-design
-# names (stream_python_source, stream_session_true,
-# etl_schema_evolution — live-stream/mergeSchema invariants,
-# pytest-pinned), then the oldest r1 greens for re-proof plus a fresh
-# sample_stratified row.
-# r7 third-session update: 16 NEW operators registered after the r7
-# window froze. The first 11 (eval_ndcg_at_k .. graph_degree_
-# assortativity) slot into the queue so the prospective r8 window
-# (entries 50-99 of specs()) is EXACTLY 50 = 47 full-oracle + the 3
-# rows-only-by-design stream/schema names. The remaining 23
-# (eval_regression_metrics, ts_bollinger_bands, agg_mutual_info,
-# agg_weighted_median, agg_kmv_jaccard, text_zipf_fit, feat_woe_iv,
-# dq_l_diversity, etl_late_arriving_dim, graph_clustering_coeff,
-# emb_silhouette, ts_theil_sen, seq_attribution,
-# dq_expectation_suite, seq_survival_km, text_keyword_rake,
-# agg_cramers_v, sample_balanced_downsample, etl_surrogate_key_plan,
-# ts_pacf_durbin, fn_uuid_name, win_concurrency_sweep,
-# sim_pairwise_diversity — all full-oracle, all exact-checked at
-# sf0.001/0.01/0.1) land at entries 100-122 and
-# head the r9 queue,
-# in front of the oldest-r1-green re-proof block.
-# Greens from r2-r6 stay behind the cut — their proof stands in
-# CORRECTNESS_r{1..6}.json. Names absent from this list keep
-# registration order after it.
+# land inside the 50-entry window. History: the r7 window (agg_count_min
+# .. source_python_datasource) went 50/50 full green in
+# CORRECTNESS_r07.json and was cut from the head at r8 start; r1-r6
+# greens stand in CORRECTNESS_r{1..6}.json. After the r8 window below
+# come the 23 operators registered after the r7 window froze
+# (eval_ndcg_at_k .. sim_pairwise_diversity — all full-oracle, all
+# exact-checked at sf0.001/0.01/0.1): they head the r9 queue, in front
+# of the oldest-r1-green re-proof block. Names absent from this list
+# keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r7 window: the 50 full-oracle never-driver-rowed queries ----
-    # sketches / statistical aggregates
-    "agg_count_min",
-    "agg_hll_manual",
-    "agg_hll_merge",
-    "agg_bitmap_presence",
-    "agg_corr_matrix",
-    "agg_quantile_grid",
-    # joins
-    "join_bloom_prefilter",
-    "join_asof_nearest",
-    "join_scd2_pit",
-    "join_fuzzy_blocked",
-    # windows / sampling
-    "win_drawdown",
-    "win_hampel_outliers",
-    "sample_poisson_bootstrap",
-    "sample_train_test_split",
-    # SQL surface
-    "sql_recursive_hierarchy",
-    "fn_url",
-    "fn_binary",
-    "fn_collate",
-    "fn_winsorize",
-    "fn_variant",
-    "fn_xml",
-    "udf_map_in_arrow",
-    # time series
-    "ts_resample_ohlc",
-    "ts_cusum_alarm",
-    "ts_autocorr",
-    "ts_seasonal_decompose",
-    # text / dedup / curation
-    "text_novelty",
-    "text_boilerplate_strip",
-    "dedup_substring",
-    "dedup_keep_best",
-    "mixture_token_budget",
-    "mixture_temperature",
-    # embeddings / similarity
-    "emb_pca_project",
-    "emb_ann_pq",
-    "emb_dim_stats",
-    "sim_rerank_rrf",
-    # data quality
-    "dq_benford",
-    "dq_skew_report",
-    "dq_schema_contract",
-    "dq_ks_test",
-    "dq_join_fanout",
-    "dq_pseudonymize",
-    # graph
-    "graph_bfs_hops",
-    "graph_lpa_communities",
-    # ETL planning / sources
-    "etl_compaction_plan",
-    "etl_manifest_prune",
-    "etl_snapshot_diff",
-    "etl_backfill_plan",
-    "plan_join_strategy",
-    "source_python_datasource",
-    # --- 50-entry window ends HERE: source_python_datasource is entry
-    # 49 (0-indexed); everything below falls past the driver's recording
-    # cut. r8 queue, in window order: ---
-    "agg_gini",
+    # ---- r8 window: 47 full-oracle never-driver-rowed queries + the 3
+    # rows-only-by-design names (stream_python_source,
+    # stream_session_true, etl_schema_evolution — live-stream /
+    # mergeSchema invariants, pytest-pinned). The 50 r7-window names
+    # proven in CORRECTNESS_r07.json (50/50 full green) were cut from
+    # the head of this list at r8 start, exactly as VERDICT r7 Next #1
+    # prescribed. ----
+"agg_gini",
     "join_bucketed",
     "etl_partition_layout",
     "etl_clustered_write",
