@@ -100,22 +100,29 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     # Archive a per-round copy so per-query regressions stay diffable
     # across rounds (bench_detail.json is overwritten on every run).
-    # The round number is inferred from the driver's BENCH_r{N}.json
-    # trail: the run happening now belongs to round max(N)+1.
+    # The round number comes from SPARK_GRAFT_ROUND when set; otherwise
+    # it is inferred from the driver's BENCH_r{N}.json trail (the run
+    # happening now belongs to round max(N)+1). An existing archive for
+    # that round is never overwritten — re-runs within a round keep the
+    # first (driver-aligned) detail file intact.
     import glob as _glob
     import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    if rounds and float(sf) == 0.1:
-        archive = os.path.join(
-            repo_dir, f"bench_detail_r{max(rounds) + 1:02d}.json"
-        )
-        with open(archive, "w") as f:
-            json.dump(detail, f, indent=1)
+    round_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_env and round_env.isdigit():
+        round_no = int(round_env)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        round_no = max(rounds) + 1 if rounds else None
+    if round_no is not None and float(sf) == 0.1:
+        archive = os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json")
+        if not os.path.exists(archive):
+            with open(archive, "w") as f:
+                json.dump(detail, f, indent=1)
 
     summary = {
         "metric": "total_query_wall_sec",

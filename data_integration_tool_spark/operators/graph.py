@@ -727,8 +727,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_e = e
+    kept_nodes: DataFrame | None = None  # the oracle's n{r} relation
+    prev_kept: DataFrame | None = None
     for _ in range(_KCORE_ROUNDS):
         prev_e = e
+        prev_kept = kept_nodes
         # ONE job per round: deg stays lazy (two copies of the
         # degree aggregate over the CHECKPOINTED edge RDD — bounded,
         # no re-expansion) and broadcasts into both endpoint joins;
@@ -745,6 +748,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= _KCORE_K)
             .select("node")
         )
+        kept_nodes = deg
         e = (
             e.join(F.broadcast(deg.withColumnRenamed("node", "pa")), "pa")
             .join(F.broadcast(deg.withColumnRenamed("node", "pb")), "pb")
@@ -752,10 +756,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    # one degree pass per edge set yields ALL the summary stats:
-    # n_nodes = |degree relation|, min degree directly, and
-    # |E| = Σdeg/2 (handshake identity) — two aggregate subtrees
-    # instead of five
+    # one degree pass per edge set yields the edge-side stats:
+    # min degree directly and |E| = Σdeg/2 (handshake identity).
+    # n_nodes_core and the converged node comparison use the SAME
+    # definition as the oracle's n{r} CTEs — nodes with degree >= k
+    # in the PREVIOUS round's edge set — NOT the surviving-edge
+    # endpoint set: the two are provably equal only at convergence
+    # (a node the degree filter keeps can still lose its last edge
+    # in the same round when its neighbors drop).
     def deg_stats(edges: DataFrame, prefix: str) -> DataFrame:
         return (
             edges.select(F.col("pa").alias("node"))
@@ -763,13 +771,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
             .agg(
-                F.count(F.lit(1)).alias(f"{prefix}nodes"),
                 (F.sum("d") / 2).cast("bigint").alias(f"{prefix}edges"),
                 F.min("d").alias(f"{prefix}min_deg"),
             )
         )
 
-    stats = deg_stats(e, "core_").crossJoin(deg_stats(prev_e, "prev_"))
+    assert kept_nodes is not None and prev_kept is not None
+    stats = (
+        deg_stats(e, "core_")
+        .crossJoin(deg_stats(prev_e, "prev_"))
+        .crossJoin(
+            kept_nodes.agg(F.count(F.lit(1)).alias("core_nodes"))
+        )
+        .crossJoin(
+            prev_kept.agg(F.count(F.lit(1)).alias("prev_nodes"))
+        )
+    )
     return stats.select(
         F.lit(_KCORE_K).cast("bigint").alias("k"),
         F.lit(_KCORE_ROUNDS).cast("bigint").alias("rounds"),

@@ -1663,7 +1663,11 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-scalar markers: K seed vectors / K*64 centroid components
     # per round — the sanctioned k-means pattern (VERDICT r6)
     seed_rows = e.orderBy("vec_id").limit(k).collect()  # driver-scalar: seeds
-    centroids = [list(r.qv) for r in seed_rows]
+    # (cid, vector) pairs — kept as explicit pairs so a cid whose
+    # cluster empties in some round can DROP out of the candidate
+    # list, exactly like the oracle's c{t} CTE (which GROUP BYs the
+    # round's assignments and so simply has no rows for an empty cid).
+    centroids = [(cid, list(r.qv)) for cid, r in enumerate(seed_rows)]
 
     def dist_enc(cid: int, cvec: list[int]) -> Column:
         lit = F.array(*[F.lit(int(x)) for x in cvec])
@@ -1678,9 +1682,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = None
     for _ in range(_KM_ITERS):
-        enc = F.least(
-            *[dist_enc(cid, c) for cid, c in enumerate(centroids)]
-        )
+        enc = F.least(*[dist_enc(cid, c) for cid, c in centroids])
         assigned = e.select(
             "vec_id", "qv", (enc % k).cast("bigint").alias("cid")
         )
@@ -1700,12 +1702,16 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # driver-scalar: K*64 centroid components
         )
-        new_c = [list(c) for c in centroids]
+        by_cid: dict[int, dict[int, int]] = {}
         for r in upd:
-            new_c[r.cid][r.dim] = r.c
-        centroids = new_c
+            by_cid.setdefault(r.cid, {})[r.dim] = r.c
+        n_dim = len(centroids[0][1])
+        centroids = [
+            (cid, [by_cid[cid][d] for d in range(n_dim)])
+            for cid in sorted(by_cid)
+        ]
 
-    enc = F.least(*[dist_enc(cid, c) for cid, c in enumerate(centroids)])
+    enc = F.least(*[dist_enc(cid, c) for cid, c in centroids])
     final = e.select(
         "vec_id",
         (enc % k).cast("bigint").alias("cid"),

@@ -2002,12 +2002,16 @@ def seq_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), cum AS (
             SELECT dur_days, d, c, n_risk,
                    CAST(sum(lt) OVER (ORDER BY dur_days
-                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cl
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cl,
+                   max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                        ORDER BY dur_days ROWS UNBOUNDED PRECEDING)
+                        AS dead
             FROM terms
         )
         SELECT dur_days, n_risk,
                d AS n_events, c AS n_censored,
-               CASE WHEN cl IS NOT NULL THEN
+               CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+                    WHEN cl IS NOT NULL THEN
                     CAST(floor(exp(CAST(cl AS DOUBLE)
                          / 1000000000000.0) * 1000000.0 + 0.5)
                          AS BIGINT)
@@ -2035,8 +2039,10 @@ def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(1 − d/n) PICO-quantized at compute — the agg_mutual_info
     rule), accumulated by an integer running window, and exp
     re-crosses only at the final micro-quantized output.  A step
-    where d = n_risk (everyone fails) yields NULL downstream rather
-    than ln(0).
+    where d = n_risk (every remaining at-risk user fails) has no
+    finite ln term — SUM would silently skip the NULL — so a
+    cumulative `dead` flag pins survival to EXACTLY 0 at and after
+    that step on both engines.
 
     Plan: events collapse to USER grain in one combinable aggregate,
     then to distinct-DURATION grain in a second; the risk-set window
@@ -2105,6 +2111,11 @@ def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "n_risk",
         F.sum("lt").over(w_cum).cast("bigint").alias("cl"),
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("dead"),
     )
     return (
         cum.filter(F.col("d") > 0)
@@ -2113,7 +2124,8 @@ def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risk",
             F.col("d").alias("n_events"),
             F.col("c").alias("n_censored"),
-            F.when(
+            F.when(F.col("dead") == 1, F.lit(0).cast("bigint"))
+            .when(
                 F.col("cl").isNotNull(),
                 F.floor(
                     F.exp(
@@ -2122,7 +2134,8 @@ def seq_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.lit(1000000.0)
                     + F.lit(0.5)
                 ).cast("bigint"),
-            ).alias("survival_micro"),
+            )
+            .alias("survival_micro"),
         )
         .orderBy("dur_days")
     )

@@ -3177,18 +3177,21 @@ def test_survival_km_matches_lifelines_free_recompute(spark, sf_dir):
     n = len(durs)
     removed = 0
     cl = 0
+    dead = False
     expect = {}
     for t in times:
         at_risk = n - removed
         d = grp_d.get(t, 0)
         if 0 < d < at_risk:
             cl += math.floor(math.log(1.0 - d / at_risk) * 1e12 + 0.5)
+        if d > 0 and d == at_risk:
+            dead = True  # Π term is 0: survival pins to exactly 0
         if d > 0:
             expect[t] = (
                 at_risk,
                 d,
                 grp_c.get(t, 0),
-                math.floor(math.exp(cl / 1e12) * 1e6 + 0.5),
+                0 if dead else math.floor(math.exp(cl / 1e12) * 1e6 + 0.5),
             )
         removed += d + grp_c.get(t, 0)
     assert {r.dur_days for r in rows} == set(expect)
@@ -3199,6 +3202,39 @@ def test_survival_km_matches_lifelines_free_recompute(spark, sf_dir):
         assert r.survival_micro == s
         assert r.survival_micro <= prev
         prev = r.survival_micro
+
+
+def test_survival_km_dead_step_clamps_to_zero(spark, tmp_path):
+    """When every remaining at-risk user fails at a step (d == n_risk)
+    the ln term has no finite value and a plain cumulative SUM would
+    silently skip the NULL, leaving the curve at its prior value; the
+    dead-flag clamp must pin survival to EXACTLY 0 at that step."""
+    import datetime
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_survival_km,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = [
+        ("u1", "view", base),
+        ("u1", "purchase", base + day),
+        ("u2", "view", base),
+        ("u2", "purchase", base + 2 * day),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.dur_days: r
+        for r in seq_survival_km(spark, str(tmp_path)).collect()
+    }
+    # step 1: 1 of 2 at risk fails -> S = 0.5
+    assert out[1].n_risk == 2 and out[1].survival_micro == 500000
+    # step 2: the LAST at-risk user fails (d == n_risk) -> S = 0 exactly
+    assert out[2].n_risk == 1 and out[2].survival_micro == 0
 
 
 def test_rake_matches_python_reference(spark, sf_dir):
