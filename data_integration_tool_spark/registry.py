@@ -193,6 +193,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_uuid_name",
     "win_concurrency_sweep",
     "sim_pairwise_diversity",
+    # r8 additions (full oracle, exact-checked at sf0.001/0.01/0.1):
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",
