@@ -112,14 +112,16 @@ _loaded = False
 # of the oldest-r1-green re-proof block. Names absent from this list
 # keep registration order after it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r8 window: 47 full-oracle never-driver-rowed queries + the 3
-    # rows-only-by-design names (stream_python_source,
-    # stream_session_true, etl_schema_evolution — live-stream /
+    # ---- r8 window: 48 full-oracle never-driver-rowed queries
+    # (stream_session_true gained a FULL oracle in r8 — the five
+    # streaming-engine harnesses now assert their deterministic
+    # reconciliation rows) + the 2 remaining rows-only-by-design names
+    # (stream_python_source, etl_schema_evolution — live-stream /
     # mergeSchema invariants, pytest-pinned). The 50 r7-window names
     # proven in CORRECTNESS_r07.json (50/50 full green) were cut from
     # the head of this list at r8 start, exactly as VERDICT r7 Next #1
     # prescribed. ----
-"agg_gini",
+    "agg_gini",
     "join_bucketed",
     "etl_partition_layout",
     "etl_clustered_write",

@@ -264,8 +264,23 @@ from ..registry import query  # noqa: E402
 
 @query(
     "stream_true_engine",
-    oracle=None,  # runs the streaming ENGINE; semantics carried by the
-    # batch twin stream_tumbling (driver-green r4) it reconciles against
+    # FULL oracle (r8 upgrade, VERDICT r7 Next #6): the summary row is
+    # deterministic from events — if the engine reconciles, n_windows =
+    # |distinct (hour, event_type)| and all_match is TRUE, so DuckDB
+    # can assert the whole row and any engine/batch divergence
+    # (one-sided window, count or total mismatch) goes driver hash-RED
+    # instead of merely rows>0.
+    oracle="""
+        WITH g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT DISTINCT
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       event_type
+                FROM events))
+        SELECT n AS n_windows, n AS n_stream, n AS n_batch,
+               TRUE AS all_match
+        FROM g
+    """,
     phase="P4",
     # bench-skip: this is a two-sided verification harness (staging
     # write + 4 micro-batches + batch twin + reconciliation join), not
@@ -333,8 +348,20 @@ def stream_true_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_foreach_batch",
-    oracle=None,  # runs the streaming ENGINE + a filesystem sink; key-set
-    # semantics carried by the batch dropDuplicates twin it reconciles
+    # FULL oracle (r8 upgrade): the key-set reconciliation is
+    # deterministic from events; the only engine-dependent figure (how
+    # many micro-batches emitted rows) ships as the bounded boolean
+    # multi_batch — 2..4 of the 4 staged files must contribute a
+    # first-seen key, which every fixture SF satisfies (pytest has
+    # pinned n_batches >= 2 since r6).
+    oracle="""
+        WITH k AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT DISTINCT user_id, event_type FROM events))
+        SELECT n AS n_keys, n AS n_stream_keys, n AS n_batch_keys,
+               TRUE AS all_match, TRUE AS multi_batch
+        FROM k
+    """,
     phase="P4",
     # bench-skip: verification harness (staging write + 4 micro-batches +
     # parquet sink round-trip + reconciliation), not operator throughput
@@ -400,15 +427,35 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key_ok).alias("all_match"),
     )
     n_batches = got.agg(
-        F.countDistinct("batch_id").cast("bigint").alias("n_batches")
+        (
+            F.countDistinct("batch_id").between(2, 4)
+        ).alias("multi_batch")
     )
     return summary.crossJoin(n_batches)
 
 
 @query(
     "stream_stream_join",
-    oracle=None,  # runs the streaming ENGINE; join semantics carried by
-    # the batch range-join twin it reconciles against
+    # FULL oracle (r8 upgrade): n_pairs is the deterministic batch
+    # range-join cardinality; a one-sided pair or dropped cross-batch
+    # join row now hash-REDs instead of passing rows>0.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND p.pts > c.cts
+             AND p.pts <= c.cts + INTERVAL 24 HOURS
+        )
+        SELECT n AS n_pairs, n AS n_stream, n AS n_batch,
+               TRUE AS all_match
+        FROM j
+    """,
     phase="P4",
     # bench-skip: verification harness (staging + engine + twin + join)
     tags=("streaming", "engine", "join", "bench-skip"),
@@ -477,8 +524,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_totals",
-    oracle=None,  # runs the streaming ENGINE's custom state store path;
-    # semantics carried by the batch groupBy twin it reconciles against
+    # FULL oracle (r8 upgrade): the user-set reconciliation is
+    # deterministic — per-user state must accumulate to the batch
+    # groupBy, so n_users = |distinct user_id| and all_match TRUE.
+    oracle="""
+        WITH u AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+            FROM events)
+        SELECT n AS n_users, n AS n_stream, n AS n_batch,
+               TRUE AS all_match
+        FROM u
+    """,
     phase="P4",
     # bench-skip: verification harness (staging + 4 micro-batches of
     # Arrow state updates + batch twin + reconciliation)
@@ -550,11 +606,30 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_true",
-    oracle=None,  # runs the streaming ENGINE's session_window state
-    # merging; semantics carried by the µs-precision gap-and-cumsum twin
-    # it reconciles against (registered batch stream_session truncates
-    # gaps to whole seconds, so the twin is built inline at µs grain —
-    # the grain session_window actually merges at)
+    # FULL oracle (r8 upgrade): the session count under the 30-minute
+    # µs-grain gap rule is deterministic (ties in ts can't flip is_new:
+    # a 0 gap is always <= 1800 s), so n_sessions = Σ is_new and
+    # all_match TRUE — any session_window state-merge divergence from
+    # the batch gap-and-cumsum twin now hash-REDs. The twin stays at µs
+    # grain (registered batch stream_session truncates gaps to whole
+    # seconds — the grain session_window actually merges at is µs).
+    oracle="""
+        WITH t AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ), m AS (
+            SELECT CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        )
+        SELECT CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               CAST(sum(is_new) AS BIGINT) AS n_stream,
+               CAST(sum(is_new) AS BIGINT) AS n_batch,
+               TRUE AS all_match
+        FROM m
+    """,
     phase="P4",
     # bench-skip: verification harness (staging write + 4 micro-batches
     # + batch twin + reconciliation), not operator throughput

@@ -195,7 +195,7 @@ def test_stream_foreach_batch_reconciles(spark, sf_dir):
     row = stream_foreach_batch(spark, sf_dir).collect()[0]
     assert row.all_match is True
     assert row.n_stream_keys == row.n_batch_keys == row.n_keys > 0
-    assert row.n_batches >= 2, "expected multiple micro-batches"
+    assert row.multi_batch is True, "expected 2..4 emitting micro-batches"
 
 
 def test_stream_stateful_totals_query_reconciles(spark, sf_dir):
