@@ -2536,3 +2536,360 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_micro"),
     )
+
+
+# Mann-Whitney U ingredients, shared verbatim between engines: u2 is
+# 2·U1 (average ranks over ties make 2·R1 integer, so u2 = 2·R1 −
+# n1(n1+1) stays exact), ties is Σ(t³−t), and the normal-approximation
+# variance/z are ONE spelled IEEE chain over those exact BIGINTs.
+_MW_VAR = (
+    "(CAST(n1 AS DOUBLE) * n2 / 12.0"
+    " * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)"
+    "    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))"
+)
+_MW_Z = f"(CAST(u2 - n1 * n2 AS DOUBLE) / 2.0 / sqrt({_MW_VAR}))"
+
+
+@query(
+    "agg_mann_whitney",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS v,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+        ), per_v AS (
+            SELECT v,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(g1) AS BIGINT) AS c1
+            FROM vals GROUP BY v
+        ), ranked AS (
+            SELECT cnt, c1,
+                   CAST(sum(cnt) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT)
+                       AS cum_before
+            FROM per_v
+        ), m AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(cnt - c1) AS BIGINT) AS n2,
+                   CAST(sum(c1 * (2 * cum_before + cnt + 1))
+                        - sum(c1) * (sum(c1) + 1) AS BIGINT) AS u2,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+            FROM ranked
+        )
+        SELECT n1, n2, u2, ties,
+               CAST(floor({_MW_Z} * 1000000.0 + 0.5) AS BIGINT)
+                   AS z_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test", "rank"),
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between returned ('R')
+    and available ('A') line-item prices — the nonparametric A/B
+    workhorse when t-test normality can't be assumed. Emits the exact
+    integer ingredients (n1, n2, 2·U1, tie term) plus the
+    tie-corrected normal-approximation z, micro-quantized.
+
+    Exactness: ranking happens at VALUE grain (integer cents — a
+    monotone transform preserving ranks and ties), where average
+    ranks over a tie group of size t make 2·avgrank = 2·cum_before +
+    t + 1 an integer, so 2·R1 and therefore u2 are exact BIGINTs on
+    both engines; z is one shared-spelling IEEE chain over them.
+
+    Scale shape: the data-sized pass is ONE combinable groupBy(v)
+    (value grain — cents vocabulary, orders of magnitude below row
+    count); the rank window runs at that reduced grain (the
+    hist_equidepth precedent), and the final fold is a single row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("g1").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "cnt",
+        "c1",
+        (F.sum("cnt").over(w) - F.col("cnt"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    m = ranked.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("c1")).cast("bigint").alias("n2"),
+        (
+            F.sum(
+                F.col("c1")
+                * (2 * F.col("cum_before") + F.col("cnt") + 1)
+            )
+            - F.sum("c1") * (F.sum("c1") + 1)
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "u2",
+        "ties",
+        F.floor(F.expr(_MW_Z) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+# Kruskal-Wallis ingredients: per-group 2·R_i stays an exact BIGINT at
+# value grain, but R_i² overflows int64 at fixture row counts, so H
+# and its tie correction are ONE shared-spelling IEEE chain with the
+# squares taken in double.
+_KW_H = (
+    "(12.0 / (CAST(n AS DOUBLE) * (n + 1))"
+    " * (CAST(r2r AS DOUBLE) * r2r / (4.0 * nr)"
+    "    + CAST(r2a AS DOUBLE) * r2a / (4.0 * na)"
+    "    + CAST(r2n AS DOUBLE) * r2n / (4.0 * nn))"
+    " - 3.0 * (n + 1))"
+)
+_KW_HC = f"({_KW_H} / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)))"
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS v,
+                   l_returnflag AS g
+            FROM lineitem
+        ), per_v AS (
+            SELECT v,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS cr,
+                   CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS ca,
+                   CAST(count(*) FILTER (WHERE g = 'N') AS BIGINT) AS cn
+            FROM vals GROUP BY v
+        ), ranked AS (
+            SELECT cnt, cr, ca, cn,
+                   CAST(sum(cnt) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT)
+                       AS cum_before
+            FROM per_v
+        ), m AS (
+            SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cn) AS BIGINT) AS nn,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cr * (2 * cum_before + cnt + 1)) AS BIGINT)
+                       AS r2r,
+                   CAST(sum(ca * (2 * cum_before + cnt + 1)) AS BIGINT)
+                       AS r2a,
+                   CAST(sum(cn * (2 * cum_before + cnt + 1)) AS BIGINT)
+                       AS r2n,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+            FROM ranked
+        )
+        SELECT nr, na, nn, ties,
+               CAST(floor({_KW_H} * 1000000.0 + 0.5) AS BIGINT)
+                   AS h_micro,
+               CAST(floor({_KW_HC} * 1000000.0 + 0.5) AS BIGINT)
+                   AS hc_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test", "rank"),
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the three return-flag populations
+    of line-item prices — the k-group generalization of
+    agg_mann_whitney (one-way ANOVA on ranks, no normality
+    assumption). Emits per-group sizes, the tie term, and both the
+    raw and tie-corrected H, micro-quantized.
+
+    Exactness: value-grain average ranks keep every 2·R_i an exact
+    BIGINT; squares of R_i would overflow int64 at fixture scale so
+    H is one shared-spelling double chain over the exact integers
+    (the agg_welch_ttest rule). Scale shape identical to
+    agg_mann_whitney: one combinable value-grain groupBy, a
+    vocabulary-sized rank window, a single-row fold."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        F.col("l_returnflag").alias("g"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count(F.when(F.col("g") == "R", 1)).cast("bigint").alias("cr"),
+        F.count(F.when(F.col("g") == "A", 1)).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("g") == "N", 1)).cast("bigint").alias("cn"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "cnt",
+        "cr",
+        "ca",
+        "cn",
+        (F.sum("cnt").over(w) - F.col("cnt"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    avg2 = 2 * F.col("cum_before") + F.col("cnt") + 1
+    m = ranked.agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cn").cast("bigint").alias("nn"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cr") * avg2).cast("bigint").alias("r2r"),
+        F.sum(F.col("ca") * avg2).cast("bigint").alias("r2a"),
+        F.sum(F.col("cn") * avg2).cast("bigint").alias("r2n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    return m.select(
+        "nr",
+        "na",
+        "nn",
+        "ties",
+        F.floor(F.expr(_KW_H) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("h_micro"),
+        F.floor(F.expr(_KW_HC) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hc_micro"),
+    )
+
+
+# Cohen's kappa from a 2x2 confusion of exact integer counts: both the
+# numerator n·(n00+n11) − (r0·c0 + r1·c1) and the denominator
+# n² − (r0·c0 + r1·c1) are exact BIGINTs (≤ ~4e11 at fixture scale),
+# so kappa is ONE integer-ratio division.
+_KAPPA = (
+    "(CAST(n * (n00 + n11) - ((n00 + n01) * (n00 + n10)"
+    " + (n10 + n11) * (n01 + n11)) AS DOUBLE)"
+    " / CAST(n * n - ((n00 + n01) * (n00 + n10)"
+    " + (n10 + n11) * (n01 + n11)) AS DOUBLE))"
+)
+
+
+@query(
+    "agg_cohens_kappa",
+    oracle=f"""
+        WITH lab AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS a,
+                   CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS b
+            FROM events
+        ), m AS (
+            SELECT
+                CAST(count(*) FILTER (WHERE a = 0 AND b = 0) AS BIGINT)
+                    AS n00,
+                CAST(count(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT)
+                    AS n01,
+                CAST(count(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT)
+                    AS n10,
+                CAST(count(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT)
+                    AS n11,
+                CAST(count(*) AS BIGINT) AS n
+            FROM lab
+        )
+        SELECT n00, n01, n10, n11,
+               CAST(floor(CAST(n00 + n11 AS DOUBLE) / n
+                          * 1000000.0 + 0.5) AS BIGINT) AS po_micro,
+               CAST(floor(CAST((n00 + n01) * (n00 + n10)
+                               + (n10 + n11) * (n01 + n11) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n)
+                          * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+               CAST(floor({_KAPPA} * 1000000.0 + 0.5) AS BIGINT)
+                   AS kappa_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "agreement"),
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    labelers, the standard metric for LLM-judge vs human (or
+    heuristic vs model) label audits. The two raters here are derived
+    deterministically from events: A = is-purchase, B = value ≥ 50.
+    Emits the full 2×2 confusion plus observed/expected agreement and
+    kappa, micro-quantized.
+
+    Exactness: everything up to the final divisions is exact integer
+    counting from ONE combinable FILTER-clause aggregate pass
+    (agg_welch_ttest's shape); kappa itself is a single integer-ratio
+    IEEE division with shared spelling. At 100 TB this is a map-side
+    combine down to four counters — no shuffle wider than one row."""
+    e = load(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("b"),
+    )
+    m = lab.agg(
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("bigint")
+        .alias("n00"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("bigint")
+        .alias("n01"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("bigint")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("bigint")
+        .alias("n11"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return m.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.floor(
+            (F.col("n00") + F.col("n11")).cast("double")
+            / F.col("n")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("po_micro"),
+        F.floor(
+            (
+                (F.col("n00") + F.col("n01"))
+                * (F.col("n00") + F.col("n10"))
+                + (F.col("n10") + F.col("n11"))
+                * (F.col("n01") + F.col("n11"))
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pe_micro"),
+        F.floor(F.expr(_KAPPA) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )

@@ -2155,3 +2155,128 @@ def sim_pairwise_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos_micro",
         )
     )
+
+
+# Johnson-Lindenstrauss sign matrix for emb_random_projection: 64 input
+# dims x 8 output dims of ±1, minted once from splitmix64 (the repo's
+# one seed-constant generator) and EMBEDDED in both engines — the
+# oracle never recomputes the wraparound hash (exprs.py rule).
+_RP_OUT = 8
+_RP_SIGNS: list[list[int]] = [
+    [
+        1 if (splitmix64(0xE5B00 + i * _RP_OUT + j) >> 63) & 1 else -1
+        for j in range(_RP_OUT)
+    ]
+    for i in range(64)
+]
+
+
+def _rp_oracle() -> str:
+    vals = ",".join(
+        f"({i + 1},{j},{_RP_SIGNS[i][j]})"
+        for i in range(64)
+        for j in range(_RP_OUT)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id, label, u.i AS i,
+                   CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        ), s AS (
+            SELECT * FROM (VALUES {vals}) AS t(i, j, sgn)
+        ), p AS (
+            SELECT q.vec_id, q.label, s.j,
+                   CAST(sum(q.qv * s.sgn) AS BIGINT) AS proj
+            FROM q JOIN s ON s.i = q.i
+            GROUP BY q.vec_id, q.label, s.j
+        )
+        SELECT label, CAST(j AS BIGINT) AS dim_out,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(proj) AS BIGINT) AS sum_proj,
+               CAST(min(proj) AS BIGINT) AS min_proj,
+               CAST(max(proj) AS BIGINT) AS max_proj
+        FROM p GROUP BY label, j
+        ORDER BY label, dim_out
+    """
+
+
+@query(
+    "emb_random_projection",
+    oracle=_rp_oracle(),
+    phase="P4",
+    tags=("similarity", "embedding", "projection"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random sign projection (Johnson-Lindenstrauss / SimHash's dense
+    cousin): every 64-dim embedding maps to 8 coordinates
+    proj_j = Σ_i v_i·s_ij with a fixed ±1 matrix — the dimensionality
+    reduction that preserves pairwise distances within (1±ε) and
+    powers cheap pre-filters in front of exact similarity. Emits the
+    per-(label, output-dim) profile: count, sum, min, max of the
+    projected coordinate.
+
+    Exactness: components micro-quantize BEFORE the dot product, the
+    sign matrix is ±1 integers, so every projection is an EXACT
+    BIGINT (|proj| ≤ 64·2e6 ≪ 2^63) — no float accumulation order to
+    disagree on. The matrix constants are minted from splitmix64 and
+    embedded verbatim in both engines.
+
+    Plan shape: the 8 dot products run as zip_with/aggregate array
+    expressions inside whole-stage codegen — NO posexplode, no
+    join, map-side work only; the groupBy(label) partial-aggregates
+    8 sums/mins/maxes per label per task and the final stack() to
+    long form touches label-grain rows. At 100 TB: one scan, one
+    label-width exchange."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    projs = e.select(
+        "label",
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(
+                        *[F.lit(_RP_SIGNS[i][j]) for i in range(64)]
+                    ),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias(f"p{j}")
+            for j in range(_RP_OUT)
+        ],
+    )
+    wide = projs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            a
+            for j in range(_RP_OUT)
+            for a in (
+                F.sum(f"p{j}").cast("bigint").alias(f"s{j}"),
+                F.min(f"p{j}").cast("bigint").alias(f"mn{j}"),
+                F.max(f"p{j}").cast("bigint").alias(f"mx{j}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({j} AS BIGINT), s{j}, mn{j}, mx{j}" for j in range(_RP_OUT)
+    )
+    return (
+        wide.selectExpr(
+            "label",
+            "n",
+            f"stack({_RP_OUT}, {stack_args}) AS "
+            "(dim_out, sum_proj, min_proj, max_proj)",
+        )
+        .select(
+            "label", "dim_out", "n", "sum_proj", "min_proj", "max_proj"
+        )
+        .orderBy("label", "dim_out")
+    )

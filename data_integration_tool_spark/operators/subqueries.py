@@ -150,3 +150,50 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "subq_quantified_all",
+    oracle="""
+        SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+               CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT)
+                   AS acctbal_cents
+        FROM supplier s
+        WHERE s.s_acctbal >= ALL (
+            SELECT s2.s_acctbal FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_nationkey, s.s_suppkey
+    """,
+    phase="P2",
+    tags=("subquery", "quantified"),
+)
+def subq_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subquery (>= ALL): the supplier(s) whose
+    account balance tops their nation — completes the subquery family
+    (scalar / correlated EXISTS / NOT IN) with the ALL/ANY surface.
+    Ties all qualify, exactly as >= ALL semantics require.
+
+    Spark spelling: a correlated >= ALL over a non-null column is
+    equivalent to >= max() over the correlation key, so the plan is a
+    per-nation max WINDOW and a filter — ONE exchange on the 25-value
+    nation key instead of the naive correlated-subquery rewrite's
+    self-join (Catalyst would decorrelate to an aggregate+join, the
+    same cost class; the window spelling also keeps every supplier
+    column without a join-back). Balance ships as exact cents."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") >= F.col("mx"))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )

@@ -199,6 +199,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_csv",
     "scan_json",
     "scan_orc",
+    "etl_zorder_incremental",
+    "agg_mann_whitney",
+    "agg_kruskal_wallis",
+    "agg_cohens_kappa",
+    "emb_random_projection",
+    "subq_quantified_all",
+    "ts_kalman_1d",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

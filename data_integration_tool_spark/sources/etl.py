@@ -1677,3 +1677,150 @@ def etl_surrogate_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+# Shared Morton spelling for the incremental z-order pair of builders:
+# identical interleave arithmetic in Spark (F.expr) and DuckDB.
+_ZINC_INTERLEAVE = (
+    "((zx >> 0) & 1) * 1   + ((zy >> 0) & 1) * 2"
+    " + ((zx >> 1) & 1) * 4   + ((zy >> 1) & 1) * 8"
+    " + ((zx >> 2) & 1) * 16  + ((zy >> 2) & 1) * 32"
+    " + ((zx >> 3) & 1) * 64  + ((zy >> 3) & 1) * 128"
+)
+
+
+@query(
+    "etl_zorder_incremental",
+    oracle=f"""
+        WITH old AS (
+            SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+            FROM orders WHERE o_orderkey % 10 <> 0
+        ), delta AS (
+            SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+            FROM orders WHERE o_orderkey % 10 = 0
+        ), b AS (
+            SELECT min(o_custkey) AS ck0,
+                   max(o_custkey) - min(o_custkey) + 1 AS ck_span,
+                   min(od) AS d0,
+                   date_diff('day', min(od), max(od)) + 1 AS d_span
+            FROM old
+        ), old_z AS (
+            SELECT CAST(floor((o_custkey - b.ck0) * 16.0 / b.ck_span)
+                        AS BIGINT) AS zx,
+                   CAST(floor(date_diff('day', b.d0, od)
+                              * 16.0 / b.d_span) AS BIGINT) AS zy
+            FROM old CROSS JOIN b
+        ), old_files AS (
+            SELECT CAST({_ZINC_INTERLEAVE} AS BIGINT) AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_old
+            FROM old_z GROUP BY 1
+        ), delta_z AS (
+            SELECT least(greatest(CAST(floor((o_custkey - b.ck0) * 16.0
+                                             / b.ck_span) AS BIGINT),
+                                  0), 15) AS zx,
+                   least(greatest(CAST(floor(date_diff('day', b.d0, od)
+                                             * 16.0 / b.d_span)
+                                       AS BIGINT), 0), 15) AS zy
+            FROM delta CROSS JOIN b
+        ), delta_files AS (
+            SELECT CAST({_ZINC_INTERLEAVE} AS BIGINT) AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_add
+            FROM delta_z GROUP BY 1
+        )
+        SELECT coalesce(o.file_id, d.file_id) AS file_id,
+               CASE WHEN o.file_id IS NULL THEN 'new'
+                    WHEN d.file_id IS NULL THEN 'keep'
+                    ELSE 'rewrite' END AS status,
+               coalesce(o.n_old, 0) AS n_old,
+               coalesce(d.n_add, 0) AS n_add,
+               coalesce(o.n_old, 0) + coalesce(d.n_add, 0) AS n_total
+        FROM old_files o FULL OUTER JOIN delta_files d
+          ON o.file_id = d.file_id
+        ORDER BY file_id
+    """,
+    phase="P3",
+    tags=("etl", "layout", "zorder", "maintenance"),
+)
+def etl_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL z-order maintenance (VERDICT r7 Next #8) — the step
+    that makes etl_zorder_layout a maintainable layout rather than a
+    one-shot write: given the existing 256-cell Morton layout over the
+    base data (orderkey % 10 != 0) and an arriving delta batch
+    (orderkey % 10 = 0), only the cells whose envelope the delta
+    actually touches are rewritten. Emits the rewrite plan: per file
+    cell its status (`rewrite` = existing file gains rows, `keep` =
+    untouched — at 100 TB the vast majority, which is the whole point,
+    `new` = a cell only the delta populates), with old/added/resulting
+    row counts.
+
+    The delta ranks against the EXISTING layout's bounds (fixed at
+    write time — the manifest is the contract), clamping out-of-range
+    keys and dates into the edge cells with least/greatest exactly as
+    a real incremental OPTIMIZE clamps rather than re-bounding (a
+    re-bound would shift every cell and force a full rewrite).
+
+    Plan shape: one aggregate row of bounds from the base broadcast
+    into two map-only rank+interleave projections (pure integer bit
+    arithmetic after one exact small-float multiply, the proven
+    etl_zorder_layout spelling), each collapsing to a ≤256-row
+    per-cell count; the FULL OUTER join and status CASE run at
+    METADATA scale. Nothing data-sized ever shuffles more than the
+    two 256-group aggregates."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    b = old.agg(
+        F.min("o_custkey").alias("ck0"),
+        (F.max("o_custkey") - F.min("o_custkey") + 1).alias("ck_span"),
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.to_date("o_orderdate")),
+                F.min(F.to_date("o_orderdate")),
+            )
+            + 1
+        ).alias("d_span"),
+    )
+
+    def cells(df: DataFrame, clamp: bool, out: str) -> DataFrame:
+        zx = F.floor(
+            (F.col("o_custkey") - F.col("ck0")) * 16.0 / F.col("ck_span")
+        ).cast("bigint")
+        zy = F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0"))
+            * 16.0
+            / F.col("d_span")
+        ).cast("bigint")
+        if clamp:
+            zx = F.least(F.greatest(zx, F.lit(0)), F.lit(15))
+            zy = F.least(F.greatest(zy, F.lit(0)), F.lit(15))
+        return (
+            df.crossJoin(F.broadcast(b))
+            .select(zx.alias("zx"), zy.alias("zy"))
+            .select(F.expr(_ZINC_INTERLEAVE).cast("bigint").alias("file_id"))
+            .groupBy("file_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    old_files = cells(old, clamp=False, out="n_old")
+    delta_files = cells(delta, clamp=True, out="n_add")
+    joined = old_files.withColumnRenamed("file_id", "of").join(
+        delta_files.withColumnRenamed("file_id", "df"),
+        F.col("of") == F.col("df"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("of"), F.col("df")).alias("file_id"),
+        F.when(F.col("of").isNull(), "new")
+        .when(F.col("df").isNull(), "keep")
+        .otherwise("rewrite")
+        .alias("status"),
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce(F.col("n_add"), F.lit(0)).cast("bigint").alias("n_add"),
+        (
+            F.coalesce(F.col("n_old"), F.lit(0))
+            + F.coalesce(F.col("n_add"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_total"),
+    ).orderBy("file_id")

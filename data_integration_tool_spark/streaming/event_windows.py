@@ -2338,3 +2338,112 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row.lag", "row.rho_pico", "row.pacf_micro")
         .orderBy("lag")
     )
+
+
+@query(
+    "ts_kalman_1d",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS tot_micro
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, day, tot_micro,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ),
+        rec AS (
+            SELECT event_type, day, rn, tot_micro,
+                   CAST(tot_micro AS DOUBLE) AS x,
+                   CAST(1.0 AS DOUBLE) AS p,
+                   CAST(1.0 AS DOUBLE) AS k
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.day, s.rn, s.tot_micro,
+                   r.x + ((r.p + 1.0) / ((r.p + 1.0) + 4.0))
+                       * (CAST(s.tot_micro AS DOUBLE) - r.x),
+                   (1.0 - (r.p + 1.0) / ((r.p + 1.0) + 4.0))
+                       * (r.p + 1.0),
+                   (r.p + 1.0) / ((r.p + 1.0) + 4.0)
+            FROM rec r
+            JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, day, tot_micro,
+               CAST(floor(x + 0.5) AS BIGINT)             AS x_micro,
+               CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS p_micro,
+               CAST(floor(k * 1000000.0 + 0.5) AS BIGINT) AS k_micro
+        FROM rec
+        ORDER BY event_type, day
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "kalman", "pandas-udf"),
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk + noise) Kalman filter over daily
+    per-type volume — the optimal online smoother whose gain ADAPTS:
+    it starts trusting observations, converges to the steady-state
+    blend dictated by the process/measurement noise ratio (Q=1, R=4
+    here), and its posterior variance P quantifies how sure the
+    filter is at every step. Emits the filtered level, gain, and
+    variance per day. Unlike ts_holt_winters' fixed-α smoothing, the
+    recurrence couples THREE states (x, P, K) through a division —
+    the canonical non-window-expressible recurrence.
+
+    Cross-engine exactness without quantizing the state
+    (ts_holt_winters' rule): integer-micro observations enter a pure
+    IEEE double recurrence whose operand order is spelled identically
+    in the Python kernel and the recursive-CTE oracle —
+    pp = P + 1.0; K = pp / (pp + 4.0); x += K·(y − x);
+    P = (1.0 − K)·pp — so trajectories are bitwise-equal and the
+    final floor(·+0.5) can never straddle a boundary differently.
+
+    Scale shape: the corpus-sized stage is the combinable (type, day)
+    aggregate; the recurrence runs at SERIES grain inside one Arrow
+    batch per key, parallel across keys, linear in days — never in
+    events."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(micro(F.col("value"))).alias("tot_micro"))
+
+    out_schema = (
+        "event_type string, day timestamp, tot_micro long, "
+        "x_micro long, p_micro long, k_micro long"
+    )
+
+    def kalman(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs, ps, ks = [], [], []
+        x = p = k = 0.0
+        for i, y in enumerate(pdf["tot_micro"].tolist()):
+            if i == 0:
+                x, p, k = float(y), 1.0, 1.0
+            else:
+                pp = p + 1.0
+                k = pp / (pp + 4.0)
+                x = x + k * (float(y) - x)
+                p = (1.0 - k) * pp
+            xs.append(x)
+            ps.append(p)
+            ks.append(k)
+        pdf["x_micro"] = [int(math.floor(v + 0.5)) for v in xs]
+        pdf["p_micro"] = [int(math.floor(v * 1000000.0 + 0.5)) for v in ps]
+        pdf["k_micro"] = [int(math.floor(v * 1000000.0 + 0.5)) for v in ks]
+        return pdf[
+            ["event_type", "day", "tot_micro", "x_micro", "p_micro", "k_micro"]
+        ]
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(kalman, schema=out_schema)
+        .orderBy("event_type", "day")
+    )

@@ -3542,3 +3542,200 @@ def test_pairwise_diversity_matches_numpy_sample(spark, sf_dir):
     assert r.min_cos_micro == min(cos)
     assert r.max_cos_micro == max(cos)
     assert r.mean_cos_micro == math.floor(sum(cos) / len(cos) + 0.5)
+
+
+def test_mann_whitney_matches_python_recompute(spark, sf_dir):
+    """u2, ties, and z must equal a straight Python rank recompute."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_mann_whitney,
+    )
+
+    row = agg_mann_whitney(spark, sf_dir).collect()[0]
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter("l_returnflag IN ('R','A')")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    pairs = sorted(
+        (int(math.floor(r.l_extendedprice * 100.0 + 0.5)),
+         1 if r.l_returnflag == "R" else 0)
+        for r in li
+    )
+    n = len(pairs)
+    n1 = sum(g for _, g in pairs)
+    r2 = 0  # 2*R1
+    ties = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        t = j - i
+        c1 = sum(g for _, g in pairs[i:j])
+        r2 += c1 * (2 * i + t + 1)
+        ties += t * t * t - t
+        i = j
+    u2 = r2 - n1 * (n1 + 1)
+    assert (row.n1, row.n2, row.u2, row.ties) == (n1, n - n1, u2, ties)
+    var = n1 * (n - n1) / 12.0 * ((n + 1) - ties / (float(n) * (n - 1)))
+    z = float(u2 - n1 * (n - n1)) / 2.0 / math.sqrt(var)
+    assert abs(row.z_micro / 1e6 - z) < 2e-6
+
+
+def test_kruskal_wallis_matches_python_recompute(spark, sf_dir):
+    """H and its tie correction must equal a Python rank recompute."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_kruskal_wallis,
+    )
+
+    row = agg_kruskal_wallis(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    per_v = collections.defaultdict(lambda: collections.Counter())
+    for r in li:
+        per_v[int(math.floor(r.l_extendedprice * 100.0 + 0.5))][
+            r.l_returnflag
+        ] += 1
+    r2 = collections.Counter()
+    nsz = collections.Counter()
+    ties = 0
+    cum = 0
+    for v in sorted(per_v):
+        cnt = sum(per_v[v].values())
+        for g, c in per_v[v].items():
+            r2[g] += c * (2 * cum + cnt + 1)
+            nsz[g] += c
+        ties += cnt**3 - cnt
+        cum += cnt
+    n = sum(nsz.values())
+    assert (row.nr, row.na, row.nn, row.ties) == (
+        nsz["R"], nsz["A"], nsz["N"], ties,
+    )
+    h = 12.0 / (float(n) * (n + 1)) * sum(
+        float(r2[g]) * r2[g] / (4.0 * nsz[g]) for g in ("R", "A", "N")
+    ) - 3.0 * (n + 1)
+    hc = h / (1.0 - ties / (float(n) * n * n - n))
+    assert abs(row.h_micro / 1e6 - h) < 2e-6
+    assert abs(row.hc_micro / 1e6 - hc) < 2e-6
+
+
+def test_cohens_kappa_matches_python_recompute(spark, sf_dir):
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_cohens_kappa,
+    )
+
+    row = agg_cohens_kappa(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    n = {(a, b): 0 for a in (0, 1) for b in (0, 1)}
+    for r in ev:
+        n[(int(r.event_type == "purchase"), int(r.value >= 50.0))] += 1
+    total = sum(n.values())
+    assert (row.n00, row.n01, row.n10, row.n11) == (
+        n[(0, 0)], n[(0, 1)], n[(1, 0)], n[(1, 1)],
+    )
+    po = (n[(0, 0)] + n[(1, 1)]) / total
+    r0, r1 = n[(0, 0)] + n[(0, 1)], n[(1, 0)] + n[(1, 1)]
+    c0, c1 = n[(0, 0)] + n[(1, 0)], n[(0, 1)] + n[(1, 1)]
+    pe = (r0 * c0 + r1 * c1) / (total * total)
+    kappa = (po - pe) / (1 - pe)
+    assert abs(row.po_micro / 1e6 - po) < 2e-6
+    assert abs(row.pe_micro / 1e6 - pe) < 2e-6
+    assert abs(row.kappa_micro / 1e6 - kappa) < 2e-6
+
+
+def test_random_projection_matches_python_recompute(spark, sf_dir):
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        _RP_OUT,
+        _RP_SIGNS,
+        emb_random_projection,
+    )
+
+    rows = emb_random_projection(spark, sf_dir).collect()
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    acc = collections.defaultdict(
+        lambda: {"n": 0, "s": 0, "mn": None, "mx": None}
+    )
+    for r in vecs:
+        qv = [int(math.floor(float(x) * 1e6 + 0.5)) for x in r.embedding]
+        for j in range(_RP_OUT):
+            proj = sum(qv[i] * _RP_SIGNS[i][j] for i in range(64))
+            a = acc[(r.label, j)]
+            a["n"] += 1
+            a["s"] += proj
+            a["mn"] = proj if a["mn"] is None else min(a["mn"], proj)
+            a["mx"] = proj if a["mx"] is None else max(a["mx"], proj)
+    assert len(rows) == len(acc)
+    for r in rows:
+        a = acc[(r.label, r.dim_out)]
+        assert (r.n, r.sum_proj, r.min_proj, r.max_proj) == (
+            a["n"], a["s"], a["mn"], a["mx"],
+        )
+
+
+def test_quantified_all_returns_nation_maxima(spark, sf_dir):
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.subqueries import (
+        subq_quantified_all,
+    )
+
+    rows = subq_quantified_all(spark, sf_dir).collect()
+    sup = load(spark, sf_dir, "supplier").collect()
+    mx = {}
+    for s in sup:
+        mx[s.s_nationkey] = max(
+            mx.get(s.s_nationkey, float("-inf")), s.s_acctbal
+        )
+    want = {
+        (s.s_nationkey, s.s_suppkey)
+        for s in sup
+        if s.s_acctbal >= mx[s.s_nationkey]
+    }
+    assert {(r.s_nationkey, r.s_suppkey) for r in rows} == want
+
+
+def test_kalman_gain_converges_and_tracks(spark, sf_dir):
+    """K must start at 1, fall monotonically toward the steady-state
+    gain of the (Q=1, R=4) local-level model, and the filtered level
+    must stay inside the observed range per series."""
+    import collections
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_kalman_1d,
+    )
+
+    rows = ts_kalman_1d(spark, sf_dir).collect()
+    per = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        per[r.event_type].append(r)
+    # steady state: P* solves P = (1-K)(P+1), K = (P+1)/(P+5)
+    # -> P*^2 + P* - 4 = 0 -> P* = (sqrt(17)-1)/2, K* = (P*+1)/(P*+5)
+    k_star = ((17**0.5 - 1) / 2 + 1) / ((17**0.5 - 1) / 2 + 5)
+    for series in per.values():
+        assert series[0].k_micro == 1000000
+        # P0=1 under-states the steady-state variance, so K dips to
+        # 1/3 at step 2 then climbs monotonically toward K*
+        ks = [r.k_micro for r in series]
+        assert all(a <= b <= int(k_star * 1e6) + 1 for a, b in zip(ks[1:], ks[2:]))
+        if len(series) > 10:
+            assert abs(series[-1].k_micro / 1e6 - k_star) < 1e-3
+        lo = min(r.tot_micro for r in series)
+        hi = max(r.tot_micro for r in series)
+        assert all(lo <= r.x_micro <= hi for r in series)

@@ -480,3 +480,32 @@ def test_vacuum_plan_never_deletes_reachable(spark, sf_dir):
             assert r.n_delete > 0
         assert (r.bytes_delete == 0) == (r.n_delete == 0)
         assert (r.bytes_keep == 0) == (r.n_keep == 0)
+
+
+def test_zorder_incremental_plan_reconciles(spark, sf_dir):
+    """The incremental plan must conserve rows (Σ n_total = |orders|),
+    keep-cells must gain nothing, new-cells must have no base rows,
+    and every delta row must land in some cell (clamped ranks)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        etl_zorder_incremental,
+    )
+
+    rows = etl_zorder_incremental(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_delta = o.filter("o_orderkey % 10 = 0").count()
+    assert sum(r.n_total for r in rows) == n_orders
+    assert sum(r.n_add for r in rows) == n_delta
+    for r in rows:
+        assert 0 <= r.file_id <= 255
+        assert r.n_total == r.n_old + r.n_add
+        if r.status == "keep":
+            assert r.n_add == 0 and r.n_old > 0
+        elif r.status == "new":
+            assert r.n_old == 0 and r.n_add > 0
+        else:
+            assert r.status == "rewrite" and r.n_old > 0 and r.n_add > 0
+    # the point of incremental maintenance: a real fraction of the
+    # layout is untouched (keep) at every fixture SF
+    assert any(r.status == "keep" for r in rows)
