@@ -2893,3 +2893,100 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kappa_micro"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+            FROM orders
+        ), per_v AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY v
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(floor(sum(cnt) / 20.0) AS BIGINT) AS k
+            FROM per_v
+        ), ranked AS (
+            SELECT v, cnt, n, k,
+                   CAST(sum(cnt) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cb
+            FROM per_v CROSS JOIN tot
+        ), kept AS (
+            SELECT n, k,
+                   greatest(CAST(0 AS BIGINT),
+                            least(cb + cnt, n - k)
+                            - greatest(cb, k)) AS kc,
+                   v
+            FROM ranked
+        )
+        SELECT max(n) AS n, max(k) AS k_trim,
+               CAST(max(n) - 2 * max(k) AS BIGINT) AS n_kept,
+               CAST(sum(kc * v) AS BIGINT) AS trimmed_sum_cents,
+               CAST(floor(CAST(sum(kc * v) AS DOUBLE)
+                          / (max(n) - 2 * max(k))
+                          * 10000.0 + 0.5) AS BIGINT) AS mean_micro
+        FROM kept
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "robust"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value — the robust location estimate
+    that survives fat tails and data-entry outliers where the plain
+    mean doesn't. The trim is EXACT order-statistics arithmetic, not
+    an approximation: at value grain (integer cents), each distinct
+    value contributes kept = clamp(min(cb+cnt, n−k) − max(cb, k), ≥0)
+    rows to the middle 90%, handling tie groups that straddle a trim
+    boundary partially — so trimmed_sum is an exact BIGINT and the
+    single final division is the only IEEE op.
+
+    Scale shape: one combinable value-grain groupBy, the cents-
+    vocabulary rank window (agg_mann_whitney's cost class), one-row
+    fold. No sort of the data itself, no percentile sketch."""
+    o = load(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v")
+    )
+    per_v = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = per_v.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.floor(F.sum("cnt") / 20.0).cast("bigint").alias("k"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "cnt",
+        "n",
+        "k",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint").alias("cb"),
+    )
+    kc = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cb") + F.col("cnt"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cb"), F.col("k")),
+    )
+    kept = ranked.select("n", "k", kc.alias("kc"), "v")
+    return kept.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k_trim"),
+        (F.max("n") - 2 * F.max("k")).cast("bigint").alias("n_kept"),
+        F.sum(F.col("kc") * F.col("v"))
+        .cast("bigint")
+        .alias("trimmed_sum_cents"),
+        F.floor(
+            F.sum(F.col("kc") * F.col("v")).cast("double")
+            / (F.max("n") - 2 * F.max("k"))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+    )

@@ -2280,3 +2280,234 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_out")
     )
+
+
+def _purity_oracle() -> str:
+    """Contingency of true label × nearest-centroid assignment (the 10
+    fixed centroids of cluster_assign, argmin on EXACT integer squared
+    L2 over micro-quantized vectors with the dist·K+cid tiebreak
+    encoding of emb_kmeans_lloyd), folded to purity and NMI with
+    per-cell pico-quantized ln terms — ln runs at CELL grain (≤
+    labels×10 cells), never per row."""
+    return """
+        WITH q AS (
+            SELECT vec_id, label, u.i AS dim_pos,
+                   CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        ), c AS (
+            SELECT vec_id AS cid, dim_pos, qv AS qc
+            FROM q WHERE vec_id < 10
+        ), d AS (
+            SELECT q.vec_id, q.label, c.cid,
+                   sum((q.qv - c.qc) * (q.qv - c.qc)) * 10 + c.cid
+                       AS enc
+            FROM q JOIN c ON c.dim_pos = q.dim_pos
+            GROUP BY q.vec_id, q.label, c.cid
+        ), a AS (
+            SELECT vec_id, label,
+                   CAST(min(enc) % 10 AS BIGINT) AS cid
+            FROM d GROUP BY vec_id, label
+        ), cont AS (
+            SELECT label, cid, CAST(count(*) AS BIGINT) AS n_cl
+            FROM a GROUP BY label, cid
+        ), tot AS (
+            SELECT CAST(sum(n_cl) AS BIGINT) AS n,
+                   CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+                   CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
+            FROM cont
+        ), marg_l AS (
+            SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l
+            FROM cont GROUP BY label
+        ), marg_c AS (
+            SELECT cid, CAST(sum(n_cl) AS BIGINT) AS n_c
+            FROM cont GROUP BY cid
+        ), pur AS (
+            SELECT CAST(sum(mx) AS BIGINT) AS pure_n
+            FROM (SELECT cid, max(n_cl) AS mx FROM cont GROUP BY cid)
+        ), mi AS (
+            SELECT CAST(sum(CAST(floor(
+                       CAST(n_cl AS DOUBLE) / t.n
+                       * ln(CAST(t.n AS DOUBLE) * n_cl
+                            / (CAST(n_c AS DOUBLE) * n_l))
+                       * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS mi_pico
+            FROM cont
+            JOIN marg_l USING (label)
+            JOIN marg_c USING (cid)
+            CROSS JOIN tot t
+        ), hl AS (
+            SELECT CAST(sum(CAST(floor(
+                       -(CAST(n_l AS DOUBLE) / t.n)
+                       * ln(CAST(n_l AS DOUBLE) / t.n)
+                       * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS hl_pico
+            FROM marg_l CROSS JOIN tot t
+        ), hc AS (
+            SELECT CAST(sum(CAST(floor(
+                       -(CAST(n_c AS DOUBLE) / t.n)
+                       * ln(CAST(n_c AS DOUBLE) / t.n)
+                       * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS hc_pico
+            FROM marg_c CROSS JOIN tot t
+        )
+        SELECT t.n, t.n_labels, t.n_clusters,
+               CAST(floor(CAST(pure_n AS DOUBLE) / t.n
+                    * 1000000.0 + 0.5) AS BIGINT) AS purity_micro,
+               CAST(floor(CAST(mi_pico AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS mi_micro,
+               CAST(floor(CAST(mi_pico AS DOUBLE)
+                    / sqrt(CAST(hl_pico AS DOUBLE) * hc_pico)
+                    * 1000000.0 + 0.5) AS BIGINT) AS nmi_micro
+        FROM tot t CROSS JOIN pur CROSS JOIN mi
+        CROSS JOIN hl CROSS JOIN hc
+    """
+
+
+@query(
+    "eval_cluster_purity",
+    oracle=_purity_oracle(),
+    phase="P4",
+    tags=("evaluation", "clustering", "similarity"),
+)
+def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality scorecard against ground-truth labels: PURITY
+    (fraction of points whose cluster's majority label is theirs) and
+    NMI (mutual information normalized by sqrt(H_label·H_cluster)) for
+    the 10-fixed-centroid assignment cluster_assign performs — the
+    external-validity judge that closes the clustering loop
+    (emb_kmeans_lloyd fits, cluster_assign assigns, emb_silhouette
+    scores internally, THIS scores against labels).
+
+    Exactness: assignment is argmin on EXACT integer squared L2
+    (micro-quantized vectors, the dist·K+cid min-encoding of
+    emb_kmeans_lloyd — no float distance can flip a winner);
+    contingency/marginals are exact counts; every ln term is
+    pico-quantized at CELL grain (≤ labels×10 cells — the
+    agg_entropy_categorical safety class, never per-row libm) so the
+    cross-cell sums are order-free integers.
+
+    Plan: 10 centroids collect as driver scalars (K·64 — the
+    sanctioned k-means pattern) and re-enter as broadcast literals in
+    ONE map-only F.least over array expressions (no explode, no
+    join); the contingency is a ≤ labels×10-group combinable agg;
+    everything after is cell-grain arithmetic."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    cents = (
+        e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    )  # driver-scalar: 10x64 centroid components
+
+    def dist_enc(cid: int, cvec: list) -> Column:
+        lit = F.array(*[F.lit(int(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return d * F.lit(10) + F.lit(cid)
+
+    enc = F.least(*[dist_enc(int(r.vec_id), list(r.qv)) for r in cents])
+    cont = (
+        e.select("label", (enc % 10).cast("bigint").alias("cid"))
+        .groupBy("label", "cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+    )
+    cont = cont.localCheckpoint(eager=False)
+    tot = cont.agg(
+        F.sum("n_cl").cast("bigint").alias("n"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+        F.countDistinct("cid").cast("bigint").alias("n_clusters"),
+    )
+    marg_l = cont.groupBy("label").agg(
+        F.sum("n_cl").cast("bigint").alias("n_l")
+    )
+    marg_c = cont.groupBy("cid").agg(
+        F.sum("n_cl").cast("bigint").alias("n_c")
+    )
+    pur = (
+        cont.groupBy("cid")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("pure_n"))
+    )
+    mi = (
+        cont.join(marg_l, "label")
+        .join(F.broadcast(marg_c), "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.col("n_cl").cast("double")
+                / F.col("n")
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("n_cl")
+                    / (F.col("n_c").cast("double") * F.col("n_l"))
+                )
+                * F.lit(1000000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("mi_pico"))
+    )
+
+    def ent(marg: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select(
+                F.floor(
+                    -(F.col(col).cast("double") / F.col("n"))
+                    * F.log(F.col(col).cast("double") / F.col("n"))
+                    * F.lit(1000000000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("t")
+            )
+            .agg(F.sum("t").cast("bigint").alias(out))
+        )
+
+    hl = ent(marg_l, "n_l", "hl_pico")
+    hc = ent(marg_c, "n_c", "hc_pico")
+    return (
+        tot.crossJoin(pur)
+        .crossJoin(mi)
+        .crossJoin(hl)
+        .crossJoin(hc)
+        .select(
+            "n",
+            "n_labels",
+            "n_clusters",
+            F.floor(
+                F.col("pure_n").cast("double") / F.col("n")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("purity_micro"),
+            F.floor(
+                F.col("mi_pico").cast("double") / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mi_micro"),
+            F.floor(
+                F.col("mi_pico").cast("double")
+                / F.sqrt(
+                    F.col("hl_pico").cast("double") * F.col("hc_pico")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nmi_micro"),
+        )
+    )

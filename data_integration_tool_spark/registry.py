@@ -206,6 +206,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_random_projection",
     "subq_quantified_all",
     "ts_kalman_1d",
+    "agg_trimmed_mean",
+    "ts_sax",
+    "ts_cross_correlation",
+    "win_decayed_sum",
+    "eval_cluster_purity",
+    "etl_file_skipping_stats",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -1824,3 +1824,217 @@ def etl_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_total"),
     ).orderBy("file_id")
+
+
+@query(
+    "etl_file_skipping_stats",
+    oracle=f"""
+        WITH b AS (
+            SELECT min(o_custkey) AS ck0,
+                   max(o_custkey) - min(o_custkey) + 1 AS ck_span,
+                   min(CAST(o_orderdate AS DATE)) AS d0,
+                   date_diff('day', min(CAST(o_orderdate AS DATE)),
+                             max(CAST(o_orderdate AS DATE))) + 1 AS d_span
+            FROM orders
+        ), keyed AS (
+            SELECT o_custkey,
+                   date_diff('day', b.d0, CAST(o_orderdate AS DATE))
+                       AS day_off,
+                   CAST(floor((o_custkey - b.ck0) * 16.0 / b.ck_span)
+                        AS BIGINT) AS zx,
+                   CAST(floor(date_diff('day', b.d0,
+                              CAST(o_orderdate AS DATE))
+                              * 16.0 / b.d_span) AS BIGINT) AS zy
+            FROM orders CROSS JOIN b
+        ), manifest AS (
+            SELECT CAST({_ZINC_INTERLEAVE} AS BIGINT) AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+                   CAST(min(day_off) AS BIGINT) AS min_day,
+                   CAST(max(day_off) AS BIGINT) AS max_day
+            FROM keyed GROUP BY 1
+        ), probes AS (
+            SELECT i AS probe_id,
+                   CASE WHEN i < 4 THEN 'custkey' ELSE 'date' END
+                       AS probe_type,
+                   CASE WHEN i < 4 THEN
+                        b.ck0 + CAST(floor(i * b.ck_span / 8.0)
+                                     AS BIGINT)
+                        ELSE CAST(floor((i - 4) * b.d_span / 8.0)
+                                  AS BIGINT) END AS lo,
+                   CASE WHEN i < 4 THEN
+                        b.ck0 + CAST(floor((i + 1) * b.ck_span / 8.0)
+                                     AS BIGINT) - 1
+                        ELSE CAST(floor((i - 3) * b.d_span / 8.0)
+                                  AS BIGINT) - 1 END AS hi
+            FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS i)
+            CROSS JOIN b
+        ), scanned AS (
+            SELECT p.probe_id, p.probe_type, p.lo, p.hi,
+                   CAST(count(*) FILTER (WHERE
+                        (p.probe_type = 'custkey'
+                         AND m.min_ck <= p.hi AND m.max_ck >= p.lo)
+                        OR
+                        (p.probe_type = 'date'
+                         AND m.min_day <= p.hi AND m.max_day >= p.lo))
+                        AS BIGINT) AS n_scanned,
+                   CAST(sum(n_rows) FILTER (WHERE
+                        (p.probe_type = 'custkey'
+                         AND m.min_ck <= p.hi AND m.max_ck >= p.lo)
+                        OR
+                        (p.probe_type = 'date'
+                         AND m.min_day <= p.hi AND m.max_day >= p.lo))
+                        AS BIGINT) AS rows_scanned,
+                   CAST(count(*) AS BIGINT) AS n_files
+            FROM probes p CROSS JOIN manifest m
+            GROUP BY p.probe_id, p.probe_type, p.lo, p.hi
+        )
+        SELECT probe_id, probe_type, lo, hi, n_files, n_scanned,
+               rows_scanned,
+               CAST(floor(CAST(n_files - n_scanned AS DOUBLE) / n_files
+                    * 1000000.0 + 0.5) AS BIGINT) AS skip_micro
+        FROM scanned
+        ORDER BY probe_id
+    """,
+    phase="P3",
+    tags=("etl", "layout", "zorder", "skipping"),
+)
+def etl_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping efficiency audit of the z-order layout — the
+    proof step of the lake-maintenance family (etl_zorder_layout
+    writes, etl_zorder_incremental maintains, THIS measures): for 8
+    probe predicates (4 custkey ranges, 4 date ranges, each 1/8 of
+    the respective domain), how many of the 256 Morton files would a
+    min/max-stats reader scan vs skip, and how many rows does the
+    scan touch. A good 2-D layout skips ~three quarters of the files
+    on EITHER dimension — the number this query pins.
+
+    All arithmetic is the proven etl_zorder_layout spelling (exact
+    integer ranks/interleave after one small-float multiply; probe
+    bounds are floor()-ed domain fractions); the probe×manifest
+    overlap test is pure integer comparison, so every figure is
+    exact. Plan: one data-sized scan into the 256-cell manifest agg,
+    then an 8×256 METADATA-scale cross join folded per probe — at
+    100 TB the manifest is what a table format's stats store already
+    holds, and the audit costs nothing data-sized."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("ck0"),
+        (F.max("o_custkey") - F.min("o_custkey") + 1).alias("ck_span"),
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.to_date("o_orderdate")),
+                F.min(F.to_date("o_orderdate")),
+            )
+            + 1
+        ).alias("d_span"),
+    )
+    keyed = o.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias("day_off"),
+        F.floor(
+            (F.col("o_custkey") - F.col("ck0")) * 16.0 / F.col("ck_span")
+        )
+        .cast("bigint")
+        .alias("zx"),
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0"))
+            * 16.0
+            / F.col("d_span")
+        )
+        .cast("bigint")
+        .alias("zy"),
+    )
+    manifest = (
+        keyed.select(
+            F.expr(_ZINC_INTERLEAVE).cast("bigint").alias("file_id"),
+            "o_custkey",
+            "day_off",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min("day_off").cast("bigint").alias("min_day"),
+            F.max("day_off").cast("bigint").alias("max_day"),
+        )
+    )
+    probes = (
+        spark.range(0, 8)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("i").alias("probe_id"),
+            F.when(F.col("i") < 4, "custkey")
+            .otherwise("date")
+            .alias("probe_type"),
+            F.when(
+                F.col("i") < 4,
+                F.col("ck0")
+                + F.floor(F.col("i") * F.col("ck_span") / 8.0).cast(
+                    "bigint"
+                ),
+            )
+            .otherwise(
+                F.floor((F.col("i") - 4) * F.col("d_span") / 8.0).cast(
+                    "bigint"
+                )
+            )
+            .alias("lo"),
+            F.when(
+                F.col("i") < 4,
+                F.col("ck0")
+                + F.floor((F.col("i") + 1) * F.col("ck_span") / 8.0).cast(
+                    "bigint"
+                )
+                - 1,
+            )
+            .otherwise(
+                F.floor((F.col("i") - 3) * F.col("d_span") / 8.0).cast(
+                    "bigint"
+                )
+                - 1
+            )
+            .alias("hi"),
+        )
+    )
+    hit = (
+        (F.col("probe_type") == "custkey")
+        & (F.col("min_ck") <= F.col("hi"))
+        & (F.col("max_ck") >= F.col("lo"))
+    ) | (
+        (F.col("probe_type") == "date")
+        & (F.col("min_day") <= F.col("hi"))
+        & (F.col("max_day") >= F.col("lo"))
+    )
+    scanned = (
+        F.broadcast(probes)
+        .crossJoin(manifest)
+        .groupBy("probe_id", "probe_type", "lo", "hi")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        )
+    )
+    return scanned.select(
+        "probe_id",
+        "probe_type",
+        "lo",
+        "hi",
+        "n_files",
+        "n_scanned",
+        "rows_scanned",
+        F.floor(
+            (F.col("n_files") - F.col("n_scanned")).cast("double")
+            / F.col("n_files")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("skip_micro"),
+    ).orderBy("probe_id")

@@ -2447,3 +2447,310 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kalman, schema=out_schema)
         .orderBy("event_type", "day")
     )
+
+
+# Shared SAX spelling: series stats over unit-grain daily totals (unit
+# grain keeps Σy² inside int64 — micro would overflow), z computed as
+# ONE spelled chain so segment symbols derive from bitwise-equal z.
+_SAX_Z = (
+    "((CAST(ssum AS DOUBLE) / scnt - CAST(s AS DOUBLE) / n)"
+    " / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n))"
+)
+_SAX_SYMBOL = (
+    f"CASE WHEN {_SAX_Z} < -0.6745 THEN 'a'"
+    f" WHEN {_SAX_Z} < 0.0 THEN 'b'"
+    f" WHEN {_SAX_Z} < 0.6745 THEN 'c'"
+    " ELSE 'd' END"
+)
+
+
+@query(
+    "ts_sax",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(floor(value + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), seq AS (
+            SELECT event_type, day, y,
+                   CAST(floor((row_number() OVER (
+                        PARTITION BY event_type ORDER BY day) - 1)
+                        / 7.0) AS BIGINT) AS seg
+            FROM daily
+        ), stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s,
+                   CAST(sum(y * y) AS BIGINT) AS q
+            FROM daily GROUP BY event_type
+        ), segs AS (
+            SELECT event_type, seg,
+                   CAST(count(*) AS BIGINT) AS scnt,
+                   CAST(sum(y) AS BIGINT) AS ssum,
+                   min(day) AS seg_start
+            FROM seq GROUP BY event_type, seg
+        )
+        SELECT g.event_type, g.seg, g.seg_start, g.scnt AS n_days,
+               CAST(floor(CAST(ssum AS DOUBLE) / scnt * 1000000.0 + 0.5)
+                    AS BIGINT) AS paa_micro,
+               CAST(floor({_SAX_Z} * 1000000.0 + 0.5) AS BIGINT)
+                   AS z_micro,
+               {_SAX_SYMBOL} AS symbol
+        FROM segs g JOIN stats st ON st.event_type = g.event_type
+        ORDER BY g.event_type, g.seg
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "sax", "symbolic"),
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of daily per-type volume:
+    Piecewise Aggregate Approximation into 7-day segments, z-normalized
+    against the series' own mean/std, then discretized to a 4-letter
+    alphabet at the standard Gaussian breakpoints (−0.6745, 0, 0.6745)
+    — the time-series-to-string transform behind motif discovery,
+    similarity indexing, and anomaly grammars.
+
+    Exactness: daily totals are UNIT-grain BIGINTs (unit, not micro,
+    keeps Σy² inside int64); segment sums and series moments are exact
+    integers; z is one shared-spelling IEEE chain so both engines
+    compute bitwise-equal z — symbols (comparisons on that z) can
+    never straddle a breakpoint differently.
+
+    Scale shape: the corpus-sized stage is the combinable (type, day)
+    aggregate; everything after runs at day/segment grain. Segment id
+    rides row_number over the per-type day order (one tiny window);
+    series stats broadcast back into segment rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.floor((F.row_number().over(w) - 1) / 7.0)
+        .cast("bigint")
+        .alias("seg"),
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+    )
+    segs = seq.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scnt"),
+        F.sum("y").cast("bigint").alias("ssum"),
+        F.min("day").alias("seg_start"),
+    )
+    return (
+        segs.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "seg",
+            "seg_start",
+            F.col("scnt").alias("n_days"),
+            F.floor(
+                F.col("ssum").cast("double") / F.col("scnt")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("paa_micro"),
+            F.floor(F.expr(_SAX_Z) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("z_micro"),
+            F.expr(_SAX_SYMBOL).alias("symbol"),
+        )
+        .orderBy("event_type", "seg")
+    )
+
+
+@query(
+    "win_decayed_sum",
+    oracle="""
+        WITH b AS (
+            SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+            FROM events
+        ), terms AS (
+            SELECT user_id,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       >> CAST(least(floor(
+                              CAST(floor((b.tmax
+                                   - epoch_us(CAST(ts AS TIMESTAMP)))
+                                   / 86400000000.0) AS BIGINT) / 7.0),
+                              40.0) AS BIGINT) AS term,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       AS vmicro
+            FROM events CROSS JOIN b
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vmicro) AS BIGINT) AS raw_micro,
+               CAST(sum(term) AS BIGINT) AS decayed_micro
+        FROM terms
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    phase="P3",
+    tags=("window", "decay", "recency"),
+)
+def win_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user: every event's value
+    is halved for each full 7 days of age at the corpus watermark
+    (max ts), then summed — the recency weighting behind engagement
+    ranking, churn scoring, and freshness-aware mixtures.
+
+    The decay is deliberately DYADIC (half-life = 7 whole days) so the
+    weight is an exact arithmetic shift: micro-value >> (age_days/7)
+    is pure BIGINT arithmetic — no exp(), no per-row libm call whose
+    last ULP could differ across engines, no float accumulation order.
+    The fractional remainder a continuous exp(−λt) would add is a
+    modeling choice, not a precision one; at 100 TB the shift spelling
+    is the one that stays provably cross-engine-exact (the
+    sample_weighted md5-ladder principle). Age buckets floor() on both
+    engines (the CAST-rounds-vs-truncates trap). Shift clamps at 40:
+    beyond ~5.4 years of age the term is 0 at micro grain anyway.
+
+    Plan: one single-row watermark aggregate broadcast into a map-only
+    term projection, then ONE combinable groupBy(user_id) — a scan
+    plus one user-grain exchange at any scale."""
+    e = load(spark, sf_dir, "events")
+    b = e.agg(F.max(F.unix_micros("ts")).alias("tmax"))
+    # F.shiftright only takes a literal bit count, so the variable
+    # shift is spelled in SQL (same spelling class as the oracle)
+    terms = e.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.expr(
+            "shiftright(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT), "
+            "CAST(least(floor(CAST(floor((tmax - unix_micros(ts)) "
+            "/ 86400000000.0) AS BIGINT) / 7.0), 40.0) AS INT))"
+        ).alias("term"),
+        micro(F.col("value")).alias("vmicro"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vmicro").cast("bigint").alias("raw_micro"),
+            F.sum("term").cast("bigint").alias("decayed_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Lagged cross-correlation: paired Pearson over exact integer moments,
+# one shared spelled IEEE chain.
+_CCF_R = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))"
+)
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                            THEN CAST(floor(value + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(floor(value + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ), lags AS (
+            SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag
+        ), pairs AS (
+            SELECT l.lag, a.x, b.y
+            FROM lags l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.day = a.day + l.lag
+        ), m AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+               CAST(floor({_CCF_R} * 1000000.0 + 0.5) AS BIGINT)
+                   AS r_micro
+        FROM m
+        ORDER BY lag
+    """,
+    phase="P3",
+    tags=("stream", "timeseries", "correlation"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily view volume and daily
+    purchase volume (lags −3..+3): "do views lead purchases, and by
+    how many days?" — the lead-lag diagnostic behind marketing-mix
+    and funnel-latency analyses, complementing ts_autocorr (one
+    series' memory) and ts_pacf_durbin (its direct memory).
+
+    Per lag the statistic is the paired Pearson r over the
+    day-aligned (x_t, y_{t+l}) pairs. All six moments are exact
+    BIGINTs at unit grain (daily totals ≤ ~1e6 keep n·Σx² inside
+    int64); r is one shared-spelling IEEE chain — the ts_autocorr
+    rule. Date alignment is pure DATE + integer arithmetic on both
+    engines.
+
+    Scale shape: events collapse to DAY grain in one combinable
+    aggregate; the 7-lag fan-out and self-join run on the tiny daily
+    relation (calendar-bounded), then one 7-group fold."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    unit = F.floor(F.col("value") + F.lit(0.5)).cast("bigint")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", unit).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", unit).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("aday"), "x")
+    bside = daily.select(F.col("day").alias("bday"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            F.broadcast(bside),
+            F.col("bday") == F.date_add(F.col("aday"), F.col("lag")),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.floor(F.expr(_CCF_R) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("r_micro"),
+    ).orderBy("lag")

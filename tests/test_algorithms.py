@@ -3739,3 +3739,211 @@ def test_kalman_gain_converges_and_tracks(spark, sf_dir):
         lo = min(r.tot_micro for r in series)
         hi = max(r.tot_micro for r in series)
         assert all(lo <= r.x_micro <= hi for r in series)
+
+
+def test_trimmed_mean_matches_python_recompute(spark, sf_dir):
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_trimmed_mean,
+    )
+
+    row = agg_trimmed_mean(spark, sf_dir).collect()[0]
+    cents = sorted(
+        int(math.floor(r.o_totalprice * 100.0 + 0.5))
+        for r in load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(cents)
+    k = n // 20
+    mid = cents[k: n - k]
+    assert (row.n, row.k_trim, row.n_kept) == (n, k, len(mid))
+    assert row.trimmed_sum_cents == sum(mid)
+    mean = sum(mid) / len(mid)  # cents
+    assert abs(row.mean_micro / 1e4 - mean) < 1e-3
+    # robustness: the trimmed mean differs from the raw mean but not
+    # wildly on this unimodal fixture
+    raw = sum(cents) / n
+    assert abs(mean - raw) / raw < 0.2
+
+
+def test_sax_symbols_match_python_recompute(spark, sf_dir):
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import ts_sax
+
+    rows = ts_sax(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily = collections.defaultdict(lambda: collections.Counter())
+    for r in ev:
+        daily[r.event_type][r.ts.date()] += int(math.floor(r.value + 0.5))
+    got = {(r.event_type, r.seg): r for r in rows}
+    n_checked = 0
+    for et, days in daily.items():
+        ys = [days[d] for d in sorted(days)]
+        n = len(ys)
+        m = sum(ys) / n
+        var = (sum(y * y for y in ys) - sum(ys) * sum(ys) / n) / n
+        std = math.sqrt(var)
+        for seg in range((n + 6) // 7):
+            chunk = ys[seg * 7: seg * 7 + 7]
+            paa = sum(chunk) / len(chunk)
+            z = (paa - m) / std
+            sym = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+            r = got[(et, seg)]
+            assert r.n_days == len(chunk)
+            assert abs(r.paa_micro / 1e6 - paa) < 2e-6
+            assert r.symbol == sym
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_decayed_sum_matches_python_recompute(spark, sf_dir):
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        win_decayed_sum,
+    )
+
+    rows = win_decayed_sum(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    tmax = max(int(r.ts.timestamp() * 1_000_000) for r in ev)
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        age_days = int(math.floor((tmax - us) / 86400000000.0))
+        k = min(age_days // 7, 40)
+        vm = int(math.floor(r.value * 1e6 + 0.5))
+        a = acc[r.user_id]
+        a[0] += 1
+        a[1] += vm
+        a[2] += vm >> k
+    assert len(rows) == len(acc)
+    for r in rows:
+        assert (r.n_events, r.raw_micro, r.decayed_micro) == tuple(
+            acc[r.user_id]
+        )
+    # decay must actually bite: decayed strictly below raw overall
+    assert sum(r.decayed_micro for r in rows) < sum(
+        r.raw_micro for r in rows
+    )
+
+
+def test_cross_correlation_matches_python_recompute(spark, sf_dir):
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_cross_correlation,
+    )
+
+    rows = {r.lag: r for r in ts_cross_correlation(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").filter(
+        "event_type IN ('view','purchase')"
+    ).collect()
+    xs = collections.Counter()
+    ys = collections.Counter()
+    for r in ev:
+        d = r.ts.date()
+        u = int(math.floor(r.value + 0.5))
+        if r.event_type == "view":
+            xs[d] += u
+        else:
+            ys[d] += u
+    days = sorted(set(xs) | set(ys))
+    import datetime
+
+    for lag in range(-3, 4):
+        pairs = [
+            (xs[d], ys[d + datetime.timedelta(days=lag)])
+            for d in days
+            if d + datetime.timedelta(days=lag) in set(days)
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        syy = sum(p[1] * p[1] for p in pairs)
+        r_ = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert rows[lag].n_days == n
+        assert abs(rows[lag].r_micro / 1e6 - r_) < 2e-6
+    assert rows[0].n_days == len(days)
+
+
+def test_cluster_purity_matches_python_recompute(spark, sf_dir):
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        eval_cluster_purity,
+    )
+
+    row = eval_cluster_purity(spark, sf_dir).collect()[0]
+    vecs = load(spark, sf_dir, "embeddings").collect()
+    q = {
+        r.vec_id: [int(math.floor(float(x) * 1e6 + 0.5)) for x in r.embedding]
+        for r in vecs
+    }
+    cents = {r.vec_id: q[r.vec_id] for r in vecs if r.vec_id < 10}
+    cont = collections.Counter()
+    for r in vecs:
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(q[r.vec_id], cv)) * 10 + cid)
+            for cid, cv in cents.items()
+        )
+        cont[(r.label, best % 10)] += 1
+    n = sum(cont.values())
+    marg_l = collections.Counter()
+    marg_c = collections.Counter()
+    for (l, c), v in cont.items():
+        marg_l[l] += v
+        marg_c[c] += v
+    pure = sum(
+        max(v for (l, c2), v in cont.items() if c2 == c) for c in marg_c
+    )
+    assert row.n == n
+    assert row.n_labels == len(marg_l)
+    assert row.n_clusters == len(marg_c)
+    assert abs(row.purity_micro / 1e6 - pure / n) < 2e-6
+    mi = sum(
+        v / n * math.log(n * v / (marg_c[c] * marg_l[l]))
+        for (l, c), v in cont.items()
+    )
+    hl = -sum(v / n * math.log(v / n) for v in marg_l.values())
+    hc = -sum(v / n * math.log(v / n) for v in marg_c.values())
+    assert abs(row.mi_micro / 1e6 - mi) < 1e-4
+    assert abs(row.nmi_micro / 1e6 - mi / math.sqrt(hl * hc)) < 1e-4
+    assert 0 <= row.nmi_micro <= 1000000
+
+
+def test_file_skipping_stats_prune_and_conserve(spark, sf_dir):
+    """Every probe must scan a strict subset of files with full row
+    coverage of the probe's own range, and 2-D layout must actually
+    skip on both dimensions."""
+    from data_integration_tool_spark.sources.etl import (
+        etl_file_skipping_stats,
+    )
+
+    rows = etl_file_skipping_stats(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 < r.n_scanned <= r.n_files
+        assert r.rows_scanned > 0
+        assert 0 <= r.skip_micro < 1000000
+    # the whole point of z-order: BOTH dimensions skip meaningfully
+    for t in ("custkey", "date"):
+        best = max(r.skip_micro for r in rows if r.probe_type == t)
+        assert best >= 500000, f"{t} probes should skip >=50% of files"
