@@ -2990,3 +2990,84 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_micro"),
     )
+
+
+@query(
+    "agg_approx_audit",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS nd_pr,
+                   CAST(floor(quantile_disc(o_totalprice, 0.5) * 100.0
+                        + 0.5) AS BIGINT) AS med_cents
+            FROM orders
+        )
+        SELECT 'distinct_custkey' AS metric, nd_ck AS exact_value,
+               TRUE AS within_tol FROM m
+        UNION ALL
+        SELECT 'distinct_priority', nd_pr, TRUE FROM m
+        UNION ALL
+        SELECT 'median_totalprice_cents', med_cents, TRUE FROM m
+        ORDER BY metric
+    """,
+    phase="P2",
+    tags=("agg", "sketch", "audit"),
+)
+def agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: runs the engine's approximate aggregates
+    (HyperLogLog++ distinct counts, GK approximate median) SIDE BY
+    SIDE with their exact twins in one pass and asserts the error
+    bound the sketch contracts promise — the check a 100 TB pipeline
+    runs before trusting sketches for capacity planning or cardinality
+    stats. The sketch values themselves are engine-specific (never
+    driver-visible); what ships is the EXACT value plus a bounded
+    boolean, so the oracle can assert the whole row (the
+    stream_foreach_batch multi_batch pattern): HLL at rsd=0.05 must
+    land within 15%, the GK median at accuracy 10000 within 5% of the
+    true median. A sketch regression (or a wrong rsd wiring) goes
+    driver hash-RED.
+
+    Plan: ONE combinable aggregate computes all six figures — exact
+    distinct counts expand+dedup map-side, the sketches are constant
+    memory; at scale you'd keep only the sketch column set, which is
+    the point being audited."""
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
+        F.approx_count_distinct("o_custkey", 0.05).alias("ack"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
+        F.approx_count_distinct("o_orderpriority", 0.05).alias("apr"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med_exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("med_approx"),
+    )
+    flagged = m.select(
+        "nd_ck",
+        "nd_pr",
+        F.floor(F.col("med_exact") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("med_cents"),
+        (
+            F.abs(F.col("ack") - F.col("nd_ck"))
+            <= F.col("nd_ck") * F.lit(0.15)
+        ).alias("ok_ck"),
+        (
+            F.abs(F.col("apr") - F.col("nd_pr"))
+            <= F.col("nd_pr") * F.lit(0.15)
+        ).alias("ok_pr"),
+        (
+            F.abs(F.col("med_approx") - F.col("med_exact"))
+            <= F.col("med_exact") * F.lit(0.05)
+        ).alias("ok_med"),
+    )
+    return flagged.selectExpr(
+        "stack(3,"
+        " 'distinct_custkey', nd_ck, ok_ck,"
+        " 'distinct_priority', nd_pr, ok_pr,"
+        " 'median_totalprice_cents', med_cents, ok_med"
+        ") AS (metric, exact_value, within_tol)"
+    ).orderBy("metric")

@@ -162,9 +162,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+# Shared with dedup_lsh_recall_audit (the exact ground-truth side).
+_NGRAM_JACCARD_ORACLE = """
         WITH tok AS (
             SELECT doc_id, source,
                    list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS toks
@@ -177,7 +176,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     phase="P3",
     tags=("dedup", "jaccard"),
 )
@@ -288,9 +292,34 @@ _MH_FIRST_MATCH_SQL = " AND ".join(
 )
 
 
-@query(
-    "dedup_minhash",
-    oracle=f"""
+def _flat_signatures(d: DataFrame) -> DataFrame:
+    """doc_id + flat MinHash slots s0..s31 + band hashes b0..b4 — the
+    shared signature relation of dedup_minhash and
+    dedup_lsh_recall_audit (kept flat for codegen; see the plan notes
+    on dedup_minhash)."""
+    token_hashes = _token_hashes()
+    slots = d.select("doc_id", token_hashes.alias("hs")).select(
+        "doc_id",
+        *[
+            F.coalesce(
+                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
+            ).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    return slots.select(
+        "*",
+        *[
+            _band_hash(
+                [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"b{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+
+
+# Shared with dedup_lsh_recall_audit (the shipped candidate side).
+_MINHASH_ORACLE = f"""
         WITH {_MH_FLAT_SQL},
         stats AS (
             SELECT *,
@@ -312,7 +341,12 @@ _MH_FIRST_MATCH_SQL = " AND ".join(
         WHERE CAST(({_MH_AGREE_SQL}) AS DOUBLE) / {N_MINHASH}
                   >= {NEAR_DUP_THRESHOLD}
            OR a.n_bucket > {MAX_PAIR_BUCKET}
-    """,
+    """
+
+
+@query(
+    "dedup_minhash",
+    oracle=_MINHASH_ORACLE,
     phase="P3",
     tags=("dedup", "minhash", "lsh"),
 )
@@ -368,7 +402,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic question and should use ``dedup_minhash_groups``.
     """
     d = load(spark, sf_dir, "documents")
-    token_hashes = _token_hashes()
     # Flat slots computed straight from the hashed-token array — NOT via
     # an intermediate array<long> signature column: getItem on a created
     # array is rewritten by SimplifyExtractValueOps back into the i-th
@@ -383,24 +416,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below this projection, re-inlining the whole token pipeline into
     # a per-row scan filter (measured 110 s vs 6 s at sf0.1); on
     # non-nullable slots the constraints fold to true and vanish.
-    slots = d.select("doc_id", token_hashes.alias("hs")).select(
-        "doc_id",
-        *[
-            F.coalesce(
-                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
-            ).alias(f"s{i}")
-            for i in range(N_MINHASH)
-        ],
-    )
-    flat = slots.select(
-        "*",
-        *[
-            _band_hash(
-                [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"b{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    # (construction factored into _flat_signatures, shared with
+    # dedup_lsh_recall_audit)
+    flat = _flat_signatures(d)
     banded = flat.select(
         "*",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
@@ -1077,4 +1095,161 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(wo) == 1).cast("bigint").alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+        WITH {_MH_FLAT_SQL},
+        truth AS (
+            SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_ORACLE})
+        ), cov AS (
+            SELECT DISTINCT t.doc_a, t.doc_b
+            FROM truth t
+            JOIN banded ba ON ba.doc_id = t.doc_a
+            JOIN banded bb ON bb.doc_id = t.doc_b
+             AND bb.band_idx = ba.band_idx
+             AND bb.band_hash = ba.band_hash
+        ), cand AS (
+            SELECT c.doc_a, c.doc_b
+            FROM ({_MINHASH_ORACLE}) c
+            JOIN documents x ON x.doc_id = c.doc_a
+            JOIN documents y ON y.doc_id = c.doc_b
+             AND x.source = y.source
+        ), m AS (
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                (SELECT CAST(count(*) AS BIGINT) FROM cov) AS n_banded,
+                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM cand c JOIN truth t
+                   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                    AS n_cand_true
+        )
+        SELECT n_truth, n_banded,
+               CASE WHEN n_truth > 0 THEN
+                    CAST(floor(CAST(n_banded AS DOUBLE) / n_truth
+                         * 1000000.0 + 0.5) AS BIGINT) END
+                   AS banding_recall_micro,
+               n_cand AS n_cand_same_source, n_cand_true,
+               CASE WHEN n_cand > 0 THEN
+                    CAST(floor(CAST(n_cand_true AS DOUBLE) / n_cand
+                         * 1000000.0 + 0.5) AS BIGINT) END
+                   AS precision_micro
+        FROM m
+    """,
+    phase="P3",
+    tags=("dedup", "minhash", "evaluation", "audit"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH dedup against exact
+    ground truth — the meta-evaluation a training-data pipeline runs
+    before trusting its dedup at 100 TB, where exact all-pairs is
+    impossible and the LSH operating point IS the dedup. Two numbers,
+    each against the layer it actually audits:
+
+    - **banding recall**: fraction of exact near-dup pairs (token-set
+      Jaccard ≥ 0.8 within a source block — dedup_ngram_jaccard's
+      output) that share at least one (band, band-hash) BUCKET. This
+      audits the 5×6 s-curve promise (P ≥ 0.91 at j = 0.8) at the
+      layer where recall is decided — bucket co-membership — NOT at
+      the emitted-pair layer, where the oversized-bucket star guard
+      deliberately under-emits pairwise edges (connectivity-only; a
+      pair-level comparison reads as ~0 recall by design, the first
+      draft of this audit measured exactly that).
+    - **emitted precision**: fraction of dedup_minhash's shipped
+      same-source pairs that are true ≥ 0.8 near-dups.
+
+    Both legs REUSE the registered builders' machinery (the oracle
+    composes their oracle SQL verbatim, the Spark side shares
+    _flat_signatures), so the audit can never drift from what the
+    pipeline ships.
+
+    Plan: truth pairs join the banded relation once per side (linear
+    in truth×bands, no quadratic bucket expansion); the precision leg
+    is a pair-grain semi-join against the already-linear candidate
+    set."""
+    d = load(spark, sf_dir, "documents")
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    banded = _flat_signatures(d).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    ba = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    bb = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    cov = (
+        truth.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band_idx", "band_hash"], "left_semi")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    src = d.select("doc_id", "source")
+    cand = (
+        dedup_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("src_a") == F.col("src_b"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand_true = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    m = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(
+            cov.agg(F.count(F.lit(1)).cast("bigint").alias("n_banded"))
+        )
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        )
+        .crossJoin(
+            cand_true.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cand_true")
+            )
+        )
+    )
+    return m.select(
+        "n_truth",
+        "n_banded",
+        F.when(
+            F.col("n_truth") > 0,
+            F.floor(
+                F.col("n_banded").cast("double") / F.col("n_truth")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("banding_recall_micro"),
+        F.col("n_cand").alias("n_cand_same_source"),
+        "n_cand_true",
+        F.when(
+            F.col("n_cand") > 0,
+            F.floor(
+                F.col("n_cand_true").cast("double") / F.col("n_cand")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("precision_micro"),
     )

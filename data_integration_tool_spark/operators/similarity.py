@@ -2401,9 +2401,7 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         ).alias("qv"),
     )
-    cents = (
-        e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
-    )  # driver-scalar: 10x64 centroid components
+    cents = e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()  # driver-scalar: 10x64 centroid components
 
     def dist_enc(cid: int, cvec: list) -> Column:
         lit = F.array(*[F.lit(int(x)) for x in cvec])

@@ -212,6 +212,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_decayed_sum",
     "eval_cluster_purity",
     "etl_file_skipping_stats",
+    "agg_approx_audit",
+    "dedup_lsh_recall_audit",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -3947,3 +3947,37 @@ def test_file_skipping_stats_prune_and_conserve(spark, sf_dir):
     for t in ("custkey", "date"):
         best = max(r.skip_micro for r in rows if r.probe_type == t)
         assert best >= 500000, f"{t} probes should skip >=50% of files"
+
+
+def test_lsh_recall_audit_meets_scurve_promise(spark, sf_dir):
+    """Banding recall must meet (approximately) the 5x6 s-curve's
+    >=0.91-at-j=0.8 analytical promise, and emitted same-source
+    candidates must be majority-true or star-capped."""
+    from data_integration_tool_spark.operators.dedup import (
+        dedup_lsh_recall_audit,
+    )
+
+    row = dedup_lsh_recall_audit(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.n_banded <= row.n_truth
+    # truth is >=0.8 where the s-curve promises 0.91 AT 0.8 and more
+    # above; allow a small margin for mass exactly at the threshold
+    assert row.banding_recall_micro >= 850000
+    assert 0 <= row.n_cand_true <= row.n_cand_same_source
+    if row.precision_micro is not None:
+        assert 0 <= row.precision_micro <= 1000000
+
+
+def test_approx_audit_all_within_tol(spark, sf_dir):
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_approx_audit,
+    )
+
+    rows = {r.metric: r for r in agg_approx_audit(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "distinct_custkey", "distinct_priority", "median_totalprice_cents",
+    }
+    assert all(r.within_tol for r in rows.values())
+    assert rows["distinct_priority"].exact_value == 5
+    assert rows["distinct_custkey"].exact_value > 0
+    assert rows["median_totalprice_cents"].exact_value > 0
