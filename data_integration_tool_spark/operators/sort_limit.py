@@ -398,7 +398,12 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniforms land in their OWN projection: the CASE ladder names its
     # u32 in every WHEN, so inlining the conv(substring(..)) spelling
     # would evaluate it ~9x per weight (144 convs/row — measured 30x
-    # slower); as named columns each uniform is computed exactly once
+    # slower); as named columns each uniform is computed exactly once.
+    # The weight ladders themselves go INLINE in the aggregate
+    # expressions (not a third projection): an extra 16-CASE-column
+    # projection costs ~1.5 s of per-plan Catalyst optimization +
+    # codegen in the bench's fresh-plan regime (measured 3.3 s vs
+    # 1.8 s total) without changing execution at all.
     u_cols = [
         F.expr(
             f"CAST(conv(substring(dg{rep // 4}, {(rep % 4) * 8 + 1}, 8),"
@@ -407,24 +412,15 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rep in range(_BOOT_REPS)
     ]
     uniforms = base.select("priority", "cents", *u_cols)
-    rows = uniforms.select(
-        "priority",
-        "cents",
-        *[
-            F.expr(_pois_weight_sql(f"u{rep}")).alias(f"w{rep}")
-            for rep in range(_BOOT_REPS)
-        ],
-    )
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("sc"),
     ]
     for rep in range(_BOOT_REPS):
-        aggs.append(
-            F.sum(F.col(f"w{rep}") * F.col("cents")).alias(f"swc{rep}")
-        )
-        aggs.append(F.sum(f"w{rep}").alias(f"sw{rep}"))
-    g = rows.groupBy("priority").agg(*aggs)
+        w = F.expr(_pois_weight_sql(f"u{rep}"))
+        aggs.append(F.sum(w * F.col("cents")).alias(f"swc{rep}"))
+        aggs.append(F.sum(w).alias(f"sw{rep}"))
+    g = uniforms.groupBy("priority").agg(*aggs)
     rep_means = [
         F.floor(
             F.col(f"swc{rep}").cast("double")
