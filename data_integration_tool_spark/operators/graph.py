@@ -1051,3 +1051,132 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc_micro"),
         )
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0
+        ), adj AS (
+            SELECT pa AS node, pb AS nbr FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ), deg AS (
+            SELECT node, count(*) AS d FROM adj GROUP BY node
+        ), term AS (
+            SELECT node,
+                   CAST(floor(1000000000000.0 / ln(CAST(d AS DOUBLE))
+                        + 0.5) AS BIGINT) AS t
+            FROM deg WHERE d >= 2
+        ), adjt AS (
+            SELECT a.node, a.nbr, t.t
+            FROM adj a JOIN term t ON t.node = a.node
+        ), wedge AS (
+            SELECT a.nbr AS na, b.nbr AS nb,
+                   CAST(count(*) AS BIGINT) AS common_n,
+                   CAST(sum(a.t) AS BIGINT) AS aa_pico
+            FROM adjt a JOIN adjt b
+              ON a.node = b.node AND a.nbr < b.nbr
+            GROUP BY a.nbr, b.nbr
+        ), cand AS (
+            SELECT w.na, w.nb, w.common_n, w.aa_pico
+            FROM wedge w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs p WHERE p.pa = w.na AND p.pb = w.nb
+            )
+        )
+        SELECT na AS node_a, nb AS node_b, common_n, aa_pico
+        FROM cand
+        ORDER BY aa_pico DESC, node_a, node_b
+        LIMIT 50
+    """,
+    phase="P3",
+    tags=("graph", "link-prediction"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the basket graph — the
+    degree-weighted upgrade of graph_link_predict's common-neighbor
+    count: a shared neighbor contributes 1/ln(deg), so rare
+    connectors weigh more than promiscuous hubs (the score that wins
+    on co-purchase graphs where a few bestseller parts co-occur with
+    everything). Top-50 not-yet-connected pairs.
+
+    Exactness: each node's 1/ln(deg) term is pico-quantized ONCE at
+    NODE grain (the safe ln class — never per wedge), so the per-pair
+    Adamic-Adar sum is an order-free exact BIGINT; ranking sorts the
+    quantized integer with a pair tiebreak, so IEEE ties can't flip
+    the cut. Wedge centers need deg ≥ 2 (ln > 0 by construction).
+
+    Plan: the node-grain term relation broadcasts into the adjacency
+    before wedge formation — no per-wedge degree join; wedge pairs
+    form map-side on the center node exactly as graph_link_predict;
+    anti-join drops existing edges; TakeOrdered keeps 50."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    term = deg.filter(F.col("d") >= 2).select(
+        "node",
+        F.floor(
+            F.lit(1000000000000.0) / F.log(F.col("d").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    adjt = adj.join(F.broadcast(term), "node")
+    wa = adjt.select("node", F.col("nbr").alias("na"), "t")
+    wb = adjt.select(F.col("node").alias("node2"), F.col("nbr").alias("nb"))
+    wedge = (
+        wa.join(
+            wb,
+            (F.col("node") == F.col("node2"))
+            & (F.col("na") < F.col("nb")),
+        )
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_n"),
+            F.sum("t").cast("bigint").alias("aa_pico"),
+        )
+    )
+    cand = wedge.join(
+        pairs,
+        (F.col("na") == F.col("pa")) & (F.col("nb") == F.col("pb")),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "common_n",
+            "aa_pico",
+        )
+        .orderBy(F.desc("aa_pico"), "node_a", "node_b")
+        .limit(50)
+    )

@@ -214,6 +214,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_file_skipping_stats",
     "agg_approx_audit",
     "dedup_lsh_recall_audit",
+    "graph_adamic_adar",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -3981,3 +3981,52 @@ def test_approx_audit_all_within_tol(spark, sf_dir):
     assert rows["distinct_priority"].exact_value == 5
     assert rows["distinct_custkey"].exact_value > 0
     assert rows["median_totalprice_cents"].exact_value > 0
+
+
+def test_adamic_adar_matches_python(spark, sf_dir):
+    """Every emitted candidate pair must match a Python recompute of
+    the Adamic-Adar score over the same sliced basket graph: not an
+    existing edge, common-neighbor count exact, and the pico-quantized
+    sum of 1/ln(deg) terms exact (node-grain quantization)."""
+    import collections
+    import itertools
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_adamic_adar,
+    )
+
+    out = graph_adamic_adar(spark, sf_dir).collect()
+    assert 0 < len(out) <= 50
+    li = load(spark, sf_dir, "lineitem").collect()
+    by_order = collections.defaultdict(set)
+    for x in li:
+        if x.l_orderkey % 20 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    term = {
+        n: math.floor(1e12 / math.log(float(len(nb))) + 0.5)
+        for n, nb in adj.items()
+        if len(nb) >= 2
+    }
+    scores = collections.defaultdict(lambda: [0, 0])
+    for c, t in term.items():
+        for a, b in itertools.combinations(sorted(adj[c]), 2):
+            scores[(a, b)][0] += 1
+            scores[(a, b)][1] += t
+    prev = None
+    for r in out:
+        pair = (r.node_a, r.node_b)
+        assert pair not in edges
+        assert (r.common_n, r.aa_pico) == tuple(scores[pair])
+        key = (-r.aa_pico, r.node_a, r.node_b)
+        assert prev is None or prev < key
+        prev = key
