@@ -3071,3 +3071,371 @@ def agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'median_totalprice_cents', med_cents, ok_med"
         ") AS (metric, exact_value, within_tol)"
     ).orderBy("metric")
+
+
+# Delta-method ratio variance from exact integer moments, spelled once
+# so both engines run the identical IEEE expression (Welch-t discipline).
+_RD_R = "(CAST(sy AS DOUBLE) / sx)"
+_RD_XBAR = "(CAST(sx AS DOUBLE) / n)"
+_RD_VX = (
+    "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / n) / (n - 1))"
+)
+_RD_VY = (
+    "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / n) / (n - 1))"
+)
+_RD_CXY = (
+    "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / n) / (n - 1))"
+)
+_RD_SE = (
+    f"(sqrt(({_RD_VY} - 2.0 * {_RD_R} * {_RD_CXY}"
+    f" + {_RD_R} * {_RD_R} * {_RD_VX}) / n) / {_RD_XBAR})"
+)
+_RD_LO = f"({_RD_R} - 1.959963985 * {_RD_SE})"
+_RD_HI = f"({_RD_R} + 1.959963985 * {_RD_SE})"
+
+
+@query(
+    "agg_ratio_delta_ci",
+    oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag AS flag, l_linestatus AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        AS BIGINT) AS sy,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                            * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sxx,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        AS BIGINT) AS syy,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        AS BIGINT) AS sxy
+            FROM lineitem
+            GROUP BY 1, 2
+        )
+        SELECT flag, status, n, sx, sy,
+               CAST(floor({_RD_R} * 1000000.0 + 0.5) AS BIGINT)
+                   AS ratio_micro,
+               CAST(floor({_RD_SE} * 1000000.0 + 0.5) AS BIGINT)
+                   AS se_micro,
+               CAST(floor({_RD_LO} * 1000000.0 + 0.5) AS BIGINT)
+                   AS lo_micro,
+               CAST(floor({_RD_HI} * 1000000.0 + 0.5) AS BIGINT)
+                   AS hi_micro
+        FROM m
+        ORDER BY flag, status
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "ab-testing"),
+)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% confidence interval for a RATIO metric —
+    revenue per unit shipped, by (returnflag, linestatus). The A/B-
+    testing staple that Welch's t can't cover: ratio-of-sums metrics
+    (revenue/order, clicks/session) violate the iid-mean assumption,
+    so the variance needs the full delta expansion
+    Var(R) ~ (Vy - 2R*Cxy + R^2*Vx) / (n * xbar^2).
+
+    Exactness: numerator and denominator quantize ONCE at row grain
+    (revenue to whole dollars, quantity integral by fixture), so the
+    six moments (n, sx, sy, sxx, syy, sxy) are order-free exact
+    BIGINTs; ratio/se/bounds are ONE shared IEEE formula string
+    (_RD_*) F.expr'd on Spark and formatted into the oracle —
+    identical operand order, micro-quantized on output. int64 bound:
+    syy <= n * (1.1e5)^2 ~ 1.2e10*n — safe to ~7.6e8 rows/group;
+    rescale the revenue grain for bigger groups (agg_welch_ttest
+    convention).
+
+    Plan: ONE combinable map-side-partial aggregate to (flag, status)
+    grain — the shuffle moves 4 rows of moments per partition; every
+    downstream expression runs on the 4-row relation."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    y = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("flag", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    return m.select(
+        "flag",
+        "status",
+        "n",
+        "sx",
+        "sy",
+        F.floor(F.expr(_RD_R) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ratio_micro"),
+        F.floor(F.expr(_RD_SE) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("se_micro"),
+        F.floor(F.expr(_RD_LO) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lo_micro"),
+        F.floor(F.expr(_RD_HI) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hi_micro"),
+    ).orderBy("flag", "status")
+
+
+# Theil-T shares and between-group term, spelled once for both engines.
+_TH_ISH = "(CAST(s AS DOUBLE) / stot)"
+_TH_PSH = "(CAST(n AS DOUBLE) / ntot)"
+_TH_BETWEEN = f"({_TH_ISH} * ln({_TH_ISH} / {_TH_PSH}))"
+_TH_WITHIN = "(CAST(tsum AS DOUBLE) / n / 1000.0)"
+
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), grp AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM base GROUP BY seg
+        ), terms AS (
+            SELECT b.seg,
+                   CAST(sum(CAST(floor(
+                       (CAST(b.x AS DOUBLE) * g.n / g.s)
+                       * ln(CAST(b.x AS DOUBLE) * g.n / g.s)
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS tsum
+            FROM base b JOIN grp g ON g.seg = b.seg
+            GROUP BY b.seg
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                   CAST(sum(s) AS BIGINT) AS stot
+            FROM grp
+        )
+        SELECT g.seg, g.n, g.s AS sum_dollars,
+               CAST(floor({_TH_WITHIN} + 0.5) AS BIGINT)
+                   AS theil_within_micro,
+               CAST(floor({_TH_PSH} * 1000000.0 + 0.5) AS BIGINT)
+                   AS pop_share_micro,
+               CAST(floor({_TH_ISH} * 1000000.0 + 0.5) AS BIGINT)
+                   AS income_share_micro,
+               CAST(floor({_TH_BETWEEN} * 1000000.0 + 0.5) AS BIGINT)
+                   AS between_term_micro
+        FROM grp g JOIN terms t ON t.seg = g.seg, tot
+        ORDER BY g.seg
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "inequality"),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of order value by market
+    segment — the decomposable companion to agg_gini: total
+    inequality splits EXACTLY into sum(within_g * income_share_g) +
+    sum(between_g), which Gini cannot do, and the between/within
+    split is what a curation pipeline reads to decide whether value
+    skew is a segment-mix artifact or intra-segment.
+
+    Exactness: x quantizes ONCE at row grain (whole dollars); each
+    per-row term (x/mu_g)*ln(x/mu_g) is nano-quantized the moment
+    it's computed (the ln class — never raw-summed), so the per-group
+    sum is an order-free BIGINT; within/shares/between are shared
+    formula strings over exact group moments, micro on output. int64
+    bound: term <= ~6*1e9 per row -> safe past 1e9 rows/group.
+
+    Plan: the data-sized stages are ONE join (orders->customer,
+    AQE-broadcastable) and TWO combinable aggregates over it (moments
+    + terms); mu_g broadcasts back into the row scan via the 5-row
+    group relation; everything downstream runs at 5-row grain with a
+    1-row cross-joined total."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    grp = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    ratio = F.col("x").cast("double") * F.col("n") / F.col("s")
+    terms = (
+        base.join(F.broadcast(grp), "seg")
+        .select(
+            "seg",
+            F.floor(ratio * F.log(ratio) * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("seg")
+        .agg(F.sum("t").cast("bigint").alias("tsum"))
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum("s").cast("bigint").alias("stot"),
+    )
+    return (
+        grp.join(terms, "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n",
+            F.col("s").alias("sum_dollars"),
+            F.floor(F.expr(_TH_WITHIN) + F.lit(0.5))
+            .cast("bigint")
+            .alias("theil_within_micro"),
+            F.floor(F.expr(_TH_PSH) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pop_share_micro"),
+            F.floor(F.expr(_TH_ISH) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("income_share_micro"),
+            F.floor(F.expr(_TH_BETWEEN) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("between_term_micro"),
+        )
+        .orderBy("seg")
+    )
+
+
+# Concentration-index pieces over exact supplier/total moments.
+_HH_SHARE = "(CAST(s AS DOUBLE) / stot)"
+_HH_TERM = f"({_HH_SHARE} * {_HH_SHARE})"
+_HH_ENF = "(1000000000000000000.0 / CAST(hhisum AS DOUBLE))"
+
+
+@query(
+    "agg_concentration_hhi",
+    oracle=f"""
+        WITH sup AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sup,
+                   CAST(sum(s) AS BIGINT) AS stot
+            FROM sup
+        ), hhi AS (
+            SELECT CAST(sum(CAST(floor({_HH_TERM} * 1000000000000.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS hhisum
+            FROM sup, tot
+        ), top4 AS (
+            SELECT CAST(sum(s) AS BIGINT) AS s4 FROM (
+                SELECT s FROM sup
+                ORDER BY s DESC, l_suppkey
+                LIMIT 4
+            )
+        )
+        SELECT n_sup AS n_suppliers, stot AS total_dollars,
+               CAST(floor(CAST(hhisum AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS hhi_micro,
+               CAST(floor(CAST(s4 AS DOUBLE) / stot * 1000000.0 + 0.5)
+                    AS BIGINT) AS cr4_micro,
+               CAST(floor({_HH_ENF} + 0.5) AS BIGINT) AS effective_n
+        FROM tot, hhi, top4
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "concentration"),
+)
+def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue across suppliers
+    — HHI = sum(share_i^2), the top-4 concentration ratio CR4, and
+    the effective number of equal-size suppliers 1/HHI: the market-
+    structure scorecard (and, in a data pipeline, the skew probe that
+    says whether a supplier-keyed shuffle has a hot key problem —
+    effective_n near n_suppliers means uniform, near 1 means one key
+    dominates).
+
+    Exactness: per-supplier revenue quantizes ONCE at row grain
+    (whole dollars) into exact BIGINT sums; each squared share
+    pico-quantizes at SUPPLIER grain so the HHI sum is an order-free
+    integer; CR4's top-4 picks by (s DESC, suppkey) on exact BIGINTs
+    so ties can't flip membership; final ratios are shared IEEE
+    formula strings.
+
+    Plan: ONE combinable aggregate to supplier grain is the only
+    data-sized stage; the 1-row total broadcast-cross-joins back into
+    the supplier relation (dim-bounded, never data-bounded) for the
+    share terms; top-4 is a TakeOrdered, not a global window."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    tot = sup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sup"),
+        F.sum("s").cast("bigint").alias("stot"),
+    )
+    hhi = (
+        sup.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(F.expr(_HH_TERM) * F.lit(1e12) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("hhisum")
+        )
+    )
+    top4 = (
+        sup.orderBy(F.desc("s"), "l_suppkey")
+        .limit(4)
+        .agg(F.sum("s").cast("bigint").alias("s4"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hhi))
+        .crossJoin(F.broadcast(top4))
+        .select(
+            F.col("n_sup").alias("n_suppliers"),
+            F.col("stot").alias("total_dollars"),
+            F.floor(
+                F.col("hhisum").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("hhi_micro"),
+            F.floor(
+                F.col("s4").cast("double")
+                / F.col("stot")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cr4_micro"),
+            F.floor(F.expr(_HH_ENF) + F.lit(0.5))
+            .cast("bigint")
+            .alias("effective_n"),
+        )
+    )

@@ -606,3 +606,177 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r2_micro"),
     )
+
+
+# Brier decomposition terms over exact bin/total moments, spelled once.
+_BR_PQ = "(CAST(pm AS DOUBLE) / 1000000.0)"
+_BR_ROW = f"(({_BR_PQ} - pos) * ({_BR_PQ} - pos))"
+_BR_PBAR = "(CAST(spm AS DOUBLE) / n / 1000000.0)"
+_BR_OBIN = "(CAST(npos AS DOUBLE) / n)"
+_BR_OBAR = "(CAST(pos_tot AS DOUBLE) / ntot)"
+_BR_RELT = (
+    f"(n * ({_BR_PBAR} - {_BR_OBIN}) * ({_BR_PBAR} - {_BR_OBIN}))"
+)
+_BR_REST = (
+    f"(n * ({_BR_OBIN} - {_BR_OBAR}) * ({_BR_OBIN} - {_BR_OBAR}))"
+)
+_BR_UNC = f"({_BR_OBAR} * (1.0 - {_BR_OBAR}))"
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+        WITH binned AS (
+            SELECT CAST(least(floor(least(greatest(
+                       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+                       * 10.0), 9.0) AS BIGINT) AS bin,
+                   CAST(floor(least(greatest(
+                       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+                       * 1000000.0 + 0.5) AS BIGINT) AS pm,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ), rowsum AS (
+            SELECT CAST(sum(CAST(floor({_BR_ROW} * 1000000000000.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS bsum
+            FROM binned
+        ), bins AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pm) AS BIGINT) AS spm,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                   CAST(sum(npos) AS BIGINT) AS pos_tot
+            FROM bins
+        ), binsum AS (
+            SELECT CAST(sum(CAST(floor({_BR_RELT} * 1000000000000.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS relsum,
+                   CAST(sum(CAST(floor({_BR_REST} * 1000000000000.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS ressum,
+                   CAST(count(*) AS BIGINT) AS n_bins
+            FROM bins, tot
+        )
+        SELECT ntot AS n, pos_tot AS n_pos, n_bins,
+               CAST(floor(CAST(bsum AS DOUBLE) / ntot / 1000000.0
+                    + 0.5) AS BIGINT) AS brier_micro,
+               CAST(floor(CAST(relsum AS DOUBLE) / ntot / 1000000.0
+                    + 0.5) AS BIGINT) AS reliability_micro,
+               CAST(floor(CAST(ressum AS DOUBLE) / ntot / 1000000.0
+                    + 0.5) AS BIGINT) AS resolution_micro,
+               CAST(floor({_BR_UNC} * 1000000.0 + 0.5) AS BIGINT)
+                   AS uncertainty_micro
+        FROM rowsum, binsum, tot
+    """,
+    phase="P4",
+    tags=("evaluation", "calibration", "classification"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability
+    (calibration error), resolution (discrimination), uncertainty
+    (base-rate entropy) — over the same fixture score as
+    eval_calibration_bins, with the RAW unbinned Brier alongside so a
+    consumer sees the within-bin variance the 10-bin decomposition
+    absorbs (raw ~ REL - RES + UNC up to that residual). This is the
+    one-row scorecard a model-eval pipeline logs per run.
+
+    Exactness: the score quantizes ONCE at row grain (micro, the
+    calibration-bins convention); the raw Brier term and each bin's
+    reliability/resolution term pico-quantize the moment they're
+    computed, so every sum that crosses a grain is an order-free
+    BIGINT; final divisions are shared IEEE formula strings. int64
+    bound: row terms <= 1e12 each -> safe to ~9e6 rows (pico grain);
+    rescale to nano for bigger corpora (documented).
+
+    Plan: one row-grain projection feeds TWO combinable aggregates
+    (raw-term sum and 10-bin moments); everything downstream runs on
+    <= 10 rows with 1-row broadcast cross-joins — a single full-data
+    scan either way at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            F.element_at("embedding", 1).cast("double") + F.lit(0.5),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    binned = e.select(
+        F.least(F.floor(p * F.lit(10.0)), F.lit(9.0))
+        .cast("bigint")
+        .alias("bin"),
+        micro(p).alias("pm"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    rowsum = binned.agg(
+        F.sum(
+            F.floor(F.expr(_BR_ROW) * F.lit(1e12) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("bsum")
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pm").cast("bigint").alias("spm"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum("npos").cast("bigint").alias("pos_tot"),
+    )
+    binsum = (
+        bins.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(F.expr(_BR_RELT) * F.lit(1e12) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("relsum"),
+            F.sum(
+                F.floor(F.expr(_BR_REST) * F.lit(1e12) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("ressum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        )
+    )
+    return (
+        rowsum.crossJoin(F.broadcast(binsum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ntot").alias("n"),
+            F.col("pos_tot").alias("n_pos"),
+            "n_bins",
+            F.floor(
+                F.col("bsum").cast("double")
+                / F.col("ntot")
+                / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("brier_micro"),
+            F.floor(
+                F.col("relsum").cast("double")
+                / F.col("ntot")
+                / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("reliability_micro"),
+            F.floor(
+                F.col("ressum").cast("double")
+                / F.col("ntot")
+                / F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("resolution_micro"),
+            F.floor(F.expr(_BR_UNC) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("uncertainty_micro"),
+        )
+    )

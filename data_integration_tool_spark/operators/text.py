@@ -1249,3 +1249,123 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(20)
     )
+
+
+# Readability formulas over exact per-doc integer counts, spelled once.
+# The fixture corpus has no sentence punctuation, so sentences are
+# fixed 20-word pseudo-sentences (sent = ceil(w/20)) — documented
+# convention, identical on both engines as pure integer arithmetic.
+_READ_FRE = (
+    "(206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)"
+    " - 84.6 * (CAST(syl AS DOUBLE) / w))"
+)
+_READ_ARI = (
+    "(4.71 * (CAST(letters AS DOUBLE) / w)"
+    " + 0.5 * (CAST(w AS DOUBLE) / sent) - 21.43)"
+)
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                        AS BIGINT) AS syl,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT)
+                       AS letters,
+                   CAST(floor((len(string_split(text, ' ')) + 19)
+                        / 20.0) AS BIGINT) AS sent
+            FROM documents
+        ), scored AS (
+            SELECT source, w, syl,
+                   CAST(floor({_READ_FRE} * 1000000.0 + 0.5) AS BIGINT)
+                       AS fre_micro,
+                   CAST(floor({_READ_ARI} * 1000000.0 + 0.5) AS BIGINT)
+                       AS ari_micro
+            FROM per_doc
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(syl) AS BIGINT) AS n_syllables,
+               CAST(floor(CAST(sum(fre_micro) AS DOUBLE) / count(*)
+                    + 0.5) AS BIGINT) AS avg_fre_micro,
+               CAST(floor(CAST(sum(ari_micro) AS DOUBLE) / count(*)
+                    + 0.5) AS BIGINT) AS avg_ari_micro
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P2",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability scoring — Flesch Reading Ease and the
+    Automated Readability Index, the two standard quality gates a
+    training-data pipeline runs next to text_quality's ratio checks.
+    Syllables are vowel-group counts (the classic punctuation-free
+    proxy); sentences are fixed 20-word pseudo-sentences because the
+    fixture corpus carries no terminal punctuation (convention
+    documented in the shared formula block).
+
+    Exactness: every per-doc input (words, vowel groups, letters,
+    pseudo-sentences) is an exact integer from engine-identical
+    regex/split semantics (the text_token_count-proven conventions);
+    each score micro-quantizes at DOC grain so the per-source sums
+    are order-free BIGINTs; the final average is one spelled IEEE
+    division. No floats ever cross an aggregation boundary raw.
+
+    Plan: one projection pass computes all counts (regexp_extract_all
+    + split stay in whole-stage codegen — no UDF), then ONE
+    combinable aggregate to source grain; at 100 TB the shuffle moves
+    5 moment rows per partition."""
+    d = load(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    syl = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")
+    ).cast("bigint")
+    letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "bigint"
+    )
+    sent = F.floor((w + F.lit(19)) / F.lit(20.0)).cast("bigint")
+    per_doc = d.select(
+        "source",
+        w.alias("w"),
+        syl.alias("syl"),
+        letters.alias("letters"),
+        sent.alias("sent"),
+    )
+    scored = per_doc.select(
+        "source",
+        "w",
+        "syl",
+        F.floor(F.expr(_READ_FRE) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("fre_micro"),
+        F.floor(F.expr(_READ_ARI) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ari_micro"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("syl").cast("bigint").alias("n_syllables"),
+            F.floor(
+                F.sum("fre_micro").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("avg_fre_micro"),
+            F.floor(
+                F.sum("ari_micro").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("avg_ari_micro"),
+        )
+        .orderBy("source")
+    )

@@ -215,6 +215,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_audit",
     "dedup_lsh_recall_audit",
     "graph_adamic_adar",
+    "agg_ratio_delta_ci",
+    "agg_theil_index",
+    "agg_concentration_hhi",
+    "ts_ljung_box",
+    "graph_harmonic_centrality",
+    "text_readability",
+    "eval_brier_decomposition",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

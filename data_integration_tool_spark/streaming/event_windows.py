@@ -2754,3 +2754,171 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r_micro"),
     ).orderBy("lag")
+
+
+# Ljung-Box pieces: full-series-mean autocovariance ratio and the
+# per-lag Q term, spelled once so both engines run identical IEEE.
+_LB_M = "(CAST(stot AS DOUBLE) / ndays)"
+_LB_NUM = (
+    f"(CAST(sxy AS DOUBLE) - {_LB_M} * (sx + sy)"
+    f" + n * {_LB_M} * {_LB_M})"
+)
+_LB_DEN = "(CAST(sx2tot AS DOUBLE) - CAST(stot AS DOUBLE) * stot / ndays)"
+_LB_RHO = f"({_LB_NUM} / {_LB_DEN})"
+_LB_TERM = f"({_LB_RHO} * {_LB_RHO} / (ndays - lag))"
+_LB_Q = (
+    "(CAST(ndays AS DOUBLE) * (ndays + 2) * qsum / 1000000.0)"
+)
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS ndays,
+                   CAST(sum(rev) AS BIGINT) AS stot,
+                   CAST(sum(rev * rev) AS BIGINT) AS sx2tot
+            FROM daily
+        ),
+        lagged AS (
+            SELECT rev,
+                   {", ".join(
+                       f"lag(rev, {k}) OVER (ORDER BY day) AS l{k}"
+                       for k in range(1, ACF_MAX_LAG + 1)
+                   )}
+            FROM daily
+        ),
+        pairs AS (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS lag, rev AS x, l{k} AS y FROM lagged "
+                f"WHERE l{k} IS NOT NULL"
+                for k in range(1, ACF_MAX_LAG + 1)
+            )}
+        ),
+        moments AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pairs GROUP BY lag
+        ),
+        terms AS (
+            SELECT CAST(lag AS BIGINT) AS lag, n,
+                   CAST(floor({_LB_RHO} * 1000000.0 + 0.5) AS BIGINT)
+                       AS rho_micro,
+                   CAST(floor({_LB_TERM} * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS t_pico,
+                   ndays
+            FROM moments, tot
+        )
+        SELECT lag, n AS n_pairs, rho_micro,
+               CAST(floor({_LB_Q} + 0.5) AS BIGINT) AS q_micro
+        FROM (
+            SELECT lag, n, rho_micro, ndays,
+                   CAST(sum(t_pico) OVER (ORDER BY lag) AS BIGINT)
+                       AS qsum
+            FROM terms
+        )
+        ORDER BY lag
+    """,
+    phase="P3",
+    tags=("timeseries", "hypothesis-test"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on the daily revenue
+    series: per lag h = 1..7, the textbook autocorrelation (full-
+    series mean and denominator — unlike ts_autocorr's per-lag
+    Pearson) and the CUMULATIVE Q(h) = n(n+2) * sum_{{k<=h}}
+    rho_k^2/(n-k) — the gate a forecasting pipeline runs on model
+    residuals before trusting prediction intervals.
+
+    Exactness: daily sums and all cross-moments are exact BIGINTs;
+    rho_k folds the full-series mean correction from exact moments
+    (sxy - m*(sx+sy) + n*m^2) in ONE shared IEEE formula; each Q term
+    rho^2/(n-k) pico-quantizes at lag grain, so the cumulative sum is
+    an exact integer window over 7 rows — no float accumulation
+    anywhere.
+
+    Plan: identical scale shape to ts_autocorr — the only data-sized
+    stage is the map-side-combinable daily rollup; lags ride one
+    window pass over the ~10^3-row series; the 1-row total relation
+    cross-joins (broadcast) into 7-row lag grain."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndays"),
+        F.sum("rev").cast("bigint").alias("stot"),
+        F.sum(F.col("rev") * F.col("rev")).cast("bigint").alias("sx2tot"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        *[
+            F.lag("rev", k).over(w).alias(f"l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("rev").alias("x"),
+                            F.col(f"l{k}").alias("y"),
+                        )
+                        for k in range(1, ACF_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    terms = moments.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.floor(F.expr(_LB_RHO) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rho_micro"),
+        F.floor(F.expr(_LB_TERM) * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_pico"),
+        "ndays",
+    )
+    wq = Window.orderBy("lag")
+    return (
+        terms.select(
+            "lag",
+            F.col("n").alias("n_pairs"),
+            "rho_micro",
+            F.sum("t_pico").over(wq).cast("bigint").alias("qsum"),
+            "ndays",
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            "rho_micro",
+            F.floor(F.expr(_LB_Q) + F.lit(0.5))
+            .cast("bigint")
+            .alias("q_micro"),
+        )
+        .orderBy("lag")
+    )

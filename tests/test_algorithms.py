@@ -4030,3 +4030,222 @@ def test_adamic_adar_matches_python(spark, sf_dir):
         key = (-r.aa_pico, r.node_a, r.node_b)
         assert prev is None or prev < key
         prev = key
+
+
+def test_ratio_delta_ci_matches_python(spark, sf_dir):
+    """Moments must match a Python recompute over the same quantized
+    values; CI must bracket the ratio symmetrically and se > 0."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_ratio_delta_ci,
+    )
+
+    out = {(r.flag, r.status): r for r in
+           agg_ratio_delta_ci(spark, sf_dir).collect()}
+    acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in load(spark, sf_dir, "lineitem").collect():
+        x = math.floor(r.l_quantity + 0.5)
+        y = math.floor(r.l_extendedprice * (1.0 - r.l_discount) + 0.5)
+        a = acc[(r.l_returnflag, r.l_linestatus)]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += y * y
+        a[5] += x * y
+    assert set(out) == set(acc)
+    for k, a in acc.items():
+        r = out[k]
+        assert (r.n, r.sx, r.sy) == (a[0], a[1], a[2])
+        n, sx, sy, sxx, syy, sxy = a
+        ratio = sy / sx
+        xbar = sx / n
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        cxy = (sxy - sx * sy / n) / (n - 1)
+        se = math.sqrt(
+            (vy - 2.0 * ratio * cxy + ratio * ratio * vx) / n
+        ) / xbar
+        assert r.ratio_micro == math.floor(ratio * 1e6 + 0.5)
+        assert r.se_micro == math.floor(se * 1e6 + 0.5)
+        assert r.se_micro > 0
+        assert r.lo_micro < r.ratio_micro < r.hi_micro
+        # symmetric half-widths up to the 1-unit quantization slack
+        assert abs(
+            (r.hi_micro - r.ratio_micro) - (r.ratio_micro - r.lo_micro)
+        ) <= 1
+
+
+def test_theil_index_decomposition_properties(spark, sf_dir):
+    """Shares must each sum to ~1e6 micro; within-group Theil >= 0;
+    between terms sum to a valid Theil-between (can be ~0 but the
+    income/pop share identity must hold: sum(between) >= 0 by
+    Jensen)."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_theil_index,
+    )
+
+    rows = agg_theil_index(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.pop_share_micro for r in rows) - 1000000) <= 5
+    assert abs(sum(r.income_share_micro for r in rows) - 1000000) <= 5
+    for r in rows:
+        assert r.theil_within_micro >= 0
+        assert r.n > 0 and r.sum_dollars > 0
+    # Jensen: the between-group Theil is >= 0 (within quantization)
+    assert sum(r.between_term_micro for r in rows) >= -5
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    """rho and cumulative Q must match a Python recompute with the
+    identical quantization chain; Q must be non-decreasing in h."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_ljung_box,
+    )
+
+    out = ts_ljung_box(spark, sf_dir).collect()
+    assert [r.lag for r in out] == list(range(1, 8))
+    daily = collections.defaultdict(int)
+    for r in load(spark, sf_dir, "orders").collect():
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") \
+            else r.o_orderdate
+        daily[d] += math.floor(r.o_totalprice + 0.5)
+    series = [daily[d] for d in sorted(daily)]
+    n = len(series)
+    stot = sum(series)
+    sx2tot = sum(v * v for v in series)
+    m = stot / n
+    den = sx2tot - stot * stot / n
+    qsum = 0
+    prev_q = -1
+    for k in range(1, 8):
+        xs = series[k:]
+        ys = series[:-k]
+        nk = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        rho = (sxy - m * (sx + sy) + nk * m * m) / den
+        r = out[k - 1]
+        assert r.n_pairs == nk
+        assert r.rho_micro == math.floor(rho * 1e6 + 0.5)
+        qsum += math.floor(rho * rho / (n - k) * 1e12 + 0.5)
+        q = math.floor(n * (n + 2) * qsum / 1e6 + 0.5)
+        assert r.q_micro == q
+        assert q >= prev_q
+        prev_q = q
+
+
+def test_harmonic_centrality_matches_python(spark, sf_dir):
+    """Top rows must match a Python BFS-2 recompute: n_dist1 = degree,
+    n_dist2 = exactly-distance-2 set size, score = 2*d1 + d2."""
+    import collections
+    import itertools
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_harmonic_centrality,
+    )
+
+    out = graph_harmonic_centrality(spark, sf_dir).collect()
+    assert 0 < len(out) <= 100
+    li = load(spark, sf_dir, "lineitem").collect()
+    by_order = collections.defaultdict(set)
+    for x in li:
+        if x.l_orderkey % 20 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    adj = collections.defaultdict(set)
+    for parts in by_order.values():
+        for a, b in itertools.combinations(parts, 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    for r in out:
+        n1 = adj[r.node]
+        n2 = set()
+        for nb in n1:
+            n2 |= adj[nb]
+        n2 -= n1
+        n2.discard(r.node)
+        assert r.n_dist1 == len(n1)
+        assert r.n_dist2 == len(n2)
+        assert r.harmonic_x2 == 2 * len(n1) + len(n2)
+
+
+def test_readability_matches_python(spark, sf_dir):
+    """Per-source aggregates must match a Python recompute of the
+    vowel-group/pseudo-sentence formulas; FRE within sane band."""
+    import collections
+    import math
+    import re
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        text_readability,
+    )
+
+    out = {r.source: r for r in text_readability(spark, sf_dir).collect()}
+    acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in load(spark, sf_dir, "documents").collect():
+        w = len(r.text.split(" "))
+        syl = len(re.findall(r"[aeiouy]+", r.text))
+        letters = len(r.text.replace(" ", ""))
+        sent = math.floor((w + 19) / 20.0)
+        fre = 206.835 - 1.015 * (w / sent) - 84.6 * (syl / w)
+        ari = 4.71 * (letters / w) + 0.5 * (w / sent) - 21.43
+        a = acc[r.source]
+        a[0] += 1
+        a[1] += w
+        a[2] += syl
+        a[3] += math.floor(fre * 1e6 + 0.5)
+        a[4] += math.floor(ari * 1e6 + 0.5)
+    assert set(out) == set(acc)
+    for src, a in acc.items():
+        r = out[src]
+        assert (r.n_docs, r.n_words, r.n_syllables) == (a[0], a[1], a[2])
+        assert r.avg_fre_micro == math.floor(a[3] / a[0] + 0.5)
+        assert r.avg_ari_micro == math.floor(a[4] / a[0] + 0.5)
+
+
+def test_brier_decomposition_identities(spark, sf_dir):
+    """UNC in [0, 0.25]; REL/RES/raw Brier >= 0; the Murphy identity
+    REL - RES + UNC ~ raw Brier within the 10-bin within-bin-variance
+    residual (bounded by the max bin width^2/4 = 0.0025 plus slack)."""
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_brier_decomposition,
+    )
+
+    r = eval_brier_decomposition(spark, sf_dir).collect()[0]
+    assert r.n > 0 and 0 <= r.n_pos <= r.n
+    assert 1 <= r.n_bins <= 10
+    assert 0 <= r.uncertainty_micro <= 250001
+    assert r.brier_micro >= 0
+    assert r.reliability_micro >= 0
+    assert r.resolution_micro >= 0
+    recomposed = (
+        r.reliability_micro - r.resolution_micro + r.uncertainty_micro
+    )
+    assert abs(recomposed - r.brier_micro) <= 2600
+
+
+def test_concentration_hhi_bounds(spark, sf_dir):
+    """1/n <= HHI <= 1; CR4 in (0, 1]; effective_n <= n_suppliers and
+    consistent with 1/HHI."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_concentration_hhi,
+    )
+
+    r = agg_concentration_hhi(spark, sf_dir).collect()[0]
+    assert r.n_suppliers > 0 and r.total_dollars > 0
+    lower = 1000000 // r.n_suppliers
+    assert lower <= r.hhi_micro <= 1000000
+    assert 0 < r.cr4_micro <= 1000000
+    assert 0 < r.effective_n <= r.n_suppliers * 1000000
+    # effective_n is micro-scaled 1/HHI: product ~ 1e12
+    assert abs(r.effective_n * r.hhi_micro - 10**12) <= 10**12 // 1000
