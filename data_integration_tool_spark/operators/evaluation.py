@@ -780,3 +780,135 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uncertainty_micro"),
         )
     )
+
+
+@query(
+    "eval_ks_separation",
+    oracle="""
+        WITH tagged AS (
+            SELECT CAST(floor(least(greatest(
+                       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+                       * 1000000.0 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ),
+        counts AS (
+            SELECT v,
+                   CAST(sum(pos) AS BIGINT) AS c_p,
+                   CAST(sum(1 - pos) AS BIGINT) AS c_n
+            FROM tagged GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(sum(c_p) AS BIGINT) AS n_pos,
+                   CAST(sum(c_n) AS BIGINT) AS n_neg
+            FROM counts
+        ),
+        cdf AS (
+            SELECT v,
+                   CAST(sum(c_p) OVER w AS BIGINT) AS cum_p,
+                   CAST(sum(c_n) OVER w AS BIGINT) AS cum_n
+            FROM counts
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+        ),
+        gaps AS (
+            SELECT v,
+                   CAST(abs(cum_p * t.n_neg - cum_n * t.n_pos) AS BIGINT)
+                       AS gap
+            FROM cdf CROSS JOIN tot t
+        ),
+        mx AS (SELECT CAST(max(gap) AS BIGINT) AS mg FROM gaps),
+        th AS (
+            SELECT CAST(min(v) AS BIGINT) AS v_at_max
+            FROM gaps, mx WHERE gap = mg
+        )
+        SELECT n_pos, n_neg, mg AS max_scaled_gap,
+               CAST(floor(CAST(mg AS DOUBLE)
+                          / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS ks_micro,
+               v_at_max AS threshold_micro
+        FROM tot, mx, th
+    """,
+    phase="P4",
+    tags=("evaluation", "classification", "ks"),
+)
+def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation between the model-score
+    distributions of positives and negatives — the discrimination
+    metric credit-scoring pipelines quote beside AUC — plus the score
+    threshold where the max separation occurs (the KS-optimal
+    operating point, which eval_confusion_threshold can then expand).
+    Same fixture score convention as eval_auc_rank/calibration_bins.
+
+    All-integer until the final ratio (the dq_ks_test discipline):
+    scores quantize once to micro at row grain, per-score class
+    counts aggregate combinably, the ECDF gap is the cross-multiplied
+    BIGINT |cum_p*n_neg - cum_n*n_pos| so the argmax is exact, and
+    the threshold picks min(v) among maximizing scores — no IEEE
+    anywhere near a comparison.
+
+    Scale: one combinable (score, class) count collapses the corpus
+    to distinct-score grain (<= 1e6+1 rows by construction — the
+    micro quantization bounds the window input at ANY corpus size);
+    the running sum sorts that bounded relation once."""
+    e = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            F.element_at("embedding", 1).cast("double") + F.lit(0.5),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    tagged = e.select(
+        micro(p).alias("v"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("c_p"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("c_n"),
+    )
+    tot = counts.agg(
+        F.sum("c_p").cast("bigint").alias("n_pos"),
+        F.sum("c_n").cast("bigint").alias("n_neg"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = counts.select(
+        "v",
+        F.sum("c_p").over(w).cast("bigint").alias("cum_p"),
+        F.sum("c_n").over(w).cast("bigint").alias("cum_n"),
+    )
+    gaps = cdf.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            F.col("cum_p") * F.col("n_neg") - F.col("cum_n") * F.col("n_pos")
+        )
+        .cast("bigint")
+        .alias("gap"),
+    )
+    mx = gaps.agg(F.max("gap").cast("bigint").alias("mg"))
+    th = (
+        gaps.crossJoin(F.broadcast(mx))
+        .filter(F.col("gap") == F.col("mg"))
+        .agg(F.min("v").cast("bigint").alias("v_at_max"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("mg").alias("max_scaled_gap"),
+            F.floor(
+                F.col("mg").cast("double")
+                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ks_micro"),
+            F.col("v_at_max").alias("threshold_micro"),
+        )
+    )

@@ -1369,3 +1369,152 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Heaps-law OLS over per-source (ln N, ln V) points, spelled once.
+# Sums arrive pico-quantized (BIGINT); the slope/intercept read them
+# back to doubles in ONE shared expression.
+_HP_SLOPE = (
+    "((np * (CAST(sxy AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sy AS DOUBLE) / 1000000000000.0))"
+    " / (np * (CAST(sx2 AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sx AS DOUBLE) / 1000000000000.0)))"
+)
+_HP_INTERCEPT = (
+    f"((CAST(sy AS DOUBLE) / 1000000000000.0"
+    f" - {_HP_SLOPE} * (CAST(sx AS DOUBLE) / 1000000000000.0)) / np)"
+)
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w
+        ), src AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(count(*) FILTER (WHERE c = 1) AS BIGINT)
+                       AS hapax
+            FROM tf GROUP BY source
+        ), pts AS (
+            SELECT source, n_tokens, vocab, hapax,
+                   CAST(floor(ln(CAST(n_tokens AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(vocab AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS y,
+                   CAST(floor(ln(CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(n_tokens AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS x2,
+                   CAST(floor(ln(CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(vocab AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS xy
+            FROM src
+        ), fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS np,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x2) AS BIGINT) AS sx2,
+                   CAST(sum(xy) AS BIGINT) AS sxy
+            FROM pts
+        )
+        SELECT source, n_tokens, vocab, hapax,
+               CAST(floor(CAST(hapax AS DOUBLE) / vocab * 1000000.0
+                    + 0.5) AS BIGINT) AS hapax_ratio_micro,
+               CAST(floor({_HP_SLOPE} * 1000000.0 + 0.5) AS BIGINT)
+                   AS heaps_beta_micro,
+               CAST(floor({_HP_INTERCEPT} * 1000000.0 + 0.5) AS BIGINT)
+                   AS heaps_lnk_micro
+        FROM pts, fit
+        ORDER BY source
+    """,
+    phase="P3",
+    tags=("text", "corpus-health", "llm-pipeline"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit across sources — V = K*N^beta
+    via OLS of ln(vocab) on ln(tokens) over the 20 per-source points
+    — plus each source's hapax-legomena ratio: the corpus-health
+    companion to text_zipf_fit (Zipf reads the frequency head; Heaps
+    + hapax read the tail — template spam collapses beta and the
+    hapax ratio, OCR noise inflates both).
+
+    Exactness: token counts are exact integers from the proven
+    split-on-space convention; every ln-crossing regression term
+    pico-quantizes at SOURCE grain (zipf discipline) so the 20-point
+    sums are order-free BIGINTs; slope/intercept/ratios are shared
+    IEEE formula strings.
+
+    Plan: corpus -> (source, token) grain in ONE combinable agg
+    after the explode (the tfidf shuffle shape); source grain (20
+    rows) folds from it; the 1-row fit broadcast-cross-joins back.
+    The explode is the only data-sized stage at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    src = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+    )
+    lnn = F.log(F.col("n_tokens").cast("double"))
+    lnv = F.log(F.col("vocab").cast("double"))
+    pts = src.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.floor(lnn * F.lit(1e12) + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(lnv * F.lit(1e12) + F.lit(0.5)).cast("bigint").alias("y"),
+        F.floor(lnn * lnn * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x2"),
+        F.floor(lnn * lnv * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xy"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("xy").cast("bigint").alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.floor(
+                F.col("hapax").cast("double")
+                / F.col("vocab")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("hapax_ratio_micro"),
+            F.floor(F.expr(_HP_SLOPE) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("heaps_beta_micro"),
+            F.floor(F.expr(_HP_INTERCEPT) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("heaps_lnk_micro"),
+        )
+        .orderBy("source")
+    )

@@ -222,6 +222,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_harmonic_centrality",
     "text_readability",
     "eval_brier_decomposition",
+    "ts_hurst_exponent",
+    "seq_time_to_convert",
+    "text_heaps_law",
+    "eval_ks_separation",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -2922,3 +2922,321 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# Hurst variance-plot pieces: block-mean variance from exact block-sum
+# moments, and the 5-point OLS slope over (ln m, ln var), spelled once.
+_HU_VAR = (
+    "((CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)"
+    " / (nb - 1) / (CAST(m AS DOUBLE) * m))"
+)
+_HU_SLOPE = (
+    "((np * (CAST(sxy AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sy AS DOUBLE) / 1000000000000.0))"
+    " / (np * (CAST(sx2 AS DOUBLE) / 1000000000000.0)"
+    " - (CAST(sx AS DOUBLE) / 1000000000000.0)"
+    " * (CAST(sx AS DOUBLE) / 1000000000000.0)))"
+)
+_HU_SCALES = (1, 2, 4, 8, 16)
+
+
+@query(
+    "ts_hurst_exponent",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev,
+                   row_number() OVER (
+                       ORDER BY date_trunc('day', o_orderdate)) - 1
+                       AS rn
+            FROM orders GROUP BY date_trunc('day', o_orderdate)
+        ),
+        tot AS (
+            SELECT CAST(sum(rev) // count(*) AS BIGINT) AS c
+            FROM daily
+        ),
+        blocks AS (
+            {" UNION ALL ".join(
+                f"SELECT {m} AS m, CAST(floor(rn / {m}.0) AS BIGINT)"
+                f" AS bid, CAST(sum(rev) AS BIGINT) AS bsum,"
+                f" count(*) AS cnt"
+                f" FROM daily GROUP BY 2"
+                for m in _HU_SCALES
+            )}
+        ),
+        scales AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(bsum - c * m) AS BIGINT) AS sb,
+                   CAST(sum((bsum - c * m) * (bsum - c * m)) AS BIGINT)
+                       AS sb2
+            FROM blocks, tot WHERE cnt = m
+            GROUP BY m
+        ),
+        pts AS (
+            SELECT m, nb,
+                   CAST(floor({_HU_VAR} / 1000000.0 + 0.5) AS BIGINT)
+                       AS var_unit,
+                   CAST(floor(ln(CAST(m AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln({_HU_VAR})
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS y,
+                   CAST(floor(ln(CAST(m AS DOUBLE))
+                        * ln(CAST(m AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS x2,
+                   CAST(floor(ln(CAST(m AS DOUBLE)) * ln({_HU_VAR})
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS xy
+            FROM scales
+        ),
+        fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS np,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x2) AS BIGINT) AS sx2,
+                   CAST(sum(xy) AS BIGINT) AS sxy
+            FROM pts
+        )
+        SELECT CAST(m AS BIGINT) AS m, nb AS n_blocks, var_unit,
+               CAST(floor({_HU_SLOPE} * 1000000.0 + 0.5) AS BIGINT)
+                   AS slope_micro,
+               CAST(floor((1.0 + {_HU_SLOPE} / 2.0) * 1000000.0 + 0.5)
+                    AS BIGINT) AS hurst_micro
+        FROM pts, fit
+        ORDER BY m
+    """,
+    phase="P3",
+    tags=("timeseries", "long-memory"),
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily revenue series via the variance-
+    plot (aggregated-variance) method: block the series at scales
+    m = 1,2,4,8,16, regress ln Var(block mean) on ln m — slope
+    -1 means iid (H = 0.5), flatter decay means long memory
+    (H > 0.5). The long-memory probe a capacity-planning pipeline
+    runs before trusting short-window forecasts.
+
+    Exactness: block sums are exact BIGINTs over whole-dollar daily
+    revenue; each scale's variance folds from (nb, sum, sum-of-
+    squares) in ONE shared IEEE formula; every ln-crossing regression
+    term pico-quantizes at SCALE grain (the zipf-fit discipline —
+    never raw-summed); the 5-point OLS slope reads exact integer
+    sums. Block sums CENTER on c*m (c = truncated global daily mean,
+    exact integer division) before squaring — variance is
+    translation-invariant, and the centering shrinks sb2 from
+    (block total)^2 to (block deviation)^2 scale, int64-safe at any
+    realistic daily-dollar magnitude.
+
+    Plan: the only data-sized stage is the combinable daily rollup
+    (time-span cardinality, not rows); the 5 scales ride UNION ALL
+    re-aggregations of that tiny series (incomplete tail blocks
+    dropped — cnt = m); the 1-row fit broadcast-cross-joins back to
+    5-row scale grain."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+        .select(
+            "rev",
+            (F.row_number().over(Window.orderBy("day")) - F.lit(1)).alias(
+                "rn"
+            ),
+        )
+    )
+    tot = daily.agg(
+        F.expr("CAST(sum(rev) DIV count(*) AS BIGINT)").alias("c")
+    )
+    blocks = None
+    for m in _HU_SCALES:
+        b = (
+            daily.groupBy(
+                F.floor(F.col("rn") / F.lit(float(m)))
+                .cast("bigint")
+                .alias("bid")
+            )
+            .agg(
+                F.sum("rev").cast("bigint").alias("bsum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(F.lit(m).alias("m"), "bid", "bsum", "cnt")
+        )
+        blocks = b if blocks is None else blocks.unionAll(b)
+    cb = F.col("bsum") - F.col("c") * F.col("m")
+    scales = (
+        blocks.filter(F.col("cnt") == F.col("m"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum(cb).cast("bigint").alias("sb"),
+            F.sum(cb * cb).cast("bigint").alias("sb2"),
+        )
+    )
+    lnm = F.log(F.col("m").cast("double"))
+    lnv = F.log(F.expr(_HU_VAR))
+    pts = scales.select(
+        "m",
+        "nb",
+        F.floor(F.expr(_HU_VAR) / F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("var_unit"),
+        F.floor(lnm * F.lit(1e12) + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(lnv * F.lit(1e12) + F.lit(0.5)).cast("bigint").alias("y"),
+        F.floor(lnm * lnm * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x2"),
+        F.floor(lnm * lnv * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xy"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("xy").cast("bigint").alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").cast("bigint").alias("m"),
+            F.col("nb").alias("n_blocks"),
+            "var_unit",
+            F.floor(F.expr(_HU_SLOPE) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("slope_micro"),
+            F.floor(
+                (F.lit(1.0) + F.expr(_HU_SLOPE) / F.lit(2.0))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("hurst_micro"),
+        )
+        .orderBy("m")
+    )
+
+
+# Conversion-latency bucket ladder: pure integer threshold compares
+# (never a float/log bucket — engine-identical by construction).
+_TTC_BUCKETS = (
+    (60, "0-1m"),
+    (300, "1-5m"),
+    (900, "5-15m"),
+    (3600, "15m-1h"),
+    (21600, "1-6h"),
+    (86400, "6-24h"),
+)
+_TTC_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN d < {s} THEN {i}" for i, (s, _) in enumerate(_TTC_BUCKETS)
+    )
+    + f" ELSE {len(_TTC_BUCKETS)} END"
+)
+_TTC_LABEL = (
+    "CASE "
+    + " ".join(
+        f"WHEN d < {s} THEN '{lbl}'"
+        for (s, lbl) in _TTC_BUCKETS
+    )
+    + " ELSE '1d+' END"
+)
+
+
+@query(
+    "seq_time_to_convert",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fv
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS fp
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(e.ts AS TIMESTAMP) > v.fv
+            GROUP BY e.user_id
+        ), lat AS (
+            SELECT v.user_id,
+                   CAST(date_diff('second', v.fv, p.fp) AS BIGINT) AS d
+            FROM v LEFT JOIN p ON p.user_id = v.user_id
+        )
+        SELECT CAST(CASE WHEN d IS NULL THEN 99
+                    ELSE {_TTC_CASE} END AS BIGINT) AS bucket_id,
+               CASE WHEN d IS NULL THEN 'never'
+                    ELSE {_TTC_LABEL} END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(d) // count(*) AS BIGINT) AS avg_sec,
+               CAST(min(d) AS BIGINT) AS min_sec,
+               CAST(max(d) AS BIGINT) AS max_sec
+        FROM lat
+        GROUP BY 1, 2
+        ORDER BY bucket_id
+    """,
+    phase="P3",
+    tags=("stream", "sequence", "funnel"),
+)
+def seq_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST
+    view to the first purchase strictly after it, bucketed on a pure
+    integer threshold ladder (1m/5m/15m/1h/6h/24h/1d+/never) — the
+    conversion-latency histogram behind funnel_conversion's rate
+    (rate says HOW MANY convert; this says HOW FAST, which prices
+    retargeting windows).
+
+    Exactness: latencies are exact integer seconds (the
+    seq_inter_arrival-proven second-truncation convention); buckets
+    are integer compares (never a float/log edge that could round
+    differently); the per-bucket average is exact integer DIV.
+    Non-converters keep their own bucket with NULL latency stats.
+
+    Plan: two combinable per-user aggregates (first view; first
+    later purchase via one join that prunes to purchase rows before
+    shuffling) + a left join back — all keyed on user_id so the
+    shuffles share one partitioning; the bucket rollup is a
+    bounded-key (8-row) combinable agg."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    lat = v.join(p, "user_id", "left").select(
+        "user_id",
+        (F.col("fp").cast("long") - F.col("fv").cast("long"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    bucket_id = F.when(F.col("d").isNull(), F.lit(99)).otherwise(
+        F.expr(_TTC_CASE)
+    )
+    bucket = F.when(F.col("d").isNull(), F.lit("never")).otherwise(
+        F.expr(_TTC_LABEL)
+    )
+    return (
+        lat.select(
+            bucket_id.cast("bigint").alias("bucket_id"),
+            bucket.alias("bucket"),
+            "d",
+        )
+        .groupBy("bucket_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("CAST(sum(d) DIV count(*) AS BIGINT)").alias("avg_sec"),
+            F.min("d").cast("bigint").alias("min_sec"),
+            F.max("d").cast("bigint").alias("max_sec"),
+        )
+        .orderBy("bucket_id")
+    )

@@ -4249,3 +4249,160 @@ def test_concentration_hhi_bounds(spark, sf_dir):
     assert 0 < r.effective_n <= r.n_suppliers * 1000000
     # effective_n is micro-scaled 1/HHI: product ~ 1e12
     assert abs(r.effective_n * r.hhi_micro - 10**12) <= 10**12 // 1000
+
+
+def test_hurst_exponent_matches_python(spark, sf_dir):
+    """Per-scale block variances and the fitted H must match a Python
+    recompute with the identical centering + quantization chain; H of
+    an aggregated real series sits in a sane (0, 1.5) band (micro)."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_hurst_exponent,
+    )
+
+    out = {r.m: r for r in ts_hurst_exponent(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 4, 8, 16}
+    daily = collections.defaultdict(int)
+    for r in load(spark, sf_dir, "orders").collect():
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") \
+            else r.o_orderdate
+        daily[d] += math.floor(r.o_totalprice + 0.5)
+    series = [daily[d] for d in sorted(daily)]
+    c = sum(series) // len(series)
+    sx = sy = sx2 = sxy = 0
+    vals = {}
+    for m in (1, 2, 4, 8, 16):
+        nb = len(series) // m
+        cbs = [sum(series[i * m:(i + 1) * m]) - c * m for i in range(nb)]
+        sb = sum(cbs)
+        sb2 = sum(v * v for v in cbs)
+        var = (sb2 - sb * sb / nb) / (nb - 1) / (m * m)
+        vals[m] = (nb, var)
+        x = math.log(m)
+        y = math.log(var)
+        sx += math.floor(x * 1e12 + 0.5)
+        sy += math.floor(y * 1e12 + 0.5)
+        sx2 += math.floor(x * x * 1e12 + 0.5)
+        sxy += math.floor(x * y * 1e12 + 0.5)
+    np_ = 5
+    slope = (np_ * (sxy / 1e12) - (sx / 1e12) * (sy / 1e12)) / (
+        np_ * (sx2 / 1e12) - (sx / 1e12) * (sx / 1e12)
+    )
+    hurst = math.floor((1.0 + slope / 2.0) * 1e6 + 0.5)
+    for m, (nb, var) in vals.items():
+        r = out[m]
+        assert r.n_blocks == nb
+        assert r.var_unit == math.floor(var / 1e6 + 0.5)
+        assert r.hurst_micro == hurst
+    assert 0 < hurst < 1500000
+
+
+def test_time_to_convert_matches_python(spark, sf_dir):
+    """Bucket counts and exact-DIV averages must match a Python
+    recompute of first-view -> first-later-purchase latencies."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_time_to_convert,
+    )
+
+    out = {r.bucket_id: r for r in
+           seq_time_to_convert(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").collect()
+    fv = {}
+    for e in ev:
+        if e.event_type == "view":
+            if e.user_id not in fv or e.ts < fv[e.user_id]:
+                fv[e.user_id] = e.ts
+    fp = {}
+    for e in ev:
+        if e.event_type == "purchase" and e.user_id in fv \
+                and e.ts > fv[e.user_id]:
+            if e.user_id not in fp or e.ts < fp[e.user_id]:
+                fp[e.user_id] = e.ts
+    edges = [60, 300, 900, 3600, 21600, 86400]
+    buckets = collections.defaultdict(list)
+    for u, v in fv.items():
+        if u not in fp:
+            buckets[99].append(None)
+            continue
+        d = int(fp[u].timestamp()) - int(v.timestamp())
+        bid = next((i for i, s in enumerate(edges) if d < s), len(edges))
+        buckets[bid].append(d)
+    assert set(out) == set(buckets)
+    for bid, ds in buckets.items():
+        r = out[bid]
+        assert r.n_users == len(ds)
+        if bid == 99:
+            assert r.avg_sec is None and r.min_sec is None
+        else:
+            assert r.avg_sec == sum(ds) // len(ds)
+            assert r.min_sec == min(ds) and r.max_sec == max(ds)
+
+
+def test_heaps_law_matches_python(spark, sf_dir):
+    """Per-source token/vocab/hapax counts must match a Python
+    recompute; beta must sit in (0, 1] for a natural-ish corpus and
+    the fit must be shared across rows."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import text_heaps_law
+
+    out = {r.source: r for r in text_heaps_law(spark, sf_dir).collect()}
+    tf = collections.defaultdict(collections.Counter)
+    for r in load(spark, sf_dir, "documents").collect():
+        tf[r.source].update(r.text.split(" "))
+    assert set(out) == set(tf)
+    betas = set()
+    for src, cnt in tf.items():
+        r = out[src]
+        n = sum(cnt.values())
+        v = len(cnt)
+        h = sum(1 for c in cnt.values() if c == 1)
+        assert (r.n_tokens, r.vocab, r.hapax) == (n, v, h)
+        assert r.hapax_ratio_micro == math.floor(h / v * 1e6 + 0.5)
+        betas.add(r.heaps_beta_micro)
+    assert len(betas) == 1
+    assert 0 < betas.pop() <= 1000000
+
+
+def test_ks_separation_matches_python(spark, sf_dir):
+    """KS stat and argmax threshold must match a brute-force Python
+    ECDF sweep over the quantized scores."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_ks_separation,
+    )
+
+    r = eval_ks_separation(spark, sf_dir).collect()[0]
+    pos, neg = [], []
+    for e in load(spark, sf_dir, "embeddings").collect():
+        p = min(max(float(e.embedding[0]) + 0.5, 0.0), 1.0)
+        v = math.floor(p * 1e6 + 0.5)
+        (pos if e.label == 0 else neg).append(v)
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    vs = sorted(set(pos + neg))
+    from bisect import bisect_right
+    pos.sort()
+    neg.sort()
+    best, best_v = -1, None
+    for v in vs:
+        gap = abs(
+            bisect_right(pos, v) * len(neg)
+            - bisect_right(neg, v) * len(pos)
+        )
+        if gap > best:
+            best, best_v = gap, v
+    assert r.max_scaled_gap == best
+    assert r.threshold_micro == best_v
+    assert r.ks_micro == math.floor(
+        best / (len(pos) * len(neg)) * 1e6 + 0.5
+    )
