@@ -3439,3 +3439,185 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("effective_n"),
         )
     )
+
+
+@query(
+    "agg_top_movers",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate < TIMESTAMP '1998-01-01')
+                        AS BIGINT) AS rev_a,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+                        AS BIGINT) AS rev_b
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey,
+               CAST(coalesce(rev_a, 0) AS BIGINT) AS rev_1997,
+               CAST(coalesce(rev_b, 0) AS BIGINT) AS rev_1998,
+               CAST(coalesce(rev_b, 0) - coalesce(rev_a, 0) AS BIGINT)
+                   AS delta,
+               CAST(abs(coalesce(rev_b, 0) - coalesce(rev_a, 0))
+                    AS BIGINT) AS abs_delta
+        FROM per_part
+        ORDER BY abs_delta DESC, l_partkey
+        LIMIT 20
+    """,
+    phase="P2",
+    tags=("agg", "reporting", "drift"),
+)
+def agg_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part-level revenue movers between 1997 and 1998 — the
+    'what changed' report behind every period-over-period dashboard:
+    rank by |delta| so both surges and collapses surface (a
+    pct-change ranking would drown real movers under tiny bases).
+
+    All-integer: revenue quantizes once at row grain to whole
+    dollars; both period sums come from ONE combinable FILTER-clause
+    aggregate (no per-period scans, no self-join); the delta ranking
+    sorts exact BIGINTs with a partkey tiebreak.
+
+    Plan: predicate pushes the two-year slice into the scan; one
+    map-side-partial agg to part grain; TakeOrdered keeps 20 — no
+    global sort materializes."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    in_b = F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    per_part = li.select(
+        "l_partkey", rev.alias("rev"), in_b.alias("in_b")
+    ).groupBy("l_partkey").agg(
+        F.sum(F.when(~F.col("in_b"), F.col("rev")))
+        .cast("bigint")
+        .alias("rev_a"),
+        F.sum(F.when(F.col("in_b"), F.col("rev")))
+        .cast("bigint")
+        .alias("rev_b"),
+    )
+    ra = F.coalesce(F.col("rev_a"), F.lit(0))
+    rb = F.coalesce(F.col("rev_b"), F.lit(0))
+    return (
+        per_part.select(
+            "l_partkey",
+            ra.cast("bigint").alias("rev_1997"),
+            rb.cast("bigint").alias("rev_1998"),
+            (rb - ra).cast("bigint").alias("delta"),
+            F.abs(rb - ra).cast("bigint").alias("abs_delta"),
+        )
+        .orderBy(F.desc("abs_delta"), "l_partkey")
+        .limit(20)
+    )
+
+
+# Neyman-allocation pieces from exact per-stratum moments.
+_NY_SD = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+)
+_NY_ALLOC = "(1000.0 * wq / wsum)"
+_NY_PROP = "(1000.0 * n / ntot)"
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+        WITH strata AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS s,
+                   CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5)
+                        AS BIGINT) * CAST(floor(c_acctbal * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS q
+            FROM customer GROUP BY c_mktsegment
+        ), weighted AS (
+            SELECT seg, n, s, q,
+                   CAST(floor(n * {_NY_SD} + 0.5) AS BIGINT) AS wq
+            FROM strata
+        ), tot AS (
+            SELECT CAST(sum(wq) AS BIGINT) AS wsum,
+                   CAST(sum(n) AS BIGINT) AS ntot
+            FROM weighted
+        )
+        SELECT seg, n AS n_pop,
+               CAST(floor({_NY_SD} * 100.0 + 0.5) AS BIGINT)
+                   AS sd_cents,
+               CAST(floor({_NY_ALLOC} + 0.5) AS BIGINT) AS neyman_n,
+               CAST(floor({_NY_PROP} + 0.5) AS BIGINT) AS proportional_n
+        FROM weighted, tot
+        ORDER BY seg
+    """,
+    phase="P2",
+    tags=("sample", "statistics", "survey-design"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation for a budget of
+    1000 across market segments, sized by account-balance variance —
+    n_h proportional to N_h*S_h, the design that minimizes the
+    estimator variance for a fixed budget, with the naive
+    proportional allocation alongside for the efficiency contrast.
+    This is the PLAN (deterministic sizing); the draw itself is
+    sample_stratified's hash-consistent machinery.
+
+    Exactness: balances quantize once at row grain (cents) so the
+    per-stratum moments are exact BIGINTs; S_h is a shared IEEE
+    formula; the stratum weight N_h*S_h quantizes to an integer at
+    STRATUM grain so the allocation denominator is an order-free
+    BIGINT sum; allocations are one spelled division each. int64
+    bound on q: n*(1.1e6)^2 — safe to ~7.5e6 rows/stratum at cents
+    grain, rescale documented (welch convention).
+
+    Plan: ONE combinable aggregate to the 5-stratum grain is the
+    only data-sized stage; the 1-row total broadcast-cross-joins
+    back."""
+    c = load(spark, sf_dir, "customer")
+    cb = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    strata = c.select(
+        F.col("c_mktsegment").alias("seg"), cb.alias("b")
+    ).groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("s"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("q"),
+    )
+    weighted = strata.select(
+        "seg",
+        "n",
+        "s",
+        "q",
+        F.floor(F.col("n") * F.expr(_NY_SD) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = weighted.agg(
+        F.sum("wq").cast("bigint").alias("wsum"),
+        F.sum("n").cast("bigint").alias("ntot"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            F.col("n").alias("n_pop"),
+            F.floor(F.expr(_NY_SD) * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("sd_cents"),
+            F.floor(F.expr(_NY_ALLOC) + F.lit(0.5))
+            .cast("bigint")
+            .alias("neyman_n"),
+            F.floor(F.expr(_NY_PROP) + F.lit(0.5))
+            .cast("bigint")
+            .alias("proportional_n"),
+        )
+        .orderBy("seg")
+    )

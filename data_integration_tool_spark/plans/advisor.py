@@ -201,3 +201,94 @@ def plan_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("left_tbl", "right_tbl")
     )
+
+
+# Partition-advisor candidates: (name, engine-identical key expression
+# over lineitem). NDV / row / max-partition stats decide the verdict.
+_PA_CANDIDATES = (
+    ("ship_month", "date_trunc('month', l_shipdate)"),
+    ("returnflag", "l_returnflag"),
+    ("linestatus", "l_linestatus"),
+    ("suppkey_mod64", "l_suppkey % 64"),
+    ("orderkey_mod256", "l_orderkey % 256"),
+    ("partkey_raw", "l_partkey"),
+)
+_PA_VERDICT = """
+    CASE
+        WHEN ndv < 8 THEN 'too_few_partitions'
+        WHEN ndv > 10000 THEN 'too_many_partitions'
+        WHEN max_rows * ndv > 5 * n_rows THEN 'skewed'
+        ELSE 'good'
+    END
+"""
+_PA_SKEW = "(CAST(max_rows AS DOUBLE) * ndv / n_rows)"
+
+
+@query(
+    "plan_partition_advisor",
+    oracle=f"""
+        WITH cand AS (
+            {" UNION ALL ".join(
+                f"SELECT '{name}' AS candidate,"
+                f" CAST(count(*) AS BIGINT) AS ndv,"
+                f" CAST(sum(c) AS BIGINT) AS n_rows,"
+                f" CAST(max(c) AS BIGINT) AS max_rows"
+                f" FROM (SELECT {expr} AS k, count(*) AS c"
+                f"       FROM lineitem GROUP BY 1)"
+                for name, expr in _PA_CANDIDATES
+            )}
+        )
+        SELECT candidate, ndv, n_rows, max_rows,
+               CAST(floor({_PA_SKEW} * 1000000.0 + 0.5) AS BIGINT)
+                   AS skew_ratio_micro,
+               {_PA_VERDICT} AS verdict
+        FROM cand
+        ORDER BY candidate
+    """,
+    phase="P4",
+    tags=("planner", "layout", "partitioning"),
+)
+def plan_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor for the fact table: for each candidate
+    key (time bucket, low-card flags, modulo buckets, raw high-card
+    key) measure NDV, total rows, and the hottest partition, then
+    apply the layout decision ladder — too few partitions (can't
+    parallelize), too many (small-file explosion), skewed (hot
+    partition > 5x the mean), else good. The sibling of
+    plan_join_strategy on the write side: this is what decides
+    partitionBy()/bucketBy() before a 100 TB table is laid down.
+
+    All decision inputs are exact integers (per-key counts -> NDV /
+    sum / max), the verdict ladder is pure integer compares, and the
+    reported skew ratio (max/mean) is one spelled IEEE division.
+
+    Plan: one combinable groupBy per candidate over the fact table
+    (each collapses to its key grain map-side); the six candidate
+    summaries are 1-row aggregates UNION ALLed — at scale this is
+    six parallel scan+agg passes, each shuffling only key-grain
+    rows, and a realistic advisor would share one pass via
+    grouping-sets when keys align."""
+    li = load(spark, sf_dir, "lineitem")
+    cand = None
+    for name, expr in _PA_CANDIDATES:
+        per_key = (
+            li.groupBy(F.expr(expr).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("ndv"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.max("c").cast("bigint").alias("max_rows"),
+            )
+        )
+        cand = per_key if cand is None else cand.unionAll(per_key)
+    return cand.select(
+        "candidate",
+        "ndv",
+        "n_rows",
+        "max_rows",
+        F.floor(F.expr(_PA_SKEW) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("skew_ratio_micro"),
+        F.expr(_PA_VERDICT).alias("verdict"),
+    ).orderBy("candidate")

@@ -226,6 +226,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_time_to_convert",
     "text_heaps_law",
     "eval_ks_separation",
+    "agg_top_movers",
+    "sample_neyman_allocation",
+    "ts_seasonal_strength",
+    "plan_partition_advisor",
+    "etl_bloom_index_plan",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

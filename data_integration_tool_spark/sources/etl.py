@@ -2038,3 +2038,83 @@ def etl_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skip_micro"),
     ).orderBy("probe_id")
+
+
+# Bloom sizing formulas (target fpp 0.01), spelled once for both
+# engines: m = ceil(-n ln p / ln^2 2), k = floor(m/n * ln 2 + 0.5).
+_BL_BITS = "CAST(ceil(-(CAST(ndv AS DOUBLE)) * ln(0.01) "
+_BL_BITS += "/ (ln(2.0) * ln(2.0))) AS BIGINT)"
+_BL_HASHES = (
+    "CAST(floor(CAST(bloom_bits AS DOUBLE) / ndv * ln(2.0) + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "etl_bloom_index_plan",
+    oracle=f"""
+        WITH part_stats AS (
+            SELECT date_trunc('month', l_shipdate) AS mth,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        ), sized AS (
+            SELECT CAST(mth AS DATE) AS mth, n_rows, ndv,
+                   {_BL_BITS} AS bloom_bits
+            FROM part_stats
+        )
+        SELECT mth, n_rows, ndv, bloom_bits,
+               CAST(ceil(CAST(bloom_bits AS DOUBLE) / 8.0) AS BIGINT)
+                   AS bloom_bytes,
+               {_BL_HASHES} AS n_hashes
+        FROM sized
+        ORDER BY mth
+    """,
+    phase="P4",
+    tags=("etl", "layout", "index"),
+)
+def etl_bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter index sizing plan per ship-month partition of the
+    fact table, keyed on l_partkey at target fpp = 1% — the plan a
+    lake writer executes to attach per-file bloom indexes (the
+    point-lookup complement to etl_file_skipping_stats' min/max
+    envelopes, which only prune RANGE predicates). Standard sizing:
+    m = ceil(-n ln p / ln^2 2) bits, k = round(m/n * ln 2) hashes.
+
+    Exactness: partition row counts and key NDVs are exact integers
+    (count distinct per month grain); bit/hash sizing is ONE shared
+    IEEE formula over those integers (ceil on both engines) — no
+    accumulation crosses a float boundary.
+
+    Plan: one combinable count-distinct aggregate to month grain
+    (map-side partials on (month, partkey) then month) with the year
+    filter pushed into the scan; output is partition-count bounded.
+    The REAL filter build at 100 TB is join_bloom_prefilter's
+    machinery; this query prices it per partition first."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    part_stats = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("ndv"),
+    )
+    sized = part_stats.select(
+        F.col("mth").cast("date").alias("mth"),
+        "n_rows",
+        "ndv",
+        F.expr(_BL_BITS).alias("bloom_bits"),
+    )
+    return sized.select(
+        "mth",
+        "n_rows",
+        "ndv",
+        "bloom_bits",
+        F.ceil(F.col("bloom_bits").cast("double") / F.lit(8.0))
+        .cast("bigint")
+        .alias("bloom_bytes"),
+        F.expr(_BL_HASHES).alias("n_hashes"),
+    ).orderBy("mth")

@@ -3240,3 +3240,189 @@ def seq_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+# Component-variance pieces for seasonal/trend strength, spelled once.
+_SS_VR = "((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n) / (n - 1))"
+_SS_VD = "((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n) / (n - 1))"
+_SS_VT = "((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) / (n - 1))"
+_SS_FS = f"greatest(0.0, 1.0 - {_SS_VR} / {_SS_VD})"
+_SS_FT = f"greatest(0.0, 1.0 - {_SS_VR} / {_SS_VT})"
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(dayofweek(date_trunc('day', o_orderdate))
+                        AS BIGINT) AS dow,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT day, dow, rev,
+                   CAST(sum(rev) OVER w AS BIGINT) AS s7,
+                   count(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                            AND 3 FOLLOWING)
+        ),
+        detrended AS (
+            SELECT day, dow, rev,
+                   rev * 1000000
+                     - CAST(floor(s7 / 7.0 * 1000000.0 + 0.5) AS BIGINT)
+                       AS det_micro
+            FROM trended WHERE n7 = 7
+        ),
+        seasonal AS (
+            SELECT dow,
+                   CAST(floor(CAST(sum(det_micro) AS DOUBLE) / count(*)
+                              + 0.5) AS BIGINT) AS seasonal_micro
+            FROM detrended GROUP BY dow
+        ),
+        units AS (
+            SELECT CAST(floor((d.det_micro - s.seasonal_micro)
+                        / 1000000.0 + 0.5) AS BIGINT) AS r,
+                   CAST(floor(d.det_micro / 1000000.0 + 0.5) AS BIGINT)
+                       AS dt,
+                   d.rev - CAST(floor(s.seasonal_micro / 1000000.0
+                        + 0.5) AS BIGINT) AS tr
+            FROM detrended d JOIN seasonal s USING (dow)
+        ),
+        ctr AS (
+            SELECT CAST(sum(tr) // count(*) AS BIGINT) AS c FROM units
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(r) AS BIGINT) AS sr,
+                   CAST(sum(r * r) AS BIGINT) AS qr,
+                   CAST(sum(dt) AS BIGINT) AS sd,
+                   CAST(sum(dt * dt) AS BIGINT) AS qd,
+                   CAST(sum(tr - c) AS BIGINT) AS st,
+                   CAST(sum((tr - c) * (tr - c)) AS BIGINT) AS qt
+            FROM units, ctr
+        )
+        SELECT n AS n_days,
+               CAST(floor({_SS_VR} / 1000000.0 + 0.5) AS BIGINT)
+                   AS var_resid_unit,
+               CAST(floor({_SS_VD} / 1000000.0 + 0.5) AS BIGINT)
+                   AS var_detrended_unit,
+               CAST(floor({_SS_VT} / 1000000.0 + 0.5) AS BIGINT)
+                   AS var_trendres_unit,
+               CAST(floor({_SS_FS} * 1000000.0 + 0.5) AS BIGINT)
+                   AS seasonal_strength_micro,
+               CAST(floor({_SS_FT} * 1000000.0 + 0.5) AS BIGINT)
+                   AS trend_strength_micro
+        FROM m
+    """,
+    phase="P3",
+    tags=("timeseries", "decomposition"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style strength summary of the daily revenue decomposition:
+    F_seasonal = max(0, 1 - Var(resid)/Var(seasonal + resid)) and
+    F_trend = max(0, 1 - Var(resid)/Var(trend + resid)) — the two
+    numbers (Hyndman's convention) that tell a forecasting pipeline
+    whether ts_seasonal_decompose's components carry real signal
+    before a seasonal model is fit.
+
+    Exactness: rides the EXACT decompose chain (7-day centered MA,
+    dow seasonal means, micro-quantized at each step); component
+    values round back to whole units at DAY grain before squaring
+    (micro^2 would overflow int64); the trend+resid component CENTERS
+    on its truncated integer mean (the hurst discipline) so its
+    second moment stays int64-safe at any daily magnitude; strengths
+    are shared IEEE formulas over exact moments.
+
+    Plan: combinable daily rollup -> one ROWS window over the tiny
+    series -> 7-row seasonal means join back -> ONE moments reduce.
+    Nothing past the first agg scales with input rows."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.dayofweek(F.date_trunc("day", "o_orderdate"))
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.sum("rev").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    detrended = trended.filter(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        "rev",
+        (
+            F.col("rev") * F.lit(1000000)
+            - F.floor(
+                F.col("s7") / F.lit(7.0) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("det_micro"),
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        F.floor(
+            F.sum("det_micro").cast("double") / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("seasonal_micro")
+    )
+    units = detrended.join(F.broadcast(seasonal), "dow").select(
+        F.floor(
+            (F.col("det_micro") - F.col("seasonal_micro"))
+            / F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.floor(F.col("det_micro") / F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("dt"),
+        (
+            F.col("rev")
+            - F.floor(
+                F.col("seasonal_micro") / F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("tr"),
+    )
+    ctr = units.agg(
+        F.expr("CAST(sum(tr) DIV count(*) AS BIGINT)").alias("c")
+    )
+    trc = F.col("tr") - F.col("c")
+    m = units.crossJoin(F.broadcast(ctr)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("qr"),
+        F.sum("dt").cast("bigint").alias("sd"),
+        F.sum(F.col("dt") * F.col("dt")).cast("bigint").alias("qd"),
+        F.sum(trc).cast("bigint").alias("st"),
+        F.sum(trc * trc).cast("bigint").alias("qt"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.floor(F.expr(_SS_VR) / F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("var_resid_unit"),
+        F.floor(F.expr(_SS_VD) / F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("var_detrended_unit"),
+        F.floor(F.expr(_SS_VT) / F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("var_trendres_unit"),
+        F.floor(F.expr(_SS_FS) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("seasonal_strength_micro"),
+        F.floor(F.expr(_SS_FT) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("trend_strength_micro"),
+    )

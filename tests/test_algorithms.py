@@ -4406,3 +4406,161 @@ def test_ks_separation_matches_python(spark, sf_dir):
     assert r.ks_micro == math.floor(
         best / (len(pos) * len(neg)) * 1e6 + 0.5
     )
+
+
+def test_top_movers_matches_python(spark, sf_dir):
+    """Top-20 by |delta| must match a Python recompute including the
+    partkey tiebreak; deltas must be internally consistent."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_top_movers,
+    )
+    import datetime
+
+    out = agg_top_movers(spark, sf_dir).collect()
+    acc = collections.defaultdict(lambda: [0, 0])
+    t97 = datetime.datetime(1997, 1, 1)
+    t98 = datetime.datetime(1998, 1, 1)
+    for r in load(spark, sf_dir, "lineitem").collect():
+        sd = r.l_shipdate
+        if sd < t97:
+            continue
+        rev = math.floor(r.l_extendedprice * (1.0 - r.l_discount) + 0.5)
+        acc[r.l_partkey][1 if sd >= t98 else 0] += rev
+    ranked = sorted(
+        ((abs(b - a), pk, a, b) for pk, (a, b) in acc.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert len(out) == len(ranked)
+    for r, (ad, pk, a, b) in zip(out, ranked):
+        assert (r.l_partkey, r.rev_1997, r.rev_1998) == (pk, a, b)
+        assert r.delta == b - a and r.abs_delta == ad
+
+
+def test_neyman_allocation_matches_python(spark, sf_dir):
+    """Per-stratum moments, sd, and both allocations must match a
+    Python recompute; Neyman totals land within rounding of 1000."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        sample_neyman_allocation,
+    )
+
+    out = {r.seg: r for r in
+           sample_neyman_allocation(spark, sf_dir).collect()}
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for r in load(spark, sf_dir, "customer").collect():
+        b = math.floor(r.c_acctbal * 100.0 + 0.5)
+        a = acc[r.c_mktsegment]
+        a[0] += 1
+        a[1] += b
+        a[2] += b * b
+    assert set(out) == set(acc)
+    wqs = {}
+    for seg, (n, s, q) in acc.items():
+        sd = math.sqrt((q - s * s / n) / (n - 1))
+        wqs[seg] = math.floor(n * sd + 0.5)
+        assert out[seg].n_pop == n
+        assert out[seg].sd_cents == math.floor(sd * 100.0 + 0.5)
+    wsum = sum(wqs.values())
+    ntot = sum(a[0] for a in acc.values())
+    for seg, (n, s, q) in acc.items():
+        assert out[seg].neyman_n == math.floor(
+            1000.0 * wqs[seg] / wsum + 0.5
+        )
+        assert out[seg].proportional_n == math.floor(
+            1000.0 * n / ntot + 0.5
+        )
+    assert abs(sum(r.neyman_n for r in out.values()) - 1000) <= 3
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    """Strengths sit in [0, 1] micro; residual variance can't exceed
+    the detrended variance by more than quantization slack when
+    seasonality is present; n_days matches the decompose interior."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_seasonal_decompose,
+        ts_seasonal_strength,
+    )
+
+    r = ts_seasonal_strength(spark, sf_dir).collect()[0]
+    assert 0 <= r.seasonal_strength_micro <= 1000000
+    assert 0 <= r.trend_strength_micro <= 1000000
+    assert r.var_resid_unit >= 0
+    assert r.var_detrended_unit > 0
+    assert r.var_trendres_unit > 0
+    n_interior = ts_seasonal_decompose(spark, sf_dir).count()
+    assert r.n_days == n_interior
+
+
+def test_partition_advisor_verdicts(spark, sf_dir):
+    """Candidate stats must match per-key recounts; the ladder must
+    flag low-card flags as too_few and the raw key as too_many (at
+    sf>=0.01 grain) or match the explicit rule at any SF."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.plans.advisor import (
+        plan_partition_advisor,
+    )
+
+    out = {r.candidate: r for r in
+           plan_partition_advisor(spark, sf_dir).collect()}
+    assert set(out) == {
+        "ship_month", "returnflag", "linestatus",
+        "suppkey_mod64", "orderkey_mod256", "partkey_raw",
+    }
+    li = load(spark, sf_dir, "lineitem").collect()
+    cnt = collections.Counter(x.l_returnflag for x in li)
+    r = out["returnflag"]
+    assert (r.ndv, r.n_rows, r.max_rows) == (
+        len(cnt), sum(cnt.values()), max(cnt.values())
+    )
+    assert r.verdict == "too_few_partitions"
+    for name, row in out.items():
+        if row.ndv < 8:
+            assert row.verdict == "too_few_partitions"
+        elif row.ndv > 10000:
+            assert row.verdict == "too_many_partitions"
+        elif row.max_rows * row.ndv > 5 * row.n_rows:
+            assert row.verdict == "skewed"
+        else:
+            assert row.verdict == "good"
+
+
+def test_bloom_index_plan_matches_python(spark, sf_dir):
+    """Bit/hash sizing must match the textbook formulas recomputed in
+    Python from exact per-month NDVs; fpp-0.01 sizing implies
+    bits/ndv ~ 9.6 and k ~ 7."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        etl_bloom_index_plan,
+    )
+    import datetime
+
+    out = {r.mth: r for r in etl_bloom_index_plan(spark, sf_dir).collect()}
+    parts = collections.defaultdict(set)
+    rows = collections.Counter()
+    for r in load(spark, sf_dir, "lineitem").collect():
+        if r.l_shipdate < datetime.datetime(1997, 1, 1):
+            continue
+        m = r.l_shipdate.date().replace(day=1)
+        parts[m].add(r.l_partkey)
+        rows[m] += 1
+    assert set(out) == set(parts)
+    for m, keys in parts.items():
+        r = out[m]
+        ndv = len(keys)
+        bits = math.ceil(-ndv * math.log(0.01) / (math.log(2.0) ** 2))
+        assert (r.n_rows, r.ndv, r.bloom_bits) == (rows[m], ndv, bits)
+        assert r.bloom_bytes == math.ceil(bits / 8.0)
+        assert r.n_hashes == math.floor(bits / ndv * math.log(2.0) + 0.5)
+        assert r.n_hashes == 7
