@@ -3621,3 +3621,295 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# Wilcoxon signed-rank z with tie correction, spelled once. w2 is
+# TWICE the positive-rank sum (integer by the 2*avgrank identity).
+_WX_Z = (
+    "((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)"
+    " / (2.0 * sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0"
+    " - CAST(ties AS DOUBLE) / 48.0)))"
+)
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        FILTER (WHERE l_shipdate < TIMESTAMP
+                            '1998-01-01') AS BIGINT) AS a,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        FILTER (WHERE l_shipdate >= TIMESTAMP
+                            '1998-01-01') AS BIGINT) AS b
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey
+        ), diffs AS (
+            SELECT b - a AS d, abs(b - a) AS ad
+            FROM per_part
+            WHERE a IS NOT NULL AND b IS NOT NULL AND b <> a
+        ), per_v AS (
+            SELECT ad,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cpos
+            FROM diffs GROUP BY ad
+        ), ranked AS (
+            SELECT cnt, cpos,
+                   CAST(sum(cnt) OVER (ORDER BY ad
+                        ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT)
+                       AS cum_before
+            FROM per_v
+        ), m AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cpos) AS BIGINT) AS n_pos,
+                   CAST(sum(cpos * (2 * cum_before + cnt + 1))
+                        AS BIGINT) AS w2,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+            FROM ranked
+        )
+        SELECT n AS n_pairs, n_pos,
+               CAST(n - n_pos AS BIGINT) AS n_neg, w2 AS w2_pos, ties,
+               CAST(floor({_WX_Z} * 1000000.0 + 0.5) AS BIGINT)
+                   AS z_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test", "rank"),
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-part revenue (1997 vs
+    1998, parts active in both periods) — the matched-pairs
+    nonparametric companion to agg_mann_whitney's unpaired rank-sum:
+    'did the same parts shift?' rather than 'do two groups differ?'.
+    Emits exact integers (pair count, sign counts, 2x positive-rank
+    sum, tie term) plus the tie-corrected normal z.
+
+    Exactness: the pair deltas are exact BIGINT dollars; ranking
+    happens at |delta| VALUE grain where 2*avgrank = 2*cum_before +
+    t + 1 is an integer, so w2 = 2*W+ is an exact BIGINT; zero
+    deltas drop (the textbook convention); z is one shared IEEE
+    chain.
+
+    Scale shape: ONE combinable FILTER-clause agg to part grain (the
+    agg_top_movers pass), a second combinable agg to |delta| value
+    grain, the rank window at that reduced grain (hist_equidepth
+    precedent), single-row fold."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    in_b = F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    per_part = li.select(
+        "l_partkey", rev.alias("rev"), in_b.alias("in_b")
+    ).groupBy("l_partkey").agg(
+        F.sum(F.when(~F.col("in_b"), F.col("rev")))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("in_b"), F.col("rev")))
+        .cast("bigint")
+        .alias("b"),
+    )
+    diffs = per_part.filter(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("b") != F.col("a"))
+    ).select(
+        (F.col("b") - F.col("a")).alias("d"),
+        F.abs(F.col("b") - F.col("a")).alias("ad"),
+    )
+    per_v = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cpos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "cnt",
+        "cpos",
+        (F.sum("cnt").over(w) - F.col("cnt"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    m = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cpos").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.col("cpos")
+            * (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.col("w2").alias("w2_pos"),
+        "ties",
+        F.floor(F.expr(_WX_Z) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+# Jackknife pieces: leave-one-group-out ratio (exact BIGINT moments),
+# deviation terms, and the final SE — spelled once for both engines.
+_JK_THETA = "(CAST(syt AS DOUBLE) / sxt)"
+_JK_TG = (
+    "((CAST(syt AS DOUBLE) - sy) / (CAST(sxt AS DOUBLE) - sx))"
+)
+_JK_DEV = "((CAST(tg AS DOUBLE) - CAST(tsum AS DOUBLE) / ng) / 1000000000000.0)"
+_JK_SE = (
+    "sqrt((CAST(ng AS DOUBLE) - 1.0) / ng"
+    " * (CAST(qsum AS DOUBLE) / 1000000000000.0))"
+)
+
+
+@query(
+    "agg_jackknife_ratio",
+    oracle=f"""
+        WITH grp AS (
+            SELECT s_nationkey AS nation,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   CAST(sum(CAST(floor(l_extendedprice
+                            * (1.0 - l_discount) + 0.5) AS BIGINT))
+                        AS BIGINT) AS sy
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(sx) AS BIGINT) AS sxt,
+                   CAST(sum(sy) AS BIGINT) AS syt
+            FROM grp
+        ), pseudo AS (
+            SELECT nation, sx, sy, ng, sxt, syt,
+                   CAST(floor({_JK_TG} * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS tg
+            FROM grp, tot
+        ), dsum AS (
+            SELECT CAST(sum(tg) AS BIGINT) AS tsum FROM pseudo
+        ), qterm AS (
+            SELECT CAST(sum(CAST(floor({_JK_DEV} * {_JK_DEV}
+                        * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS qsum
+            FROM pseudo, dsum
+        )
+        SELECT nation, sx AS sum_qty, sy AS sum_rev,
+               CAST(floor({_JK_TG} * 1000000.0 + 0.5) AS BIGINT)
+                   AS theta_loo_micro,
+               CAST(floor({_JK_THETA} * 1000000.0 + 0.5) AS BIGINT)
+                   AS theta_micro,
+               CAST(floor({_JK_SE} * 1000000.0 + 0.5) AS BIGINT)
+                   AS jk_se_micro
+        FROM pseudo, dsum, qterm
+        ORDER BY nation
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "resampling"),
+)
+def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the revenue-per-
+    unit ratio, grouped by supplier nation — the resampling
+    complement to agg_ratio_delta_ci's analytic CI (the jackknife
+    needs no variance formula, just G leave-one-out replays) and the
+    deterministic cousin of sample_poisson_bootstrap (no RNG: the
+    'resamples' are the 25 group deletions). Per nation, the
+    leave-that-nation-out ratio ships so a consumer sees which group
+    moves the estimate.
+
+    Exactness: leave-one-out ratios come from exact BIGINT total-
+    minus-group moments; each theta_(g) pico-quantizes at GROUP grain
+    so the mean and the squared-deviation sum are order-free integer
+    folds; the SE is one shared IEEE chain. No float ever crosses an
+    aggregation boundary raw.
+
+    Plan: ONE join + combinable agg to nation grain (25 rows) is the
+    only data-sized stage; totals, pseudo-values, deviations, and
+    the final SE all run on that 25-row relation with 1-row
+    broadcast cross-joins."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    x = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    y = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    grp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nation"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("sx").cast("bigint").alias("sxt"),
+        F.sum("sy").cast("bigint").alias("syt"),
+    )
+    pseudo = grp.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "sx",
+        "sy",
+        "ng",
+        "sxt",
+        "syt",
+        F.floor(F.expr(_JK_TG) * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tg"),
+    )
+    dsum = pseudo.agg(F.sum("tg").cast("bigint").alias("tsum"))
+    qterm = (
+        pseudo.crossJoin(F.broadcast(dsum))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.expr(_JK_DEV) * F.expr(_JK_DEV) * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("qsum")
+        )
+    )
+    return (
+        pseudo.crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(qterm))
+        .select(
+            "nation",
+            F.col("sx").alias("sum_qty"),
+            F.col("sy").alias("sum_rev"),
+            F.floor(F.expr(_JK_TG) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("theta_loo_micro"),
+            F.floor(F.expr(_JK_THETA) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("theta_micro"),
+            F.floor(F.expr(_JK_SE) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("jk_se_micro"),
+        )
+        .orderBy("nation")
+    )

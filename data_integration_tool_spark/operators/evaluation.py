@@ -912,3 +912,99 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_at_max").alias("threshold_micro"),
         )
     )
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle="""
+        WITH paired AS (
+            SELECT CASE WHEN (CAST(embedding[1] AS DOUBLE) >= 0.0)
+                             = (label = 0) THEN 1 ELSE 0 END AS ok1,
+                   CASE WHEN (CAST(embedding[2] AS DOUBLE) >= 0.0)
+                             = (label = 0) THEN 1 ELSE 0 END AS ok2
+            FROM embeddings
+        ), cells AS (
+            SELECT CAST(sum(ok1 * ok2) AS BIGINT) AS both_ok,
+                   CAST(sum(ok1 * (1 - ok2)) AS BIGINT) AS only1,
+                   CAST(sum((1 - ok1) * ok2) AS BIGINT) AS only2,
+                   CAST(sum((1 - ok1) * (1 - ok2)) AS BIGINT)
+                       AS neither
+            FROM paired
+        )
+        SELECT both_ok, only1, only2, neither,
+               CAST(floor(CAST((only1 - only2) * (only1 - only2)
+                        AS DOUBLE) / (only1 + only2) * 1000000.0
+                        + 0.5) AS BIGINT) AS chi2_micro,
+               CAST(floor(CAST((abs(only1 - only2) - 1)
+                        * (abs(only1 - only2) - 1) AS DOUBLE)
+                        / (only1 + only2) * 1000000.0 + 0.5)
+                    AS BIGINT) AS chi2_cc_micro
+        FROM cells
+    """,
+    phase="P4",
+    tags=("evaluation", "hypothesis-test", "classification"),
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — are two
+    models' error rates different on the SAME examples? Uses the two
+    fixture models 'dimension 1 sign' vs 'dimension 2 sign' against
+    the label-0 class. Only the discordant cells (one right, one
+    wrong) carry signal; the test is chi2 = (b-c)^2/(b+c), shipped
+    with the Edwards continuity-corrected variant. This is the gate
+    a model-eval pipeline runs before declaring a new model better —
+    unpaired accuracy comparison wastes the pairing.
+
+    Exactness: all four contingency cells are exact integer sums of
+    0/1 products from engine-identical sign/label predicates; the
+    statistics are one spelled IEEE division each over those
+    BIGINTs.
+
+    Plan: ONE combinable aggregate — a single scan collapsing to a
+    1-row contingency at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = F.col("label") == 0
+    ok1 = (
+        F.when(
+            (F.element_at("embedding", 1).cast("double") >= 0.0) == pos, 1
+        )
+        .otherwise(0)
+        .alias("ok1")
+    )
+    ok2 = (
+        F.when(
+            (F.element_at("embedding", 2).cast("double") >= 0.0) == pos, 1
+        )
+        .otherwise(0)
+        .alias("ok2")
+    )
+    cells = e.select(ok1, ok2).agg(
+        F.sum(F.col("ok1") * F.col("ok2")).cast("bigint").alias("both_ok"),
+        F.sum(F.col("ok1") * (F.lit(1) - F.col("ok2")))
+        .cast("bigint")
+        .alias("only1"),
+        F.sum((F.lit(1) - F.col("ok1")) * F.col("ok2"))
+        .cast("bigint")
+        .alias("only2"),
+        F.sum((F.lit(1) - F.col("ok1")) * (F.lit(1) - F.col("ok2")))
+        .cast("bigint")
+        .alias("neither"),
+    )
+    d = F.col("only1") - F.col("only2")
+    s = F.col("only1") + F.col("only2")
+    dc = F.abs(d) - F.lit(1)
+    return cells.select(
+        "both_ok",
+        "only1",
+        "only2",
+        "neither",
+        F.floor(
+            (d * d).cast("double") / s * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+        F.floor(
+            (dc * dc).cast("double") / s * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("chi2_cc_micro"),
+    )

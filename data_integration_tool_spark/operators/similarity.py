@@ -2509,3 +2509,202 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi_micro"),
         )
     )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < {IVF_NLIST}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos_nrm('e.embedding', 'c.ce', 'e.nrm', 'c.cnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cos_nrm('c.ce', 'q.qe', 'c.cnrm', 'q.qnrm')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM cent c CROSS JOIN q
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_duck_cos_nrm('a.embedding', 'q.qe', 'a.nrm', 'q.qnrm')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM assigned a
+            JOIN probes p ON a.cent_id = p.cent_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rn <= 10
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe', 'e.nrm', 'q.qnrm')} DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM approx a JOIN exact x
+          ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0
+                * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    ORDER BY q.query_id
+"""
+
+
+@query(
+    "sim_ivf_recall_audit",
+    oracle=_IVF_RECALL_ORACLE,
+    phase="P4",
+    tags=("similarity", "ann", "ivf", "audit"),
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe against brute-force exact top-10,
+    for each of the 20 batch queries — the ANN quality gate a
+    retrieval pipeline runs before trusting the index (the IVF
+    sibling of dedup_lsh_recall_audit's banding-recall promise).
+    Recall < 1 here is the designed nprobe/nlist trade, so the score
+    ships per query: a LOW tail tells you which query regions the
+    2-of-10 probe under-covers.
+
+    Fully deterministic both sides (row_number with explicit
+    tiebreakers everywhere), so unlike hash-seeded ANN this audit
+    gets a full value-hash oracle; counts are exact integers and the
+    recall division is spelled once.
+
+    Plan: reuses the batch-IVF shape (assignment scan + broadcast
+    probes + pruned candidate join) PLUS one exact brute-force pass
+    (corpus x 20 broadcast queries with per-partition partial
+    TakeOrdered); the audit join runs at 20x10 row grain. At 100 TB
+    you'd sample queries exactly like this — the exact side is the
+    expensive half, which is WHY it's an audit, not the serving
+    path."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "embedding", "nrm", "cent_id", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+    cos_q = dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("cent_id")
+    )
+    probes = F.broadcast(
+        cent.crossJoin(q)
+        .select("query_id", "cent_id", cos_q.alias("cos_q"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    approx = (
+        assigned.join(probes, "cent_id")
+        .join(q, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rescore.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rescore.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("query_id").alias("xq"), F.col("vec_id").alias("xv")
+        )
+    )
+    hits = (
+        approx.join(
+            exact,
+            (F.col("query_id") == F.col("xq"))
+            & (F.col("vec_id") == F.col("xv")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.floor(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(10.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )

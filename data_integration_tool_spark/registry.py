@@ -231,6 +231,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_seasonal_strength",
     "plan_partition_advisor",
     "etl_bloom_index_plan",
+    "agg_wilcoxon_signed_rank",
+    "eval_mcnemar_paired",
+    "agg_jackknife_ratio",
+    "sim_ivf_recall_audit",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

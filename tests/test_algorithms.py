@@ -4564,3 +4564,157 @@ def test_bloom_index_plan_matches_python(spark, sf_dir):
         assert r.bloom_bytes == math.ceil(bits / 8.0)
         assert r.n_hashes == math.floor(bits / ndv * math.log(2.0) + 0.5)
         assert r.n_hashes == 7
+
+
+def test_wilcoxon_matches_scipy_free_python(spark, sf_dir):
+    """w2_pos, tie term, and z must match a Python recompute with
+    average ranks over |delta| and the tie-corrected variance."""
+    import collections
+    import datetime
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    r = agg_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    acc = collections.defaultdict(lambda: [None, None])
+    t97 = datetime.datetime(1997, 1, 1)
+    t98 = datetime.datetime(1998, 1, 1)
+    for x in load(spark, sf_dir, "lineitem").collect():
+        if x.l_shipdate < t97:
+            continue
+        rev = math.floor(x.l_extendedprice * (1.0 - x.l_discount) + 0.5)
+        a = acc[x.l_partkey]
+        i = 1 if x.l_shipdate >= t98 else 0
+        a[i] = (a[i] or 0) + rev
+    diffs = [
+        b - a for a, b in acc.values()
+        if a is not None and b is not None and a != b
+    ]
+    n = len(diffs)
+    assert r.n_pairs == n
+    assert r.n_pos == sum(1 for d in diffs if d > 0)
+    per_v = collections.Counter(abs(d) for d in diffs)
+    pos_v = collections.Counter(abs(d) for d in diffs if d > 0)
+    w2 = 0
+    cum = 0
+    ties = 0
+    for v in sorted(per_v):
+        t = per_v[v]
+        w2 += pos_v.get(v, 0) * (2 * cum + t + 1)
+        ties += t * t * t - t
+        cum += t
+    assert (r.w2_pos, r.ties) == (w2, ties)
+    z = (w2 - n * (n + 1) / 2.0) / (
+        2.0 * math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0)
+    )
+    assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    """Contingency cells and both chi2 variants must match a Python
+    recompute; cells must partition the corpus."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_mcnemar_paired,
+    )
+
+    r = eval_mcnemar_paired(spark, sf_dir).collect()[0]
+    a = b = c = d = 0
+    n = 0
+    for e in load(spark, sf_dir, "embeddings").collect():
+        pos = e.label == 0
+        ok1 = (float(e.embedding[0]) >= 0.0) == pos
+        ok2 = (float(e.embedding[1]) >= 0.0) == pos
+        n += 1
+        if ok1 and ok2:
+            a += 1
+        elif ok1:
+            b += 1
+        elif ok2:
+            c += 1
+        else:
+            d += 1
+    assert (r.both_ok, r.only1, r.only2, r.neither) == (a, b, c, d)
+    assert a + b + c + d == n
+    assert r.chi2_micro == math.floor((b - c) ** 2 / (b + c) * 1e6 + 0.5)
+    assert r.chi2_cc_micro == math.floor(
+        (abs(b - c) - 1) ** 2 / (b + c) * 1e6 + 0.5
+    )
+
+
+def test_jackknife_ratio_matches_python(spark, sf_dir):
+    """Leave-one-out ratios and the jackknife SE must match a Python
+    recompute with the identical quantization chain; SE > 0."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_jackknife_ratio,
+    )
+
+    out = {r.nation: r for r in
+           agg_jackknife_ratio(spark, sf_dir).collect()}
+    nk = {
+        s.s_suppkey: s.s_nationkey
+        for s in load(spark, sf_dir, "supplier").collect()
+    }
+    acc = collections.defaultdict(lambda: [0, 0])
+    for x in load(spark, sf_dir, "lineitem").collect():
+        g = nk[x.l_suppkey]
+        acc[g][0] += math.floor(x.l_quantity + 0.5)
+        acc[g][1] += math.floor(
+            x.l_extendedprice * (1.0 - x.l_discount) + 0.5
+        )
+    assert set(out) == set(acc)
+    sxt = sum(a[0] for a in acc.values())
+    syt = sum(a[1] for a in acc.values())
+    ng = len(acc)
+    tgs = {}
+    for g, (sx, sy) in acc.items():
+        tg_f = (syt - sy) / (sxt - sx)
+        tgs[g] = math.floor(tg_f * 1e12 + 0.5)
+        assert out[g].theta_loo_micro == math.floor(tg_f * 1e6 + 0.5)
+        assert out[g].theta_micro == math.floor(syt / sxt * 1e6 + 0.5)
+    tsum = sum(tgs.values())
+    qsum = sum(
+        math.floor(((tg - tsum / ng) / 1e12) ** 2 * 1e12 + 0.5)
+        for tg in tgs.values()
+    )
+    se = math.sqrt((ng - 1.0) / ng * (qsum / 1e12))
+    for g in acc:
+        assert out[g].jk_se_micro == math.floor(se * 1e6 + 0.5)
+        assert out[g].jk_se_micro > 0
+
+
+def test_ivf_recall_audit_consistency(spark, sf_dir):
+    """Every query reports; recall in [0,1]; the mean recall must beat
+    the random-baseline floor by a wide margin (clustered fixture) and
+    n_hits must equal the true overlap for query 0 recomputed from
+    the registered exact/approx queries."""
+    from data_integration_tool_spark.operators.similarity import (
+        sim_ann_ivf,
+        sim_ivf_recall_audit,
+        sim_knn_exact,
+    )
+
+    rows = sim_ivf_recall_audit(spark, sf_dir).collect()
+    assert [r.query_id for r in rows] == list(range(20))
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_micro == round(r.n_hits / 10 * 1e6)
+    mean_recall = sum(r.n_hits for r in rows) / (10.0 * len(rows))
+    assert mean_recall >= 0.3
+    approx0 = {
+        r.vec_id for r in sim_ann_ivf(spark, sf_dir).collect()
+    }
+    exact0 = {
+        r.vec_id
+        for r in sim_knn_exact(spark, sf_dir).limit(10).collect()
+    }
+    assert rows[0].n_hits == len(approx0 & exact0)
