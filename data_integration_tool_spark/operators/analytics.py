@@ -1713,3 +1713,94 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), F.asc("antecedent"), F.asc("consequent"))
         .limit(100)
     )
+
+
+# Order-cycle bucket ladder: pure integer day-threshold compares.
+_OC_EDGES = ((30, "<30d"), (60, "30-60d"), (90, "60-90d"), (120, "90-120d"))
+_OC_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN d < {e} THEN {i}" for i, (e, _) in enumerate(_OC_EDGES)
+    )
+    + f" ELSE {len(_OC_EDGES)} END"
+)
+_OC_LABEL = (
+    "CASE "
+    + " ".join(f"WHEN d < {e} THEN '{lbl}'" for e, lbl in _OC_EDGES)
+    + " ELSE '120d+' END"
+)
+
+
+@query(
+    "orders_cycle_time",
+    oracle=f"""
+        WITH per_order AS (
+            SELECT o.o_orderpriority AS priority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(max(l.l_shipdate) AS DATE)) AS BIGINT)
+                       AS d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT priority,
+               CAST({_OC_CASE} AS BIGINT) AS bucket_id,
+               {_OC_LABEL} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(d) // count(*) AS BIGINT) AS avg_days,
+               CAST(min(d) AS BIGINT) AS min_days,
+               CAST(max(d) AS BIGINT) AS max_days
+        FROM per_order
+        GROUP BY 1, 2, 3
+        ORDER BY priority, bucket_id
+    """,
+    phase="P2",
+    tags=("analytics", "operations", "funnel"),
+)
+def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-complete-delivery cycle time by priority: days from
+    order date to the LAST line shipment, on a pure integer day-bucket
+    ladder — the operations SLA view (does URGENT actually ship
+    faster?) that complements tpch_q4's late-count with the full
+    latency distribution.
+
+    Exactness: cycle days are exact integer date_diffs (midnight
+    timestamps by fixture); buckets are integer threshold compares;
+    per-cell average is exact integer DIV — nothing IEEE anywhere.
+
+    Plan: the per-order completion date folds in ONE combinable agg
+    keyed on the join key itself (orderkey — no extra shuffle beyond
+    the join's), then a bounded (5 priorities x 5 buckets) combinable
+    rollup."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("mx").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            "priority",
+            F.expr(_OC_CASE).cast("bigint").alias("bucket_id"),
+            F.expr(_OC_LABEL).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr("CAST(sum(d) DIV count(*) AS BIGINT)").alias("avg_days"),
+            F.min("d").cast("bigint").alias("min_days"),
+            F.max("d").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority", "bucket_id")
+    )

@@ -1387,3 +1387,115 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iv_term_pico",
         F.sum("iv_term_pico").over(w_all).cast("bigint").alias("iv_total_pico"),
     ).orderBy("hour_of_day")
+
+
+# KL/JS divergence terms between the observed source mix and the
+# uniform target, spelled once (p = observed share, u = 1/k).
+_KL_P = "(CAST(n_docs AS DOUBLE) / total)"
+_KL_TERM = f"({_KL_P} * ln({_KL_P} * k))"
+_KL_MID = f"(({_KL_P} + 1.0 / k) / 2.0)"
+_JS_TERM_P = f"({_KL_P} * ln({_KL_P} / {_KL_MID}) / 2.0)"
+_JS_TERM_U = f"((1.0 / k) * ln((1.0 / k) / {_KL_MID}) / 2.0)"
+
+
+@query(
+    "mixture_kl_divergence",
+    oracle=f"""
+        WITH bysrc AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS k
+            FROM bysrc
+        ), terms AS (
+            SELECT source, n_docs,
+                   CAST(floor({_KL_P} * 1000000.0 + 0.5) AS BIGINT)
+                       AS share_micro,
+                   CAST(floor({_KL_TERM} * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS kl_term_pico,
+                   CAST(floor(({_JS_TERM_P} + {_JS_TERM_U})
+                        * 1000000000000.0 + 0.5) AS BIGINT)
+                       AS js_term_pico
+            FROM bysrc, tot
+        ), fold AS (
+            SELECT CAST(sum(kl_term_pico) AS BIGINT) AS klsum,
+                   CAST(sum(js_term_pico) AS BIGINT) AS jssum
+            FROM terms
+        )
+        SELECT source, n_docs, share_micro, kl_term_pico,
+               CAST(floor(CAST(klsum AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS kl_total_micro,
+               CAST(floor(CAST(jssum AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS js_total_micro
+        FROM terms, fold
+        ORDER BY source
+    """,
+    phase="P4",
+    tags=("curation", "mixture", "llm-pipeline"),
+)
+def mixture_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and Jensen-Shannon divergence of the observed source mix
+    from the uniform target — the single number a mixture pipeline
+    tracks per snapshot to see whether the corpus is drifting toward
+    a few dominant sources (KL is the penalty mixture_plan's rates
+    would pay if applied as-is; JS is its bounded symmetric twin for
+    dashboards). Per-source KL contributions ship so the dominant
+    offender is visible.
+
+    Exactness: shares come from exact BIGINT counts; every
+    ln-crossing term pico-quantizes at SOURCE grain (zipf
+    discipline) so the divergence folds are order-free integer sums;
+    the uniform midpoint JS terms are shared IEEE formula strings.
+
+    Plan: ONE combinable count to source grain (20 rows) is the only
+    data-sized stage; totals and folds broadcast-cross-join at
+    metadata scale."""
+    d = load(spark, sf_dir, "documents")
+    bysrc = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = bysrc.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    terms = bysrc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.expr(_KL_P) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_micro"),
+        F.floor(F.expr(_KL_TERM) * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("kl_term_pico"),
+        F.floor(
+            (F.expr(_JS_TERM_P) + F.expr(_JS_TERM_U)) * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("js_term_pico"),
+    )
+    fold = terms.agg(
+        F.sum("kl_term_pico").cast("bigint").alias("klsum"),
+        F.sum("js_term_pico").cast("bigint").alias("jssum"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(fold))
+        .select(
+            "source",
+            "n_docs",
+            "share_micro",
+            "kl_term_pico",
+            F.floor(
+                F.col("klsum").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("kl_total_micro"),
+            F.floor(
+                F.col("jssum").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("js_total_micro"),
+        )
+        .orderBy("source")
+    )

@@ -1253,3 +1253,92 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("precision_micro"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b, est_jaccard
+            FROM ({_MINHASH_ORACLE}) q
+            WHERE NOT star_edge
+        ), tagged AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(floor(p.est_jaccard * 1000000.0 + 0.5)
+                        AS BIGINT) AS jm
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(jm) AS BIGINT) AS sum_jaccard_micro,
+               CAST(floor(CAST(sum(jm) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS avg_jaccard_micro,
+               CAST(source_a = source_b AS BOOLEAN) AS within_source
+        FROM tagged
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+    phase="P3",
+    tags=("dedup", "minhash", "llm-pipeline", "provenance"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source near-duplicate matrix: fold dedup_minhash's
+    banded candidate pairs (star connectivity edges excluded —
+    they claim reachability, not similarity) up to provenance grain —
+    WHICH sources copy from each other. The diagonal is within-source
+    template mass; off-diagonal cells are cross-source contamination,
+    the thing a training-data pipeline must know before treating
+    sources as independent mixture components.
+
+    Exactness: rides the fully-oracled minhash pipeline; est_jaccard
+    = agree/32 is exact in binary so its micro quantization is
+    engine-identical at PAIR grain, making the per-cell sum an
+    order-free BIGINT; the cell average is one spelled division.
+
+    Plan: the pair relation is candidate-sized (banding keeps it
+    near-linear; the star-cap bounds template blowups); two
+    broadcast-able doc_id->source joins tag it; the matrix rollup is
+    a bounded (<= sources^2/2) combinable agg."""
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash(spark, sf_dir).filter(~F.col("star_edge"))
+    da = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    db = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    tagged = (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.floor(F.col("est_jaccard") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("jm"),
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("jm").cast("bigint").alias("sum_jaccard_micro"),
+            F.floor(
+                F.sum("jm").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("avg_jaccard_micro"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "sum_jaccard_micro",
+            "avg_jaccard_micro",
+            (F.col("source_a") == F.col("source_b")).alias("within_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -235,6 +235,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_mcnemar_paired",
     "agg_jackknife_ratio",
     "sim_ivf_recall_audit",
+    "mixture_kl_divergence",
+    "orders_cycle_time",
+    "dedup_cross_source_matrix",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -4718,3 +4718,113 @@ def test_ivf_recall_audit_consistency(spark, sf_dir):
         for r in sim_knn_exact(spark, sf_dir).limit(10).collect()
     }
     assert rows[0].n_hits == len(approx0 & exact0)
+
+
+def test_mixture_kl_matches_python(spark, sf_dir):
+    """Shares, per-source KL terms, and both totals must match a
+    Python recompute; KL >= JS >= 0 and shares sum to 1e6."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.curation import (
+        mixture_kl_divergence,
+    )
+
+    out = {r.source: r for r in
+           mixture_kl_divergence(spark, sf_dir).collect()}
+    cnt = collections.Counter(
+        r.source for r in load(spark, sf_dir, "documents").collect()
+    )
+    assert set(out) == set(cnt)
+    total = sum(cnt.values())
+    k = len(cnt)
+    klsum = jssum = 0
+    for src, n in cnt.items():
+        p = n / total
+        term = p * math.log(p * k)
+        klsum += math.floor(term * 1e12 + 0.5)
+        mid = (p + 1.0 / k) / 2.0
+        js = p * math.log(p / mid) / 2.0 + (1.0 / k) * math.log(
+            (1.0 / k) / mid
+        ) / 2.0
+        jssum += math.floor(js * 1e12 + 0.5)
+        r = out[src]
+        assert r.n_docs == n
+        assert r.share_micro == math.floor(p * 1e6 + 0.5)
+        assert r.kl_term_pico == math.floor(term * 1e12 + 0.5)
+    first = next(iter(out.values()))
+    assert first.kl_total_micro == math.floor(klsum / 1e6 + 0.5)
+    assert first.js_total_micro == math.floor(jssum / 1e6 + 0.5)
+    assert first.kl_total_micro >= first.js_total_micro >= 0
+    assert abs(sum(r.share_micro for r in out.values()) - 1000000) <= k
+
+
+def test_orders_cycle_time_matches_python(spark, sf_dir):
+    """Bucket cells must match a Python recompute of order-to-last-
+    ship days; cells partition the joined order set."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.analytics import (
+        orders_cycle_time,
+    )
+
+    rows = orders_cycle_time(spark, sf_dir).collect()
+    mx = {}
+    for li in load(spark, sf_dir, "lineitem").collect():
+        k = li.l_orderkey
+        if k not in mx or li.l_shipdate > mx[k]:
+            mx[k] = li.l_shipdate
+    cells = collections.defaultdict(list)
+    n_joined = 0
+    edges = [30, 60, 90, 120]
+    for o in load(spark, sf_dir, "orders").collect():
+        if o.o_orderkey not in mx:
+            continue
+        n_joined += 1
+        d = (mx[o.o_orderkey].date() - o.o_orderdate.date()).days
+        bid = next((i for i, e in enumerate(edges) if d < e), len(edges))
+        cells[(o.o_orderpriority, bid)].append(d)
+    assert {(r.priority, r.bucket_id) for r in rows} == set(cells)
+    assert sum(r.n_orders for r in rows) == n_joined
+    for r in rows:
+        ds = cells[(r.priority, r.bucket_id)]
+        assert r.n_orders == len(ds)
+        s = sum(ds)
+        trunc = s // len(ds) if s >= 0 else -((-s) // len(ds))
+        assert r.avg_days == trunc  # SQL DIV truncates toward zero
+        assert (r.min_days, r.max_days) == (min(ds), max(ds))
+
+
+def test_cross_source_matrix_consistency(spark, sf_dir):
+    """Matrix cells must reconcile exactly with the registered
+    dedup_minhash pair relation tagged by source."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.dedup import (
+        dedup_cross_source_matrix,
+        dedup_minhash,
+    )
+
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    src = {
+        d.doc_id: d.source
+        for d in load(spark, sf_dir, "documents").collect()
+    }
+    acc = collections.defaultdict(lambda: [0, 0])
+    for p in dedup_minhash(spark, sf_dir).collect():
+        if p.star_edge:
+            continue
+        a, b = sorted((src[p.doc_a], src[p.doc_b]))
+        acc[(a, b)][0] += 1
+        acc[(a, b)][1] += math.floor(p.est_jaccard * 1e6 + 0.5)
+    assert {(r.source_a, r.source_b) for r in rows} == set(acc)
+    for r in rows:
+        n, s = acc[(r.source_a, r.source_b)]
+        assert (r.n_pairs, r.sum_jaccard_micro) == (n, s)
+        assert r.avg_jaccard_micro == math.floor(s / n + 0.5)
+        assert r.within_source == (r.source_a == r.source_b)
+        assert r.avg_jaccard_micro >= 800000  # threshold floor
