@@ -1295,3 +1295,218 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_x2"), "node")
         .limit(100)
     )
+
+
+# Modularity terms per community from exact integer (e_c, d_c, m),
+# spelled once: Q = sum_c (e_c/m - (d_c/2m)^2).
+_MOD_TERM = (
+    "(CAST(ec AS DOUBLE) / m"
+    " - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)))"
+)
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0 AND b.l_orderkey % 20 = 0
+        ),
+        adj AS (
+            SELECT pa AS node, pb AS nbr FROM pairs
+            UNION ALL
+            SELECT pb AS node, pa AS nbr FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT node FROM adj),
+        labels0 AS (SELECT node, node AS label FROM nodes),
+        {",".join(_LPA_ROUND_SQL.format(r=r, p=r - 1)
+                  for r in range(1, _LPA_ROUNDS + 1))},
+        m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj
+            GROUP BY node
+        ),
+        comm AS (
+            SELECT l.label AS community,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d.d) AS BIGINT) AS dc
+            FROM labels{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node
+            GROUP BY l.label
+        ),
+        intra AS (
+            SELECT la.label AS community,
+                   CAST(count(*) AS BIGINT) AS ec
+            FROM pairs p
+            JOIN labels{_LPA_ROUNDS} la ON la.node = p.pa
+            JOIN labels{_LPA_ROUNDS} lb ON lb.node = p.pb
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        terms AS (
+            SELECT c.community, c.n_members,
+                   CAST(coalesce(i.ec, 0) AS BIGINT) AS ec,
+                   c.dc, m1.m,
+                   CAST(floor((CAST(coalesce(i.ec, 0) AS DOUBLE) / m1.m
+                        - (CAST(c.dc AS DOUBLE) / (2 * m1.m))
+                        * (CAST(c.dc AS DOUBLE) / (2 * m1.m)))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS t_pico
+            FROM comm c LEFT JOIN intra i ON i.community = c.community,
+                 m1
+        ),
+        fold AS (
+            SELECT CAST(sum(t_pico) AS BIGINT) AS qsum,
+                   CAST(count(*) AS BIGINT) AS n_comm
+            FROM terms
+        )
+        SELECT t.community, t.n_members, t.ec AS intra_edges,
+               t.dc AS degree_sum,
+               f.n_comm AS n_communities,
+               CAST(floor(CAST(f.qsum AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS modularity_micro
+        FROM terms t, fold f
+        WHERE t.n_members >= 2
+        ORDER BY t.n_members DESC, t.community
+        LIMIT 20
+    """,
+    phase="P4",
+    tags=("graph", "community", "quality"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition over the basket graph
+    — the standard 'is this clustering real?' score (Q near 0: no
+    better than random given the degree sequence; Q >> 0: dense
+    communities): Q = sum_c (e_c/m - (d_c/2m)^2), folded over ALL
+    communities (singletons included — their degree mass counts)
+    with the top-20 communities' ingredients shipped alongside.
+    Composes the exact same deterministic 2-round LPA as
+    graph_lpa_communities, so label assignment is identical by
+    construction.
+
+    Exactness: e_c (intra edges), d_c (degree mass), and m are exact
+    integers; each community's term pico-quantizes at COMMUNITY grain
+    so the Q fold is an order-free BIGINT sum; the final scale-back
+    is one spelled division.
+
+    Plan: the LPA rounds are the co-partitioned join chain the
+    communities query already runs; modularity adds one degree agg,
+    one two-sided label join over the EDGE list (both sides keyed on
+    node — shares the adjacency partitioning), and a community-grain
+    fold."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    nodes = adj.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = votes.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                )
+            )
+            .getField("l")
+            .alias("new_label")
+        )
+        labels = nodes.join(picked, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
+        )
+    labels = labels.localCheckpoint(eager=False)
+    m1 = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d").cast("bigint").alias("dc"),
+        )
+    )
+    la = labels.select(F.col("node").alias("pa"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("pb"), F.col("label").alias("lab_b"))
+    intra = (
+        pairs.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+    )
+    # coalesce ec BEFORE the term select: F.expr resolves `ec` against
+    # the input relation, so computing both in one projection would
+    # feed the pre-coalesce NULL into the term (NULL t_pico for
+    # zero-intra communities — sum would silently skip their
+    # -(dc/2m)^2 mass while the oracle counts it).
+    terms = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce(F.col("ec"), F.lit(0)).cast("bigint").alias("ec"),
+            "dc",
+            "m",
+        )
+        .select(
+            "community",
+            "n_members",
+            "ec",
+            "dc",
+            "m",
+            F.floor(F.expr(_MOD_TERM) * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("t_pico"),
+        )
+    )
+    fold = terms.agg(
+        F.sum("t_pico").cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_comm"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(fold))
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "community",
+            "n_members",
+            F.col("ec").alias("intra_edges"),
+            F.col("dc").alias("degree_sum"),
+            F.col("n_comm").alias("n_communities"),
+            F.floor(
+                F.col("qsum").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("modularity_micro"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -587,3 +587,104 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_entity_holdout",
+    oracle="""
+        WITH assigned AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(floor(o_totalprice + 0.5) AS BIGINT) AS dollars,
+                   CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)),
+                             1, 2) < 'cd'
+                        THEN 'train' ELSE 'test' END AS split,
+                   CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             1, 2) < 'cd'
+                        THEN 1 ELSE 0 END AS row_train
+            FROM orders
+        ), bysplit AS (
+            SELECT split,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(dollars) AS BIGINT) AS total_dollars
+            FROM assigned GROUP BY split
+        ), leak AS (
+            SELECT CAST(count(*) AS BIGINT) AS leak_customers_rowsplit
+            FROM (
+                SELECT o_custkey FROM assigned
+                GROUP BY o_custkey
+                HAVING min(row_train) <> max(row_train)
+            )
+        )
+        SELECT split, n_customers, n_orders, total_dollars,
+               leak_customers_rowsplit
+        FROM bysplit, leak
+        ORDER BY split
+    """,
+    phase="P3",
+    tags=("sample", "split", "leakage"),
+)
+def sample_entity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-grain train/test holdout: orders split by the md5 band
+    of their CUSTOMER, so every customer's history lands wholly on
+    one side — the leakage-safe split for any model that learns
+    per-entity behavior. Ships the counterfactual alongside: how many
+    customers a naive ROW-grain (orderkey-hash) split would strand on
+    both sides (= the leakage the entity split prevents). Same digest
+    band ('cd' ~ 80.1%) and determinism contract as
+    sample_train_test_split.
+
+    Exactness: membership is a pure function of the key (md5 prefix
+    compare, engine-identical per the proven hash-consistent
+    convention); all outputs are exact integer counts/sums; the
+    leakage count folds from per-customer min<>max of a 0/1 flag.
+
+    Plan: one scan-stage CASE projection (no rand(), no shuffle to
+    assign), a combinable split rollup, and a per-customer combinable
+    min/max for the audit — the two aggregates share the scan; at
+    100 TB assignment stays embarrassingly parallel and the audit is
+    one customer-grain exchange."""
+    o = load(spark, sf_dir, "orders")
+    cdig = F.substring(
+        F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 2
+    )
+    odig = F.substring(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2
+    )
+    assigned = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") + F.lit(0.5))
+        .cast("bigint")
+        .alias("dollars"),
+        F.when(cdig < "cd", "train").otherwise("test").alias("split"),
+        F.when(odig < "cd", 1).otherwise(0).alias("row_train"),
+    )
+    bysplit = assigned.groupBy("split").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("dollars").cast("bigint").alias("total_dollars"),
+    )
+    leak = (
+        assigned.groupBy("o_custkey")
+        .agg(
+            F.min("row_train").alias("mn"),
+            F.max("row_train").alias("mx"),
+        )
+        .filter(F.col("mn") != F.col("mx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("leak_customers_rowsplit")
+        )
+    )
+    return (
+        bysplit.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_customers",
+            "n_orders",
+            "total_dollars",
+            "leak_customers_rowsplit",
+        )
+        .orderBy("split")
+    )

@@ -1518,3 +1518,143 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Char-bigram entropy terms over exact (source, bigram) counts.
+_CE_JOINT = "(CAST(nab AS DOUBLE) / ntot)"
+_CE_TERM_BG = f"({_CE_JOINT} * ln({_CE_JOINT}))"
+_CE_TERM_COND = f"({_CE_JOINT} * ln(CAST(nab AS DOUBLE) / na))"
+
+
+@query(
+    "text_char_bigram_entropy",
+    oracle=f"""
+        WITH sampled AS (
+            SELECT source, text FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        ), grams AS (
+            SELECT source, substr(text, i, 2) AS bg,
+                   substr(text, i, 1) AS c1
+            FROM (
+                SELECT source, text,
+                       unnest(range(1, length(text))) AS i
+                FROM sampled
+            )
+        ), bg_counts AS (
+            SELECT source, bg, c1, CAST(count(*) AS BIGINT) AS nab
+            FROM grams GROUP BY source, bg, c1
+        ), c1_counts AS (
+            SELECT source, c1, CAST(sum(nab) AS BIGINT) AS na
+            FROM bg_counts GROUP BY source, c1
+        ), tot AS (
+            SELECT source, CAST(sum(nab) AS BIGINT) AS ntot,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM bg_counts GROUP BY source
+        ), terms AS (
+            SELECT b.source,
+                   CAST(floor({_CE_TERM_BG} * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS tb,
+                   CAST(floor({_CE_TERM_COND} * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS tc
+            FROM bg_counts b
+            JOIN c1_counts c ON c.source = b.source AND c.c1 = b.c1
+            JOIN tot t ON t.source = b.source
+        )
+        SELECT t.source, t.ntot AS n_bigrams, t.vocab AS vocab_bigrams,
+               CAST(floor(-CAST(s.sb AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS h_bigram_micro,
+               CAST(floor(-CAST(s.sc AS DOUBLE) / 1000000.0 + 0.5)
+                    AS BIGINT) AS h_cond_micro
+        FROM tot t JOIN (
+            SELECT source, CAST(sum(tb) AS BIGINT) AS sb,
+                   CAST(sum(tc) AS BIGINT) AS sc
+            FROM terms GROUP BY source
+        ) s ON s.source = t.source
+        ORDER BY t.source
+    """,
+    phase="P3",
+    tags=("text", "entropy", "llm-pipeline"),
+)
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy H(c1,c2) and CONDITIONAL entropy
+    H(c2|c1) per source (deterministic 25% md5-band doc sample — doc_id % k
+    would alias against the fixture's source = doc_id %% 20 layout) — the entropy-RATE proxy
+    that catches what unigram entropy (text_entropy) can't: template
+    spam keeps a natural character distribution but collapses the
+    conditional entropy because every character predicts the next.
+    H(c2|c1) = H(bigram) - H(first char) folds from one joint/marginal
+    count pair.
+
+    Exactness: bigram and marginal counts are exact integers from
+    engine-identical substr/length semantics (ASCII fixture, pinned);
+    every ln-crossing term pico-quantizes at (source, bigram) grain —
+    the alphabet bounds that grain at ~1k rows/source regardless of
+    corpus size — so the entropy folds are order-free BIGINT sums.
+
+    Plan: the position explode is the only data-sized stage (the
+    text_ngram_freq shape — sequence + explode stays in codegen, no
+    UDF); counts collapse to alphabet-bounded grain map-side; the
+    marginal join runs at that bounded grain."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        )
+        < "4"
+    )
+    grams = d.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(1))
+        ).alias("i"),
+        "text",
+    ).select(
+        "source",
+        F.expr("substr(text, i, 2)").alias("bg"),
+        F.expr("substr(text, i, 1)").alias("c1"),
+    )
+    bg_counts = grams.groupBy("source", "bg", "c1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nab")
+    )
+    c1_counts = bg_counts.groupBy("source", "c1").agg(
+        F.sum("nab").cast("bigint").alias("na")
+    )
+    tot = bg_counts.groupBy("source").agg(
+        F.sum("nab").cast("bigint").alias("ntot"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    terms = (
+        bg_counts.join(c1_counts, ["source", "c1"])
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.floor(F.expr(_CE_TERM_BG) * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("tb"),
+            F.floor(F.expr(_CE_TERM_COND) * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("tc"),
+        )
+    )
+    folds = terms.groupBy("source").agg(
+        F.sum("tb").cast("bigint").alias("sb"),
+        F.sum("tc").cast("bigint").alias("sc"),
+    )
+    return (
+        tot.join(folds, "source")
+        .select(
+            "source",
+            F.col("ntot").alias("n_bigrams"),
+            F.col("vocab").alias("vocab_bigrams"),
+            F.floor(
+                -F.col("sb").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("h_bigram_micro"),
+            F.floor(
+                -F.col("sc").cast("double") / F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("h_cond_micro"),
+        )
+        .orderBy("source")
+    )

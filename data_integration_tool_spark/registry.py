@@ -238,6 +238,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mixture_kl_divergence",
     "orders_cycle_time",
     "dedup_cross_source_matrix",
+    "graph_modularity",
+    "sample_entity_holdout",
+    "text_char_bigram_entropy",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -4828,3 +4828,147 @@ def test_cross_source_matrix_consistency(spark, sf_dir):
         assert r.avg_jaccard_micro == math.floor(s / n + 0.5)
         assert r.within_source == (r.source_a == r.source_b)
         assert r.avg_jaccard_micro >= 800000  # threshold floor
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    """Global Q must match a Python recompute that replays the same
+    2-round deterministic LPA; ingredients must match per community;
+    Q in (-0.5, 1]."""
+    import collections
+    import itertools
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_modularity,
+    )
+
+    out = graph_modularity(spark, sf_dir).collect()
+    by_order = collections.defaultdict(set)
+    for x in load(spark, sf_dir, "lineitem").collect():
+        if x.l_orderkey % 20 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        new = {}
+        for n in adj:
+            votes = collections.Counter(labels[x] for x in adj[n])
+            new[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    m = len(edges)
+    dc = collections.Counter()
+    members = collections.Counter()
+    for n in adj:
+        dc[labels[n]] += len(adj[n])
+        members[labels[n]] += 1
+    ec = collections.Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            ec[labels[a]] += 1
+    qsum = sum(
+        math.floor(
+            (ec.get(c, 0) / m - (d / (2 * m)) ** 2) * 1e12 + 0.5
+        )
+        for c, d in dc.items()
+    )
+    qmicro = math.floor(qsum / 1e6 + 0.5)
+    for r in out:
+        assert r.n_members == members[r.community]
+        assert r.intra_edges == ec.get(r.community, 0)
+        assert r.degree_sum == dc[r.community]
+        assert r.n_communities == len(dc)
+        assert r.modularity_micro == qmicro
+    assert -500000 < qmicro <= 1000000
+
+
+def test_entity_holdout_leakage_semantics(spark, sf_dir):
+    """Entity split: every customer on exactly one side; counts match
+    a Python recompute including the row-split leakage counter."""
+    import collections
+    import hashlib
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_entity_holdout,
+    )
+
+    out = {r.split: r for r in
+           sample_entity_holdout(spark, sf_dir).collect()}
+    side = lambda k: (
+        "train"
+        if hashlib.md5(str(k).encode()).hexdigest()[:2] < "cd"
+        else "test"
+    )
+    cust = collections.defaultdict(set)
+    stats = collections.defaultdict(lambda: [set(), 0, 0])
+    rowside = collections.defaultdict(set)
+    for o in load(spark, sf_dir, "orders").collect():
+        sp = side(o.o_custkey)
+        st = stats[sp]
+        st[0].add(o.o_custkey)
+        st[1] += 1
+        st[2] += math.floor(o.o_totalprice + 0.5)
+        rowside[o.o_custkey].add(side(o.o_orderkey))
+    leak = sum(1 for v in rowside.values() if len(v) == 2)
+    assert set(out) == set(stats)
+    assert not (stats["train"][0] & stats["test"][0])
+    for sp, (cs, no, dol) in stats.items():
+        r = out[sp]
+        assert (r.n_customers, r.n_orders, r.total_dollars) == (
+            len(cs), no, dol
+        )
+        assert r.leak_customers_rowsplit == leak
+    assert leak > 0  # the contrast the operator exists to show
+
+
+def test_char_bigram_entropy_matches_python(spark, sf_dir):
+    """Joint and conditional entropies must match a Python recompute
+    over the same md5-band sample; 0 <= H(c2|c1) <= H(c1,c2)."""
+    import collections
+    import hashlib
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        text_char_bigram_entropy,
+    )
+
+    out = {r.source: r for r in
+           text_char_bigram_entropy(spark, sf_dir).collect()}
+    bg = collections.defaultdict(collections.Counter)
+    for d in load(spark, sf_dir, "documents").collect():
+        if hashlib.md5(str(d.doc_id).encode()).hexdigest()[:1] >= "4":
+            continue
+        t = d.text
+        for i in range(len(t) - 1):
+            bg[d.source][t[i:i + 2]] += 1
+    assert set(out) == set(bg)
+    for src, cnt in bg.items():
+        r = out[src]
+        ntot = sum(cnt.values())
+        na = collections.Counter()
+        for k, v in cnt.items():
+            na[k[0]] += v
+        assert (r.n_bigrams, r.vocab_bigrams) == (ntot, len(cnt))
+        sb = sum(
+            math.floor((v / ntot) * math.log(v / ntot) * 1e12 + 0.5)
+            for v in cnt.values()
+        )
+        sc = sum(
+            math.floor(
+                (v / ntot) * math.log(v / na[k[0]]) * 1e12 + 0.5
+            )
+            for k, v in cnt.items()
+        )
+        assert r.h_bigram_micro == math.floor(-sb / 1e6 + 0.5)
+        assert r.h_cond_micro == math.floor(-sc / 1e6 + 0.5)
+        assert 0 <= r.h_cond_micro <= r.h_bigram_micro
