@@ -1769,3 +1769,81 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(r6)
         .orderBy("expectation")
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), med AS (
+            SELECT CAST(quantile_disc(n_rows, 0.5) AS BIGINT) AS med
+            FROM monthly
+        ), devs AS (
+            SELECT mth, n_rows, med,
+                   CAST(abs(n_rows - med) AS BIGINT) AS dev
+            FROM monthly, med
+        ), madr AS (
+            SELECT CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+            FROM devs
+        )
+        SELECT d.mth, d.n_rows, d.med AS median_rows, d.dev,
+               m.mad AS mad_rows,
+               CAST(d.dev > 3 * m.mad AS BOOLEAN) AS is_anomaly
+        FROM devs d, madr m
+        ORDER BY d.mth
+    """,
+    phase="P3",
+    tags=("quality", "feed-health", "anomaly"),
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month row-volume anomaly gate: flag months whose line-item
+    count deviates from the median by more than 3 MAD — the robust
+    feed-health check (dq_feed_gaps finds SILENT months; this finds
+    half-loads and double-loads, the failure mode gaps can't see).
+    Median/MAD instead of mean/stddev so one bad month can't mask
+    another.
+
+    All-integer end to end: monthly counts, DISCRETE median (an
+    actual stored count — the anomaly_mad house rule), absolute
+    deviations, discrete MAD, and the 3x fence compare never touch a
+    float — every column hash-exact by construction.
+
+    Plan: ONE combinable count to month grain (time-span cardinality,
+    not rows); median/MAD run on that ~84-row relation with 1-row
+    broadcast cross-joins back — the data-sized stage is only the
+    first rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    med = monthly.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_rows)")
+        .cast("bigint")
+        .alias("med")
+    )
+    devs = monthly.crossJoin(F.broadcast(med)).select(
+        "mth",
+        "n_rows",
+        "med",
+        F.abs(F.col("n_rows") - F.col("med")).cast("bigint").alias("dev"),
+    )
+    madr = devs.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("bigint")
+        .alias("mad")
+    )
+    return (
+        devs.crossJoin(F.broadcast(madr))
+        .select(
+            "mth",
+            "n_rows",
+            F.col("med").alias("median_rows"),
+            "dev",
+            F.col("mad").alias("mad_rows"),
+            (F.col("dev") > F.lit(3) * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("mth")
+    )

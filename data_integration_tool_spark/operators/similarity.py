@@ -2708,3 +2708,72 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_threshold_sweep",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+        ), banded AS (
+            SELECT CAST(least(floor(cosine * 20.0), 19.0) AS BIGINT)
+                       AS band_id
+            FROM pairs
+        ), counts AS (
+            SELECT band_id, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM banded GROUP BY band_id
+        )
+        SELECT band_id,
+               CAST(band_id * 50000 AS BIGINT) AS band_lo_micro,
+               n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY band_id DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_pairs_at_or_above
+        FROM counts
+        ORDER BY band_id
+    """,
+    phase="P3",
+    tags=("similarity", "dedup", "tuning"),
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold sweep: histogram of qualifying
+    within-label pair cosines in 0.05 bands, with the cumulative
+    count at-or-above each band — the curve a dedup pipeline reads
+    to PICK its cosine threshold (where does the pair count explode?)
+    before committing to a dedup_embedding run. Rides the exact same
+    blocked Arrow kernel as sim_pairs_threshold, so the pair set is
+    identical by construction.
+
+    Exactness: cosines are bit-identical cross-engine (the pinned
+    oracle-identical fp-order kernel); banding floors the SAME double
+    so band membership can't flip; counts and the cumulative window
+    (over <= 20 band rows) are exact integers.
+
+    Plan: the pair kernel is the data-sized stage (label-blocked,
+    tile-bounded — see sim_pairs_threshold); the sweep adds one
+    bounded-key combinable agg and a 20-row window."""
+    pairs = sim_pairs_threshold(spark, sf_dir)
+    banded = pairs.select(
+        F.least(F.floor(F.col("cosine") * F.lit(20.0)), F.lit(19.0))
+        .cast("bigint")
+        .alias("band_id")
+    )
+    counts = banded.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("band_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.select(
+        "band_id",
+        (F.col("band_id") * F.lit(50000)).cast("bigint").alias(
+            "band_lo_micro"
+        ),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias(
+            "n_pairs_at_or_above"
+        ),
+    ).orderBy("band_id")

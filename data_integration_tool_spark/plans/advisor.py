@@ -292,3 +292,92 @@ def plan_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("skew_ratio_micro"),
         F.expr(_PA_VERDICT).alias("verdict"),
     ).orderBy("candidate")
+
+
+@query(
+    "plan_shape_audit",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('filter_pushdown_reaches_scan', true),
+            ('projection_prunes_columns', true),
+            ('hinted_join_broadcasts', true),
+            ('equi_join_never_cartesian', true),
+            ('group_agg_has_map_side_partial', true),
+            ('topk_uses_take_ordered', true)
+        ) AS t(check_name, ok)
+        ORDER BY check_name
+    """,
+    phase="P4",
+    tags=("planner", "regression-gate"),
+)
+def plan_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-plan regression gate: six invariants of Catalyst plan
+    shape that this engine's scale story depends on, asserted against
+    the ACTUAL compiled plans of probe queries and compared to an
+    all-true oracle — if an upgrade or a refactor silently breaks
+    filter pushdown, column pruning, broadcast hints, map-side
+    partial aggregation, or TakeOrdered top-k, this query turns red
+    in the driver's correctness run instead of the regression
+    surfacing as a 100 TB incident. (The probes are deliberately
+    SF-stable: hint-forced broadcast rather than size-threshold
+    broadcast, shapes that do not change between sf0.001 and sf0.1.)
+
+    This audits the PLAN, not the data: the checks run at plan time
+    via the shared explain helpers (plans/tuning.py) and the verdict
+    ships as a 6-row local relation.
+    """
+    from .tuning import (
+        explain_str,
+        has_pushed_filter,
+        scan_read_schema,
+        uses_broadcast_join,
+        uses_take_ordered,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+
+    probe_scan = li.filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_partkey"
+    )
+    pushdown_ok = has_pushed_filter(probe_scan, "GreaterThan(l_quantity")
+    rs = scan_read_schema(probe_scan)
+    prune_ok = (
+        "l_orderkey" in rs
+        and "l_partkey" in rs
+        and "l_extendedprice" not in rs
+        and "l_comment" not in rs
+    )
+
+    probe_bcast = li.join(
+        F.broadcast(nation), li.l_suppkey % 25 == nation.n_nationkey
+    )
+    bcast_ok = uses_broadcast_join(probe_bcast)
+
+    probe_equi = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    cartesian_ok = (
+        "CartesianProduct" not in explain_str(probe_equi)
+        and "BroadcastNestedLoopJoin" not in explain_str(probe_equi)
+    )
+
+    probe_agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    agg_plan = explain_str(probe_agg)
+    partial_ok = agg_plan.count("HashAggregate") >= 2
+
+    probe_topk = li.orderBy(F.desc("l_extendedprice")).limit(5)
+    topk_ok = uses_take_ordered(probe_topk)
+
+    rows = [
+        ("filter_pushdown_reaches_scan", bool(pushdown_ok)),
+        ("projection_prunes_columns", bool(prune_ok)),
+        ("hinted_join_broadcasts", bool(bcast_ok)),
+        ("equi_join_never_cartesian", bool(cartesian_ok)),
+        ("group_agg_has_map_side_partial", bool(partial_ok)),
+        ("topk_uses_take_ordered", bool(topk_ok)),
+    ]
+    return spark.createDataFrame(rows, ["check_name", "ok"]).orderBy(
+        "check_name"
+    )

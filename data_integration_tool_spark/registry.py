@@ -241,6 +241,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_modularity",
     "sample_entity_holdout",
     "text_char_bigram_entropy",
+    "dq_volume_anomaly",
+    "sim_threshold_sweep",
+    "plan_shape_audit",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

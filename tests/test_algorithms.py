@@ -4972,3 +4972,77 @@ def test_char_bigram_entropy_matches_python(spark, sf_dir):
         assert r.h_bigram_micro == math.floor(-sb / 1e6 + 0.5)
         assert r.h_cond_micro == math.floor(-sc / 1e6 + 0.5)
         assert 0 <= r.h_cond_micro <= r.h_bigram_micro
+
+
+def test_volume_anomaly_matches_python(spark, sf_dir):
+    """Median/MAD/flags must match a Python recompute using the same
+    discrete-quantile convention (quantile_disc picks the lower-middle
+    element)."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_volume_anomaly,
+    )
+
+    rows = dq_volume_anomaly(spark, sf_dir).collect()
+    cnt = collections.Counter()
+    for x in load(spark, sf_dir, "lineitem").collect():
+        cnt[x.l_shipdate.date().replace(day=1)] += 1
+    vals = sorted(cnt.values())
+    med = vals[(len(vals) - 1) // 2]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(len(devs) - 1) // 2]
+    assert {r.mth for r in rows} == set(cnt)
+    for r in rows:
+        assert r.n_rows == cnt[r.mth]
+        assert r.median_rows == med and r.mad_rows == mad
+        assert r.dev == abs(r.n_rows - med)
+        assert r.is_anomaly == (r.dev > 3 * mad)
+
+
+def test_threshold_sweep_reconciles_with_pairs(spark, sf_dir):
+    """Band counts must reconcile exactly with the registered pair
+    relation; the cumulative column must be a desc-band running sum
+    and its max must equal the total pair count."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.operators.similarity import (
+        sim_pairs_threshold,
+        sim_threshold_sweep,
+    )
+
+    rows = sim_threshold_sweep(spark, sf_dir).collect()
+    bands = collections.Counter()
+    for p in sim_pairs_threshold(spark, sf_dir).collect():
+        bands[min(math.floor(p.cosine * 20.0), 19)] += 1
+    assert {r.band_id for r in rows} == set(bands)
+    total = sum(bands.values())
+    for r in rows:
+        assert r.n_pairs == bands[r.band_id]
+        assert r.band_lo_micro == r.band_id * 50000
+        assert r.n_pairs_at_or_above == sum(
+            v for b, v in bands.items() if b >= r.band_id
+        )
+    assert min(r.band_id for r in rows) >= 6  # 0.3 floor
+    assert max(r.n_pairs_at_or_above for r in rows) == total
+
+
+def test_plan_shape_audit_all_green_and_meaningful(spark, sf_dir):
+    """All six plan invariants must hold on a live session, and the
+    probes must be real (a deliberately unpushable filter must NOT
+    satisfy the pushdown helper — guards against a vacuous check)."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.plans.advisor import plan_shape_audit
+    from data_integration_tool_spark.plans.tuning import has_pushed_filter
+    from pyspark.sql import functions as F
+
+    rows = plan_shape_audit(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r.ok for r in rows)
+    li = load(spark, sf_dir, "lineitem")
+    opaque = li.filter(
+        (F.col("l_quantity") + F.col("l_tax")) > 30
+    )
+    assert not has_pushed_filter(opaque, "GreaterThan(l_quantity")
