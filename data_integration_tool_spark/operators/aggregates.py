@@ -3913,3 +3913,94 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# Power-analysis pieces: pooled variance from exact moments and the
+# two-sample n-per-arm at alpha=.05 (two-sided) / power=.80, spelled
+# once — z constants written inline so both engines fold identically.
+_PW_VAR = "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+_PW_MEAN = "(CAST(s AS DOUBLE) / n)"
+_PW_DELTA = f"({_PW_MEAN} * mde / 100.0)"
+_PW_N = (
+    f"ceil(2.0 * (1.959963985 + 0.841621234)"
+    f" * (1.959963985 + 0.841621234) * {_PW_VAR}"
+    f" / ({_PW_DELTA} * {_PW_DELTA}))"
+)
+
+
+@query(
+    "agg_power_sample_size",
+    oracle=f"""
+        WITH m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                            * CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM orders
+        ), ladder AS (
+            SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS mde
+        )
+        SELECT mde AS mde_pct,
+               n AS n_population,
+               CAST(floor({_PW_MEAN} * 1000000.0 + 0.5) AS BIGINT)
+                   AS mean_micro,
+               CAST(floor({_PW_DELTA} * 1000000.0 + 0.5) AS BIGINT)
+                   AS delta_micro,
+               CAST({_PW_N} AS BIGINT) AS n_per_arm,
+               CAST({_PW_N} <= n / 2 AS BOOLEAN) AS feasible
+        FROM ladder, m
+        ORDER BY mde
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "ab-testing"),
+)
+def agg_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis over order values: the required sample
+    size PER ARM to detect a 1/2/5/10% lift in mean order value at
+    alpha = 0.05 (two-sided) with 80% power — n = 2(z_a+z_b)^2 s^2 /
+    delta^2 — plus a feasibility flag against the population actually
+    available. The planning step that runs BEFORE agg_welch_ttest
+    ever gets data: an underpowered experiment design is the most
+    expensive statistics bug there is.
+
+    Exactness: variance folds from the same exact dollar-grain
+    integer moments as the Welch family; the z constants are written
+    inline in ONE shared formula string so both engines fold the
+    identical literal arithmetic; ceil on both engines.
+
+    Plan: ONE combinable moments aggregate is the only data-sized
+    stage; the 4-row MDE ladder cross-joins the 1-row moments
+    relation at metadata scale."""
+    o = load(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint")
+    m = o.select(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q"),
+    )
+    ladder = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(5), F.lit(10)),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("bigint")
+        .alias("mde")
+    )
+    return (
+        ladder.crossJoin(F.broadcast(m))
+        .select(
+            F.col("mde").alias("mde_pct"),
+            F.col("n").alias("n_population"),
+            F.floor(F.expr(_PW_MEAN) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_micro"),
+            F.floor(F.expr(_PW_DELTA) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("delta_micro"),
+            F.expr(_PW_N).cast("bigint").alias("n_per_arm"),
+            (F.expr(_PW_N) <= F.col("n") / F.lit(2)).alias("feasible"),
+        )
+        .orderBy("mde_pct")
+    )

@@ -1008,3 +1008,147 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_cc_micro"),
     )
+
+
+_RBO_P = 0.9
+_RBO_DEPTH = 50
+
+
+@query(
+    "eval_rank_overlap",
+    oracle=f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS s1,
+                   CAST(embedding[2] AS DOUBLE) AS s2
+            FROM embeddings
+        ),
+        r1 AS (
+            SELECT vec_id, row_number() OVER (
+                       ORDER BY s1 DESC, vec_id) AS rk
+            FROM scored QUALIFY rk <= {_RBO_DEPTH}
+        ),
+        r2 AS (
+            SELECT vec_id, row_number() OVER (
+                       ORDER BY s2 DESC, vec_id) AS rk
+            FROM scored QUALIFY rk <= {_RBO_DEPTH}
+        ),
+        depths AS (SELECT unnest(range(1, {_RBO_DEPTH} + 1)) AS d),
+        ovl AS (
+            SELECT d.d,
+                   CAST((SELECT count(*) FROM r1 a JOIN r2 b
+                         ON a.vec_id = b.vec_id
+                         WHERE a.rk <= d.d AND b.rk <= d.d)
+                        AS BIGINT) AS ov
+            FROM depths d
+        ),
+        terms AS (
+            SELECT d, ov,
+                   CAST(floor(CAST(ov AS DOUBLE) / d
+                        * power({_RBO_P}, d - 1)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS t_pico
+            FROM ovl
+        )
+        SELECT CAST(count(*) AS BIGINT) AS depth,
+               CAST(max(CASE WHEN d = {_RBO_DEPTH} THEN ov END)
+                    AS BIGINT) AS overlap_at_k,
+               CAST(floor(CAST(max(CASE WHEN d = {_RBO_DEPTH} THEN ov
+                        END) AS DOUBLE) / {_RBO_DEPTH} * 1000000.0
+                        + 0.5) AS BIGINT) AS jaccard_at_k_micro,
+               CAST(floor((1.0 - {_RBO_P})
+                        * (CAST(sum(t_pico) AS DOUBLE)
+                           / 1000000000000.0) * 1000000.0 + 0.5)
+                    AS BIGINT) AS rbo_micro
+        FROM terms
+    """,
+    phase="P4",
+    tags=("evaluation", "ranking"),
+)
+def eval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-stability between the two fixture models (dim-1 vs dim-2
+    scores): top-50 overlap, overlap@k ratio, and truncated
+    Rank-Biased Overlap (p = 0.9) — the metric a retrieval team
+    watches across model versions because plain top-k overlap
+    over-weights the tail while RBO's geometric weights match where
+    users actually look. RBO_trunc = (1-p) * sum_d (ov_d/d) p^(d-1).
+
+    Exactness: both rankings use explicit vec_id tiebreaks on
+    bit-identical doubles; per-depth overlaps are exact integers;
+    each RBO term pico-quantizes at DEPTH grain so the fold is an
+    order-free BIGINT sum (power(0.9, d) is a shared IEEE call on
+    integer exponents). The final scale-backs are spelled once.
+
+    Plan: two bounded top-k rankings (TakeOrdered shape), a 50-row
+    depth spine, and per-depth overlap counts over 50x50 bounded
+    relations — past the two score scans nothing is data-sized. At
+    real scale the rankings come from partial TakeOrdered, exactly
+    as sim_knn_batch."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("s1"),
+        F.element_at("embedding", 2).cast("double").alias("s2"),
+    )
+    w1 = Window.orderBy(F.desc("s1"), "vec_id")
+    w2 = Window.orderBy(F.desc("s2"), "vec_id")
+    r1 = (
+        scored.select("vec_id", F.row_number().over(w1).alias("rk"))
+        .filter(F.col("rk") <= _RBO_DEPTH)
+    )
+    r2 = (
+        scored.select("vec_id", F.row_number().over(w2).alias("rk"))
+        .filter(F.col("rk") <= _RBO_DEPTH)
+    )
+    joined = r1.alias("a").join(
+        r2.alias("b"), F.col("a.vec_id") == F.col("b.vec_id")
+    ).select(
+        F.greatest(F.col("a.rk"), F.col("b.rk")).alias("entry_d")
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").alias("d")
+    )
+    overlaps = (
+        depths.join(
+            F.broadcast(joined), F.col("entry_d") <= F.col("d"), "left"
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.col("entry_d")).cast("bigint").alias("ov")
+        )
+    )
+    terms = overlaps.select(
+        "d",
+        "ov",
+        F.floor(
+            F.col("ov").cast("double")
+            / F.col("d")
+            * F.pow(F.lit(_RBO_P), F.col("d") - F.lit(1))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("t_pico"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth"),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("ov")))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.floor(
+            F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("ov")))
+            .cast("double")
+            / F.lit(float(_RBO_DEPTH))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("jaccard_at_k_micro"),
+        F.floor(
+            F.lit(1.0 - _RBO_P)
+            * (F.sum("t_pico").cast("double") / F.lit(1e12))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rbo_micro"),
+    )

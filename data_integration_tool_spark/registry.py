@@ -244,6 +244,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_volume_anomaly",
     "sim_threshold_sweep",
     "plan_shape_audit",
+    "eval_rank_overlap",
+    "agg_power_sample_size",
+    "etl_wap_gate",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

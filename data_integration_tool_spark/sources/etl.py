@@ -2118,3 +2118,162 @@ def etl_bloom_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bloom_bytes"),
         F.expr(_BL_HASHES).alias("n_hashes"),
     ).orderBy("mth")
+
+
+@query(
+    "etl_wap_gate",
+    oracle="""
+        WITH latest AS (
+            SELECT max(date_trunc('month', l_shipdate)) AS mx
+            FROM lineitem
+        ), monthly AS (
+            SELECT date_trunc('month', l_shipdate) AS mth,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), hist AS (
+            SELECT m.n_rows FROM monthly m, latest WHERE m.mth < mx
+        ), med AS (
+            SELECT CAST(quantile_disc(n_rows, 0.5) AS BIGINT) AS med
+            FROM hist
+        ), madr AS (
+            SELECT CAST(quantile_disc(abs(n_rows - med), 0.5) AS BIGINT)
+                       AS mad
+            FROM hist, med
+        ), batch AS (
+            SELECT l.* FROM lineitem l, latest
+            WHERE date_trunc('month', l.l_shipdate) = mx
+        ), gates AS (
+            SELECT 'volume_within_3mad' AS gate,
+                   (SELECT CAST(count(*) AS BIGINT) FROM batch)
+                       AS observed,
+                   CAST(med + 3 * mad AS BIGINT) AS bound,
+                   (SELECT count(*) FROM batch)
+                       BETWEEN med - 3 * mad AND med + 3 * mad AS pass
+            FROM med, madr
+            UNION ALL
+            SELECT 'no_orphan_orderkeys',
+                   (SELECT CAST(count(*) AS BIGINT) FROM batch b
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = b.l_orderkey)),
+                   CAST(0 AS BIGINT),
+                   (SELECT count(*) FROM batch b
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = b.l_orderkey))
+                       = 0
+            UNION ALL
+            SELECT 'domain_bounds_hold',
+                   (SELECT CAST(count(*) AS BIGINT) FROM batch
+                    WHERE l_quantity < 1 OR l_quantity > 50
+                       OR l_discount < 0.0 OR l_discount > 0.1),
+                   CAST(0 AS BIGINT),
+                   (SELECT count(*) FROM batch
+                    WHERE l_quantity < 1 OR l_quantity > 50
+                       OR l_discount < 0.0 OR l_discount > 0.1) = 0
+        ), verdict AS (
+            SELECT CASE WHEN bool_and(pass) THEN 'publish'
+                        ELSE 'rollback' END AS verdict
+            FROM gates
+        )
+        SELECT g.gate, g.observed, g.bound, g.pass, v.verdict
+        FROM gates g, verdict v
+        ORDER BY g.gate
+    """,
+    phase="P4",
+    tags=("etl", "write-audit-publish", "quality-gate"),
+)
+def etl_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish gate: treat the latest ship-month as the
+    staged batch and run the three audits a lake pipeline runs before
+    swapping a snapshot live — volume within 3 MAD of monthly history
+    (half-load / double-load), zero orphan foreign keys, zero domain
+    violations — folding into ONE publish/rollback verdict. This is
+    the decision layer ON TOP of dq_volume_anomaly / dq_referential /
+    dq_rules: those report, this gates.
+
+    Exactness: all gate inputs are exact integer counts with discrete
+    median/MAD (anomaly_mad rule); the verdict is pure boolean logic
+    — nothing IEEE anywhere. A partial final month failing the volume
+    gate is a CORRECT rollback verdict, identically on both engines.
+
+    Plan: one month-grain combinable count + the batch-month scans;
+    the anti-join orphan check broadcasts the batch-bounded key set
+    or sort-merges at scale; gates are three 1-row folds UNION ALLed
+    with a 1-row verdict cross-join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    mth = F.date_trunc("month", "l_shipdate")
+    latest = li.agg(F.max(mth).alias("mx"))
+    monthly = li.groupBy(mth.alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    hist = monthly.crossJoin(F.broadcast(latest)).filter(
+        F.col("m") < F.col("mx")
+    )
+    med = hist.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_rows)")
+        .cast("bigint")
+        .alias("med")
+    )
+    madr = (
+        hist.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY abs(n_rows - med))"
+            )
+            .cast("bigint")
+            .alias("mad")
+        )
+    )
+    batch = li.crossJoin(F.broadcast(latest)).filter(mth == F.col("mx"))
+    n_batch = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    orphans = (
+        batch.join(o, batch.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("no"))
+    )
+    domain = batch.filter(
+        (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+        | (F.col("l_discount") < 0.0)
+        | (F.col("l_discount") > 0.1)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    g1 = (
+        n_batch.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(madr))
+        .select(
+            F.lit("volume_within_3mad").alias("gate"),
+            F.col("nb").alias("observed"),
+            (F.col("med") + F.lit(3) * F.col("mad"))
+            .cast("bigint")
+            .alias("bound"),
+            F.col("nb").between(
+                F.col("med") - F.lit(3) * F.col("mad"),
+                F.col("med") + F.lit(3) * F.col("mad"),
+            ).alias("pass"),
+        )
+    )
+    g2 = orphans.select(
+        F.lit("no_orphan_orderkeys").alias("gate"),
+        F.col("no").alias("observed"),
+        F.lit(0).cast("bigint").alias("bound"),
+        (F.col("no") == 0).alias("pass"),
+    )
+    g3 = domain.select(
+        F.lit("domain_bounds_hold").alias("gate"),
+        F.col("nd").alias("observed"),
+        F.lit(0).cast("bigint").alias("bound"),
+        (F.col("nd") == 0).alias("pass"),
+    )
+    gates = g1.unionAll(g2).unionAll(g3)
+    verdict = gates.agg(
+        F.when(F.min(F.col("pass").cast("int")) == 1, "publish")
+        .otherwise("rollback")
+        .alias("verdict")
+    )
+    return (
+        gates.crossJoin(F.broadcast(verdict))
+        .select("gate", "observed", "bound", "pass", "verdict")
+        .orderBy("gate")
+    )

@@ -5046,3 +5046,114 @@ def test_plan_shape_audit_all_green_and_meaningful(spark, sf_dir):
         (F.col("l_quantity") + F.col("l_tax")) > 30
     )
     assert not has_pushed_filter(opaque, "GreaterThan(l_quantity")
+
+
+def test_rank_overlap_matches_python(spark, sf_dir):
+    """Top-50 overlap and truncated RBO must match a Python recompute
+    with identical tiebreaks and quantization; RBO in [0, 1e6]."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_rank_overlap,
+    )
+
+    r = eval_rank_overlap(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "embeddings").collect()
+    s1 = sorted(rows, key=lambda e: (-float(e.embedding[0]), e.vec_id))
+    s2 = sorted(rows, key=lambda e: (-float(e.embedding[1]), e.vec_id))
+    t1 = [e.vec_id for e in s1[:50]]
+    t2 = [e.vec_id for e in s2[:50]]
+    qsum = 0
+    for d in range(1, 51):
+        ov = len(set(t1[:d]) & set(t2[:d]))
+        qsum += math.floor(ov / d * 0.9 ** (d - 1) * 1e12 + 0.5)
+        if d == 50:
+            assert r.overlap_at_k == ov
+            assert r.jaccard_at_k_micro == math.floor(
+                ov / 50 * 1e6 + 0.5
+            )
+    assert r.depth == 50
+    assert r.rbo_micro == math.floor(0.1 * (qsum / 1e12) * 1e6 + 0.5)
+    assert 0 <= r.rbo_micro <= 1000000
+
+
+def test_power_sample_size_matches_python(spark, sf_dir):
+    """n-per-arm must match the textbook formula recomputed in Python
+    from exact moments; n must shrink as MDE grows ~1/mde^2."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_power_sample_size,
+    )
+
+    out = {r.mde_pct: r for r in
+           agg_power_sample_size(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 5, 10}
+    vals = [
+        math.floor(o.o_totalprice + 0.5)
+        for o in load(spark, sf_dir, "orders").collect()
+    ]
+    n = len(vals)
+    s = sum(vals)
+    q = sum(v * v for v in vals)
+    var = (q - s * s / n) / (n - 1)
+    mean = s / n
+    zsum = 1.959963985 + 0.841621234
+    for mde, r in out.items():
+        delta = mean * mde / 100.0
+        npa = math.ceil(2.0 * zsum * zsum * var / (delta * delta))
+        assert r.n_per_arm == npa
+        assert r.n_population == n
+        assert r.feasible == (npa <= n / 2)
+    assert out[1].n_per_arm > out[2].n_per_arm > out[10].n_per_arm
+    ratio = out[1].n_per_arm / out[2].n_per_arm
+    assert 3.9 <= ratio <= 4.1  # 1/mde^2 scaling
+
+
+def test_wap_gate_semantics(spark, sf_dir):
+    """Gate rows must match a Python recompute of the batch-month
+    audits; verdict is publish iff every gate passes."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import etl_wap_gate
+
+    rows = {r.gate: r for r in etl_wap_gate(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "volume_within_3mad", "no_orphan_orderkeys", "domain_bounds_hold",
+    }
+    li = load(spark, sf_dir, "lineitem").collect()
+    okeys = {
+        o.o_orderkey for o in load(spark, sf_dir, "orders").collect()
+    }
+    monthly = collections.Counter()
+    for x in li:
+        monthly[x.l_shipdate.date().replace(day=1)] += 1
+    mx = max(monthly)
+    hist = sorted(v for m, v in monthly.items() if m < mx)
+    med = hist[(len(hist) - 1) // 2]
+    devs = sorted(abs(v - med) for v in hist)
+    mad = devs[(len(devs) - 1) // 2]
+    batch = [x for x in li if x.l_shipdate.date().replace(day=1) == mx]
+    nb = len(batch)
+    orphans = sum(1 for x in batch if x.l_orderkey not in okeys)
+    dom = sum(
+        1 for x in batch
+        if x.l_quantity < 1 or x.l_quantity > 50
+        or x.l_discount < 0.0 or x.l_discount > 0.1
+    )
+    r = rows["volume_within_3mad"]
+    assert r.observed == nb and r.bound == med + 3 * mad
+    assert r.pass_ if hasattr(r, "pass_") else True
+    vol_pass = med - 3 * mad <= nb <= med + 3 * mad
+    assert r["pass"] == vol_pass
+    assert rows["no_orphan_orderkeys"].observed == orphans
+    assert rows["no_orphan_orderkeys"]["pass"] == (orphans == 0)
+    assert rows["domain_bounds_hold"].observed == dom
+    assert rows["domain_bounds_hold"]["pass"] == (dom == 0)
+    expect = "publish" if (
+        vol_pass and orphans == 0 and dom == 0
+    ) else "rollback"
+    assert all(r.verdict == expect for r in rows.values())
