@@ -1510,3 +1510,116 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+@query(
+    "graph_edge_embeddedness",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0
+        ), adj AS (
+            SELECT pa AS node, pb AS nbr FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ), emb AS (
+            SELECT p.pa, p.pb,
+                   CAST((SELECT count(*) FROM adj x JOIN adj y
+                         ON x.nbr = y.nbr
+                         WHERE x.node = p.pa AND y.node = p.pb)
+                        AS BIGINT) AS embeddedness
+            FROM pairs p
+        ), summary AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN embeddedness = 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_bridge_like
+            FROM emb
+        )
+        SELECT e.pa AS node_a, e.pb AS node_b, e.embeddedness,
+               s.n_edges, s.n_bridge_like
+        FROM emb e, summary s
+        ORDER BY e.embeddedness, e.pa, e.pb
+        LIMIT 50
+    """,
+    phase="P3",
+    tags=("graph", "structure"),
+)
+def graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness (common-neighbor count per EDGE) over the
+    basket graph, surfacing the 50 least-embedded edges plus the
+    bridge-like count (embeddedness 0) — Granovetter's weak-tie
+    measure: zero-embeddedness edges are the graph's information
+    bridges (and, in a dedup graph, the suspicious links that merge
+    otherwise-unrelated clusters — the first edges to re-verify).
+
+    All-integer: the per-edge common-neighbor count is an exact
+    wedge-closure count; ranking sorts integers with a pair
+    tiebreak.
+
+    Plan: ONE two-sided adjacency join on the shared neighbor
+    (the triangle-closure shape, bounded by sum(deg^2) with the
+    degree-cap rule) left-counts onto the edge list; the summary is
+    a 1-row fold broadcast back; TakeOrdered keeps 50."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    x = adj.select(F.col("node").alias("xa"), F.col("nbr").alias("cn"))
+    y = adj.select(F.col("node").alias("xb"), F.col("nbr").alias("cn2"))
+    wedge = (
+        x.join(y, F.col("cn") == F.col("cn2"))
+        .groupBy("xa", "xb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    emb = pairs.join(
+        wedge,
+        (F.col("pa") == F.col("xa")) & (F.col("pb") == F.col("xb")),
+        "left",
+    ).select(
+        "pa",
+        "pb",
+        F.coalesce(F.col("common"), F.lit(0))
+        .cast("bigint")
+        .alias("embeddedness"),
+    )
+    summary = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("embeddedness") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bridge_like"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("pa").alias("node_a"),
+            F.col("pb").alias("node_b"),
+            "embeddedness",
+            "n_edges",
+            "n_bridge_like",
+        )
+        .orderBy("embeddedness", "node_a", "node_b")
+        .limit(50)
+    )

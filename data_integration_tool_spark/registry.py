@@ -247,6 +247,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_rank_overlap",
     "agg_power_sample_size",
     "etl_wap_gate",
+    "ts_anomaly_residual",
+    "graph_edge_embeddedness",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

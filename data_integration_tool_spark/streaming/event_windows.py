@@ -3426,3 +3426,163 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trend_strength_micro"),
     )
+
+
+@query(
+    "ts_anomaly_residual",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(dayofweek(date_trunc('day', o_orderdate))
+                        AS BIGINT) AS dow,
+                   CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT day, dow, rev,
+                   CAST(sum(rev) OVER w AS BIGINT) AS s7,
+                   count(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                            AND 3 FOLLOWING)
+        ),
+        detrended AS (
+            SELECT day, dow, rev,
+                   rev * 1000000
+                     - CAST(floor(s7 / 7.0 * 1000000.0 + 0.5) AS BIGINT)
+                       AS det_micro
+            FROM trended WHERE n7 = 7
+        ),
+        seasonal AS (
+            SELECT dow,
+                   CAST(floor(CAST(sum(det_micro) AS DOUBLE) / count(*)
+                              + 0.5) AS BIGINT) AS seasonal_micro
+            FROM detrended GROUP BY dow
+        ),
+        resid AS (
+            SELECT d.day, d.rev,
+                   CAST(d.det_micro - s.seasonal_micro AS BIGINT)
+                       AS r_micro
+            FROM detrended d JOIN seasonal s USING (dow)
+        ),
+        med AS (
+            SELECT CAST(quantile_disc(r_micro, 0.5) AS BIGINT) AS med
+            FROM resid
+        ),
+        madr AS (
+            SELECT CAST(quantile_disc(abs(r_micro - med), 0.5)
+                        AS BIGINT) AS mad
+            FROM resid, med
+        )
+        SELECT CAST(r.day AS DATE) AS day, r.rev, r.r_micro,
+               m.med AS median_resid_micro, x.mad AS mad_resid_micro,
+               CAST(abs(r.r_micro - m.med) > 3 * x.mad AS BOOLEAN)
+                   AS is_anomaly
+        FROM resid r, med m, madr x
+        WHERE abs(r.r_micro - m.med) > 3 * x.mad
+        ORDER BY r.day
+    """,
+    phase="P3",
+    tags=("timeseries", "anomaly", "decomposition"),
+)
+def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly days: days whose revenue residual
+    (net of the 7-day trend AND the day-of-week seasonal) deviates
+    from the residual median by more than 3 MAD — the STL-residual
+    anomaly detector that catches what raw-level detectors
+    (anomaly_zscore/mad on values, dq_volume_anomaly on counts)
+    structurally can't: a normal-LOOKING Monday that's anomalous FOR
+    a Monday after a soft week. Emits only the flagged days.
+
+    Exactness: rides the exact decompose chain (integer daily sums,
+    micro-quantized trend/seasonal); residuals are exact BIGINT
+    micros; DISCRETE median/MAD (actual stored residuals) and the
+    3x fence compare stay all-integer — no IEEE anywhere past the
+    quantized trend division.
+
+    Plan: combinable daily rollup -> one ROWS window over the tiny
+    series -> 7-row seasonal join-back -> two discrete quantiles over
+    the series-length relation with 1-row broadcast-backs. Output is
+    anomaly-sized."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.dayofweek(F.date_trunc("day", "o_orderdate"))
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.sum("rev").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    detrended = trended.filter(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        "rev",
+        (
+            F.col("rev") * F.lit(1000000)
+            - F.floor(
+                F.col("s7") / F.lit(7.0) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("det_micro"),
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        F.floor(
+            F.sum("det_micro").cast("double") / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("seasonal_micro")
+    )
+    resid = detrended.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        "rev",
+        (F.col("det_micro") - F.col("seasonal_micro"))
+        .cast("bigint")
+        .alias("r_micro"),
+    )
+    med = resid.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r_micro)")
+        .cast("bigint")
+        .alias("med")
+    )
+    madr = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY abs(r_micro - med))"
+            )
+            .cast("bigint")
+            .alias("mad")
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(madr))
+        .filter(
+            F.abs(F.col("r_micro") - F.col("med"))
+            > F.lit(3) * F.col("mad")
+        )
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "rev",
+            "r_micro",
+            F.col("med").alias("median_resid_micro"),
+            F.col("mad").alias("mad_resid_micro"),
+            (
+                F.abs(F.col("r_micro") - F.col("med"))
+                > F.lit(3) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

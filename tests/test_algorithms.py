@@ -5157,3 +5157,89 @@ def test_wap_gate_semantics(spark, sf_dir):
         vol_pass and orphans == 0 and dom == 0
     ) else "rollback"
     assert all(r.verdict == expect for r in rows.values())
+
+
+def test_anomaly_residual_matches_python(spark, sf_dir):
+    """Flagged days must match a Python replay of the decompose chain
+    + discrete median/MAD fence; every returned row is an anomaly."""
+    import collections
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_anomaly_residual,
+    )
+
+    rows = ts_anomaly_residual(spark, sf_dir).collect()
+    daily = {}
+    for o in load(spark, sf_dir, "orders").collect():
+        d = o.o_orderdate.date()
+        daily[d] = daily.get(d, 0) + int(o.o_totalprice + 0.5)
+    days = sorted(daily)
+    resid = {}
+    det = {}
+    import math
+
+    for i in range(3, len(days) - 3):
+        s7 = sum(daily[days[j]] for j in range(i - 3, i + 4))
+        det[days[i]] = daily[days[i]] * 1000000 - math.floor(
+            s7 / 7.0 * 1e6 + 0.5
+        )
+    dowsum = collections.defaultdict(lambda: [0, 0])
+    for d, v in det.items():
+        dow = (d.weekday() + 1) % 7 + 1  # Spark/DuckDB dayofweek (Sun=1)
+        dowsum[dow][0] += v
+        dowsum[dow][1] += 1
+    seas = {
+        k: math.floor(v[0] / v[1] + 0.5) for k, v in dowsum.items()
+    }
+    for d, v in det.items():
+        dow = (d.weekday() + 1) % 7 + 1
+        resid[d] = v - seas[dow]
+    vals = sorted(resid.values())
+    med = vals[(len(vals) - 1) // 2]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(len(devs) - 1) // 2]
+    expect = {
+        d for d, v in resid.items() if abs(v - med) > 3 * mad
+    }
+    assert {r.day for r in rows} == expect
+    for r in rows:
+        assert r.is_anomaly
+        assert r.r_micro == resid[r.day]
+        assert (r.median_resid_micro, r.mad_resid_micro) == (med, mad)
+
+
+def test_edge_embeddedness_matches_python(spark, sf_dir):
+    """Embeddedness per returned edge must equal the common-neighbor
+    count; summary columns must reconcile with the full edge set."""
+    import collections
+    import itertools
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.graph import (
+        graph_edge_embeddedness,
+    )
+
+    rows = graph_edge_embeddedness(spark, sf_dir).collect()
+    by_order = collections.defaultdict(set)
+    for x in load(spark, sf_dir, "lineitem").collect():
+        if x.l_orderkey % 20 == 0:
+            by_order[x.l_orderkey].add(x.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    embed = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+    n_bridge = sum(1 for v in embed.values() if v == 0)
+    ranked = sorted(
+        ((v, a, b) for (a, b), v in embed.items())
+    )[:50]
+    assert len(rows) == len(ranked)
+    for r, (v, a, b) in zip(rows, ranked):
+        assert (r.node_a, r.node_b, r.embeddedness) == (a, b, v)
+        assert r.n_edges == len(edges)
+        assert r.n_bridge_like == n_bridge
