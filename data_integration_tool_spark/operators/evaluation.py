@@ -1152,3 +1152,138 @@ def eval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rbo_micro"),
     )
+
+
+_COST_FP = 1
+_COST_FN = 5
+
+
+@query(
+    "eval_cost_optimal_threshold",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CAST(floor(least(greatest(
+                       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+                       * 1000000.0 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ),
+        counts AS (
+            SELECT v,
+                   CAST(sum(pos) AS BIGINT) AS c_p,
+                   CAST(sum(1 - pos) AS BIGINT) AS c_n
+            FROM tagged GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(sum(c_p) AS BIGINT) AS n_pos,
+                   CAST(sum(c_n) AS BIGINT) AS n_neg
+            FROM counts
+        ),
+        cdf AS (
+            SELECT v,
+                   CAST(sum(c_p) OVER w AS BIGINT) AS cum_p,
+                   CAST(sum(c_n) OVER w AS BIGINT) AS cum_n
+            FROM counts
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+        ),
+        costs AS (
+            -- predict positive when score > v: FP = negs above v,
+            -- FN = positives at or below v
+            SELECT v,
+                   CAST({_COST_FP} * (t.n_neg - cum_n)
+                        + {_COST_FN} * cum_p AS BIGINT) AS cost
+            FROM cdf CROSS JOIN tot t
+        ),
+        best AS (SELECT CAST(min(cost) AS BIGINT) AS mc FROM costs),
+        pick AS (
+            SELECT CAST(min(v) AS BIGINT) AS v_best
+            FROM costs, best WHERE cost = mc
+        )
+        SELECT t.n_pos, t.n_neg, b.mc AS min_cost,
+               p.v_best AS threshold_micro,
+               CAST({_COST_FN} * t.n_pos AS BIGINT)
+                   AS cost_all_negative,
+               CAST({_COST_FP} * t.n_neg AS BIGINT)
+                   AS cost_all_positive
+        FROM tot t, best b, pick p
+    """,
+    phase="P4",
+    tags=("evaluation", "classification", "decision"),
+)
+def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal decision threshold under an asymmetric cost matrix
+    (FP = 1, FN = 5 — the fraud/triage shape where missing a positive
+    is 5x worse): sweep every distinct score, cost(v) = c_fp * FP(v)
+    + c_fn * FN(v), pick the argmin with a min-score tiebreak. Ships
+    the two degenerate baselines (predict-all-negative /
+    all-positive) so the threshold's value over no-model is visible.
+    This turns eval_ks_separation's statistical optimum into the
+    BUSINESS optimum — they differ whenever costs are asymmetric.
+
+    All-integer: micro-quantized scores bound the sweep at <= 1e6+1
+    distinct points at any corpus size; FP/FN come from the exact
+    integer ECDF (the dq_ks_test discipline); costs are integer
+    arithmetic so the argmin is exact — no IEEE anywhere.
+
+    Plan: one combinable (score, class) count, one running-sum window
+    over the bounded score grain, two 1-row folds broadcast back."""
+    e = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            F.element_at("embedding", 1).cast("double") + F.lit(0.5),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    tagged = e.select(
+        micro(p).alias("v"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("c_p"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("c_n"),
+    )
+    tot = counts.agg(
+        F.sum("c_p").cast("bigint").alias("n_pos"),
+        F.sum("c_n").cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = counts.select(
+        "v",
+        F.sum("c_p").over(w).cast("bigint").alias("cum_p"),
+        F.sum("c_n").over(w).cast("bigint").alias("cum_n"),
+    )
+    costs = cdf.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (
+            F.lit(_COST_FP) * (F.col("n_neg") - F.col("cum_n"))
+            + F.lit(_COST_FN) * F.col("cum_p")
+        )
+        .cast("bigint")
+        .alias("cost"),
+    )
+    best = costs.agg(F.min("cost").cast("bigint").alias("mc"))
+    pick = (
+        costs.crossJoin(F.broadcast(best))
+        .filter(F.col("cost") == F.col("mc"))
+        .agg(F.min("v").cast("bigint").alias("v_best"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(pick))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("mc").alias("min_cost"),
+            F.col("v_best").alias("threshold_micro"),
+            (F.lit(_COST_FN) * F.col("n_pos"))
+            .cast("bigint")
+            .alias("cost_all_negative"),
+            (F.lit(_COST_FP) * F.col("n_neg"))
+            .cast("bigint")
+            .alias("cost_all_positive"),
+        )
+    )

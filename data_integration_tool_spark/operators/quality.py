@@ -1847,3 +1847,119 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mth")
     )
+
+
+@query(
+    "dq_cardinality_drift",
+    oracle="""
+        WITH per_col AS (
+            SELECT 'l_partkey' AS col,
+                   CAST(count(DISTINCT l_partkey)
+                        FILTER (WHERE l_shipdate < TIMESTAMP
+                            '1998-01-01') AS BIGINT) AS ndv_a,
+                   CAST(count(DISTINCT l_partkey)
+                        FILTER (WHERE l_shipdate >= TIMESTAMP
+                            '1998-01-01') AS BIGINT) AS ndv_b,
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        < TIMESTAMP '1998-01-01') AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        >= TIMESTAMP '1998-01-01') AS BIGINT) AS n_b
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_suppkey',
+                   CAST(count(DISTINCT l_suppkey)
+                        FILTER (WHERE l_shipdate < TIMESTAMP
+                            '1998-01-01') AS BIGINT),
+                   CAST(count(DISTINCT l_suppkey)
+                        FILTER (WHERE l_shipdate >= TIMESTAMP
+                            '1998-01-01') AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        < TIMESTAMP '1998-01-01') AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        >= TIMESTAMP '1998-01-01') AS BIGINT)
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_orderkey',
+                   CAST(count(DISTINCT l_orderkey)
+                        FILTER (WHERE l_shipdate < TIMESTAMP
+                            '1998-01-01') AS BIGINT),
+                   CAST(count(DISTINCT l_orderkey)
+                        FILTER (WHERE l_shipdate >= TIMESTAMP
+                            '1998-01-01') AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        < TIMESTAMP '1998-01-01') AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_shipdate
+                        >= TIMESTAMP '1998-01-01') AS BIGINT)
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        )
+        SELECT col, ndv_a, ndv_b, n_a, n_b,
+               CAST(floor(CAST(ndv_a AS DOUBLE) / n_a * 1000000.0
+                    + 0.5) AS BIGINT) AS density_a_micro,
+               CAST(floor(CAST(ndv_b AS DOUBLE) / n_b * 1000000.0
+                    + 0.5) AS BIGINT) AS density_b_micro,
+               CAST(2 * abs(floor(CAST(ndv_a AS DOUBLE) / n_a
+                        * 1000000.0 + 0.5)
+                    - floor(CAST(ndv_b AS DOUBLE) / n_b
+                        * 1000000.0 + 0.5))
+                    > floor(CAST(ndv_a AS DOUBLE) / n_a
+                        * 1000000.0 + 0.5) AS BOOLEAN) AS drifted
+        FROM per_col
+        ORDER BY col
+    """,
+    phase="P3",
+    tags=("quality", "drift", "cardinality"),
+)
+def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-cardinality drift between two periods (1997 vs 1998): NDV
+    and NDV-per-row density for the fact table's three key columns,
+    flagged when density shifts by more than 50% — the dimension-
+    explosion / key-collapse detector (a suddenly-denser partkey
+    means a feed started sending dupes; a sparser one means an
+    upstream started collapsing keys). The cardinality sibling of
+    dq_drift_psi's value-distribution drift.
+
+    Exactness: NDVs and counts are exact integers from FILTER-clause
+    count-distincts; densities micro-quantize before the drift
+    compare and the 50% fence is an integer cross-multiply on the
+    QUANTIZED densities — no raw-float compare anywhere.
+
+    Plan: three FILTER-clause count-distinct aggregates over one
+    year-pruned scan each (Spark: one pass per key column at
+    (key, period) grain then fold — count(DISTINCT x) FILTER
+    compiles to expand+two-phase agg); output is 3 rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    in_b = F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    out = None
+    for col in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        g = li.select(F.col(col).alias("k"), in_b.alias("b")).agg(
+            F.lit(col).alias("col"),
+            F.countDistinct(F.when(~F.col("b"), F.col("k")))
+            .cast("bigint")
+            .alias("ndv_a"),
+            F.countDistinct(F.when(F.col("b"), F.col("k")))
+            .cast("bigint")
+            .alias("ndv_b"),
+            F.count(F.when(~F.col("b"), 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(F.col("b"), 1)).cast("bigint").alias("n_b"),
+        )
+        out = g if out is None else out.unionAll(g)
+    da = F.floor(
+        F.col("ndv_a").cast("double") / F.col("n_a") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    db = F.floor(
+        F.col("ndv_b").cast("double") / F.col("n_b") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return out.select(
+        "col",
+        "ndv_a",
+        "ndv_b",
+        "n_a",
+        "n_b",
+        da.alias("density_a_micro"),
+        db.alias("density_b_micro"),
+        (F.lit(2) * F.abs(da - db) > da).alias("drifted"),
+    ).orderBy("col")

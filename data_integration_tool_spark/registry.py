@@ -249,6 +249,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_wap_gate",
     "ts_anomaly_residual",
     "graph_edge_embeddedness",
+    "etl_deletion_vector_plan",
+    "dq_cardinality_drift",
+    "eval_cost_optimal_threshold",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

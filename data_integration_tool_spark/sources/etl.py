@@ -2277,3 +2277,80 @@ def etl_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gate", "observed", "bound", "pass", "verdict")
         .orderBy("gate")
     )
+
+
+@query(
+    "etl_deletion_vector_plan",
+    oracle="""
+        WITH flagged AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+                   CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END AS del
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        ), per_part AS (
+            SELECT mth,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(del) AS BIGINT) AS n_deleted
+            FROM flagged GROUP BY mth
+        )
+        SELECT mth, n_rows, n_deleted,
+               CAST(floor(CAST(n_deleted AS DOUBLE) / n_rows
+                    * 1000000.0 + 0.5) AS BIGINT) AS deleted_share_micro,
+               CASE
+                   WHEN n_deleted * 5 > n_rows THEN 'rewrite'
+                   WHEN n_deleted > 0 THEN 'dv_only'
+                   ELSE 'skip'
+               END AS action
+        FROM per_part
+        ORDER BY mth
+    """,
+    phase="P4",
+    tags=("etl", "lake-maintenance", "deletion-vectors"),
+)
+def etl_deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector maintenance plan per ship-month partition: rows
+    soft-deleted (fixture proxy: l_quantity > 45 marks the delete
+    set) vs partition size decide the action — REWRITE the partition
+    when deletes exceed 20% (read amplification beats rewrite cost),
+    keep a deletion vector when any deletes exist, SKIP otherwise.
+    This is the merge-on-read vs copy-on-write decision every lake
+    format (Delta DVs, Iceberg position deletes) makes per file;
+    completes the maintenance family (compaction / vacuum / z-order /
+    manifest / bloom).
+
+    Exactness: counts are exact integers; the 20% fence is the
+    integer cross-multiply n_deleted*5 > n_rows (no float compare);
+    the reported share is one spelled division.
+
+    Plan: ONE combinable aggregate to partition grain with the year
+    filter pushed into the scan; output partition-count bounded."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    per_part = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mth")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    return per_part.select(
+        "mth",
+        "n_rows",
+        "n_deleted",
+        F.floor(
+            F.col("n_deleted").cast("double")
+            / F.col("n_rows")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("deleted_share_micro"),
+        F.when(
+            F.col("n_deleted") * F.lit(5) > F.col("n_rows"), "rewrite"
+        )
+        .when(F.col("n_deleted") > 0, "dv_only")
+        .otherwise("skip")
+        .alias("action"),
+    ).orderBy("mth")

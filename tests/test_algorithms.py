@@ -5243,3 +5243,95 @@ def test_edge_embeddedness_matches_python(spark, sf_dir):
         assert (r.node_a, r.node_b, r.embeddedness) == (a, b, v)
         assert r.n_edges == len(edges)
         assert r.n_bridge_like == n_bridge
+
+
+def test_deletion_vector_plan_matches_python(spark, sf_dir):
+    """Per-partition delete shares and actions must match a Python
+    recompute with the integer cross-multiply fence."""
+    import collections
+    import datetime
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        etl_deletion_vector_plan,
+    )
+
+    rows = {r.mth: r for r in
+            etl_deletion_vector_plan(spark, sf_dir).collect()}
+    acc = collections.defaultdict(lambda: [0, 0])
+    for x in load(spark, sf_dir, "lineitem").collect():
+        if x.l_shipdate < datetime.datetime(1997, 1, 1):
+            continue
+        m = x.l_shipdate.date().replace(day=1)
+        acc[m][0] += 1
+        acc[m][1] += 1 if x.l_quantity > 45 else 0
+    assert set(rows) == set(acc)
+    for m, (n, d) in acc.items():
+        r = rows[m]
+        assert (r.n_rows, r.n_deleted) == (n, d)
+        assert r.deleted_share_micro == math.floor(d / n * 1e6 + 0.5)
+        expect = "rewrite" if d * 5 > n else ("dv_only" if d else "skip")
+        assert r.action == expect
+
+
+def test_cardinality_drift_matches_python(spark, sf_dir):
+    """NDV/density per key and period must match a Python recompute;
+    the drift fence uses the quantized densities."""
+    import datetime
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        dq_cardinality_drift,
+    )
+
+    out = {r.col: r for r in dq_cardinality_drift(spark, sf_dir).collect()}
+    assert set(out) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    t97 = datetime.datetime(1997, 1, 1)
+    t98 = datetime.datetime(1998, 1, 1)
+    li = [x for x in load(spark, sf_dir, "lineitem").collect()
+          if x.l_shipdate >= t97]
+    for col in out:
+        a = [getattr(x, col) for x in li if x.l_shipdate < t98]
+        b = [getattr(x, col) for x in li if x.l_shipdate >= t98]
+        r = out[col]
+        assert (r.ndv_a, r.ndv_b) == (len(set(a)), len(set(b)))
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        da = math.floor(len(set(a)) / len(a) * 1e6 + 0.5)
+        db = math.floor(len(set(b)) / len(b) * 1e6 + 0.5)
+        assert (r.density_a_micro, r.density_b_micro) == (da, db)
+        assert r.drifted == (2 * abs(da - db) > da)
+
+
+def test_cost_optimal_threshold_matches_python(spark, sf_dir):
+    """Min cost and argmin threshold must match a brute-force sweep;
+    the optimum can't exceed either degenerate baseline."""
+    import math
+    from bisect import bisect_right
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_cost_optimal_threshold,
+    )
+
+    r = eval_cost_optimal_threshold(spark, sf_dir).collect()[0]
+    pos, neg = [], []
+    for e in load(spark, sf_dir, "embeddings").collect():
+        p = min(max(float(e.embedding[0]) + 0.5, 0.0), 1.0)
+        v = math.floor(p * 1e6 + 0.5)
+        (pos if e.label == 0 else neg).append(v)
+    pos.sort()
+    neg.sort()
+    best, best_v = None, None
+    for v in sorted(set(pos + neg)):
+        cost = (len(neg) - bisect_right(neg, v)) + 5 * bisect_right(
+            pos, v
+        )
+        if best is None or cost < best:
+            best, best_v = cost, v
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert (r.min_cost, r.threshold_micro) == (best, best_v)
+    assert r.cost_all_negative == 5 * len(pos)
+    assert r.cost_all_positive == len(neg)
+    assert r.min_cost <= min(r.cost_all_negative, r.cost_all_positive)
