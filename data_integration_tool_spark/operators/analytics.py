@@ -1804,3 +1804,97 @@ def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "bucket_id")
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT l_partkey,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(date_diff('day', CAST(l_shipdate AS DATE),
+                        CAST(lead(l_shipdate) OVER w AS DATE))
+                        AS BIGINT) AS hold_days
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ), weighted AS (
+            SELECT p.p_brand AS brand,
+                   CAST(sum(s.hold_days) AS BIGINT) AS total_days,
+                   CAST(sum(s.hold_days * s.price_cents) AS BIGINT)
+                       AS wsum,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM seq s JOIN part p ON p.p_partkey = s.l_partkey
+            WHERE s.hold_days IS NOT NULL AND s.hold_days > 0
+            GROUP BY p.p_brand
+        )
+        SELECT brand, n_intervals, total_days, wsum,
+               CAST(floor(CAST(wsum AS DOUBLE) / total_days + 0.5)
+                    AS BIGINT) AS twap_cents
+        FROM weighted
+        ORDER BY brand
+    """,
+    phase="P3",
+    tags=("window", "timeseries", "finance"),
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) per brand: each part's line
+    price is weighted by the days it stood as the latest quote (the
+    gap to that part's NEXT shipment), then rolled to brand — the
+    metric that, unlike a plain average, doesn't let a burst of
+    same-week shipments swamp a price that held for a quarter. The
+    standard holdings/quote-weighted shape (TWAP/TVPI) every
+    finance-ish pipeline needs.
+
+    Exactness: prices quantize once at row grain (cents); holding
+    days are exact integer date_diffs over a FULLY tiebroken window
+    order (shipdate, orderkey, linenumber — same-day ties get
+    deterministic zero-or-positive gaps, zero-gap rows drop on both
+    engines identically); weighted sums are exact BIGINTs; the final
+    TWAP is one spelled division.
+
+    Plan: ONE lead window partitioned by partkey (co-partitioned
+    with the data's natural key — at 100 TB this is the sort-within-
+    partition shape, no global sort), a broadcastable part-dim join,
+    and a 25-key combinable rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    seq = li.select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.datediff(
+            F.lead("l_shipdate").over(w).cast("date"),
+            F.col("l_shipdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("hold_days"),
+    )
+    weighted = (
+        seq.filter(F.col("hold_days").isNotNull() & (F.col("hold_days") > 0))
+        .join(F.broadcast(p), seq.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("hold_days").cast("bigint").alias("total_days"),
+            F.sum(F.col("hold_days") * F.col("price_cents"))
+            .cast("bigint")
+            .alias("wsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+    )
+    return weighted.select(
+        "brand",
+        "n_intervals",
+        "total_days",
+        "wsum",
+        F.floor(
+            F.col("wsum").cast("double") / F.col("total_days") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("twap_cents"),
+    ).orderBy("brand")

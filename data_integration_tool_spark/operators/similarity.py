@@ -2777,3 +2777,138 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs_at_or_above"
         ),
     ).orderBy("band_id")
+
+
+@query(
+    "emb_intrinsic_dim",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                   AS nrm
+            FROM embeddings
+        ),
+        dists AS (
+            SELECT a.vec_id,
+                   (1.0 - {_duck_cos_nrm('a.embedding', 'b.embedding',
+                                         'a.nrm', 'b.nrm')}) AS dist,
+                   b.vec_id AS nbr,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY (1.0 - {_duck_cos_nrm('a.embedding',
+                           'b.embedding', 'a.nrm', 'b.nrm')}),
+                           b.vec_id
+                   ) AS rn
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        two_nn AS (
+            SELECT vec_id,
+                   max(CASE WHEN rn = 1 THEN dist END) AS d1,
+                   max(CASE WHEN rn = 2 THEN dist END) AS d2
+            FROM dists WHERE rn <= 2
+            GROUP BY vec_id
+        ),
+        terms AS (
+            SELECT vec_id,
+                   CAST(floor(ln(d2 / d1) * 1000000000000.0 + 0.5)
+                        AS BIGINT) AS t_pico
+            FROM two_nn
+            WHERE d1 > 0 AND d2 IS NOT NULL
+        ),
+        excluded AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_excluded
+            FROM two_nn WHERE NOT (d1 > 0 AND d2 IS NOT NULL)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               x.n_excluded,
+               CAST(sum(t_pico) AS BIGINT) AS sum_lnratio_pico,
+               CAST(floor(CAST(count(*) AS DOUBLE)
+                    / (CAST(sum(t_pico) AS DOUBLE) / 1000000000000.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS intrinsic_dim_micro
+        FROM terms, excluded x
+        GROUP BY x.n_excluded
+    """,
+    phase="P4",
+    tags=("similarity", "embeddings", "diagnostics"),
+)
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic dimensionality of the embedding manifold via the
+    TwoNN estimator (Facco et al. 2017): ID = n / sum ln(r2/r1) over
+    each vector's two nearest angular distances — the one number
+    that says whether 64-dim embeddings actually live on a 64-dim
+    manifold (they never do) and therefore how aggressively
+    emb_random_projection / emb_pca_project can compress before ANN
+    recall collapses. Distances are within-label (the sim_pairs
+    blocking convention); exact-duplicate vectors (r1 = 0) are
+    excluded and counted.
+
+    Exactness: angular distances derive from bit-identical cosine
+    doubles; both NN picks use explicit (dist, vec_id) tiebreaks;
+    each ln(r2/r1) pico-quantizes at VECTOR grain so the fold is an
+    order-free BIGINT sum; the final ratio is spelled once.
+
+    Plan: the label-blocked pair join is the data-sized stage (same
+    shape and bound as sim_pairs_threshold); the per-vector window
+    ranks inside each label block; everything downstream is
+    vector-grain then 1-row."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    a = ne.alias("a")
+    b = ne.alias("b")
+    dist = F.lit(1.0) - dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "nbr")
+    dists = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            dist.alias("dist"),
+            F.col("b.vec_id").alias("nbr"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    two_nn = dists.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+    )
+    usable = (F.col("d1") > 0) & F.col("d2").isNotNull()
+    terms = two_nn.filter(usable).select(
+        F.floor(
+            F.log(F.col("d2") / F.col("d1")) * F.lit(1e12) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("t_pico")
+    )
+    excluded = two_nn.filter(~usable).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_excluded")
+    )
+    # COUNT over an empty filter yields 0 (never null) on both engines
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("t_pico").cast("bigint").alias("sum_lnratio_pico"),
+        )
+        .crossJoin(F.broadcast(excluded))
+        .select(
+            "n_vectors",
+            "n_excluded",
+            "sum_lnratio_pico",
+            F.floor(
+                F.col("n_vectors").cast("double")
+                / (F.col("sum_lnratio_pico").cast("double") / F.lit(1e12))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("intrinsic_dim_micro"),
+        )
+    )

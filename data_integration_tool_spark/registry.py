@@ -252,6 +252,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_deletion_vector_plan",
     "dq_cardinality_drift",
     "eval_cost_optimal_threshold",
+    "emb_intrinsic_dim",
+    "win_time_weighted_avg",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5335,3 +5335,94 @@ def test_cost_optimal_threshold_matches_python(spark, sf_dir):
     assert r.cost_all_negative == 5 * len(pos)
     assert r.cost_all_positive == len(neg)
     assert r.min_cost <= min(r.cost_all_negative, r.cost_all_positive)
+
+
+def test_intrinsic_dim_matches_python(spark, sf_dir):
+    """TwoNN ingredients must match a numpy recompute with identical
+    tiebreaks and quantization; ID must be positive and far below the
+    ambient 64 dims (embeddings are clustered by construction)."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        emb_intrinsic_dim,
+    )
+
+    r = emb_intrinsic_dim(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "embeddings").collect()
+    by_label = collections.defaultdict(list)
+    for e in rows:
+        by_label[e.label].append(
+            (e.vec_id, np.array(e.embedding, dtype=np.float64))
+        )
+    s = 0
+    n_used = 0
+    n_exc = 0
+    for vecs in by_label.values():
+        for vid, v in vecs:
+            nv = math.sqrt(float(np.dot(v, v)))
+            cands = []
+            for wid, u in vecs:
+                if wid == vid:
+                    continue
+                nu = math.sqrt(float(np.dot(u, u)))
+                d = 1.0 - float(np.dot(v, u)) / (nv * nu)
+                cands.append((d, wid))
+            cands.sort()
+            if len(cands) < 2 or cands[0][0] <= 0:
+                n_exc += 1
+                continue
+            s += math.floor(
+                math.log(cands[1][0] / cands[0][0]) * 1e12 + 0.5
+            )
+            n_used += 1
+    assert (r.n_vectors, r.n_excluded) == (n_used, n_exc)
+    assert r.sum_lnratio_pico == s
+    assert r.intrinsic_dim_micro == math.floor(
+        n_used / (s / 1e12) * 1e6 + 0.5
+    )
+    assert 0 < r.intrinsic_dim_micro < 64 * 1000000
+
+
+def test_time_weighted_avg_matches_python(spark, sf_dir):
+    """Brand TWAP must match a Python recompute over the identically
+    tiebroken per-part shipment sequence."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.analytics import (
+        win_time_weighted_avg,
+    )
+
+    out = {r.brand: r for r in
+           win_time_weighted_avg(spark, sf_dir).collect()}
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in load(spark, sf_dir, "part").collect()
+    }
+    seq = collections.defaultdict(list)
+    for x in load(spark, sf_dir, "lineitem").collect():
+        seq[x.l_partkey].append(
+            (x.l_shipdate, x.l_orderkey, x.l_linenumber,
+             math.floor(x.l_extendedprice * 100.0 + 0.5))
+        )
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for pk, evs in seq.items():
+        evs.sort()
+        for i in range(len(evs) - 1):
+            w = (evs[i + 1][0].date() - evs[i][0].date()).days
+            if w <= 0:
+                continue
+            a = acc[brand[pk]]
+            a[0] += 1
+            a[1] += w
+            a[2] += w * evs[i][3]
+    assert set(out) == set(acc)
+    for b, (n, td, ws) in acc.items():
+        r = out[b]
+        assert (r.n_intervals, r.total_days, r.wsum) == (n, td, ws)
+        assert r.twap_cents == math.floor(ws / td + 0.5)
