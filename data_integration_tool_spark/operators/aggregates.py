@@ -4004,3 +4004,112 @@ def agg_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_pct")
     )
+
+
+# Beta-Binomial posterior moments under a Beta(1,1) prior — exact
+# rationals from integer counts, spelled once.
+_BB_A = "(CAST(x AS DOUBLE) + 1.0)"
+_BB_B = "(CAST(n AS DOUBLE) - x + 1.0)"
+_BB_MEAN = f"({_BB_A} / (n + 2.0))"
+_BB_VAR = (
+    f"({_BB_A} * {_BB_B} / ((n + 2.0) * (n + 2.0) * (n + 3.0)))"
+)
+
+
+@query(
+    "agg_bayes_beta_binomial",
+    oracle=f"""
+        WITH m AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT seg, n, x,
+               CAST(floor(CAST(x AS DOUBLE) / n * 1000000.0 + 0.5)
+                    AS BIGINT) AS mle_micro,
+               CAST(floor({_BB_MEAN} * 1000000.0 + 0.5) AS BIGINT)
+                   AS post_mean_micro,
+               CAST(floor(sqrt({_BB_VAR}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS post_sd_micro,
+               CAST(floor(({_BB_MEAN} - 1.959963985 * sqrt({_BB_VAR}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lo_micro,
+               CAST(floor(({_BB_MEAN} + 1.959963985 * sqrt({_BB_VAR}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS hi_micro
+        FROM m
+        ORDER BY seg
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "bayesian"),
+)
+def agg_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial posterior for the urgent-order rate per segment
+    under a uniform Beta(1,1) prior: posterior mean (x+1)/(n+2) — the
+    Laplace-smoothed rate every ranking-by-rate problem should use
+    instead of the MLE (a 1/1 segment shouldn't outrank a 98/100) —
+    with the posterior sd and a normal-approximation credible band.
+    The Bayesian member of the rate family (welch/chi2 test;
+    ratio_delta_ci estimates; this one regularizes).
+
+    Exactness: n and x are exact integers from one combinable
+    FILTER-style aggregate; every posterior moment is ONE shared IEEE
+    formula over those integers (exact Beta moments, no sampling);
+    micro on output.
+
+    Plan: one join + combinable agg to the 5-segment grain — the
+    data-sized stage ends there."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    return m.select(
+        "seg",
+        "n",
+        "x",
+        F.floor(
+            F.col("x").cast("double") / F.col("n") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mle_micro"),
+        F.floor(F.expr(_BB_MEAN) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("post_mean_micro"),
+        F.floor(F.sqrt(F.expr(_BB_VAR)) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("post_sd_micro"),
+        F.floor(
+            (
+                F.expr(_BB_MEAN)
+                - F.lit(1.959963985) * F.sqrt(F.expr(_BB_VAR))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lo_micro"),
+        F.floor(
+            (
+                F.expr(_BB_MEAN)
+                + F.lit(1.959963985) * F.sqrt(F.expr(_BB_VAR))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("hi_micro"),
+    ).orderBy("seg")

@@ -1898,3 +1898,80 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("twap_cents"),
     ).orderBy("brand")
+
+
+@query(
+    "orders_repeat_interval",
+    oracle="""
+        WITH gaps AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(date_diff('day',
+                        CAST(lag(o.o_orderdate) OVER w AS DATE),
+                        CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WINDOW w AS (PARTITION BY o.o_custkey
+                         ORDER BY o.o_orderdate, o.o_orderkey)
+        )
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(d) // count(*) AS BIGINT) AS avg_days,
+               CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
+               CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days,
+               CAST(max(d) AS BIGINT) AS max_days
+        FROM gaps
+        WHERE d IS NOT NULL
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    phase="P3",
+    tags=("analytics", "retention", "sequence"),
+)
+def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase interval distribution by segment: days between
+    a customer's consecutive orders, summarized as count / exact-DIV
+    mean / discrete p50 / p90 / max — the replenishment-cycle number
+    behind churn windows ('inactive' should mean ~2x the segment's
+    p90 gap, not a guessed 90 days). The TPC-H sibling of
+    seq_inter_arrival's event-stream version.
+
+    Exactness: gaps are exact integer date_diffs over a tiebroken
+    (orderdate, orderkey) per-customer order; DISCRETE quantiles
+    return actual stored gaps (the anomaly_mad rule); the mean is
+    exact integer DIV — no IEEE anywhere.
+
+    Plan: one lag window co-partitioned on the customer key (shares
+    the join's shuffle), then a 5-key combinable rollup with
+    percentile_disc's per-group sort running at segment grain."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag("o_orderdate").over(w).cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    return (
+        gaps.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.expr("CAST(sum(d) DIV count(*) AS BIGINT)").alias("avg_days"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+            .cast("bigint")
+            .alias("p50_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY d)")
+            .cast("bigint")
+            .alias("p90_days"),
+            F.max("d").cast("bigint").alias("max_days"),
+        )
+        .orderBy("seg")
+    )

@@ -254,6 +254,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_cost_optimal_threshold",
     "emb_intrinsic_dim",
     "win_time_weighted_avg",
+    "agg_bayes_beta_binomial",
+    "orders_repeat_interval",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5426,3 +5426,83 @@ def test_time_weighted_avg_matches_python(spark, sf_dir):
         r = out[b]
         assert (r.n_intervals, r.total_days, r.wsum) == (n, td, ws)
         assert r.twap_cents == math.floor(ws / td + 0.5)
+
+
+def test_beta_binomial_matches_python(spark, sf_dir):
+    """Posterior moments must match exact Beta algebra from integer
+    counts; shrinkage must pull the posterior mean toward 0.5
+    relative to the MLE; the credible band must bracket the mean."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_bayes_beta_binomial,
+    )
+
+    out = {r.seg: r for r in
+           agg_bayes_beta_binomial(spark, sf_dir).collect()}
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in load(spark, sf_dir, "customer").collect()
+    }
+    acc = collections.defaultdict(lambda: [0, 0])
+    for o in load(spark, sf_dir, "orders").collect():
+        a = acc[seg_of[o.o_custkey]]
+        a[0] += 1
+        a[1] += 1 if o.o_orderpriority == "1-URGENT" else 0
+    assert set(out) == set(acc)
+    for seg, (n, x) in acc.items():
+        r = out[seg]
+        assert (r.n, r.x) == (n, x)
+        mean = (x + 1.0) / (n + 2.0)
+        var = (x + 1.0) * (n - x + 1.0) / (
+            (n + 2.0) ** 2 * (n + 3.0)
+        )
+        assert r.post_mean_micro == math.floor(mean * 1e6 + 0.5)
+        assert r.post_sd_micro == math.floor(math.sqrt(var) * 1e6 + 0.5)
+        assert r.lo_micro < r.post_mean_micro < r.hi_micro
+        mle = x / n
+        if mle < 0.5:
+            assert r.post_mean_micro >= r.mle_micro
+        else:
+            assert r.post_mean_micro <= r.mle_micro
+
+
+def test_repeat_interval_matches_python(spark, sf_dir):
+    """Gap stats per segment must match a Python recompute with the
+    tiebroken per-customer ordering and discrete quantiles."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.analytics import (
+        orders_repeat_interval,
+    )
+
+    out = {r.seg: r for r in
+           orders_repeat_interval(spark, sf_dir).collect()}
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in load(spark, sf_dir, "customer").collect()
+    }
+    per_cust = collections.defaultdict(list)
+    for o in load(spark, sf_dir, "orders").collect():
+        per_cust[o.o_custkey].append((o.o_orderdate, o.o_orderkey))
+    gaps = collections.defaultdict(list)
+    for ck, evs in per_cust.items():
+        evs.sort()
+        for i in range(1, len(evs)):
+            gaps[seg_of[ck]].append(
+                (evs[i][0].date() - evs[i - 1][0].date()).days
+            )
+    assert set(out) == set(gaps)
+    for seg, ds in gaps.items():
+        r = out[seg]
+        ds.sort()
+        n = len(ds)
+        assert r.n_gaps == n
+        assert r.avg_days == sum(ds) // n  # gaps are non-negative
+        assert r.p50_days == ds[math.ceil(0.5 * n) - 1]
+        assert r.p90_days == ds[math.ceil(0.9 * n) - 1]
+        assert r.max_days == ds[-1]
