@@ -4113,3 +4113,86 @@ def agg_bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hi_micro"),
     ).orderBy("seg")
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+        WITH terms AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(ln(CAST(floor(o_totalprice + 0.5)
+                        AS BIGINT)) * 1000000000.0 + 0.5) AS BIGINT)
+                       AS lnp_nano
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), m AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(lnp_nano) AS BIGINT) AS s
+            FROM terms GROUP BY seg
+        )
+        SELECT seg, n,
+               CAST(floor(CAST(s AS DOUBLE) / n / 1000.0 + 0.5)
+                    AS BIGINT) AS mean_ln_micro,
+               CAST(floor(exp(CAST(s AS DOUBLE) / n / 1000000000.0)
+                    * 100.0 + 0.5) AS BIGINT) AS geomean_cents
+        FROM m
+        ORDER BY seg
+    """,
+    phase="P2",
+    tags=("agg", "statistics"),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean order value per segment — the multiplicative
+    average that right-skewed money distributions actually need (the
+    arithmetic mean of TPC-H order values sits far above the typical
+    order; the geometric mean tracks the distribution's center): GM =
+    exp(mean ln x), with the mean-log shipped so consumers can
+    compose further (log-normal fits, ratios of GMs).
+
+    Exactness: values quantize once at row grain (whole dollars,
+    always >= 1 so ln > 0); each ln NANO-quantizes the moment it's
+    computed (the ln house class — int64 bound: ln(5e5) ~ 13 ->
+    1.3e10/row, safe past 7e8 rows/group), making the per-group sum
+    an order-free BIGINT; the single exp runs on the exact-moment
+    ratio, spelled once.
+
+    Plan: one join + ONE combinable aggregate to segment grain —
+    map-side partials carry (count, sum) only."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    lnp = F.floor(
+        F.log(
+            F.floor(F.col("o_totalprice") + F.lit(0.5))
+            .cast("bigint")
+            .cast("double")
+        )
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), lnp.alias("lnp_nano"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("lnp_nano").cast("bigint").alias("s"),
+        )
+    )
+    return m.select(
+        "seg",
+        "n",
+        F.floor(
+            F.col("s").cast("double") / F.col("n") / F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_ln_micro"),
+        F.floor(
+            F.exp(
+                F.col("s").cast("double") / F.col("n") / F.lit(1000000000.0)
+            )
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("geomean_cents"),
+    ).orderBy("seg")

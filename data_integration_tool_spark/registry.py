@@ -256,6 +256,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "win_time_weighted_avg",
     "agg_bayes_beta_binomial",
     "orders_repeat_interval",
+    "agg_geometric_mean",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

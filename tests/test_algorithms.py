@@ -5506,3 +5506,37 @@ def test_repeat_interval_matches_python(spark, sf_dir):
         assert r.p50_days == ds[math.ceil(0.5 * n) - 1]
         assert r.p90_days == ds[math.ceil(0.9 * n) - 1]
         assert r.max_days == ds[-1]
+
+
+def test_geometric_mean_matches_python(spark, sf_dir):
+    """GM must match a Python recompute with the identical nano-ln
+    chain, and sit strictly below the arithmetic mean (AM-GM)."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_geometric_mean,
+    )
+
+    out = {r.seg: r for r in agg_geometric_mean(spark, sf_dir).collect()}
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in load(spark, sf_dir, "customer").collect()
+    }
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for o in load(spark, sf_dir, "orders").collect():
+        v = math.floor(o.o_totalprice + 0.5)
+        a = acc[seg_of[o.o_custkey]]
+        a[0] += 1
+        a[1] += math.floor(math.log(v) * 1e9 + 0.5)
+        a[2] += v
+    assert set(out) == set(acc)
+    for seg, (n, s, tot) in acc.items():
+        r = out[seg]
+        assert r.n == n
+        assert r.mean_ln_micro == math.floor(s / n / 1000.0 + 0.5)
+        assert r.geomean_cents == math.floor(
+            math.exp(s / n / 1e9) * 100.0 + 0.5
+        )
+        assert r.geomean_cents < tot / n * 100  # AM-GM strict
