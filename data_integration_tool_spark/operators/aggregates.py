@@ -4196,3 +4196,73 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("geomean_cents"),
     ).orderBy("seg")
+
+
+@query(
+    "agg_harmonic_mean",
+    oracle="""
+        WITH terms AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(1000000000000.0
+                        / CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                        + 0.5) AS BIGINT) AS inv_pico
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), m AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(inv_pico) AS BIGINT) AS s
+            FROM terms GROUP BY seg
+        )
+        SELECT seg, n,
+               CAST(floor(CAST(n AS DOUBLE)
+                    / (CAST(s AS DOUBLE) / 1000000000000.0) * 100.0
+                    + 0.5) AS BIGINT) AS harmonic_mean_cents
+        FROM m
+        ORDER BY seg
+    """,
+    phase="P2",
+    tags=("agg", "statistics"),
+)
+def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic mean order value per segment — completes the
+    Pythagorean-means family (arithmetic: agg_group; geometric:
+    agg_geometric_mean): the rate-correct average (HM of
+    dollars-per-order is what an equal-dollar-weighted consumer
+    experiences) and always the lowest of the three, so the AM/GM/HM
+    spread itself is a one-line skew diagnostic.
+
+    Exactness: each reciprocal pico-quantizes at row grain the
+    moment it's computed (values >= ~900 dollars so 1/x <= ~1.1e-3 ->
+    pico term <= 1.1e9, int64-safe past 8e9 rows/group; relative
+    quantization error <= 1e-12/1e-5 = 1e-7, a defined metric), so
+    the per-group sum is an order-free BIGINT; the final n/sum is one
+    spelled IEEE chain.
+
+    Plan: one join + ONE combinable aggregate to segment grain."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    inv = F.floor(
+        F.lit(1e12)
+        / F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint")
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), inv.alias("inv_pico"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("inv_pico").cast("bigint").alias("s"),
+        )
+    )
+    return m.select(
+        "seg",
+        "n",
+        F.floor(
+            F.col("n").cast("double")
+            / (F.col("s").cast("double") / F.lit(1e12))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("harmonic_mean_cents"),
+    ).orderBy("seg")

@@ -257,6 +257,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_bayes_beta_binomial",
     "orders_repeat_interval",
     "agg_geometric_mean",
+    "agg_harmonic_mean",
+    "agg_fano_dispersion",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

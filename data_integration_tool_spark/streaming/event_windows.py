@@ -3586,3 +3586,82 @@ def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Fano factor (index of dispersion) from exact daily-count moments.
+_FANO_MEAN = "(CAST(s AS DOUBLE) / nd)"
+_FANO_VAR = (
+    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / (nd - 1))"
+)
+_FANO = f"({_FANO_VAR} / {_FANO_MEAN})"
+
+
+@query(
+    "agg_fano_dispersion",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS q
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, nd AS n_days, s AS n_events,
+               CAST(floor({_FANO_MEAN} * 1000000.0 + 0.5) AS BIGINT)
+                   AS mean_micro,
+               CAST(floor({_FANO_VAR} * 1000000.0 + 0.5) AS BIGINT)
+                   AS var_micro,
+               CAST(floor({_FANO} * 1000000.0 + 0.5) AS BIGINT)
+                   AS fano_micro,
+               CAST({_FANO} > 1.5 AS BOOLEAN) AS bursty
+        FROM m
+        ORDER BY event_type
+    """,
+    phase="P3",
+    tags=("timeseries", "point-process", "anomaly"),
+)
+def agg_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, Var/Mean of daily counts)
+    per event type — the point-process diagnostic: ~1 means
+    Poisson-like arrivals (capacity planning can use M/M/c math), >1
+    means bursty (provision for bursts, and windowed anomaly
+    detectors need wider bands), <1 means regular/throttled. The
+    arrival-process companion to seq_inter_arrival's gap view.
+
+    Exactness: daily counts and both moments are exact integers; the
+    mean/variance/ratio chain is ONE shared IEEE formula; the bursty
+    flag compares the same spelled double on both engines (a
+    deterministic compare of identical IEEE values — the cosine-
+    ordering convention).
+
+    Plan: ONE combinable count to (type, day) grain (time-span x
+    type cardinality), a second combinable moments fold to type
+    grain — nothing past the first agg scales with rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return m.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.floor(F.expr(_FANO_MEAN) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.floor(F.expr(_FANO_VAR) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("var_micro"),
+        F.floor(F.expr(_FANO) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("fano_micro"),
+        (F.expr(_FANO) > F.lit(1.5)).alias("bursty"),
+    ).orderBy("event_type")

@@ -5540,3 +5540,73 @@ def test_geometric_mean_matches_python(spark, sf_dir):
             math.exp(s / n / 1e9) * 100.0 + 0.5
         )
         assert r.geomean_cents < tot / n * 100  # AM-GM strict
+
+
+def test_harmonic_mean_matches_python(spark, sf_dir):
+    """HM must match a Python recompute with the identical pico
+    reciprocal chain; Pythagorean ordering HM < GM < AM must hold."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_geometric_mean,
+        agg_harmonic_mean,
+    )
+
+    out = {r.seg: r for r in agg_harmonic_mean(spark, sf_dir).collect()}
+    gm = {r.seg: r for r in agg_geometric_mean(spark, sf_dir).collect()}
+    seg_of = {
+        c.c_custkey: c.c_mktsegment
+        for c in load(spark, sf_dir, "customer").collect()
+    }
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for o in load(spark, sf_dir, "orders").collect():
+        v = math.floor(o.o_totalprice + 0.5)
+        a = acc[seg_of[o.o_custkey]]
+        a[0] += 1
+        a[1] += math.floor(1e12 / v + 0.5)
+        a[2] += v
+    assert set(out) == set(acc)
+    for seg, (n, s, tot) in acc.items():
+        r = out[seg]
+        assert r.n == n
+        assert r.harmonic_mean_cents == math.floor(
+            n / (s / 1e12) * 100.0 + 0.5
+        )
+        assert r.harmonic_mean_cents < gm[seg].geomean_cents
+        assert gm[seg].geomean_cents < tot / n * 100
+
+
+def test_fano_dispersion_matches_python(spark, sf_dir):
+    """Fano moments must match a Python recompute of daily counts;
+    the flag must agree with the recomputed ratio."""
+    import collections
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        agg_fano_dispersion,
+    )
+
+    out = {r.event_type: r for r in
+           agg_fano_dispersion(spark, sf_dir).collect()}
+    daily = collections.Counter()
+    for e in load(spark, sf_dir, "events").collect():
+        daily[(e.event_type, e.ts.date())] += 1
+    per_type = collections.defaultdict(list)
+    for (t, _), c in daily.items():
+        per_type[t].append(c)
+    assert set(out) == set(per_type)
+    for t, cs in per_type.items():
+        r = out[t]
+        nd = len(cs)
+        s = sum(cs)
+        q = sum(c * c for c in cs)
+        mean = s / nd
+        var = (q - s * s / nd) / (nd - 1)
+        assert (r.n_days, r.n_events) == (nd, s)
+        assert r.mean_micro == math.floor(mean * 1e6 + 0.5)
+        assert r.var_micro == math.floor(var * 1e6 + 0.5)
+        assert r.fano_micro == math.floor(var / mean * 1e6 + 0.5)
+        assert r.bursty == (var / mean > 1.5)
