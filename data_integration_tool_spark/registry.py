@@ -100,78 +100,25 @@ _loaded = False
 
 # Driver-facing ordering. The driver records CORRECTNESS rows for only
 # the FIRST 50 entries of queries() (dict insertion order) — every query
-# past the cut gets no row at all (observed rounds 1-7: exactly 50 rows
+# past the cut gets no row at all (observed rounds 1-8: exactly 50 rows
 # each). This list rotates per round so never-driver-verified queries
-# land inside the 50-entry window. History: the r7 window (agg_count_min
-# .. source_python_datasource) went 50/50 full green in
-# CORRECTNESS_r07.json and was cut from the head at r8 start; r1-r6
-# greens stand in CORRECTNESS_r{1..6}.json. After the r8 window below
-# come the 23 operators registered after the r7 window froze
-# (eval_ndcg_at_k .. sim_pairwise_diversity — all full-oracle, all
-# exact-checked at sf0.001/0.01/0.1): they head the r9 queue, in front
-# of the oldest-r1-green re-proof block. Names absent from this list
-# keep registration order after it.
+# land inside the 50-entry window. History: the r8 window (agg_gini ..
+# graph_degree_assortativity) went 48 full green + 2 rows-only-by-design
+# in CORRECTNESS_r08.json and was cut from the head at r9 start; the r7
+# window stands in CORRECTNESS_r07.json (50/50 full green); r1-r6
+# greens in CORRECTNESS_r{1..6}.json. The r9 window below = the 23
+# operators registered after the r7 window froze (eval_regression_metrics
+# .. sim_pairwise_diversity) + the first 27 of the r8-additions block —
+# all full-oracle, all exact-checked at sf0.001/0.01/0.1. After it come
+# the remaining r8 additions (r10 queue), then the oldest-r1-green
+# re-proof block. Names absent from this list keep registration order
+# after it. NEW r9 additions must land AFTER the r10 queue so the
+# never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r8 window: 48 full-oracle never-driver-rowed queries
-    # (stream_session_true gained a FULL oracle in r8 — the five
-    # streaming-engine harnesses now assert their deterministic
-    # reconciliation rows) + the 2 remaining rows-only-by-design names
-    # (stream_python_source, etl_schema_evolution — live-stream /
-    # mergeSchema invariants, pytest-pinned). The 50 r7-window names
-    # proven in CORRECTNESS_r07.json (50/50 full green) were cut from
-    # the head of this list at r8 start, exactly as VERDICT r7 Next #1
+    # ---- r9 window: 50 full-oracle never-driver-rowed queries. The 50
+    # r8-window names proven in CORRECTNESS_r08.json were cut from the
+    # head of this list at r9 start, exactly as VERDICT r8 Next #1
     # prescribed. ----
-    "agg_gini",
-    "join_bucketed",
-    "etl_partition_layout",
-    "etl_clustered_write",
-    "set_intersect_all",
-    "set_except_all",
-    "agg_filtered",
-    "dq_uniqueness",
-    "mixture_epochs",
-    "ts_ewma_crossover",
-    "win_reset_running_total",
-    "text_bpe_pair_freq",
-    "win_moving_regression",
-    "etl_cdc_apply",
-    "join_spatial_grid",
-    "text_bigram_lm",
-    "ts_holt_winters",
-    "join_skew_aqe",
-    "emb_kmeans_lloyd",
-    "etl_vacuum_plan",
-    "dq_outlier_iqr",
-    "dq_fd_discovery",
-    "seq_markov_stationary",
-    "win_rolling_corr",
-    "agg_entropy_categorical",
-    "dq_feed_gaps",
-    "graph_kcore",
-    "feat_pit_window",
-    "feat_target_encode",
-    "feat_hashing",
-    "text_oov_rate",
-    "etl_golden_record",
-    "eval_auc_rank",
-    "agg_welch_ttest",
-    "eval_confusion_threshold",
-    "agg_chi2_independence",
-    "stream_python_source",
-    "stream_session_true",
-    "etl_schema_evolution",
-    # (further r7 additions slot in here when registered)
-    "eval_ndcg_at_k",
-    "eval_calibration_bins",
-    "eval_lift_deciles",
-    "eval_pr_auc",
-    "agg_anova_oneway",
-    "agg_spearman_corr",
-    "feat_quantile_bin",
-    "feat_onehot_topk",
-    "dq_k_anonymity",
-    "ts_changepoint_mean",
-    "graph_degree_assortativity",
     "eval_regression_metrics",
     "ts_bollinger_bands",
     "agg_mutual_info",
