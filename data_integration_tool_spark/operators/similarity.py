@@ -2782,11 +2782,22 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_intrinsic_dim",
     oracle=f"""
-        WITH e AS (
-            SELECT vec_id, label, embedding,
-               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+        WITH cnt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        ), cut AS (
+            SELECT CASE WHEN 768.0 / n >= 1.0 THEN 'g'
+                   ELSE lpad(lower(hex(CAST(least(floor(768.0 / n
+                        * 4294967296.0), 4294967295.0) AS BIGINT))),
+                        8, '0')
+                   END AS cutoff
+            FROM cnt
+        ), e AS (
+            SELECT s.vec_id, s.label, s.embedding,
+               sqrt({_DUCK_DOT.format(a='s.embedding', b='s.embedding')})
                    AS nrm
-            FROM embeddings
+            FROM embeddings s, cut
+            WHERE substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 8)
+                  < cut.cutoff
         ),
         dists AS (
             SELECT a.vec_id,
@@ -2810,24 +2821,22 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY vec_id
         ),
         terms AS (
-            SELECT vec_id,
-                   CAST(floor(ln(d2 / d1) * 1000000000000.0 + 0.5)
-                        AS BIGINT) AS t_pico
+            SELECT (d1 > 0 AND d2 IS NOT NULL) AS usable,
+                   CASE WHEN d1 > 0 AND d2 IS NOT NULL THEN
+                       CAST(floor(ln(d2 / d1) * 1000000000000.0 + 0.5)
+                            AS BIGINT)
+                   END AS t_pico
             FROM two_nn
-            WHERE d1 > 0 AND d2 IS NOT NULL
-        ),
-        excluded AS (
-            SELECT CAST(count(*) AS BIGINT) AS n_excluded
-            FROM two_nn WHERE NOT (d1 > 0 AND d2 IS NOT NULL)
         )
-        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-               x.n_excluded,
+        SELECT CAST(count(*) FILTER (WHERE usable) AS BIGINT)
+                   AS n_vectors,
+               CAST(count(*) FILTER (WHERE NOT usable) AS BIGINT)
+                   AS n_excluded,
                CAST(sum(t_pico) AS BIGINT) AS sum_lnratio_pico,
-               CAST(floor(CAST(count(*) AS DOUBLE)
+               CAST(floor(CAST(count(*) FILTER (WHERE usable) AS DOUBLE)
                     / (CAST(sum(t_pico) AS DOUBLE) / 1000000000000.0)
                     * 1000000.0 + 0.5) AS BIGINT) AS intrinsic_dim_micro
-        FROM terms, excluded x
-        GROUP BY x.n_excluded
+        FROM terms
     """,
     phase="P4",
     tags=("similarity", "embeddings", "diagnostics"),
@@ -2848,12 +2857,40 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     each ln(r2/r1) pico-quantizes at VECTOR grain so the fold is an
     order-free BIGINT sum; the final ratio is spelled once.
 
-    Plan: the label-blocked pair join is the data-sized stage (same
-    shape and bound as sim_pairs_threshold); the per-vector window
-    ranks inside each label block; everything downstream is
-    vector-grain then 1-row."""
+    Scale: TwoNN is an estimator — statistically stable on a
+    fixed-size sample — so the corpus is first md5-band sampled to
+    ~768 vectors (rate 768/n, the sim_pairwise_diversity two-stage
+    pattern): the within-label pair join runs over SURVIVORS only,
+    bounding the quadratic stage to constant work at any corpus
+    size. The sampling predicate is shared verbatim with the oracle
+    (same md5 prefix, same cutoff arithmetic), keeping both engines
+    on the identical sample; below 768 vectors the rate saturates
+    ('g' cutoff) and the estimate is exact over the full corpus.
+
+    Plan: one combinable count derives the broadcast cutoff; the
+    sample filter is a scan-stage predicate; the label-blocked pair
+    join over ≤768 vectors plus the per-vector window are constant
+    work; the usable/excluded split and the ID ratio fold into ONE
+    conditional aggregate over the vector-grain relation (two
+    separate agg branches would recompute the pair join twice —
+    Catalyst does no cross-branch CSE)."""
     e = load(spark, sf_dir, "embeddings")
-    ne = e.select(
+    cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rate = F.lit(768.0) / F.col("n")
+    cut = cnt.select(
+        F.when(rate >= 1.0, F.lit("g"))
+        .otherwise(hash_cutoff(rate))
+        .alias("cutoff")
+    )
+    digest = F.substring(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
+    )
+    sampled = (
+        e.crossJoin(F.broadcast(cut))
+        .filter(digest < F.col("cutoff"))
+        .select("vec_id", "label", "embedding")
+    )
+    ne = sampled.select(
         "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
     )
     a = ne.alias("a")
@@ -2881,34 +2918,34 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
     )
     usable = (F.col("d1") > 0) & F.col("d2").isNotNull()
-    terms = two_nn.filter(usable).select(
-        F.floor(
-            F.log(F.col("d2") / F.col("d1")) * F.lit(1e12) + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("t_pico")
-    )
-    excluded = two_nn.filter(~usable).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_excluded")
+    terms = two_nn.select(
+        usable.alias("usable"),
+        F.when(
+            usable,
+            F.floor(
+                F.log(F.col("d2") / F.col("d1")) * F.lit(1e12) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("t_pico"),
     )
     # COUNT over an empty filter yields 0 (never null) on both engines
-    return (
-        terms.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-            F.sum("t_pico").cast("bigint").alias("sum_lnratio_pico"),
+    return terms.agg(
+        F.count(F.when(F.col("usable"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_vectors"),
+        F.count(F.when(~F.col("usable"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_excluded"),
+        F.sum("t_pico").cast("bigint").alias("sum_lnratio_pico"),
+    ).select(
+        "n_vectors",
+        "n_excluded",
+        "sum_lnratio_pico",
+        F.floor(
+            F.col("n_vectors").cast("double")
+            / (F.col("sum_lnratio_pico").cast("double") / F.lit(1e12))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
         )
-        .crossJoin(F.broadcast(excluded))
-        .select(
-            "n_vectors",
-            "n_excluded",
-            "sum_lnratio_pico",
-            F.floor(
-                F.col("n_vectors").cast("double")
-                / (F.col("sum_lnratio_pico").cast("double") / F.lit(1e12))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("intrinsic_dim_micro"),
-        )
+        .cast("bigint")
+        .alias("intrinsic_dim_micro"),
     )

@@ -5339,9 +5339,12 @@ def test_cost_optimal_threshold_matches_python(spark, sf_dir):
 
 def test_intrinsic_dim_matches_python(spark, sf_dir):
     """TwoNN ingredients must match a numpy recompute with identical
-    tiebreaks and quantization; ID must be positive and far below the
-    ambient 64 dims (embeddings are clustered by construction)."""
+    tiebreaks and quantization — including the md5-band vector sample
+    (rate 768/n; a no-op below 768 vectors) that bounds the quadratic
+    stage; ID must be positive and far below the ambient 64 dims
+    (embeddings are clustered by construction)."""
     import collections
+    import hashlib
     import math
 
     import numpy as np
@@ -5353,6 +5356,17 @@ def test_intrinsic_dim_matches_python(spark, sf_dir):
 
     r = emb_intrinsic_dim(spark, sf_dir).collect()[0]
     rows = load(spark, sf_dir, "embeddings").collect()
+    rate = 768.0 / len(rows)
+    cutoff = (
+        "g"
+        if rate >= 1.0
+        else format(min(math.floor(rate * 4294967296.0), 4294967295), "08x")
+    )
+    rows = [
+        e
+        for e in rows
+        if hashlib.md5(str(e.vec_id).encode()).hexdigest()[:8] < cutoff
+    ]
     by_label = collections.defaultdict(list)
     for e in rows:
         by_label[e.label].append(
