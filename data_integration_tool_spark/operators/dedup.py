@@ -416,9 +416,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below this projection, re-inlining the whole token pipeline into
     # a per-row scan filter (measured 110 s vs 6 s at sf0.1); on
     # non-nullable slots the constraints fold to true and vanish.
-    # (construction factored into _flat_signatures, shared with
-    # dedup_lsh_recall_audit)
-    flat = _flat_signatures(d)
+    # (construction factored into _flat_signatures, pair generation
+    # into _minhash_pairs — both shared with dedup_lsh_recall_audit)
+    return _minhash_pairs(_flat_signatures(d))
+
+
+def _minhash_pairs(flat: DataFrame) -> DataFrame:
+    """Band-bucket candidate pairs from a flat signature relation — the
+    pair-generating body of dedup_minhash, factored out so
+    dedup_lsh_recall_audit can feed BOTH its legs (bucket-recall and
+    shipped-candidate precision) from ONE checkpointed signature pass
+    instead of re-deriving the token pipeline per leg."""
     banded = flat.select(
         "*",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
@@ -1169,14 +1177,20 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: truth pairs join the banded relation once per side (linear
     in truth×bands, no quadratic bucket expansion); the precision leg
     is a pair-grain semi-join against the already-linear candidate
-    set."""
+    set. The flat signature relation is computed ONCE and eagerly
+    checkpointed: both the bucket-recall leg (banded explode) and the
+    shipped-candidate leg (_minhash_pairs) read the checkpoint instead
+    of each re-deriving the token→minhash pipeline from the raw
+    corpus (the r8 verdict's double-scan finding; 3.7 s → ~2 s
+    warm at sf0.1)."""
     d = load(spark, sf_dir, "documents")
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    banded = _flat_signatures(d).select(
+    flat = _flat_signatures(d).localCheckpoint(eager=True)
+    banded = flat.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])
@@ -1196,7 +1210,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", "source")
     cand = (
-        dedup_minhash(spark, sf_dir)
+        _minhash_pairs(flat)
         .select("doc_a", "doc_b")
         .join(
             src.select(
@@ -1214,7 +1228,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src_a") == F.col("src_b"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cand_true = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     m = (
