@@ -381,3 +381,101 @@ def plan_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, ["check_name", "ok"]).orderBy(
         "check_name"
     )
+
+
+# Pinned plan fingerprints (shuffle exchanges, broadcast exchanges,
+# parquet scans) for the heaviest registry queries — measured from the
+# compiled physical plans under a vanilla session and verified
+# SF-stable across sf0.001/0.01/0.1 before pinning. Candidates are the
+# slowest bench queries whose builders are side-effect-free at build
+# time (no eager checkpoint, no IO write, no driver iteration) and
+# whose join strategies don't flip with table size (emb_intrinsic_dim
+# crosses a broadcast threshold between sf0.01 and sf0.1 and is
+# excluded for that reason). A plan regression — like r5's
+# decon_ngram double-explode, which doubled the corpus scan count —
+# changes one of these counts and turns the driver's correctness run
+# red instead of surfacing as a bench anomaly rounds later.
+_FP_PINNED: tuple[tuple[str, int, int, int], ...] = (
+    ("agg_approx_audit", 2, 0, 1),
+    ("agg_spearman_corr", 5, 2, 3),
+    ("basket_pairs", 2, 0, 1),
+    ("basket_rules", 6, 1, 2),
+    ("dedup_cross_source_matrix", 3, 3, 4),
+    ("dedup_minhash", 1, 1, 2),
+    ("dedup_simhash", 2, 0, 1),
+    ("graph_edge_embeddedness", 9, 1, 0),
+    ("graph_link_predict", 4, 0, 0),
+    ("graph_triangles", 5, 1, 0),
+    ("join_bloom_prefilter", 3, 3, 4),
+    ("sample_poisson_bootstrap", 1, 0, 1),
+    ("text_char_bigram_entropy", 9, 3, 4),
+)
+
+
+def plan_fingerprint(df: DataFrame) -> tuple[int, int, int]:
+    """(shuffle exchanges, broadcast exchanges, parquet scans) of the
+    compiled physical plan — the minimal shape signature that catches
+    an extra corpus scan, a lost broadcast, or a new shuffle."""
+    import re
+
+    from .tuning import explain_str
+
+    plan = explain_str(df, mode="simple")
+    n_shuffle = len(
+        re.findall(r"Exchange (hash|range|Single|RoundRobin)", plan)
+    )
+    n_broadcast = plan.count("BroadcastExchange")
+    n_scan = plan.count("Scan parquet")
+    return n_shuffle, n_broadcast, n_scan
+
+
+_FP_VALUES_SQL = ",\n            ".join(
+    f"('{name}', {sh}, {bc}, {sc})" for name, sh, bc, sc in _FP_PINNED
+)
+
+
+@query(
+    "plan_fingerprint_gate",
+    oracle=f"""
+        SELECT query_name,
+               CAST(n_sh AS BIGINT) AS n_shuffle_exchanges,
+               CAST(n_bc AS BIGINT) AS n_broadcast_exchanges,
+               CAST(n_sc AS BIGINT) AS n_parquet_scans
+        FROM (VALUES
+            {_FP_VALUES_SQL}
+        ) AS t(query_name, n_sh, n_bc, n_sc)
+        ORDER BY query_name
+    """,
+    phase="P4",
+    tags=("planner", "regression-gate"),
+)
+def plan_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-query plan-fingerprint gate: compile the physical plan of
+    each of the 13 most expensive side-effect-free registry queries and
+    emit its (shuffle-exchange, broadcast-exchange, parquet-scan)
+    counts, compared by the driver against the pinned constants in the
+    oracle. plan_shape_audit checks six GENERIC Catalyst invariants on
+    synthetic probes; this gate pins the ACTUAL plans of the queries
+    where a shape regression costs the most — an optimizer-rule change
+    or careless refactor that re-inlines a subtree (r5's decon_ngram
+    double-explode, r6's dedup_substring groupBy+join-back) changes a
+    count here and fails the round's correctness run immediately.
+
+    Plan-time only: builders are invoked to COMPILE, never executed —
+    every listed builder is side-effect-free at build time (verified
+    when pinning), so the gate's cost is 13 Catalyst compilations plus
+    a 13-row local relation. Fingerprints are SF-stable by
+    construction (size-threshold-sensitive plans are excluded), so one
+    set of constants holds at every test scale factor."""
+    rows = []
+    for name, _sh, _bc, _sc in _FP_PINNED:
+        from ..registry import specs
+
+        df = specs()[name].builder(spark, sf_dir)
+        m_sh, m_bc, m_sc = plan_fingerprint(df)
+        rows.append((name, m_sh, m_bc, m_sc))
+    return spark.createDataFrame(
+        rows,
+        "query_name string, n_shuffle_exchanges long, "
+        "n_broadcast_exchanges long, n_parquet_scans long",
+    ).orderBy("query_name")

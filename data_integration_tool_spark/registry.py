@@ -206,6 +206,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_geometric_mean",
     "agg_harmonic_mean",
     "agg_fano_dispersion",
+    # r9 additions (full oracle; land AFTER the r8-additions backlog so
+    # the never-rowed queue drains deterministically):
+    "plan_fingerprint_gate",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -194,3 +194,33 @@ def test_join_strategy_advisor_consistent(spark, sf_dir):
     li_orders = by_pair[("lineitem", "orders")]
     assert li_orders.left_rows == load(spark, sf_dir, "lineitem").count()
     assert li_orders.strategy == "broadcast_right"
+
+
+def test_plan_fingerprint_gate_matches_pins(spark, sf_dir):
+    """The gate's measured fingerprints must equal the pinned constants
+    at the test SF (SF-stability was verified at all three SFs before
+    pinning) — and every gated builder must stay side-effect-free at
+    build time, or the gate itself would execute work per compile."""
+    import inspect
+
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.plans.advisor import (
+        _FP_PINNED,
+        plan_fingerprint_gate,
+    )
+
+    rows = plan_fingerprint_gate(spark, sf_dir).collect()
+    measured = {
+        r.query_name: (
+            r.n_shuffle_exchanges,
+            r.n_broadcast_exchanges,
+            r.n_parquet_scans,
+        )
+        for r in rows
+    }
+    pinned = {name: (sh, bc, sc) for name, sh, bc, sc in _FP_PINNED}
+    assert measured == pinned
+    for name in pinned:
+        src = inspect.getsource(registry.specs()[name].builder)
+        for effect in (".collect()", ".write.", "eager=True", ".count()"):
+            assert effect not in src, f"{name} builder gained {effect}"
