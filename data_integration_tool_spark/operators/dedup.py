@@ -1356,3 +1356,174 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Semantic (embedding-space) near-dup threshold: fixture vectors are
+# near-orthogonal across clusters (within-label max cosine ≈ 0.47), so
+# 0.3 is the same operating point sim_pairs_threshold ships.
+SEMANTIC_DUP_THRESHOLD = 0.3
+
+
+def _semantic_oracle() -> str:
+    from .similarity import _DUCK_DOT, _duck_cos_nrm, _kmeans_ctes
+
+    nrm = f"sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})"
+    cos = _duck_cos_nrm("a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    return f"""
+        WITH RECURSIVE {_kmeans_ctes()},
+        asg AS MATERIALIZED (SELECT vec_id, cid FROM final),
+        ev AS MATERIALIZED (
+            SELECT e.vec_id, a.cid, e.embedding, {nrm} AS nrm
+            FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        ),
+        p AS MATERIALIZED (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM ev a JOIN ev b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {cos} >= {SEMANTIC_DUP_THRESHOLD}
+        ),
+        edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        reach(vec_id, r) AS (
+            SELECT vec_id, vec_id FROM asg
+            UNION
+            SELECT ed.u, reach.r
+            FROM edges ed JOIN reach ON ed.v = reach.vec_id
+        )
+        SELECT a.vec_id, a.cid,
+               CAST(min(re.r) AS BIGINT) AS semantic_id
+        FROM asg a JOIN reach re ON re.vec_id = a.vec_id
+        GROUP BY a.vec_id, a.cid
+        ORDER BY a.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semantic_oracle(),
+    phase="P4",
+    tags=("dedup", "embedding", "semantic", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup — the embedding-space near-dup pass a training
+    pipeline runs AFTER lexical dedup (minhash catches shared
+    phrasing; this catches paraphrases and translations that share no
+    tokens): Lloyd k-means assignments (emb_kmeans_lloyd's exact
+    integer trajectory, via the shared _kmeans_final) become the
+    blocking key, cosine ≥ 0.3 pairs generate WITHIN each learned
+    cluster only, and min-label propagation (dedup_components' loop)
+    closes them into transitive semantic groups. Output: one row per
+    vector with its kmeans cluster and its semantic component id
+    (min vec_id reachable) — semantic_id == vec_id means the vector
+    is its group's canonical (or a singleton).
+
+    Exactness: the kmeans leg is the replayed-recurrence pattern (the
+    oracle re-runs the identical unrolled CTE chain — bitwise-equal
+    trajectory, no state quantization); pair cosines come from the
+    Arrow kernel with oracle-identical fp order
+    (pairwise_cosine_exact); the component fixpoint is engine-free
+    integer min-reachability, mirrored by the recursive-CTE oracle.
+
+    Plan/scale: blocking by LEARNED cluster bounds the pair stage to
+    within-cid work, tiled by pair_blocks so a skewed cluster can
+    never hand one task an unbounded matrix. The kernel runs a
+    tile-LOCAL union-find over its kept pairs and ships STAR edges
+    (node → tile-component min) instead of all pairwise edges —
+    connectivity-identical within the tile, linear output, and the
+    distributed min-label rounds then only pay for CROSS-TILE
+    merging (single-tile clusters converge in one pull + one verify
+    round instead of graph-diameter rounds: 7 → 2 at sf0.1). Label
+    propagation runs join+groupBy rounds on the (star-edge-sized)
+    list with LAZY lineage-cutting checkpoints — the per-round sum
+    action materializes the round's checkpoint, so each round is ONE
+    job, not two. At 100 TB each stage keeps the shape: assignment
+    is map-side, pairs are cluster-local tiles, components touch
+    only edges."""
+    import numpy as np
+    import pandas as pd
+
+    from .pair_blocks import owned_pair_mask, tile_pair_blocks
+    from .similarity import _kmeans_final, pairwise_cosine_exact
+
+    asg = (
+        _kmeans_final(spark, sf_dir)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=False)
+    )
+    ev = asg.join(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    tiled = tile_pair_blocks(ev, ["cid"], "vec_id")
+
+    def star_edges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        ck = pdf["_ck"].to_numpy()
+        ca, cb = int(pdf["_ca"].iloc[0]), int(pdf["_cb"].iloc[0])
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        cos = pairwise_cosine_exact(A)
+        keep = (
+            (cos >= SEMANTIC_DUP_THRESHOLD)
+            & (ids[:, None] < ids[None, :])
+            & owned_pair_mask(ck, ca, cb)
+        )
+        ia, ib = np.where(keep)
+        # Tile-local union-find, smaller id stays root: the root IS
+        # the tile-component min, so each member emits one star edge.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ids[ia].tolist(), ids[ib].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted(set(ids[ia].tolist()) | set(ids[ib].tolist()))
+        out = [(m, find(m)) for m in members if m != find(m)]
+        return pd.DataFrame(out, columns=["u", "v"]).astype("int64")
+
+    pairs = tiled.groupBy("cid", "_ca", "_cb").applyInPandas(
+        star_edges_fn, "u long, v long"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = asg.withColumn("semantic_id", F.col("vec_id")).localCheckpoint(
+        eager=False
+    )
+    # Labels only ever decrease → the label sum is a strictly
+    # decreasing potential; two consecutive rounds with equal sums ⇔
+    # fixpoint (the dedup_components convergence check, minus the
+    # separate initial-sum job — consecutive comparison saves one
+    # action). The agg action doubles as the checkpoint materializer
+    # (lazy ckpt: one job per round).
+    prev_sum = None
+    for _ in range(50):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.vec_id)
+            .groupBy(F.col("u").alias("vec_id"))
+            .agg(F.min("semantic_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cid",
+                F.least(
+                    F.col("semantic_id"),
+                    F.coalesce("nbr_min", "semantic_id"),
+                ).alias("semantic_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(F.sum("semantic_id")).collect()[0][0]  # driver-scalar: convergence potential
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("vec_id", "cid", "semantic_id").orderBy("vec_id")

@@ -1542,12 +1542,14 @@ _KM_K = 4  # clusters
 _KM_ITERS = 3  # fixed Lloyd update rounds (then one final assignment)
 
 
-def _kmeans_oracle() -> str:
-    """Unroll the fixed-round Lloyd recursion as DuckDB CTEs over the
-    LONG (vec_id, dim_pos, v) form. Assignment ties encode as
-    dist*K + cid so argmin-with-smallest-cid is ONE exact-integer
-    min(); centroid updates floor-divide exact BIGINT sums (double
-    division is exact here: |sum| < 2^53)."""
+def _kmeans_ctes() -> str:
+    """The unrolled Lloyd CTE chain 'q, c0, a1, c1, …, final' (no WITH
+    prefix) — shared by emb_kmeans_lloyd's oracle and
+    dedup_semantic_clusters', which composes components on top of the
+    IDENTICAL final assignment. Assignment ties encode as dist*K + cid
+    so argmin-with-smallest-cid is ONE exact-integer min(); centroid
+    updates floor-divide exact BIGINT sums (double division is exact
+    here: |sum| < 2^53)."""
     k = _KM_K
     ctes = [
         f"""q AS (
@@ -1605,9 +1607,13 @@ def _kmeans_oracle() -> str:
             )
             GROUP BY vec_id
         )""")
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _kmeans_ctes()
         + """
         SELECT cid,
                CAST(count(*) AS BIGINT) AS n_members,
@@ -1650,6 +1656,42 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×K + cid ≪ 2^63; inertia sums dist over rows — safe past 1e4 rows
     per fixture and re-scalable by dropping the quantization to 1e3
     for billion-row corpora."""
+    final = _kmeans_final(spark, sf_dir)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-vector FINAL Lloyd assignment (vec_id, cid, dist) after
+    _KM_ITERS exact-integer rounds — the body of emb_kmeans_lloyd,
+    factored so dedup_semantic_clusters composes components over the
+    identical trajectory (both oracles share _kmeans_ctes).
+
+    r9 rework: the three UPDATE rounds run as Arrow kernels
+    (mapInPandas emitting per-partition partial (cid, count, column
+    sums) — all int64, order-free) instead of interpreted
+    zip_with/aggregate HOF assignment plus a 64×-row posexplode
+    shuffle: one vectorized numpy pass per round, one tiny partial
+    relation collected per round. Exact-integer throughout — numpy
+    quantization floor(x·1e6+0.5) and squared-distance sums are the
+    same int64 arithmetic as the oracle's CTEs, and integer sums are
+    order-independent, so the trajectory stays bit-identical
+    (exact_check). The FINAL assignment stays an expression plan
+    (array HOF — cheap to compile once) so downstream composition
+    keeps a declarative lineage. (A flat-column q0..q63 form was
+    tried first: 64-wide codegen recompiled per round and planning
+    blew up 6× — kernels keep rounds off the janino path.)"""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1668,62 +1710,76 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list, exactly like the oracle's c{t} CTE (which GROUP BYs the
     # round's assignments and so simply has no rows for an empty cid).
     centroids = [(cid, list(r.qv)) for cid, r in enumerate(seed_rows)]
+    n_dim = len(centroids[0][1])
+    raw = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    partial_schema = "cid long, n long, " + ", ".join(
+        f"s{d} long" for d in range(n_dim)
+    )
+
+    for _ in range(_KM_ITERS):
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+        C = np.array([c for _, c in centroids], dtype=np.int64)
+
+        def round_partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                Q = np.floor(A * 1e6 + 0.5).astype(np.int64)
+                # multiplier is K (the FIXED cluster count), not the
+                # surviving-centroid count — an emptied cluster drops
+                # from the candidate list but the encoding stays k
+                diff = Q[:, None, :] - C[None, :, :]
+                enc = (diff * diff).sum(axis=2) * k + cids[None, :]
+                cid = cids[np.argmin(enc, axis=1)]
+                rows = []
+                for c in np.unique(cid):
+                    m = cid == c
+                    rows.append(
+                        [int(c), int(m.sum())]
+                        + Q[m].sum(axis=0).tolist()
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["cid", "n"]
+                    + [f"s{d}" for d in range(Q.shape[1])],
+                )
+
+        upd = raw.mapInPandas(round_partials, partial_schema).collect()  # driver-scalar: K*64 centroid partials
+        acc: dict[int, list[int]] = {}
+        for r in upd:
+            a = acc.setdefault(int(r.cid), [0] * (n_dim + 1))
+            a[0] += r.n
+            for d in range(n_dim):
+                a[d + 1] += r[f"s{d}"]
+        # argmin ties: enc = dist*k + cid minimized — identical to the
+        # expression form's least() and the oracle's min(); floor of
+        # the exact double division matches the oracle's update
+        centroids = [
+            (
+                cid,
+                [math.floor(a[d + 1] / a[0]) for d in range(n_dim)],
+            )
+            for cid, a in sorted(acc.items())
+        ]
 
     def dist_enc(cid: int, cvec: list[int]) -> Column:
         lit = F.array(*[F.lit(int(x)) for x in cvec])
         d = F.aggregate(
-            F.zip_with(
-                F.col("qv"), lit, lambda a, b: (a - b) * (a - b)
-            ),
+            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+            lambda acc_, v: acc_ + v,
         )
         return d * F.lit(k) + F.lit(cid)
 
-    assigned = None
-    for _ in range(_KM_ITERS):
-        enc = F.least(*[dist_enc(cid, c) for cid, c in centroids])
-        assigned = e.select(
-            "vec_id", "qv", (enc % k).cast("bigint").alias("cid")
-        )
-        upd = (
-            assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
-            .groupBy("cid", "dim")
-            .agg(
-                F.sum("v").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cid",
-                "dim",
-                F.floor(F.col("s").cast("double") / F.col("n"))
-                .cast("bigint")
-                .alias("c"),
-            )
-            .collect()  # driver-scalar: K*64 centroid components
-        )
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in upd:
-            by_cid.setdefault(r.cid, {})[r.dim] = r.c
-        n_dim = len(centroids[0][1])
-        centroids = [
-            (cid, [by_cid[cid][d] for d in range(n_dim)])
-            for cid in sorted(by_cid)
-        ]
-
     enc = F.least(*[dist_enc(cid, c) for cid, c in centroids])
-    final = e.select(
+    return e.select(
         "vec_id",
         (enc % k).cast("bigint").alias("cid"),
         ((enc - enc % k) / k).cast("bigint").alias("dist"),
-    )
-    return (
-        final.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sum("dist").cast("bigint").alias("inertia"),
-        )
-        .orderBy("cid")
     )
 
 
@@ -2708,6 +2764,172 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# Delta-ingest predicate for the incremental IVF maintenance pass:
+# vectors past the centroid block with vec_id % 5 == 4 stand in for
+# today's ~20% arrival batch (fixture labels are independent of
+# vec_id % k — verified before choosing the predicate, per the
+# doc_id-%k-aliases-source lesson from text_char_bigram_entropy).
+_IVF_DELTA_SQL = f"(vec_id >= {IVF_NLIST} AND vec_id % 5 = 4)"
+
+
+@query(
+    "sim_ann_ivf_incremental",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                       AS nrm,
+                   {_IVF_DELTA_SQL} AS is_delta
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+            FROM e WHERE vec_id < {IVF_NLIST}
+        ),
+        assigned AS (
+            SELECT vec_id, is_delta, cent_id, cos FROM (
+                SELECT e.vec_id, e.is_delta, c.cent_id,
+                       {_duck_cos_nrm('e.embedding', 'c.ce',
+                                      'e.nrm', 'c.cnrm')} AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_duck_cos_nrm('e.embedding', 'c.ce',
+                                     'e.nrm', 'c.cnrm')} DESC, c.cent_id
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        g AS (
+            SELECT cent_id,
+                   CAST(count(*) FILTER (WHERE NOT is_delta) AS BIGINT)
+                       AS n_base,
+                   CAST(count(*) FILTER (WHERE is_delta) AS BIGINT)
+                       AS n_delta,
+                   CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT))
+                        FILTER (WHERE NOT is_delta) AS BIGINT) AS s_base,
+                   CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT))
+                        FILTER (WHERE is_delta) AS BIGINT) AS s_delta
+            FROM assigned GROUP BY cent_id
+        )
+        SELECT cent_id, n_base, n_delta,
+               CAST(floor(CAST(n_delta AS DOUBLE) / n_base
+                    * 1000000.0 + 0.5) AS BIGINT) AS growth_micro,
+               CAST(floor(CAST(s_base AS DOUBLE) / n_base + 0.5)
+                    AS BIGINT) AS mean_cos_base_micro,
+               CASE WHEN n_delta > 0 THEN
+                    CAST(floor(CAST(s_delta AS DOUBLE) / n_delta + 0.5)
+                         AS BIGINT) END AS mean_cos_delta_micro,
+               CASE WHEN 5 * n_delta > n_base
+                    THEN 'rebalance' ELSE 'ok' END AS verdict
+        FROM g
+        ORDER BY cent_id
+    """,
+    phase="P4",
+    tags=("similarity", "ann", "ivf", "incremental"),
+)
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: a delta batch (~20% of the
+    corpus, the vec_id%5 withhold) assigns to the EXISTING coarse
+    centroids — never re-seeded, exactly how a serving ANN index
+    absorbs daily arrivals without a rebuild — and each inverted list
+    reports its growth and drift so the 20% fence can order a
+    rebalance before probe recall degrades. Completes the incremental
+    family (dedup_incremental / etl_zorder_incremental /
+    etl_deletion_vector_plan): never reprocess history, maintain
+    metadata counters, emit a bounded work order.
+
+    Per list: baseline/delta member counts, growth ratio, mean
+    assigned cosine of each cohort (a delta mean well below the
+    baseline mean means the centroid no longer represents its list —
+    drift, the second rebalance trigger a real system watches), and
+    the verdict: 'rebalance' when the delta exceeds 20% of the
+    baseline (integer fence: 5·n_delta > n_base).
+
+    Exactness: assignment argmax uses explicit (cosine, cent_id)
+    tiebreaks; each cosine micro-quantizes at ROW grain so cohort
+    sums are order-free BIGINTs; means and growth are spelled-once
+    divisions; the fence is a pure integer compare.
+
+    Plan: centroids broadcast (K×64 floats); assignment is map-side
+    over one corpus scan (at scale: over the DELTA only — baseline
+    counters are stored index metadata, recomputed here so the twin
+    can verify them); the groupBy collapses to list grain (K rows)
+    map-side via conditional aggregates — one pass, one tiny
+    shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        (
+            (F.col("vec_id") >= IVF_NLIST) & (F.col("vec_id") % 5 == 4)
+        ).alias("is_delta"),
+    )
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cent_id")
+    )
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "is_delta", "cent_id", cos_c.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("is_delta", "cent_id", micro(F.col("cos")).alias("cos_micro"))
+    )
+    g = assigned.groupBy("cent_id").agg(
+        F.count(F.when(~F.col("is_delta"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_base"),
+        F.count(F.when(F.col("is_delta"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_delta"),
+        F.sum(F.when(~F.col("is_delta"), F.col("cos_micro")))
+        .cast("bigint")
+        .alias("s_base"),
+        F.sum(F.when(F.col("is_delta"), F.col("cos_micro")))
+        .cast("bigint")
+        .alias("s_delta"),
+    )
+    return g.select(
+        "cent_id",
+        "n_base",
+        "n_delta",
+        F.floor(
+            F.col("n_delta").cast("double") / F.col("n_base")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("growth_micro"),
+        F.floor(
+            F.col("s_base").cast("double") / F.col("n_base") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_cos_base_micro"),
+        F.when(
+            F.col("n_delta") > 0,
+            F.floor(
+                F.col("s_delta").cast("double") / F.col("n_delta")
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("mean_cos_delta_micro"),
+        F.when(
+            F.lit(5) * F.col("n_delta") > F.col("n_base"), F.lit("rebalance")
+        )
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    ).orderBy("cent_id")
 
 
 @query(

@@ -209,6 +209,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r9 additions (full oracle; land AFTER the r8-additions backlog so
     # the never-rowed queue drains deterministically):
     "plan_fingerprint_gate",
+    "sim_ann_ivf_incremental",
+    "dedup_semantic_clusters",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

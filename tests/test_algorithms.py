@@ -5624,3 +5624,91 @@ def test_fano_dispersion_matches_python(spark, sf_dir):
         assert r.var_micro == math.floor(var * 1e6 + 0.5)
         assert r.fano_micro == math.floor(var / mean * 1e6 + 0.5)
         assert r.bursty == (var / mean > 1.5)
+
+
+def test_ivf_incremental_counters_and_fence(spark, sf_dir):
+    """Incremental IVF maintenance invariants: every vector lands in
+    exactly one list (cohort counts partition the corpus), the delta
+    predicate withholds ~20% of the non-centroid corpus, each centroid
+    claims itself into its own baseline list, and the rebalance verdict
+    is exactly the 5*n_delta > n_base integer fence."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        IVF_NLIST,
+        sim_ann_ivf_incremental,
+    )
+
+    rows = sim_ann_ivf_incremental(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    n_delta_true = sum(
+        1 for v in range(n) if v >= IVF_NLIST and v % 5 == 4
+    )
+    assert len(rows) == IVF_NLIST
+    assert sum(r.n_base + r.n_delta for r in rows) == n
+    assert sum(r.n_delta for r in rows) == n_delta_true
+    for r in rows:
+        assert r.n_base >= 1  # a centroid is always its own nearest
+        assert (r.verdict == "rebalance") == (5 * r.n_delta > r.n_base)
+        assert (r.mean_cos_delta_micro is None) == (r.n_delta == 0)
+        assert r.growth_micro == __import__("math").floor(
+            r.n_delta / r.n_base * 1e6 + 0.5
+        )
+
+
+def test_semantic_clusters_match_python_components(spark, sf_dir):
+    """The semantic components must equal a full python union-find over
+    the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
+    order), and every component must stay inside one kmeans cluster."""
+    import collections
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.dedup import (
+        SEMANTIC_DUP_THRESHOLD,
+        dedup_semantic_clusters,
+    )
+    from data_integration_tool_spark.operators.similarity import (
+        _kmeans_final,
+        pairwise_cosine_exact,
+    )
+
+    got = {
+        r.vec_id: (r.cid, r.semantic_id)
+        for r in dedup_semantic_clusters(spark, sf_dir).collect()
+    }
+    asg = {
+        r.vec_id: r.cid for r in _kmeans_final(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    by_cid = collections.defaultdict(list)
+    for vid, cid in asg.items():
+        by_cid[cid].append(vid)
+    parent = {v: v for v in asg}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for cid, vids in by_cid.items():
+        vids = sorted(vids)
+        A = np.stack([emb[v] for v in vids])
+        cos = pairwise_cosine_exact(A)
+        for i in range(len(vids)):
+            for j in range(i + 1, len(vids)):
+                if cos[i, j] >= SEMANTIC_DUP_THRESHOLD:
+                    ra, rb = find(vids[i]), find(vids[j])
+                    if ra != rb:
+                        lo, hi = min(ra, rb), max(ra, rb)
+                        parent[hi] = lo
+    want = {v: (asg[v], find(v)) for v in asg}
+    assert got == want
+    # components never span kmeans clusters
+    comp_cids = collections.defaultdict(set)
+    for v, (cid, sid) in got.items():
+        comp_cids[sid].add(cid)
+    assert all(len(cs) == 1 for cs in comp_cids.values())
