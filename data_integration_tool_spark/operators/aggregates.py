@@ -4266,3 +4266,122 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("harmonic_mean_cents"),
     ).orderBy("seg")
+
+
+# Kendall tau-b shared formula: exact integer concordance counts at
+# NATION grain (n=25 → 300 pairs), with the tie-corrected denominator
+# sqrt((n0-n1)(n0-n2)) computed once from integer tie tallies.
+_TAU_B = (
+    "(CAST(n_conc - n_disc AS DOUBLE)"
+    " / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))))"
+)
+
+
+@query(
+    "agg_kendall_tau",
+    oracle=f"""
+        WITH g AS (
+            SELECT s.s_nationkey AS k,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS y
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_nationkey
+        ),
+        pairs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y)
+                        > 0) AS BIGINT) AS n_conc,
+                   CAST(count(*) FILTER (WHERE (a.x - b.x) * (a.y - b.y)
+                        < 0) AS BIGINT) AS n_disc,
+                   CAST(count(*) FILTER (WHERE a.x = b.x) AS BIGINT)
+                       AS n1,
+                   CAST(count(*) FILTER (WHERE a.y = b.y) AS BIGINT)
+                       AS n2
+            FROM g a JOIN g b ON a.k < b.k
+        ),
+        m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n,
+                     n0, n_conc, n_disc, n1, n2 FROM pairs)
+        SELECT n, n_conc, n_disc, n1 AS n_ties_x, n2 AS n_ties_y,
+               CASE WHEN n0 > n1 AND n0 > n2 THEN
+                   CAST(floor({_TAU_B} * 1000000.0 + 0.5) AS BIGINT)
+               END AS tau_b_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "correlation", "rank"),
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between supplier-nation shipment VOLUME (lineitem
+    count) and REVENUE (summed cents) — the rank-concordance
+    companion to agg_spearman_corr: spearman correlates the rank
+    VALUES (sensitive to rank distances), tau counts pairwise order
+    agreements (robust to any monotone distortion), and disagreement
+    between the two flags influential outlier segments.
+
+    Exactness: both metrics per nation are exact integers (count /
+    summed cents), so concordant/discordant/tie classification is
+    pure integer sign arithmetic over the 300 nation pairs; the
+    tie-corrected tau-b denominator folds once through sqrt and the
+    whole expression is spelled identically in both engines; a
+    fully-tied axis yields NULL, not 0/0.
+
+    Plan: ONE combinable nation-grain aggregate over the fact scan
+    (the only data-sized stage — eagerly checkpointed because THREE
+    consumers reference it in the final job: both self-join legs and
+    the n count; without the cut each would re-scan the fact table,
+    no cross-branch CSE), then a 25×25 broadcast self-join and a
+    1-row reduce — concordance never touches row grain (the naive
+    form is O(rows²); this is O(segments²) with segments ≤ 25)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    g = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    ).localCheckpoint(eager=True)
+    a = g.alias("a")
+    b = g.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = a.join(b, F.col("a.k") < F.col("b.k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.count(F.when(prod > 0, F.lit(1))).cast("bigint").alias("n_conc"),
+        F.count(F.when(prod < 0, F.lit(1))).cast("bigint").alias("n_disc"),
+        F.count(F.when(F.col("a.x") == F.col("b.x"), F.lit(1)))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("a.y") == F.col("b.y"), F.lit(1)))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    n = g.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tau = F.expr(_TAU_B)
+    return (
+        F.broadcast(n)
+        .crossJoin(pairs)
+        .select(
+            "n",
+            "n_conc",
+            "n_disc",
+            F.col("n1").alias("n_ties_x"),
+            F.col("n2").alias("n_ties_y"),
+            F.when(
+                (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+                F.floor(tau * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("tau_b_micro"),
+        )
+    )

@@ -1527,3 +1527,139 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     return labels.select("vec_id", "cid", "semantic_id").orderBy("vec_id")
+
+
+@query(
+    "dedup_impact_report",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b, star_edge FROM ({_MINHASH_ORACLE})
+        ),
+        ex AS (
+            SELECT doc_id, source,
+                   CAST(length(text) AS BIGINT) AS bytes,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM documents
+        ),
+        near AS (
+            SELECT DISTINCT doc_b FROM pairs WHERE NOT star_edge
+        ),
+        flags AS (
+            SELECT e.source, e.bytes,
+                   CASE WHEN e.doc_id > e.canon THEN 1 ELSE 0 END
+                       AS exact_rm,
+                   CASE WHEN e.doc_id <= e.canon AND n.doc_b IS NOT NULL
+                        THEN 1 ELSE 0 END AS near_rm
+            FROM ex e LEFT JOIN near n ON n.doc_b = e.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(exact_rm) AS BIGINT) AS n_exact_removed,
+               CAST(sum(near_rm) AS BIGINT) AS n_near_removed,
+               CAST(count(*) - sum(exact_rm) - sum(near_rm) AS BIGINT)
+                   AS n_survivors,
+               CAST(sum(bytes) AS BIGINT) AS bytes_total,
+               CAST(sum(CASE WHEN exact_rm = 0 AND near_rm = 0
+                        THEN bytes ELSE 0 END) AS BIGINT)
+                   AS bytes_surviving,
+               CAST(floor(CAST(count(*) - sum(exact_rm) - sum(near_rm)
+                        AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                    AS BIGINT) AS survival_micro
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P4",
+    tags=("dedup", "reporting", "pipeline"),
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact — the report a training-data pipeline
+    publishes after its dedup stage: how many documents each source
+    loses to EXACT duplication (md5 canonical = min doc_id per text
+    digest), how many more to NEAR duplication (one-hop minhash
+    removal: the doc appears as the larger side of a shipped
+    candidate pair — star edges excluded, they assert connectivity,
+    not similarity), survivors, and the byte volumes that decide
+    storage/training-budget planning. A source with a LOW survival
+    rate is a crawl that mostly re-fetches what other sources already
+    contributed — the number that reprioritizes the crawler.
+
+    Precedence is deterministic: exact removal wins (a doc can't be
+    near-removed if it's already exact-removed); near removal keys on
+    the pair relation's doc_a < doc_b ordering, so the kept side is
+    always the smaller id — same canonical convention everywhere.
+
+    Plan: one md5-window pass for exact canonicals (shuffles on the
+    digest), the shared banded-minhash pair machinery for the near
+    set (linear, star-guarded), a distinct on removed ids, and ONE
+    source-grain roll-up. Composes the registered builders' relations
+    (_flat_signatures/_minhash_pairs), so the report can never drift
+    from what the dedup stage actually ships."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ex = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("bytes"),
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("canon"),
+    )
+    near = (
+        _minhash_pairs(_flat_signatures(d))
+        .filter(~F.col("star_edge"))
+        .select("doc_b")
+        .distinct()
+        .withColumn("in_near", F.lit(1))
+    )
+    flags = ex.join(near, ex.doc_id == near.doc_b, "left").select(
+        "source",
+        "bytes",
+        F.when(F.col("doc_id") > F.col("canon"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("exact_rm"),
+        F.when(
+            (F.col("doc_id") <= F.col("canon"))
+            & F.col("in_near").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("near_rm"),
+    )
+    surv = F.col("n_docs") - F.col("n_exact_removed") - F.col(
+        "n_near_removed"
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("exact_rm").cast("bigint").alias("n_exact_removed"),
+            F.sum("near_rm").cast("bigint").alias("n_near_removed"),
+            F.sum("bytes").cast("bigint").alias("bytes_total"),
+            F.sum(
+                F.when(
+                    (F.col("exact_rm") == 0) & (F.col("near_rm") == 0),
+                    F.col("bytes"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("bytes_surviving"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_removed",
+            "n_near_removed",
+            surv.cast("bigint").alias("n_survivors"),
+            "bytes_total",
+            "bytes_surviving",
+            F.floor(
+                surv.cast("double") / F.col("n_docs") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("survival_micro"),
+        )
+        .orderBy("source")
+    )

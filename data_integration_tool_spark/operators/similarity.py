@@ -3171,3 +3171,155 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intrinsic_dim_micro"),
     )
+
+
+_MAP_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label),
+    ranked AS (
+        SELECT query_id, qlabel,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe',
+                             'e.nrm', 'q.qnrm')} DESC, e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, qlabel, rel, rn,
+               CAST(sum(rel) OVER (
+                   PARTITION BY query_id ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits_at
+        FROM ranked WHERE rn <= 10
+    ),
+    terms AS (
+        SELECT query_id, qlabel,
+               CAST(sum(rel) AS BIGINT) AS n_rel_at_10,
+               CAST(sum(CASE WHEN rel = 1 THEN
+                   CAST(floor(CAST(hits_at AS DOUBLE) / rn
+                        * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS sum_prec_micro
+        FROM topk GROUP BY query_id, qlabel
+    )
+    SELECT t.query_id,
+           CAST(lc.n - 1 AS BIGINT) AS n_rel_total,
+           t.n_rel_at_10,
+           CASE WHEN least(lc.n - 1, 10) > 0 THEN
+               CAST(floor(CAST(t.sum_prec_micro AS DOUBLE)
+                    / least(lc.n - 1, 10) + 0.5) AS BIGINT)
+           END AS ap_micro
+    FROM terms t JOIN lc ON lc.label = t.qlabel
+    ORDER BY t.query_id
+"""
+
+
+@query(
+    "eval_map_at_k",
+    oracle=_MAP_ORACLE,
+    phase="P4",
+    tags=("evaluation", "similarity", "ranking"),
+)
+def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 over the 20-query retrieval set (relevant = same label):
+    for each query, exact top-10 by cosine, average precision =
+    Σ_{{hit i}} precision@i / min(R, 10) — the binary-relevance
+    companion to eval_ndcg_at_k's graded ranking and the quality
+    number a retrieval pipeline tracks next to sim_ivf_recall_audit's
+    coverage (recall says the probe FOUND the neighbors; MAP says the
+    found ones were the RIGHT ones, early).
+
+    Exactness: ranking uses (cosine, vec_id) tiebreaks; each
+    precision@i quantizes to micro the moment it's computed (hits/rank
+    — two exact integers, one spelled division) so the per-query fold
+    is an order-free integer sum; the final AP division is spelled
+    once; queries with zero possible relevants yield NULL, not 0/0.
+
+    Plan: corpus × 20 broadcast queries with per-partition partial
+    TakeOrdered shape (same as sim_knn_batch); everything after the
+    top-10 filter is 200-row grain."""
+    ne = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    lc = F.broadcast(
+        ne.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            "vec_id",
+            rescore.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    topk = ranked.select(
+        "query_id",
+        "qlabel",
+        "rel",
+        "rn",
+        F.sum("rel").over(w_cum).cast("bigint").alias("hits_at"),
+    )
+    terms = topk.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_at_10"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.floor(
+                    F.col("hits_at").cast("double") / F.col("rn")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("sum_prec_micro"),
+    )
+    gtp = F.least(F.col("n") - 1, F.lit(10))
+    return (
+        terms.join(lc, terms.qlabel == lc.label)
+        .select(
+            "query_id",
+            (F.col("n") - 1).cast("bigint").alias("n_rel_total"),
+            "n_rel_at_10",
+            F.when(
+                gtp > 0,
+                F.floor(
+                    F.col("sum_prec_micro").cast("double") / gtp
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("ap_micro"),
+        )
+        .orderBy("query_id")
+    )

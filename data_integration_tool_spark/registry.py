@@ -211,6 +211,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "plan_fingerprint_gate",
     "sim_ann_ivf_incremental",
     "dedup_semantic_clusters",
+    "ts_periodogram",
+    "eval_map_at_k",
+    "agg_kendall_tau",
+    "etl_retention_sweep",
+    "multimodal_shard_plan",
+    "dedup_impact_report",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

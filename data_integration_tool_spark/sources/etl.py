@@ -2354,3 +2354,114 @@ def etl_deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("skip")
         .alias("action"),
     ).orderBy("mth")
+
+
+# Retention policy (days) per event class — conversion events are
+# compliance-retained far longer than noise. Embedded identically in
+# both engines.
+_RETENTION_TTL_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 365 WHEN 'signup' THEN 365"
+    " WHEN 'click' THEN 30 WHEN 'view' THEN 14 ELSE 7 END"
+)
+_RETENTION_US_PER_DAY = 86400000000
+
+
+@query(
+    "etl_retention_sweep",
+    oracle=f"""
+        WITH now_ AS (
+            SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS now_us
+            FROM events
+        ),
+        tagged AS (
+            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                        < now_us - ({_RETENTION_TTL_SQL})
+                          * {_RETENTION_US_PER_DAY}
+                        THEN 1 ELSE 0 END AS expired,
+                   CAST(length(props) + length(event_type) + 28
+                        AS BIGINT) AS row_bytes
+            FROM events, now_
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(expired) AS BIGINT) AS n_expired,
+               CAST(sum(CASE WHEN expired = 1 THEN row_bytes ELSE 0 END)
+                    AS BIGINT) AS expired_bytes,
+               CASE WHEN sum(expired) = count(*) THEN 'drop_partition'
+                    WHEN sum(expired) > 0 THEN 'rewrite'
+                    ELSE 'keep' END AS action
+        FROM tagged
+        GROUP BY day
+        ORDER BY day
+    """,
+    phase="P3",
+    tags=("etl", "retention", "lake-maintenance"),
+)
+def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention sweep planner — the data-age sibling of
+    etl_vacuum_plan (which retires superseded VERSIONS; this retires
+    rows past their class retention, GDPR/cost-driven): per event
+    class, purchase/signup keep 365 days, click 30, view 14,
+    everything else 7, anchored at the table's max timestamp (a
+    deterministic 'now'). The manifest is per DAY PARTITION with the
+    three real actions: 'drop_partition' (all rows expired — a
+    metadata-only delete), 'rewrite' (mixed TTL classes straddle the
+    cutoff — copy survivors), 'keep'. Expired byte volume (props +
+    type + fixed width) sizes the reclaim.
+
+    Exactness: the age test is pure integer microsecond arithmetic
+    (epoch_us < now_us − ttl·86400e6 — no interval types, whose
+    day/month semantics differ across engines); counts and byte sums
+    are exact BIGINTs; the action ladder is integer compares.
+
+    Plan: one 1-row max aggregate broadcast back (the house
+    broadcast-scalar crossJoin), then ONE combinable day-grain pass
+    over the scan — at 100 TB the sweep reads partition stats, not
+    rows, for the all-expired fast path; the row pass only prices
+    'rewrite' partitions."""
+    e = load(spark, sf_dir, "events")
+    now = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("now_us"))
+    tagged = e.crossJoin(F.broadcast(now)).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.when(
+            F.unix_micros(F.col("ts"))
+            < F.col("now_us")
+            - F.expr(_RETENTION_TTL_SQL) * F.lit(_RETENTION_US_PER_DAY),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("expired"),
+        (
+            F.length("props") + F.length("event_type") + F.lit(28)
+        )
+        .cast("bigint")
+        .alias("row_bytes"),
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("expired").cast("bigint").alias("n_expired"),
+            F.sum(
+                F.when(F.col("expired") == 1, F.col("row_bytes")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("expired_bytes"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "n_expired",
+            "expired_bytes",
+            F.when(
+                F.col("n_expired") == F.col("n_rows"), "drop_partition"
+            )
+            .when(F.col("n_expired") > 0, "rewrite")
+            .otherwise("keep")
+            .alias("action"),
+        )
+        .orderBy("day")
+    )

@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -325,4 +325,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("payload_len") - F.col("off"),
         ).alias("frame_len"),
         F.md5(frame).alias("frame_md5"),
+    )
+
+
+SHARD_CAPACITY_BYTES = 65536
+
+
+@query(
+    "multimodal_shard_plan",
+    oracle=f"""
+        WITH blobs AS (
+            SELECT doc_id, source,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS plen
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, source, plen,
+                   CAST(coalesce(sum(plen) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                        // {SHARD_CAPACITY_BYTES} AS BIGINT) AS shard_idx
+            FROM blobs
+        )
+        SELECT source, shard_idx,
+               CAST(count(*) AS BIGINT) AS n_blobs,
+               CAST(sum(plen) AS BIGINT) AS shard_bytes,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc,
+               CAST(floor(CAST(sum(plen) AS DOUBLE)
+                    / {SHARD_CAPACITY_BYTES} * 1000000.0 + 0.5)
+                    AS BIGINT) AS fill_micro
+        FROM placed
+        GROUP BY source, shard_idx
+        ORDER BY source, shard_idx
+    """,
+    phase="P4",
+    tags=("multimodal", "layout", "sharding"),
+)
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-balanced shard plan for media blobs — the write-side
+    layout step a multimodal corpus needs before training ingestion
+    (webdataset/tar shards want ~uniform byte sizes, not uniform blob
+    COUNTS: video blobs dwarf thumbnails). Blobs pack next-fit in
+    doc_id order within their source: shard = floor(preceding-bytes /
+    64 KiB), so assignment is deterministic, append-stable (new docs
+    never reshuffle old shards), and reproducible across engines.
+    Per shard: blob count, byte total, id range (the manifest a
+    reader seeks by), and fill ratio — chronic underfill says the
+    capacity is mis-sized for the blob distribution.
+
+    Exactness: byte lengths and the running sum are exact BIGINTs;
+    shard assignment is integer floor-division; the fill ratio is
+    one spelled division quantized to micro.
+
+    Plan: ONE running-sum window PARTITIONED BY SOURCE (never a
+    global single-partition window — the k-partition trap; sources
+    are the natural shard namespaces and each packs independently),
+    then a combinable (source, shard) roll-up. At 100 TB both stages
+    shuffle on the source key only."""
+    d = load(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        "source",
+        F.length(F.col("text").cast("binary")).cast("bigint").alias("plen"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = blobs.select(
+        "doc_id",
+        "source",
+        "plen",
+        (
+            F.coalesce(F.sum("plen").over(w), F.lit(0))
+            / F.lit(SHARD_CAPACITY_BYTES)
+        )
+        .cast("bigint")
+        .alias("shard_idx"),
+    )
+    return (
+        placed.groupBy("source", "shard_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.sum("plen").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .select(
+            "source",
+            "shard_idx",
+            "n_blobs",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+            F.floor(
+                F.col("shard_bytes").cast("double")
+                / F.lit(SHARD_CAPACITY_BYTES)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fill_micro"),
+        )
+        .orderBy("source", "shard_idx")
     )

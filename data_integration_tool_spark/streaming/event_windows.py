@@ -3665,3 +3665,158 @@ def agg_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fano_micro"),
         (F.expr(_FANO) > F.lit(1.5)).alias("bursty"),
     ).orderBy("event_type")
+
+
+# --- periodogram (Goertzel-style DFT power at fixed candidate periods) ----
+# Basis coefficients cos(2πk/P), sin(2πk/P) are minted ONCE in Python
+# and EMBEDDED as double literals in BOTH engines (the splitmix64
+# constant-embedding rule): libm cos/sin may differ across engines in
+# the last ULP, but multiplying the SAME literal by the same integer is
+# bit-identical everywhere.
+_PGRAM_PERIODS: tuple[int, ...] = (2, 3, 4, 6, 8, 12, 24)
+
+
+def _pgram_coefs(p: int) -> tuple[list[float], list[float]]:
+    import math
+
+    cos = [math.cos(2.0 * math.pi * k / p) for k in range(p)]
+    sin = [math.sin(2.0 * math.pi * k / p) for k in range(p)]
+    return cos, sin
+
+
+def _pgram_case_sql(p: int, coefs: list[float]) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {c!r}" for k, c in enumerate(coefs)
+    )
+    return f"CASE (t % {p}) {whens} END"
+
+
+def _pgram_oracle() -> str:
+    sums = []
+    for p in _PGRAM_PERIODS:
+        cos, sin = _pgram_coefs(p)
+        for tag, coefs in (("c", cos), ("s", sin)):
+            sums.append(
+                f"CAST(sum(CAST(floor(x * ({_pgram_case_sql(p, coefs)})"
+                f" * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+                f" AS {tag}{p}"
+            )
+    branches = " UNION ALL ".join(
+        f"SELECT {p} AS period, c{p} AS sum_cos_nano, s{p} AS sum_sin_nano"
+        f" FROM wide"
+        for p in _PGRAM_PERIODS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        wide AS MATERIALIZED (
+            SELECT {", ".join(sums)} FROM hourly
+        ),
+        rows_ AS ({branches}),
+        powered AS (
+            SELECT period, sum_cos_nano, sum_sin_nano,
+                   CAST(floor(
+                       (CAST(sum_cos_nano AS DOUBLE) / 1000000000.0)
+                     * (CAST(sum_cos_nano AS DOUBLE) / 1000000000.0)
+                     + (CAST(sum_sin_nano AS DOUBLE) / 1000000000.0)
+                     * (CAST(sum_sin_nano AS DOUBLE) / 1000000000.0)
+                     + 0.5) AS BIGINT) AS power_unit
+            FROM rows_
+        )
+        SELECT CAST(period AS BIGINT) AS period,
+               sum_cos_nano, sum_sin_nano, power_unit,
+               power_unit = max(power_unit) OVER () AS is_dominant
+        FROM powered
+        ORDER BY period
+    """
+
+
+@query(
+    "ts_periodogram",
+    oracle=_pgram_oracle(),
+    phase="P4",
+    tags=("timeseries", "spectral", "seasonality"),
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram over the hourly event-count series: DFT power at
+    seven candidate periods (2–24 h) via the Goertzel projection
+    P(p) = (Σ x_t·cos(2πt/p))² + (Σ x_t·sin(2πt/p))² — the spectral
+    sibling of ts_seasonal_strength's folded-mean test, answering
+    "WHICH cycle dominates" rather than "how strong is the 24 h one".
+    The dominant-period flag drives downstream window sizing
+    (stream_tumbling's width, feed-gap expectations).
+
+    Exactness: the trig basis is minted once in Python and embedded
+    as double literals in BOTH engines (libm cos/sin may differ in
+    the last ULP across engines; multiplying the same literal is
+    bit-identical); each x·coef term nano-quantizes at HOUR grain so
+    both projections are order-free BIGINT sums; the power fold is
+    spelled once over the quantized sums. Headroom: |Σ| ≤ total
+    events × 1e9 ≈ 1e15 ≪ 2^63 at sf0.1; power_unit ≤ 1e12 — at
+    corpus scales past ~1e9 events/hour-span drop the term grain to
+    micro.
+
+    Plan: ONE combinable hour-grain aggregate over the scan, then 14
+    conditional sums in ONE 1-row aggregate (no per-period rescan —
+    cross-branch CSE does not exist), unpivoted to 7 rows; the
+    dominant flag is a window over those 7."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    aggs = []
+    for p in _PGRAM_PERIODS:
+        cos, sin = _pgram_coefs(p)
+        for tag, coefs in (("c", cos), ("s", sin)):
+            coef = F.element_at(
+                F.array(*[F.lit(float(v)) for v in coefs]),
+                (F.col("t") % p).cast("int") + 1,
+            )
+            aggs.append(
+                F.sum(
+                    F.floor(
+                        F.col("x") * coef * F.lit(1000000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias(f"{tag}{p}")
+            )
+    wide = hourly.agg(*aggs)
+    stack_args = []
+    for p in _PGRAM_PERIODS:
+        stack_args += [F.lit(p).cast("bigint"), F.col(f"c{p}"), F.col(f"s{p}")]
+    rows = wide.select(
+        F.stack(
+            F.lit(len(_PGRAM_PERIODS)), *stack_args
+        ).alias("period", "sum_cos_nano", "sum_sin_nano")
+    )
+    sc = F.col("sum_cos_nano").cast("double") / F.lit(1000000000.0)
+    ss = F.col("sum_sin_nano").cast("double") / F.lit(1000000000.0)
+    powered = rows.select(
+        "period",
+        "sum_cos_nano",
+        "sum_sin_nano",
+        F.floor(sc * sc + ss * ss + F.lit(0.5))
+        .cast("bigint")
+        .alias("power_unit"),
+    )
+    w = Window.partitionBy()
+    return powered.select(
+        "period",
+        "sum_cos_nano",
+        "sum_sin_nano",
+        "power_unit",
+        (F.col("power_unit") == F.max("power_unit").over(w)).alias(
+            "is_dominant"
+        ),
+    ).orderBy("period")

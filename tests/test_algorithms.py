@@ -5712,3 +5712,232 @@ def test_semantic_clusters_match_python_components(spark, sf_dir):
     for v, (cid, sid) in got.items():
         comp_cids[sid].add(cid)
     assert all(len(cs) == 1 for cs in comp_cids.values())
+
+
+def test_periodogram_matches_python(spark, sf_dir):
+    """Projection sums must match a python recompute over the same
+    hourly series with the same embedded trig literals; exactly the
+    max-power rows carry the dominant flag."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        _PGRAM_PERIODS,
+        _pgram_coefs,
+        ts_periodogram,
+    )
+
+    rows = {r.period: r for r in ts_periodogram(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").collect()
+    hourly = {}
+    for e in ev:
+        t = int(e.ts.timestamp() * 1_000_000) // 3_600_000_000
+        hourly[t] = hourly.get(t, 0) + 1
+    for p in _PGRAM_PERIODS:
+        cos, sin = _pgram_coefs(p)
+        sc = sum(
+            math.floor(x * cos[t % p] * 1e9 + 0.5)
+            for t, x in hourly.items()
+        )
+        ss = sum(
+            math.floor(x * sin[t % p] * 1e9 + 0.5)
+            for t, x in hourly.items()
+        )
+        assert (rows[p].sum_cos_nano, rows[p].sum_sin_nano) == (sc, ss), p
+        assert rows[p].power_unit == math.floor(
+            (sc / 1e9) * (sc / 1e9) + (ss / 1e9) * (ss / 1e9) + 0.5
+        )
+    mx = max(r.power_unit for r in rows.values())
+    assert all((r.power_unit == mx) == r.is_dominant for r in rows.values())
+
+
+def test_map_at_k_matches_python(spark, sf_dir):
+    """AP@10 must match a numpy recompute with identical ranking
+    tiebreaks and per-position quantization."""
+    import math
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        eval_map_at_k,
+    )
+
+    got = {r.query_id: r for r in eval_map_at_k(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    from collections import Counter
+
+    lc = Counter(labels.values())
+    for qid in range(20):
+        qv = vecs[qid]
+        qn = math.sqrt(float(np.dot(qv, qv)))
+        scored = sorted(
+            (
+                (-float(np.dot(v, qv)) / (math.sqrt(float(np.dot(v, v))) * qn), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            ),
+        )[:10]
+        hits = 0
+        s = 0
+        for i, (_, vid) in enumerate(scored, 1):
+            if labels[vid] == labels[qid]:
+                hits += 1
+                s += math.floor(hits / i * 1e6 + 0.5)
+        r = got[qid]
+        gtp = min(lc[labels[qid]] - 1, 10)
+        assert r.n_rel_total == lc[labels[qid]] - 1
+        assert r.n_rel_at_10 == hits
+        assert r.ap_micro == (math.floor(s / gtp + 0.5) if gtp else None)
+
+
+def test_kendall_tau_matches_python(spark, sf_dir):
+    """tau-b must match an integer-arithmetic recompute over the same
+    nation-grain aggregates."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_kendall_tau,
+    )
+
+    r = agg_kendall_tau(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").collect()
+    sup = {
+        s.s_suppkey: s.s_nationkey
+        for s in load(spark, sf_dir, "supplier").collect()
+    }
+    agg = {}
+    for row in li:
+        k = sup[row.l_suppkey]
+        x, y = agg.get(k, (0, 0))
+        agg[k] = (x + 1, y + math.floor(row.l_extendedprice * 100 + 0.5))
+    pts = list(agg.values())
+    n = len(pts)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            if p > 0:
+                conc += 1
+            elif p < 0:
+                disc += 1
+            if pts[i][0] == pts[j][0]:
+                tx += 1
+            if pts[i][1] == pts[j][1]:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    assert (r.n, r.n_conc, r.n_disc, r.n_ties_x, r.n_ties_y) == (
+        n, conc, disc, tx, ty,
+    )
+    if n0 > tx and n0 > ty:
+        tau = (conc - disc) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+        assert r.tau_b_micro == math.floor(tau * 1e6 + 0.5)
+
+
+def test_retention_sweep_partitions_corpus(spark, sf_dir):
+    """The day manifest must partition the corpus exactly, the age
+    test must match integer-microsecond python arithmetic, and the
+    action ladder must be consistent."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        _RETENTION_US_PER_DAY,
+        etl_retention_sweep,
+    )
+
+    rows = etl_retention_sweep(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").collect()
+    ttl = {"purchase": 365, "signup": 365, "click": 30, "view": 14}
+    now_us = max(int(e.ts.timestamp() * 1_000_000) for e in ev)
+    n_exp = sum(
+        1
+        for e in ev
+        if int(e.ts.timestamp() * 1_000_000)
+        < now_us - ttl.get(e.event_type, 7) * _RETENTION_US_PER_DAY
+    )
+    assert sum(r.n_rows for r in rows) == len(ev)
+    assert sum(r.n_expired for r in rows) == n_exp
+    for r in rows:
+        assert 0 <= r.n_expired <= r.n_rows
+        want = (
+            "drop_partition"
+            if r.n_expired == r.n_rows
+            else ("rewrite" if r.n_expired > 0 else "keep")
+        )
+        assert r.action == want
+
+
+def test_shard_plan_matches_nextfit(spark, sf_dir):
+    """Shard assignment must equal a python next-fit packing in doc_id
+    order per source, and shard byte totals must partition the
+    source's bytes."""
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.multimodal import (
+        SHARD_CAPACITY_BYTES,
+        multimodal_shard_plan,
+    )
+
+    got = {
+        (r.source, r.shard_idx): r
+        for r in multimodal_shard_plan(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d.source].append((d.doc_id, len(d.text.encode())))
+    want = defaultdict(lambda: [0, 0, None, None])  # n, bytes, first, last
+    for src, blobs in by_src.items():
+        cum = 0
+        for doc_id, plen in sorted(blobs):
+            idx = cum // SHARD_CAPACITY_BYTES
+            w = want[(src, idx)]
+            w[0] += 1
+            w[1] += plen
+            w[2] = doc_id if w[2] is None else w[2]
+            w[3] = doc_id
+            cum += plen
+    assert set(got) == set(want)
+    for k, (n, b, fd, ld) in want.items():
+        r = got[k]
+        assert (r.n_blobs, r.shard_bytes, r.first_doc, r.last_doc) == (
+            n, b, fd, ld,
+        )
+
+
+def test_dedup_impact_partitions_and_exact_leg(spark, sf_dir):
+    """Counts must partition each source; the exact-dup leg must match
+    a python md5-canonical recompute; removals never exceed docs."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.dedup import (
+        dedup_impact_report,
+    )
+
+    rows = dedup_impact_report(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").collect()
+    canon = {}
+    for d in docs:
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        canon[h] = min(canon.get(h, d.doc_id), d.doc_id)
+    exact_by_src = defaultdict(int)
+    n_by_src = defaultdict(int)
+    for d in docs:
+        n_by_src[d.source] += 1
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        if d.doc_id > canon[h]:
+            exact_by_src[d.source] += 1
+    for r in rows:
+        assert r.n_docs == n_by_src[r.source]
+        assert r.n_exact_removed == exact_by_src[r.source]
+        assert (
+            r.n_exact_removed + r.n_near_removed + r.n_survivors
+            == r.n_docs
+        )
+        assert r.bytes_surviving <= r.bytes_total
+    assert sum(r.n_docs for r in rows) == len(docs)
