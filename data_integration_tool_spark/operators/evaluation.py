@@ -1287,3 +1287,116 @@ def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cost_all_positive"),
         )
     )
+
+
+@query(
+    "eval_gauc",
+    oracle="""
+        WITH scored AS (
+            SELECT user_id,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, s,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS np
+            FROM scored GROUP BY user_id, s
+        ),
+        cum AS (
+            SELECT user_id, s, cnt, np, cnt - np AS nn,
+                   CAST(coalesce(sum(cnt - np) OVER (
+                       PARTITION BY user_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+            FROM grp
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(sum(np * (2 * cneg + nn)) AS BIGINT) AS num2
+            FROM cum GROUP BY user_id
+        ),
+        eligible AS (
+            SELECT * FROM per_user WHERE n_pos > 0 AND n_neg > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_pos * n_neg) AS BIGINT) AS n_pairs,
+               CAST(sum(num2) AS BIGINT) AS sum_num2,
+               CAST(floor(CAST(sum(num2) AS DOUBLE)
+                    / (2.0 * sum(n_pos * n_neg))
+                    * 1000000.0 + 0.5) AS BIGINT) AS gauc_micro
+        FROM eligible
+    """,
+    phase="P4",
+    tags=("evaluation", "ranking", "auc"),
+)
+def eval_gauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AUC (GAUC) — the CTR-ranking industry metric: per-user
+    AUC of the value score against the purchase label, pair-weighted
+    across users (w_u = pos_u·neg_u, so the aggregate is exactly
+    'probability a random within-user (pos, neg) pair ranks
+    correctly'). Global AUC (eval_auc_rank) rewards models that
+    merely rank heavy users above light ones; GAUC cancels the
+    between-user component — the difference between the two is the
+    leakage a ranking model gets from user identity.
+
+    Exactness: the doubled rank-sum numerator 2U = Σ np·(2·cneg + nn)
+    per user is an exact integer (ties get their nn half-credit
+    without fractions), weights are exact integer pair counts, and
+    the single division folds the weighted mean in one spelled
+    expression.
+
+    Plan: collapse to (user, score) grain in ONE combinable pass,
+    cumulate negatives per user (keyed window — never global), fold
+    to user grain, then one 1-row reduce. Same scale contract as
+    eval_auc_rank with user_id as the partition key throughout."""
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        "user_id",
+        micro(F.col("value")).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    grp = scored.groupBy("user_id", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grp.select(
+        "user_id",
+        "np",
+        (F.col("cnt") - F.col("np")).alias("nn"),
+        F.coalesce(F.sum(F.col("cnt") - F.col("np")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cneg"),
+    )
+    per_user = cum.groupBy("user_id").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * (F.lit(2) * F.col("cneg") + F.col("nn")))
+        .cast("bigint")
+        .alias("num2"),
+    )
+    eligible = per_user.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    return eligible.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("n_pos") * F.col("n_neg"))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.sum("num2").cast("bigint").alias("sum_num2"),
+        F.floor(
+            F.sum("num2").cast("double")
+            / (F.lit(2.0) * F.sum(F.col("n_pos") * F.col("n_neg")))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("gauc_micro"),
+    )

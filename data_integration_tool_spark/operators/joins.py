@@ -1384,3 +1384,126 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(skew_split)).cast("bigint").alias("skew_split"),
         F.lit(int(smj)).cast("bigint").alias("smj"),
     ).orderBy("o_orderpriority")
+
+
+ASOF_TOLERANCE_DAYS = 3  # max staleness an as-of match may carry
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+        WITH matched AS (
+            SELECT o_orderkey, o_custkey, cutoff, event_id, ts
+            FROM (
+                SELECT o.o_orderkey, o.o_custkey,
+                       TIMESTAMP '2024-01-15 00:00:00'
+                         + INTERVAL (o.o_orderkey % 14) DAY AS cutoff,
+                       e.event_id, e.ts,
+                       row_number() OVER (
+                           PARTITION BY o.o_orderkey
+                           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                FROM orders o
+                LEFT JOIN events e
+                  ON e.user_id = o.o_custkey % 150
+                 AND e.ts <= TIMESTAMP '2024-01-15 00:00:00'
+                       + INTERVAL (o.o_orderkey % 14) DAY
+            ) WHERE rn = 1
+        )
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN ts IS NULL THEN 'no_history'
+                    WHEN epoch_us(cutoff) - epoch_us(CAST(ts AS
+                         TIMESTAMP)) > {ASOF_TOLERANCE_DAYS}
+                         * 86400000000 THEN 'stale_dropped'
+                    ELSE 'matched' END AS status,
+               CASE WHEN ts IS NOT NULL AND epoch_us(cutoff)
+                         - epoch_us(CAST(ts AS TIMESTAMP))
+                         <= {ASOF_TOLERANCE_DAYS} * 86400000000
+                    THEN event_id END AS last_event_id,
+               CASE WHEN ts IS NOT NULL AND epoch_us(cutoff)
+                         - epoch_us(CAST(ts AS TIMESTAMP))
+                         <= {ASOF_TOLERANCE_DAYS} * 86400000000
+                    THEN CAST((epoch_us(cutoff) - epoch_us(CAST(ts AS
+                         TIMESTAMP))) // 1000000 AS BIGINT)
+               END AS staleness_sec
+        FROM matched
+        ORDER BY o_orderkey
+    """,
+    phase="P3",
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    ``tolerance=`` semantics, which join_asof lacks): the latest event
+    at-or-before each order's cutoff COUNTS only if it is at most 3
+    days old — older state is worse than no state in feature
+    pipelines (a point-in-time feature built from a week-old snapshot
+    silently trains on a different regime). Every order ships with a
+    disposition: 'matched' (+ event id and its staleness), or
+    'stale_dropped' / 'no_history' with NULL features — the explicit
+    null-feature accounting a training pipeline audits.
+
+    Exactness: the staleness test is integer microsecond arithmetic;
+    cutoffs derive deterministically from o_orderkey (same convention
+    as join_asof); the tie-broken latest pick matches the oracle's
+    window ordering.
+
+    Plan: reuses join_asof's scalable shape — the event side
+    pre-reduces to ONE row per (key, day bucket) (map-side
+    combinable), a running max over each key's tiny bucket list, and
+    an equi-join on (key, cutoff); the tolerance is a POST-match
+    filter on the single surviving row, so it adds zero data-sized
+    work. Orders with no key history LEFT-survive (the naive inner
+    range join silently drops them)."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp") + (
+        F.col("o_orderkey") % 14
+    ).cast("int") * F.expr("INTERVAL 1 DAY")
+    ords = o.select("o_orderkey", "o_custkey", cutoff.alias("cutoff"))
+
+    bucket = F.date_trunc(
+        "day", F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")
+    ) + F.expr("INTERVAL 1 DAY")
+    per_bucket = (
+        e.select("user_id", bucket.alias("bucket"), "ts", "event_id")
+        .groupBy("user_id", "bucket")
+        .agg(F.max(F.struct("ts", "event_id")).alias("top"))
+    )
+    days = (
+        per_bucket.select("bucket")
+        .union(ords.select(F.col("cutoff").alias("bucket")))
+        .distinct()
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = grid.join(per_bucket, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.max("top").over(w).alias("best")
+    )
+    joined = ords.join(
+        dense,
+        (ords.o_custkey % 150 == dense.user_id)
+        & (ords.cutoff == dense.bucket),
+        "left",
+    )
+    stale_us = F.unix_micros(F.col("cutoff")) - F.unix_micros(
+        F.col("best.ts")
+    )
+    fence = F.lit(ASOF_TOLERANCE_DAYS * 86400000000)
+    fresh = F.col("best").isNotNull() & (stale_us <= fence)
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("best").isNull(), "no_history")
+        .when(stale_us > fence, "stale_dropped")
+        .otherwise("matched")
+        .alias("status"),
+        F.when(fresh, F.col("best.event_id")).alias("last_event_id"),
+        F.when(fresh, (stale_us / F.lit(1000000)).cast("bigint")).alias(
+            "staleness_sec"
+        ),
+    ).orderBy("o_orderkey")

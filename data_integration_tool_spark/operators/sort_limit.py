@@ -688,3 +688,49 @@ def sample_entity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+SYSTEMATIC_K = 20  # sampling interval
+SYSTEMATIC_OFFSET = 7  # fixed phase (deterministic, audit-replayable)
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn % {SYSTEMATIC_K} = {SYSTEMATIC_OFFSET}
+        ORDER BY doc_id
+    """,
+    phase="P2",
+    tags=("sample", "systematic"),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample, stratified by source: every 20th
+    document in doc_id order within each source, fixed phase 7 — the
+    quality-audit draw (eyeball every k-th item) whose coverage is
+    GUARANTEED even across ordered clumps, unlike Bernoulli sampling
+    which can miss a contiguous run entirely. Fully deterministic and
+    replayable: the same corpus always yields the same sample, and an
+    auditor can re-derive membership from (source, doc_id) alone.
+
+    Plan: one row_number window PARTITIONED BY SOURCE (the stratum is
+    the partition key — never a global single-partition window), one
+    modulo filter. At 100 TB with doc_id-sorted storage this becomes
+    a per-file arithmetic skip, no window at all."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") % SYSTEMATIC_K == SYSTEMATIC_OFFSET)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1658,3 +1658,107 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_VOCAB_KS = (10, 100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) AS t
+            FROM documents
+        ),
+        vocab AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk,
+                   CAST(sum(c) OVER (ORDER BY c DESC, t
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM vocab
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS vsize
+            FROM vocab
+        )
+        SELECT k, least(k, tot.vsize) AS vocab_used,
+               coalesce(r.cum, tot.total) AS covered_tokens,
+               tot.total AS total_tokens,
+               CAST(floor(CAST(coalesce(r.cum, tot.total) AS DOUBLE)
+                    / tot.total * 1000000.0 + 0.5) AS BIGINT)
+                   AS coverage_micro
+        FROM (VALUES {", ".join(f"({k})" for k in _VOCAB_KS)}) AS ks(k)
+        CROSS JOIN tot
+        LEFT JOIN ranked r ON r.rnk = least(ks.k, tot.vsize)
+        ORDER BY k
+    """,
+    phase="P4",
+    tags=("text", "vocabulary", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-k vocabulary covers at k = 10/100/1000/10000 — the number
+    that sizes a tokenizer (or an OOV budget) BEFORE training it:
+    coverage at the planned vocab size is the ceiling on non-<unk>
+    tokens, and a shallow curve says the corpus needs subword units,
+    not a bigger word vocab (companions: text_zipf_fit models the
+    same curve's slope; text_oov_rate measures a CHOSEN vocab
+    after the fact).
+
+    Exactness: counts and cumulative sums are exact BIGINTs over
+    deterministic (count DESC, token ASC) ranking; the coverage
+    ratio is one spelled division; k beyond the vocabulary
+    saturates to full coverage via the same coalesce on both
+    engines.
+
+    Plan: corpus scanned ONCE into vocabulary grain (combinable
+    token counts — the text.py house reduction); ranking windows run
+    at dictionary scale, and the k probes are a 4-row broadcast
+    lookup against the ranked relation."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("t"))
+    w_cum = Window.orderBy(F.desc("c"), F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = vocab.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vsize"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
+    joined = (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            ranked,
+            F.col("rnk") == F.least(F.col("k"), F.col("vsize")),
+            "left",
+        )
+    )
+    covered = F.coalesce(F.col("cum"), F.col("total"))
+    return joined.select(
+        "k",
+        F.least(F.col("k"), F.col("vsize")).alias("vocab_used"),
+        covered.alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+        F.floor(
+            covered.cast("double") / F.col("total") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("coverage_micro"),
+    ).orderBy("k")

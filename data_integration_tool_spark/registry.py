@@ -217,6 +217,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_retention_sweep",
     "multimodal_shard_plan",
     "dedup_impact_report",
+    "ts_mann_kendall",
+    "eval_gauc",
+    "sample_systematic",
+    "text_vocab_coverage",
+    "join_asof_tolerance",
+    "stream_watermark_audit",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -3820,3 +3820,285 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dominant"
         ),
     ).orderBy("period")
+
+
+# Mann-Kendall trend test: S = Σ_{i<j} sign(x_j − x_i) over the daily
+# series, tie-corrected Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)] / 18.
+# Everything stays integer until the single spelled Z division (the
+# continuity-corrected (S∓1)/sqrt(var)).
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+    " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+    " ELSE 0.0 END"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0))"
+)
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON a.d < b.d
+        ),
+        ties AS (
+            SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie_term
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                  FROM daily GROUP BY x) WHERE t > 1
+        ),
+        m AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+                   s.s_stat, ties.tie_term
+            FROM s, ties
+        ),
+        v AS (
+            SELECT n, s_stat, tie_term,
+                   n * (n - 1) * (2 * n + 5) - tie_term AS var18
+            FROM m
+        )
+        SELECT n AS n_days, s_stat, tie_term, CAST(var18 AS BIGINT)
+                   AS var18,
+               CASE WHEN var18 > 0 THEN
+                   CAST(floor({_MK_Z} * 1000000.0 + 0.5) AS BIGINT)
+               END AS z_micro,
+               CASE WHEN var18 <= 0 THEN 'degenerate'
+                    WHEN {_MK_Z} > 1.959964 THEN 'increasing'
+                    WHEN {_MK_Z} < -1.959964 THEN 'decreasing'
+                    ELSE 'no_trend' END AS verdict
+        FROM v
+    """,
+    phase="P4",
+    tags=("timeseries", "trend", "statistics"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric 'is volume drifting' gate next to ts_theil_sen's
+    slope estimate (theil_sen says HOW FAST; this says whether the
+    monotone trend is significant at 95%, robust to outliers and any
+    monotone transform).
+
+    Exactness: S is an exact integer pair-sign sum over day grain;
+    the tie correction and 18·Var(S) stay integer; only the final
+    continuity-corrected Z crosses one spelled sqrt/division, and
+    the 1.959964 fence compares the SAME spelled expression in both
+    engines.
+
+    Plan: ONE combinable day-grain aggregate (eagerly checkpointed —
+    FOUR consumers: both pair legs, the tie tally, and the n count;
+    without the cut each re-scans the corpus, no cross-branch CSE),
+    then a ≤(days)² broadcast self-join and 1-row folds — at a year
+    of daily grain that is 365² = 133k integer compares, constant
+    regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ).localCheckpoint(eager=True)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = a.join(b, F.col("a.d") < F.col("b.d")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+            .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (F.lit(2) * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    v = (
+        F.broadcast(n)
+        .crossJoin(s)
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "*",
+            (
+                F.col("n")
+                * (F.col("n") - 1)
+                * (F.lit(2) * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    z = F.expr(_MK_Z)
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "tie_term",
+        F.col("var18").cast("bigint").alias("var18"),
+        F.when(
+            F.col("var18") > 0,
+            F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("z_micro"),
+        F.when(F.col("var18") <= 0, "degenerate")
+        .when(z > 1.959964, "increasing")
+        .when(z < -1.959964, "decreasing")
+        .otherwise("no_trend")
+        .alias("verdict"),
+    )
+
+
+_WM_CANDIDATES = (10, 30, 60, 120)  # candidate watermark delays (sec)
+
+
+@query(
+    "stream_watermark_audit",
+    oracle=f"""
+        WITH arr AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     + CAST(regexp_extract(props, '([0-9]+)', 1)
+                            AS BIGINT) * 1000000 AS arr_us,
+                   event_id
+            FROM events
+        ),
+        wm AS (
+            SELECT event_type, ev_us,
+                   max(ev_us) OVER (
+                       PARTITION BY event_type
+                       ORDER BY arr_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS seen_max
+            FROM arr
+        ),
+        wide AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   {", ".join(
+                       f"CAST(count(*) FILTER (WHERE seen_max IS NOT NULL"
+                       f" AND ev_us < seen_max - {w} * 1000000)"
+                       f" AS BIGINT) AS d{w}"
+                       for w in _WM_CANDIDATES
+                   )}
+            FROM wm GROUP BY event_type
+        )
+        SELECT event_type, w_sec, n_events, n_dropped,
+               CAST(floor(CAST(n_dropped AS DOUBLE) / n_events
+                    * 1000000.0 + 0.5) AS BIGINT) AS drop_micro
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT event_type, CAST({w} AS BIGINT) AS w_sec,"
+                f" n_events, d{w} AS n_dropped FROM wide"
+                for w in _WM_CANDIDATES
+            )}
+        )
+        ORDER BY event_type, w_sec
+    """,
+    phase="P4",
+    tags=("streaming", "watermark", "planner"),
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planner: replay each event-type stream in
+    ARRIVAL order (arrival = event time + the per-event network delay
+    carried in props) and count, for candidate withWatermark delays
+    of 10/30/60/120 s, how many events a streaming job would DROP as
+    too-late (event time older than the running max seen so far minus
+    the delay — exactly Spark's watermark rule). This is the replay a
+    team runs BEFORE picking the delay: the smallest candidate whose
+    drop rate is acceptable bounds both state size and loss (the
+    round-6 lesson — production-tight watermarks silently drop late
+    events — turned into a measurement instead of a footgun).
+
+    Exactness: event/arrival times are integer microseconds (the
+    delay parses from props with the same regexp on both engines);
+    the running max is over a deterministic (arrival, event_id)
+    order; drop tests are integer compares; all four candidates fold
+    as conditional counts in ONE pass.
+
+    Plan: one window PARTITIONED BY EVENT TYPE (keyed streams — never
+    a global single-partition order), one type-grain conditional
+    aggregate, then a 4-way unpivot of the 1-row-per-type relation."""
+    e = load(spark, sf_dir, "events")
+    arr = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ev_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast(
+                "bigint"
+            )
+            * F.lit(1000000)
+        ).alias("arr_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = arr.select(
+        "event_type",
+        "ev_us",
+        F.max("ev_us").over(w).alias("seen_max"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for wsec in _WM_CANDIDATES:
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col("seen_max").isNotNull()
+                    & (
+                        F.col("ev_us")
+                        < F.col("seen_max") - F.lit(wsec * 1000000)
+                    ),
+                    F.lit(1),
+                )
+            )
+            .cast("bigint")
+            .alias(f"d{wsec}")
+        )
+    wide = wm.groupBy("event_type").agg(*aggs)
+    stack_args = []
+    for wsec in _WM_CANDIDATES:
+        stack_args += [F.lit(wsec).cast("bigint"), F.col(f"d{wsec}")]
+    rows = wide.select(
+        "event_type",
+        "n_events",
+        F.stack(F.lit(len(_WM_CANDIDATES)), *stack_args).alias(
+            "w_sec", "n_dropped"
+        ),
+    )
+    return rows.select(
+        "event_type",
+        "w_sec",
+        "n_events",
+        "n_dropped",
+        F.floor(
+            F.col("n_dropped").cast("double") / F.col("n_events")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("drop_micro"),
+    ).orderBy("event_type", "w_sec")

@@ -5941,3 +5941,195 @@ def test_dedup_impact_partitions_and_exact_leg(spark, sf_dir):
         )
         assert r.bytes_surviving <= r.bytes_total
     assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    """S, ties, variance, and Z must match an integer recompute over
+    the same daily series."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_mann_kendall,
+    )
+
+    r = ts_mann_kendall(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events").collect()
+    daily = {}
+    for e in ev:
+        d = int(e.ts.timestamp() * 1_000_000) // 86_400_000_000
+        daily[d] = daily.get(d, 0) + 1
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(xs).values()
+        if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    assert (r.n_days, r.s_stat, r.tie_term, r.var18) == (n, s, tie, var18)
+    if var18 > 0:
+        z = (s - 1 if s > 0 else s + 1 if s < 0 else 0) / math.sqrt(
+            var18 / 18.0
+        )
+        assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_gauc_matches_python(spark, sf_dir):
+    """The doubled rank-sum numerator and pair weights must match a
+    per-user python recompute with half-credit ties."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.evaluation import eval_gauc
+
+    r = eval_gauc(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(
+            (math.floor(e.value * 1e6 + 0.5), e.event_type == "purchase")
+        )
+    users = pairs = num2 = 0
+    for rows in by_user.values():
+        pos = [s for s, p in rows if p]
+        neg = [s for s, p in rows if not p]
+        if not pos or not neg:
+            continue
+        users += 1
+        pairs += len(pos) * len(neg)
+        for ps in pos:
+            num2 += 2 * sum(1 for ns in neg if ns < ps)
+            num2 += sum(1 for ns in neg if ns == ps)
+    assert (r.n_users, r.n_pairs, r.sum_num2) == (users, pairs, num2)
+    assert r.gauc_micro == math.floor(num2 / (2.0 * pairs) * 1e6 + 0.5)
+
+
+def test_systematic_sample_phase_and_coverage(spark, sf_dir):
+    """Every source must contribute floor((n_src - 7)/20) + 1 rows when
+    n_src >= 7 (fixed phase), and each sampled doc must be exactly the
+    (20m+7)-th smallest doc_id of its source."""
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import (
+        SYSTEMATIC_K,
+        SYSTEMATIC_OFFSET,
+        sample_systematic,
+    )
+
+    got = defaultdict(list)
+    for r in sample_systematic(spark, sf_dir).collect():
+        got[r.source].append(r.doc_id)
+    docs = defaultdict(list)
+    for d in load(spark, sf_dir, "documents").collect():
+        docs[d.source].append(d.doc_id)
+    for src, ids in docs.items():
+        ids.sort()
+        want = [
+            ids[i]
+            for i in range(len(ids))
+            if (i + 1) % SYSTEMATIC_K == SYSTEMATIC_OFFSET
+        ]
+        assert sorted(got.get(src, [])) == want, src
+
+
+def test_vocab_coverage_monotone_and_saturates(spark, sf_dir):
+    """Coverage must be nondecreasing in k, hit 1.0 when k >= vocab
+    size, and match a python recompute of the top-k cumulative."""
+    import math
+    from collections import Counter
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        text_vocab_coverage,
+    )
+
+    rows = sorted(
+        text_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.k
+    )
+    docs = load(spark, sf_dir, "documents").collect()
+    cnt = Counter(
+        t for d in docs for t in d.text.lower().split(" ") if t != ""
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    prev = -1
+    for r in rows:
+        covered = sum(c for _, c in ranked[: r.k])
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.coverage_micro == math.floor(covered / total * 1e6 + 0.5)
+        assert r.coverage_micro >= prev
+        prev = r.coverage_micro
+        if r.k >= len(ranked):
+            assert r.coverage_micro == 1000000
+
+
+def test_asof_tolerance_statuses(spark, sf_dir):
+    """Every order must appear exactly once; matched rows carry
+    staleness within the fence; statuses partition correctly against
+    a python recompute on a sample of orders."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.joins import (
+        ASOF_TOLERANCE_DAYS,
+        join_asof_tolerance,
+    )
+
+    rows = join_asof_tolerance(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert len(rows) == n_orders
+    fence = ASOF_TOLERANCE_DAYS * 86400
+    for r in rows:
+        if r.status == "matched":
+            assert r.last_event_id is not None
+            assert 0 <= r.staleness_sec <= fence
+        else:
+            assert r.last_event_id is None and r.staleness_sec is None
+
+
+def test_watermark_audit_monotone_in_delay(spark, sf_dir):
+    """A longer watermark delay can only drop FEWER events; counts
+    must match an arrival-ordered python replay."""
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        _WM_CANDIDATES,
+        stream_watermark_audit,
+    )
+    import re
+
+    got = {
+        (r.event_type, r.w_sec): r
+        for r in stream_watermark_audit(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").collect()
+    streams = defaultdict(list)
+    for e in ev:
+        ev_us = int(e.ts.timestamp() * 1_000_000)
+        k = int(re.search(r"([0-9]+)", e.props).group(1))
+        streams[e.event_type].append((ev_us + k * 1_000_000, e.event_id, ev_us))
+    for etype, rows in streams.items():
+        rows.sort()
+        for w in _WM_CANDIDATES:
+            seen = None
+            dropped = 0
+            for _, _, ev_us in rows:
+                if seen is not None and ev_us < seen - w * 1_000_000:
+                    dropped += 1
+                seen = ev_us if seen is None else max(seen, ev_us)
+            r = got[(etype, w)]
+            assert (r.n_events, r.n_dropped) == (len(rows), dropped), (
+                etype, w,
+            )
+        drops = [got[(etype, w)].n_dropped for w in sorted(_WM_CANDIDATES)]
+        assert drops == sorted(drops, reverse=True)
