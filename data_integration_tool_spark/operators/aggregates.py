@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import MICRO_SQL, micro
+from ..exprs import MICRO_SQL, cents, micro
 from ..io import load
 from ..registry import query
 
@@ -4384,4 +4384,104 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("tau_b_micro"),
         )
+    )
+
+
+@query(
+    "agg_tail_mean_cvar",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag AS seg,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS c,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT seg, c, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(sum(cnt) OVER (PARTITION BY seg) AS BIGINT) AS n
+            FROM g
+        )
+        SELECT seg,
+               CAST(min(n) AS BIGINT) AS n,
+               CAST(min(c) FILTER (WHERE 20 * cw > 19 * n) AS BIGINT)
+                   AS cutoff_cents,
+               CAST(sum(cnt) FILTER (WHERE 20 * cw > 19 * n) AS BIGINT)
+                   AS n_tail,
+               CAST(floor(CAST(sum(c * cnt)
+                        FILTER (WHERE 20 * cw > 19 * n) AS DOUBLE)
+                    / sum(cnt) FILTER (WHERE 20 * cw > 19 * n) + 0.5)
+                    AS BIGINT) AS tail_mean_cents
+        FROM cum
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    phase="P3",
+    tags=("agg", "percentile", "risk", "tail"),
+)
+def agg_tail_mean_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail mean past the 95th percentile (CVaR / expected shortfall)
+    per return-flag segment: the cutoff is the smallest price whose
+    cumulative count clears 95% (all-integer fence 20·cum > 19·n — no
+    float quantile semantics to reconcile), and the tail statistic is
+    the mean of everything at-or-above it. The percentile family says
+    where the threshold IS; this says how bad the exceedances ARE —
+    the number an SLA/cost-guard actually bills.
+
+    Exactness: prices quantize to exact cents at row grain; cutoff
+    selection and tail membership are pure integer predicates over
+    cumulative counts; the tail mean is one spelled division of two
+    exact integers.
+
+    Plan: the two-phase histogram-selection shape (the
+    agg_approx_percentile rework pattern) — ONE combinable reduction
+    to (segment, cents) grain, then windows and the tail fold run at
+    VALUE grain only; no k-partition window ever sees row-grain
+    data."""
+    li = load(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("seg"),
+            cents(F.col("l_extendedprice")).alias("c"),
+        )
+        .groupBy("seg", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("seg")
+    cum = g.select(
+        "seg",
+        "c",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+    )
+    in_tail = F.lit(20) * F.col("cw") > F.lit(19) * F.col("n")
+    return (
+        cum.groupBy("seg")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min(F.when(in_tail, F.col("c")))
+            .cast("bigint")
+            .alias("cutoff_cents"),
+            F.sum(F.when(in_tail, F.col("cnt")))
+            .cast("bigint")
+            .alias("n_tail"),
+            F.floor(
+                F.sum(F.when(in_tail, F.col("c") * F.col("cnt"))).cast(
+                    "double"
+                )
+                / F.sum(F.when(in_tail, F.col("cnt")))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tail_mean_cents"),
+        )
+        .orderBy("seg")
     )

@@ -1975,3 +1975,107 @@ def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+DORMANCY_DAYS = 180
+
+
+@query(
+    "orders_reactivation",
+    oracle=f"""
+        WITH seq AS (
+            SELECT o_custkey,
+                   o_orderdate,
+                   date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                       AS mth,
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev_date
+            FROM orders
+        ),
+        tagged AS (
+            SELECT mth,
+                   CASE WHEN prev_date IS NULL THEN 1 ELSE 0 END
+                       AS is_first,
+                   CASE WHEN prev_date IS NOT NULL
+                         AND date_diff('day', CAST(prev_date AS DATE),
+                             CAST(o_orderdate AS DATE))
+                             > {DORMANCY_DAYS}
+                        THEN 1 ELSE 0 END AS is_react,
+                   CASE WHEN prev_date IS NOT NULL THEN
+                       CAST(date_diff('day', CAST(prev_date AS DATE),
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+                   END AS gap_days
+            FROM seq
+        )
+        SELECT mth,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(is_first) AS BIGINT) AS n_first_orders,
+               CAST(sum(is_react) AS BIGINT) AS n_reactivations,
+               CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+               CASE WHEN count(gap_days) > 0 THEN
+                   CAST(floor(CAST(sum(gap_days) AS DOUBLE)
+                        / count(gap_days) + 0.5) AS BIGINT)
+               END AS avg_gap_days
+        FROM tagged
+        GROUP BY mth
+        ORDER BY mth
+    """,
+    phase="P3",
+    tags=("analytics", "retention", "churn"),
+)
+def orders_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation report: per order month, how many orders
+    were a customer's FIRST, how many ended a dormancy longer than
+    180 days (the win-back signal a lifecycle team budgets against),
+    and the mean inter-order gap — the flow-rate companion to
+    retention_cohort's stock view and orders_repeat_interval's
+    distribution view.
+
+    Exactness: gaps are exact integer day differences off a
+    (date, orderkey)-tiebroken lag; flags are integer compares; the
+    mean is one spelled division counting only rows WITH a gap.
+
+    Plan: one lag window keyed on o_custkey (the natural partition
+    key; per-customer sequences are short), then ONE combinable
+    month-grain roll-up — no self-join, no second pass."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+        F.col("o_orderdate").alias("d"),
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gap = F.datediff(F.col("d"), F.col("prev_date"))
+    tagged = seq.select(
+        "mth",
+        F.when(F.col("prev_date").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+        F.when(
+            F.col("prev_date").isNotNull() & (gap > DORMANCY_DAYS),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_react"),
+        F.when(F.col("prev_date").isNotNull(), gap.cast("bigint")).alias(
+            "gap_days"
+        ),
+    )
+    return (
+        tagged.groupBy("mth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("is_first").cast("bigint").alias("n_first_orders"),
+            F.sum("is_react").cast("bigint").alias("n_reactivations"),
+            F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+            F.when(
+                F.count("gap_days") > 0,
+                F.floor(
+                    F.sum("gap_days").cast("double")
+                    / F.count("gap_days")
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("avg_gap_days"),
+        )
+        .orderBy("mth")
+    )

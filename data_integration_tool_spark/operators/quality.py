@@ -1963,3 +1963,71 @@ def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.alias("density_b_micro"),
         (F.lit(2) * F.abs(da - db) > da).alias("drifted"),
     ).orderBy("col")
+
+
+GRID_THIN_THRESHOLD = 5
+
+
+@query(
+    "dq_grid_completeness",
+    oracle=f"""
+        WITH srcs AS (SELECT DISTINCT source FROM documents),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        grid AS (SELECT source, lang FROM srcs CROSS JOIN langs),
+        cell AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source, lang
+        )
+        SELECT g.source, g.lang,
+               CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+               CASE WHEN c.n_docs IS NULL THEN 'missing'
+                    WHEN c.n_docs < {GRID_THIN_THRESHOLD} THEN 'thin'
+                    ELSE 'ok' END AS status
+        FROM grid g LEFT JOIN cell c
+          ON c.source = g.source AND c.lang = g.lang
+        ORDER BY g.source, g.lang
+    """,
+    phase="P3",
+    tags=("quality", "completeness", "coverage"),
+)
+def dq_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-grid completeness: every (source, language) cell
+    the observed dimension values span, with its count and a
+    missing / thin / ok status — the coverage audit a multilingual
+    corpus runs to catch a crawler that silently stopped fetching a
+    language from a source (dq_feed_gaps finds holes in TIME; this
+    finds holes in the CATEGORY grid, which volume-level checks
+    can't see because the source total still looks healthy).
+
+    Exactness: the grid is the cross product of observed distinct
+    values (deterministic), cells are exact counts, statuses are
+    integer compares on a fixed threshold.
+
+    Plan: ONE combinable (source, lang) aggregate over the corpus;
+    the dimension distincts reduce from that same cell relation —
+    never a second corpus pass; the grid join runs at cell scale
+    (|sources| × |langs|)."""
+    d = load(spark, sf_dir, "documents")
+    cell = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)  # three consumers: one corpus pass
+    )
+    srcs = cell.select("source").distinct()
+    langs = cell.select("lang").distinct()
+    grid = srcs.crossJoin(F.broadcast(langs))
+    return (
+        grid.join(cell, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.when(F.col("n_docs").isNull(), "missing")
+            .when(F.col("n_docs") < GRID_THIN_THRESHOLD, "thin")
+            .otherwise("ok")
+            .alias("status"),
+        )
+        .orderBy("source", "lang")
+    )

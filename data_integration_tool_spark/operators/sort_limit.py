@@ -734,3 +734,90 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "sample_kfold_assign",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % {KFOLD_K} AS BIGINT) AS fold
+            FROM documents
+        ),
+        cell AS (
+            SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM assigned GROUP BY fold, lang
+        ),
+        tot AS (
+            SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+            FROM cell GROUP BY lang
+        )
+        SELECT c.fold, c.lang, c.n_docs,
+               CAST(floor(CAST(c.n_docs AS DOUBLE) / t.n_lang
+                    * 1000000.0 + 0.5) AS BIGINT) AS share_micro,
+               CAST(floor((CAST(c.n_docs AS DOUBLE) / t.n_lang
+                    - 1.0 / {KFOLD_K}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS dev_micro
+        FROM cell c JOIN tot t ON t.lang = c.lang
+        ORDER BY c.fold, c.lang
+    """,
+    phase="P2",
+    tags=("sample", "kfold", "ml"),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment + balance audit: fold =
+    md5(doc_id) % 5 — stable under re-runs, appends, and partition
+    layout (the RNG/row-order fold assignment that silently reshuffles
+    between runs is banned here like everywhere else in the repo) —
+    with the per-(fold, language) cell counts and each cell's
+    deviation from the ideal 1/k share. A |dev| persistently above
+    noise means a language's doc_ids correlate with the hash (or the
+    corpus is tiny) and CV estimates will be biased.
+
+    Exactness: fold assignment is integer arithmetic on an md5
+    prefix (engine-identical); counts are exact; shares and
+    deviations are spelled-once divisions.
+
+    Plan: one map-side fold projection + ONE combinable (fold, lang)
+    aggregate; the language totals derive from the 25-cell relation,
+    never a second corpus pass."""
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD_K
+    )
+    cell = (
+        d.select("lang", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ).localCheckpoint(eager=True)  # two consumers (cells + totals): one corpus pass
+    tot = cell.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_lang")
+    )
+    share = F.col("n_docs").cast("double") / F.col("n_lang")
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            F.floor(share * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_micro"),
+            F.floor(
+                (share - F.lit(1.0) / F.lit(KFOLD_K)) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dev_micro"),
+        )
+        .orderBy("fold", "lang")
+    )

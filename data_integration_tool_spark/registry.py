@@ -223,6 +223,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_vocab_coverage",
     "join_asof_tolerance",
     "stream_watermark_audit",
+    "agg_tail_mean_cvar",
+    "ts_downsample_m4",
+    "sample_kfold_assign",
+    "orders_reactivation",
+    "dq_grid_completeness",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -4102,3 +4102,95 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drop_micro"),
     ).orderBy("event_type", "w_sec")
+
+
+@query(
+    "ts_downsample_m4",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                   event_id
+            FROM events
+        ),
+        rn AS (
+            SELECT event_type, bucket, v,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY t_us, event_id) AS r_first,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY t_us DESC, event_id DESC) AS r_last
+            FROM b
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(v) AS BIGINT) AS v_min_micro,
+               CAST(max(v) AS BIGINT) AS v_max_micro,
+               CAST(max(CASE WHEN r_first = 1 THEN v END) AS BIGINT)
+                   AS v_first_micro,
+               CAST(max(CASE WHEN r_last = 1 THEN v END) AS BIGINT)
+                   AS v_last_micro
+        FROM rn
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket
+    """,
+    phase="P4",
+    tags=("timeseries", "downsample", "viz"),
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (min/max/first/last per bucket) — the canonical
+    error-free time-series viz reduction: a width-w chart rendered
+    from M4 buckets is PIXEL-identical to rendering every raw point,
+    so dashboards over 100 TB of telemetry ship four values per
+    (series, pixel-column) instead of the corpus. Hourly buckets per
+    event type; first/last use deterministic (ts, event_id)
+    tiebreaks. (The popular alternative, LTTB, is sequential — each
+    pick depends on the previous — and cannot parallelize; M4 is
+    embarrassingly combinable, which is why it's the one a
+    distributed engine ships.)
+
+    Exactness: values micro-quantize at row grain; min/max are exact
+    integer aggregates; first/last resolve through row_number with
+    full tiebreaks (never engine-native first()/last(), whose order
+    is undefined).
+
+    Plan: both row_numbers share ONE (event_type, bucket) sort
+    exchange (same partition keys, opposite order — Catalyst reuses
+    the partitioning), then a combinable bucket-grain roll-up."""
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        micro(F.col("value")).alias("v"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+    )
+    w_first = Window.partitionBy("event_type", "bucket").orderBy(
+        "t_us", "event_id"
+    )
+    w_last = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("t_us"), F.desc("event_id")
+    )
+    rn = b.select(
+        "event_type",
+        "bucket",
+        "v",
+        F.row_number().over(w_first).alias("r_first"),
+        F.row_number().over(w_last).alias("r_last"),
+    )
+    return (
+        rn.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").cast("bigint").alias("v_min_micro"),
+            F.max("v").cast("bigint").alias("v_max_micro"),
+            F.max(F.when(F.col("r_first") == 1, F.col("v")))
+            .cast("bigint")
+            .alias("v_first_micro"),
+            F.max(F.when(F.col("r_last") == 1, F.col("v")))
+            .cast("bigint")
+            .alias("v_last_micro"),
+        )
+        .orderBy("event_type", "bucket")
+    )

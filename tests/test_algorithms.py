@@ -6133,3 +6133,173 @@ def test_watermark_audit_monotone_in_delay(spark, sf_dir):
             )
         drops = [got[(etype, w)].n_dropped for w in sorted(_WM_CANDIDATES)]
         assert drops == sorted(drops, reverse=True)
+
+
+def test_tail_mean_cvar_matches_python(spark, sf_dir):
+    """Cutoff, tail membership, and tail mean must match an integer
+    recompute with the same 20*cum > 19*n fence."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_tail_mean_cvar,
+    )
+
+    got = {r.seg: r for r in agg_tail_mean_cvar(spark, sf_dir).collect()}
+    by_seg = defaultdict(list)
+    for r in load(spark, sf_dir, "lineitem").collect():
+        by_seg[r.l_returnflag].append(
+            math.floor(r.l_extendedprice * 100 + 0.5)
+        )
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        tail = [v for i, v in enumerate(vals, 1) if 20 * i > 19 * n]
+        r = got[seg]
+        assert r.n == n
+        assert r.cutoff_cents == tail[0]
+        assert r.n_tail == len(tail)
+        assert r.tail_mean_cents == math.floor(
+            sum(tail) / len(tail) + 0.5
+        )
+
+
+def test_m4_downsample_matches_python(spark, sf_dir):
+    """Each bucket's min/max/first/last must match a python recompute
+    with (ts, event_id) tiebreaks."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_downsample_m4,
+    )
+
+    got = {
+        (r.event_type, r.bucket): r
+        for r in ts_downsample_m4(spark, sf_dir).collect()
+    }
+    buckets = defaultdict(list)
+    for e in load(spark, sf_dir, "events").collect():
+        b = e.ts.replace(minute=0, second=0, microsecond=0)
+        buckets[(e.event_type, b)].append(
+            (int(e.ts.timestamp() * 1e6), e.event_id,
+             math.floor(e.value * 1e6 + 0.5))
+        )
+    assert set(got) == set(buckets)
+    for k, rows in buckets.items():
+        rows.sort()
+        r = got[k]
+        vs = [v for _, _, v in rows]
+        assert (r.n, r.v_min_micro, r.v_max_micro) == (
+            len(rows), min(vs), max(vs),
+        )
+        assert (r.v_first_micro, r.v_last_micro) == (
+            rows[0][2], rows[-1][2],
+        )
+
+
+def test_kfold_assignment_deterministic_and_partitioning(spark, sf_dir):
+    """Fold cells must partition every language's docs; fold ids must
+    match the md5 arithmetic."""
+    import hashlib
+    from collections import Counter
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import (
+        KFOLD_K,
+        sample_kfold_assign,
+    )
+
+    rows = sample_kfold_assign(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").collect()
+    want = Counter(
+        (
+            int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16)
+            % KFOLD_K,
+            d.lang,
+        )
+        for d in docs
+    )
+    got = {(r.fold, r.lang): r.n_docs for r in rows}
+    assert got == dict(want)
+    assert sum(got.values()) == len(docs)
+
+
+def test_reactivation_flags_match_python(spark, sf_dir):
+    """First/reactivation flags and gap sums must match a per-customer
+    replay with (date, orderkey) ordering."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.analytics import (
+        DORMANCY_DAYS,
+        orders_reactivation,
+    )
+
+    got = {
+        r.mth.date().replace(day=1): r
+        for r in orders_reactivation(spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        d = o.o_orderdate
+        by_cust[o.o_custkey].append(
+            (d.date() if hasattr(d, "date") else d, o.o_orderkey)
+        )
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for seq in by_cust.values():
+        seq.sort()
+        prev = None
+        for d, _ in seq:
+            a = agg[d.replace(day=1)]
+            a[0] += 1
+            if prev is None:
+                a[1] += 1
+            else:
+                gap = (d - prev).days
+                a[3] += gap
+                a[4] += 1
+                if gap > DORMANCY_DAYS:
+                    a[2] += 1
+            prev = d
+    assert set(got) == set(agg)
+    for mth, (n, first, react, gsum, gcnt) in agg.items():
+        r = got[mth]
+        assert (r.n_orders, r.n_first_orders, r.n_reactivations) == (
+            n, first, react,
+        )
+        if gcnt:
+            assert r.sum_gap_days == gsum
+            assert r.avg_gap_days == math.floor(gsum / gcnt + 0.5)
+        else:
+            assert r.sum_gap_days is None and r.avg_gap_days is None
+
+
+def test_grid_completeness_covers_cross_product(spark, sf_dir):
+    """The grid must be exactly sources × langs; counts must partition
+    the corpus; statuses must follow the threshold ladder."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import (
+        GRID_THIN_THRESHOLD,
+        dq_grid_completeness,
+    )
+
+    rows = dq_grid_completeness(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").collect()
+    srcs = {d.source for d in docs}
+    langs = {d.lang for d in docs}
+    assert {(r.source, r.lang) for r in rows} == {
+        (s, l) for s in srcs for l in langs
+    }
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for r in rows:
+        want = (
+            "missing"
+            if r.n_docs == 0
+            else ("thin" if r.n_docs < GRID_THIN_THRESHOLD else "ok")
+        )
+        assert r.status == want
