@@ -4485,3 +4485,87 @@ def agg_tail_mean_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "agg_hodges_lehmann",
+    oracle="""
+        WITH g AS (
+            SELECT c_nationkey AS k,
+                   CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS v
+            FROM customer GROUP BY c_nationkey
+        ),
+        walsh AS (
+            SELECT a.v + b.v AS s2
+            FROM g a JOIN g b ON a.k <= b.k
+        ),
+        ranked AS (
+            SELECT s2, row_number() OVER (ORDER BY s2) AS rn,
+                   CAST(count(*) OVER () AS BIGINT) AS cnt
+            FROM walsh
+        )
+        SELECT CAST(min(cnt) AS BIGINT) AS n_walsh,
+               CAST(min(CASE WHEN 2 * rn = cnt + 1 OR 2 * rn = cnt
+                        THEN s2 END) AS BIGINT) AS median_sum2_cents,
+               CAST(floor(CAST(min(CASE WHEN 2 * rn = cnt + 1
+                        OR 2 * rn = cnt THEN s2 END) AS DOUBLE) / 2.0
+                    + 0.5) AS BIGINT) AS hl_estimate_cents
+        FROM ranked
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "robust"),
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimate over the per-nation account
+    balances: the median of all Walsh averages (pairwise means,
+    i ≤ j) — the robust 'typical segment balance' that one whale
+    nation cannot drag the way the mean can, and the location
+    sibling of ts_theil_sen (which is HL applied to pairwise
+    slopes).
+
+    Exactness: segment totals are exact cents; Walsh pairs travel as
+    UNHALVED sums (no fraction until the end); the median pick is
+    the deterministic lower-median integer fence 2·rn ∈ {cnt, cnt+1}
+    on a sorted row_number — the single halving happens once, both
+    engines spelling it identically.
+
+    Plan: ONE combinable segment aggregate over the scan (25 rows),
+    then a 25×26/2 self-join and a tiny ranked pick — O(segments²),
+    never O(rows²); the segment relation is checkpointed against its
+    two self-join consumers."""
+    c = load(spark, sf_dir, "customer")
+    g = (
+        c.groupBy(F.col("c_nationkey").alias("k"))
+        .agg(
+            F.sum(cents(F.col("c_acctbal"))).cast("bigint").alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    walsh = a.join(b, F.col("a.k") <= F.col("b.k")).select(
+        (F.col("a.v") + F.col("b.v")).alias("s2")
+    )
+    w_rn = Window.orderBy("s2")
+    w_all = Window.partitionBy()
+    ranked = walsh.select(
+        "s2",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("cnt"),
+    )
+    is_med = (F.lit(2) * F.col("rn") == F.col("cnt") + 1) | (
+        F.lit(2) * F.col("rn") == F.col("cnt")
+    )
+    return ranked.agg(
+        F.min("cnt").cast("bigint").alias("n_walsh"),
+        F.min(F.when(is_med, F.col("s2")))
+        .cast("bigint")
+        .alias("median_sum2_cents"),
+        F.floor(
+            F.min(F.when(is_med, F.col("s2"))).cast("double") / F.lit(2.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("hl_estimate_cents"),
+    )

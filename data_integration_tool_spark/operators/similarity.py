@@ -3323,3 +3323,156 @@ def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_TOPK_ACC_ORACLE = """
+    WITH q AS (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding, (x, i) -> i - 1))
+                   AS dim_pos,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                   + 0.5) AS BIGINT))) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim_pos,
+               CAST(floor(CAST(sum(v) AS DOUBLE)
+                    / count(DISTINCT vec_id)) AS BIGINT) AS c
+        FROM q GROUP BY label, dim_pos
+    ),
+    dists AS (
+        SELECT q.vec_id, q.label, cent.clabel,
+               CAST(sum((q.v - cent.c) * (q.v - cent.c)) AS BIGINT)
+                   AS dist
+        FROM q JOIN cent ON q.dim_pos = cent.dim_pos
+        GROUP BY q.vec_id, q.label, cent.clabel
+    ),
+    ranked AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, clabel) AS rn
+        FROM dists
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label AND rn = 1 THEN 1
+                   ELSE 0 END) AS hit1,
+               max(CASE WHEN clabel = label AND rn <= 3 THEN 1
+                   ELSE 0 END) AS hit3
+        FROM ranked GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hit1) AS BIGINT) AS n_top1,
+           CAST(sum(hit3) AS BIGINT) AS n_top3,
+           CAST(floor(CAST(sum(hit1) AS DOUBLE) / count(*)
+                * 1000000.0 + 0.5) AS BIGINT) AS top1_micro,
+           CAST(floor(CAST(sum(hit3) AS DOUBLE) / count(*)
+                * 1000000.0 + 0.5) AS BIGINT) AS top3_micro
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query(
+    "eval_topk_accuracy",
+    oracle=_TOPK_ACC_ORACLE,
+    phase="P4",
+    tags=("evaluation", "classification", "embedding"),
+)
+def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1/top-3 nearest-centroid classification accuracy per label:
+    each label's centroid is the floor-mean of its members' quantized
+    embeddings, every vector ranks all centroids by exact integer
+    squared L2 (ties broken by label), and a label's accuracy is the
+    share of its members whose own centroid ranks first (top-1) or in
+    the first three (top-3). The per-class confusion-free readout of
+    embedding quality: a label with high top-3 but low top-1 overlaps
+    a specific neighbor — the signal that two label definitions have
+    merged in embedding space (emb_silhouette scores the geometry;
+    this scores the retrieval DECISION it implies).
+
+    Exactness: quantized micro embeddings, floor-divided integer
+    centroids (the kmeans update arithmetic), integer distances with
+    (dist, label) tiebreaks — no float crosses an engine boundary
+    unquantized.
+
+    Plan: centroids are ONE combinable (label, dim) aggregate that
+    collapses to 10×64 values and broadcasts as literals are not
+    needed — the distance join runs at (vector × 10 centroids) via
+    the long-form dim join map-side; ranking windows run per vector
+    over 10 rows."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    q = e.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim_pos", "v")
+    )
+    cent = (
+        q.groupBy(F.col("label").alias("clabel"), "dim_pos")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.countDistinct("vec_id")
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    dists = (
+        q.join(F.broadcast(cent), "dim_pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            )
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    per_vec = ranked.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(
+                (F.col("clabel") == F.col("label")) & (F.col("rn") == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("hit1"),
+        F.max(
+            F.when(
+                (F.col("clabel") == F.col("label")) & (F.col("rn") <= 3),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("hit3"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("hit1").cast("bigint").alias("n_top1"),
+            F.sum("hit3").cast("bigint").alias("n_top3"),
+            F.floor(
+                F.sum("hit1").cast("double") / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("top1_micro"),
+            F.floor(
+                F.sum("hit3").cast("double") / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("top3_micro"),
+        )
+        .orderBy("label")
+    )

@@ -1762,3 +1762,166 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_micro"),
     ).orderBy("k")
+
+
+# Jensen-Shannon divergence of each source's unigram distribution vs
+# the corpus. Present tokens contribute 0.5·(P·ln(P/M) + Q·ln(Q/M))
+# pico-quantized at TOKEN grain (order-free sums); tokens a source
+# lacks contribute in closed form 0.5·(1 − cov)·ln 2 (P=0 ⇒ M=Q/2),
+# so the source × full-vocab grid is never materialized.
+_JS_TERM = (
+    "(0.5 * ({p} * ln({p} / {m}) + {q} * ln({q} / {m})))"
+)
+
+
+def _js_oracle() -> str:
+    p = "(CAST(c_st AS DOUBLE) / n_s)"
+    q = "(CAST(c_t AS DOUBLE) / n)"
+    m = f"(({p} + {q}) / 2.0)"
+    term = _JS_TERM.format(p=p, q=q, m=m)
+    return f"""
+        WITH cell AS (
+            SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) AS t
+            FROM documents
+        ),
+        sc AS (
+            SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+            FROM cell GROUP BY source, t
+        ),
+        vocab AS (
+            SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM sc GROUP BY t
+        ),
+        totals AS (
+            SELECT CAST(sum(c_t) AS BIGINT) AS n FROM vocab
+        ),
+        src_tot AS (
+            SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+            FROM sc GROUP BY source
+        ),
+        terms AS (
+            SELECT s.source,
+                   CAST(floor({term} * 1000000000000.0 + 0.5) AS BIGINT)
+                       AS t_pico,
+                   v.c_t
+            FROM sc s
+            JOIN vocab v ON v.t = s.t
+            JOIN src_tot st ON st.source = s.source
+            CROSS JOIN totals
+        ),
+        folded AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_shared_vocab,
+                   CAST(sum(t_pico) AS BIGINT) AS sum_term_pico,
+                   CAST(sum(c_t) AS BIGINT) AS covered_c
+            FROM terms GROUP BY source
+        )
+        SELECT f.source, st.n_s AS n_tokens, f.n_shared_vocab,
+               f.sum_term_pico,
+               CAST(floor((CAST(f.sum_term_pico AS DOUBLE)
+                        / 1000000000000.0
+                    + 0.5 * (1.0 - CAST(f.covered_c AS DOUBLE)
+                             / totals.n) * ln(2.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS js_micro
+        FROM folded f
+        JOIN src_tot st ON st.source = f.source
+        CROSS JOIN totals
+        ORDER BY f.source
+    """
+
+
+@query(
+    "text_source_divergence",
+    oracle=_js_oracle(),
+    phase="P4",
+    tags=("text", "distribution", "mixture"),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the whole corpus — the mixture-health number beside
+    mixture_kl_divergence's pairwise view: a source drifting toward
+    JS ≈ ln 2 contributes vocabulary the rest of the corpus doesn't
+    share (could be gold diversity, could be boilerplate spam —
+    text_novelty and dedup_impact_report arbitrate), while JS ≈ 0
+    sources are redundant to the mixture.
+
+    Exactness: per-token JS terms quantize to pico the moment
+    computed (order-free sums at token grain); the closed-form
+    absent-vocabulary correction 0.5·(1−cov)·ln 2 (P=0 ⇒ M=Q/2)
+    avoids materializing source × vocab and is one spelled
+    expression; ln follows the repo's cross-engine precedent
+    (seq_survival_km pico-ln).
+
+    Plan: corpus scanned ONCE into (source, token) grain; vocabulary
+    and source totals derive from that relation; the term join runs
+    at cell grain. Never a second corpus pass, never a dense grid."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("t"),
+    )
+    sc = (
+        cell.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+        .localCheckpoint(eager=True)  # three consumers: one corpus pass
+    )
+    vocab = sc.groupBy("t").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    totals = vocab.agg(F.sum("c_t").cast("bigint").alias("n"))
+    src_tot = sc.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        p * F.log(p / m) + q * F.log(q / m)
+    )
+    terms = (
+        sc.join(vocab, "t")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.floor(term * F.lit(1000000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("t_pico"),
+            "c_t",
+        )
+    )
+    folded = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_vocab"),
+        F.sum("t_pico").cast("bigint").alias("sum_term_pico"),
+        F.sum("c_t").cast("bigint").alias("covered_c"),
+    )
+    return (
+        folded.join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_shared_vocab",
+            "sum_term_pico",
+            F.floor(
+                (
+                    F.col("sum_term_pico").cast("double")
+                    / F.lit(1000000000000.0)
+                    + F.lit(0.5)
+                    * (
+                        F.lit(1.0)
+                        - F.col("covered_c").cast("double") / F.col("n")
+                    )
+                    * F.log(F.lit(2.0))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("js_micro"),
+        )
+        .orderBy("source")
+    )

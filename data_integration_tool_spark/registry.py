@@ -228,6 +228,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_kfold_assign",
     "orders_reactivation",
     "dq_grid_completeness",
+    "agg_hodges_lehmann",
+    "events_dau_mau",
+    "eval_topk_accuracy",
+    "text_source_divergence",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

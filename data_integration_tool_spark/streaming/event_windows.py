@@ -4194,3 +4194,87 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+        WITH day_u AS (
+            SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS mth,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1, 2
+        ),
+        mon_u AS (
+            SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS mth,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT mth, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dau) AS BIGINT) AS sum_dau
+            FROM day_u GROUP BY mth
+        )
+        SELECT d.mth, d.n_days, d.sum_dau, m.mau,
+               CAST(floor(CAST(d.sum_dau AS DOUBLE) / d.n_days
+                    / m.mau * 1000000.0 + 0.5) AS BIGINT)
+                   AS stickiness_micro
+        FROM d JOIN mon_u m ON m.mth = d.mth
+        ORDER BY d.mth
+    """,
+    phase="P3",
+    tags=("analytics", "engagement", "streaming"),
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard leads with: average daily active users divided
+    by monthly actives (1.0 = everyone active daily; ~0.2 = weekly-ish
+    habits). Ships the ingredients (day count, DAU sum, MAU) beside
+    the ratio so downstream can re-weight partial months.
+
+    Exactness: both actives are exact COUNT(DISTINCT) at their own
+    grain; the stickiness is one spelled division chain over exact
+    integers.
+
+    Plan: two distinct aggregates at different grains — (month, day)
+    and (month) — each shuffling only (grain, user) pairs, joined at
+    month grain. At 100 TB both distincts partial-aggregate map-side
+    on (bucket, user); nothing re-reads the corpus for the ratio."""
+    e = load(spark, sf_dir, "events")
+    day_u = (
+        e.select(
+            F.date_trunc("month", F.col("ts")).alias("mth"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "user_id",
+        )
+        .groupBy("mth", "day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    )
+    mon_u = (
+        e.select(F.date_trunc("month", F.col("ts")).alias("mth"), "user_id")
+        .groupBy("mth")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    d = day_u.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    return (
+        d.join(mon_u, "mth")
+        .select(
+            "mth",
+            "n_days",
+            "sum_dau",
+            "mau",
+            F.floor(
+                F.col("sum_dau").cast("double")
+                / F.col("n_days")
+                / F.col("mau")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("stickiness_micro"),
+        )
+        .orderBy("mth")
+    )

@@ -6303,3 +6303,149 @@ def test_grid_completeness_covers_cross_product(spark, sf_dir):
             else ("thin" if r.n_docs < GRID_THIN_THRESHOLD else "ok")
         )
         assert r.status == want
+
+
+def test_hodges_lehmann_matches_python(spark, sf_dir):
+    """The HL estimate must equal the lower-median Walsh average of
+    exact per-nation cent totals."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_hodges_lehmann,
+    )
+
+    r = agg_hodges_lehmann(spark, sf_dir).collect()[0]
+    tot = defaultdict(int)
+    for c in load(spark, sf_dir, "customer").collect():
+        tot[c.c_nationkey] += math.floor(c.c_acctbal * 100 + 0.5)
+    vs = sorted(tot.values())
+    walsh = sorted(
+        vs[i] + vs[j] for i in range(len(vs)) for j in range(i, len(vs))
+    )
+    cnt = len(walsh)
+    med = walsh[(cnt + 1) // 2 - 1] if cnt % 2 else walsh[cnt // 2 - 1]
+    assert (r.n_walsh, r.median_sum2_cents) == (cnt, med)
+    assert r.hl_estimate_cents == math.floor(med / 2.0 + 0.5)
+
+
+def test_dau_mau_matches_python(spark, sf_dir):
+    """Stickiness ingredients must match exact distinct recomputes."""
+    import math
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        events_dau_mau,
+    )
+
+    rows = {r.mth.date(): r for r in events_dau_mau(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").collect()
+    day_users = defaultdict(set)
+    mon_users = defaultdict(set)
+    for e in ev:
+        d = e.ts.date()
+        day_users[(d.replace(day=1), d)].add(e.user_id)
+        mon_users[d.replace(day=1)].add(e.user_id)
+    for mth, users in mon_users.items():
+        days = [k for k in day_users if k[0] == mth]
+        sum_dau = sum(len(day_users[k]) for k in days)
+        r = rows[mth]
+        assert (r.n_days, r.sum_dau, r.mau) == (
+            len(days), sum_dau, len(users),
+        )
+        assert r.stickiness_micro == math.floor(
+            sum_dau / len(days) / len(users) * 1e6 + 0.5
+        )
+
+
+def test_topk_accuracy_matches_python(spark, sf_dir):
+    """Centroid ranking and hit counts must match an integer numpy
+    recompute with (dist, label) tiebreaks."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        eval_topk_accuracy,
+    )
+
+    got = {r.label: r for r in eval_topk_accuracy(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        q = np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        by_label[r.label].append((r.vec_id, q))
+    cents = {
+        lab: np.array(
+            [
+                math.floor(s / len(vs))
+                for s in np.sum([q for _, q in vs], axis=0).tolist()
+            ],
+            dtype=np.int64,
+        )
+        for lab, vs in by_label.items()
+    }
+    labs = sorted(cents)
+    want = defaultdict(lambda: [0, 0, 0])
+    for lab, vs in by_label.items():
+        for _, q in vs:
+            scored = sorted(
+                (int(((q - cents[cl]) ** 2).sum()), cl) for cl in labs
+            )
+            rank = next(
+                i for i, (_, cl) in enumerate(scored, 1) if cl == lab
+            )
+            w = want[lab]
+            w[0] += 1
+            w[1] += rank == 1
+            w[2] += rank <= 3
+    for lab, (n, h1, h3) in want.items():
+        r = got[lab]
+        assert (r.n, r.n_top1, r.n_top3) == (n, h1, h3)
+
+
+def test_source_divergence_matches_python(spark, sf_dir):
+    """Per-source JS terms and the closed-form absent-vocab correction
+    must match a python recompute with identical quantization."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        text_source_divergence,
+    )
+
+    got = {r.source: r for r in text_source_divergence(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").collect()
+    sc = defaultdict(Counter)
+    for d in docs:
+        sc[d.source].update(t for t in d.text.lower().split(" ") if t)
+    vocab = Counter()
+    for c in sc.values():
+        vocab.update(c)
+    n = sum(vocab.values())
+    for src, cnts in sc.items():
+        n_s = sum(cnts.values())
+        s_pico = 0
+        covered = 0
+        for t, c_st in cnts.items():
+            p = c_st / n_s
+            q = vocab[t] / n
+            m = (p + q) / 2.0
+            s_pico += math.floor(
+                0.5 * (p * math.log(p / m) + q * math.log(q / m)) * 1e12
+                + 0.5
+            )
+            covered += vocab[t]
+        r = got[src]
+        assert (r.n_tokens, r.n_shared_vocab, r.sum_term_pico) == (
+            n_s, len(cnts), s_pico,
+        )
+        js = s_pico / 1e12 + 0.5 * (1.0 - covered / n) * math.log(2.0)
+        assert r.js_micro == math.floor(js * 1e6 + 0.5)
