@@ -4353,7 +4353,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=True)
     a = g.alias("a")
-    b = g.alias("b")
+    b = F.broadcast(g.alias("b"))  # 25-row side; ckpt size is opaque to CBO
     prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
     pairs = a.join(b, F.col("a.k") < F.col("b.k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n0"),
@@ -4543,7 +4543,7 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = g.alias("a")
-    b = g.alias("b")
+    b = F.broadcast(g.alias("b"))  # 25-row side; ckpt size is opaque to CBO
     walsh = a.join(b, F.col("a.k") <= F.col("b.k")).select(
         (F.col("a.v") + F.col("b.v")).alias("s2")
     )

@@ -3908,7 +3908,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     ).localCheckpoint(eager=True)
     a = daily.alias("a")
-    b = daily.alias("b")
+    b = F.broadcast(daily.alias("b"))  # day-grain side; ckpt size opaque
     s = a.join(b, F.col("a.d") < F.col("b.d")).agg(
         F.sum(
             F.when(F.col("b.x") > F.col("a.x"), F.lit(1))

@@ -124,12 +124,13 @@ def test_no_collect_inside_operators():
                     else:
                         offenders.append(f"{py.name}:{i}:{bad}")
     assert not offenders, offenders
-    assert marked == 8, (
+    assert marked == 9, (
         "expected exactly the 2 dedup_components convergence scalars, "
         "the emb_pca_project moment row, the join_skew_aqe flag "
         "materialization, the 2 emb_kmeans_lloyd centroid round-trips, "
-        "the seq_markov_stationary transition-count collect, and the "
-        "eval_cluster_purity centroid round-trip, "
+        "the seq_markov_stationary transition-count collect, the "
+        "eval_cluster_purity centroid round-trip, and the "
+        "dedup_semantic_clusters convergence scalar, "
         f"found {marked}"
     )
 
