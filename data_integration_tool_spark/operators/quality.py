@@ -2031,3 +2031,95 @@ def dq_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# Per-class arrival-delay SLA (seconds): conversions are latency-
+# critical, diagnostics tolerate more. Embedded identically in both
+# engines; the delay rides in props (same regexp as the watermark
+# audit).
+_SLA_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 30 WHEN 'signup' THEN 30"
+    " WHEN 'click' THEN 60 WHEN 'view' THEN 120 ELSE 15 END"
+)
+
+
+@query(
+    "dq_arrival_sla",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_type,
+                   CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+                       AS delay_sec,
+                   {_SLA_SQL} AS sla_sec
+            FROM events
+        )
+        SELECT event_type,
+               CAST(min(sla_sec) AS BIGINT) AS sla_sec,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE delay_sec <= sla_sec)
+                    AS BIGINT) AS n_within,
+               CAST(floor(CAST(count(*) FILTER (WHERE delay_sec
+                    <= sla_sec) AS DOUBLE) / count(*) * 1000000.0
+                    + 0.5) AS BIGINT) AS within_micro,
+               CAST(max(delay_sec) AS BIGINT) AS max_delay_sec,
+               CASE WHEN 20 * count(*) FILTER (WHERE delay_sec
+                    <= sla_sec) < 19 * count(*)
+                    THEN 'breach' ELSE 'ok' END AS verdict
+        FROM tagged
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    phase="P3",
+    tags=("quality", "timeliness", "sla"),
+)
+def dq_arrival_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-latency SLA compliance per event class: the delivery
+    delay each event carries (props) against its class SLA
+    (conversions 30 s, clicks 60 s, views 120 s, diagnostics 15 s),
+    with the compliant share, worst observed delay, and a breach
+    verdict at the 95% fence — the TIMELINESS leg of the dq family
+    (dq_freshness asks 'when did data last arrive'; this asks
+    'does it arrive fast enough, per class, per contract'). Pairs
+    with stream_watermark_audit: the SLA bounds what watermark delay
+    is even negotiable.
+
+    Exactness: delays and SLAs are exact integers; the breach fence
+    is the all-integer 20·n_ok < 19·n compare; the share is one
+    spelled division.
+
+    Plan: ONE combinable class-grain conditional aggregate over the
+    scan — nothing else."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        F.regexp_extract(F.col("props"), r"([0-9]+)", 1)
+        .cast("bigint")
+        .alias("delay_sec"),
+        F.expr(_SLA_SQL).alias("sla_sec"),
+    )
+    ok = F.col("delay_sec") <= F.col("sla_sec")
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.min("sla_sec").cast("bigint").alias("sla_sec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(ok, F.lit(1))).cast("bigint").alias("n_within"),
+            F.floor(
+                F.count(F.when(ok, F.lit(1))).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("within_micro"),
+            F.max("delay_sec").cast("bigint").alias("max_delay_sec"),
+            F.when(
+                F.lit(20) * F.count(F.when(ok, F.lit(1)))
+                < F.lit(19) * F.count(F.lit(1)),
+                "breach",
+            )
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )

@@ -3476,3 +3476,110 @@ def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_DRIFT_ORACLE = """
+    WITH q AS (
+        SELECT vec_id, label, vec_id % 2 = 1 AS is_new,
+               unnest(list_transform(embedding, (x, i) -> i - 1))
+                   AS dim_pos,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                   + 0.5) AS BIGINT))) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, is_new, dim_pos,
+               CAST(floor(CAST(sum(v) AS DOUBLE)
+                    / count(DISTINCT vec_id)) AS BIGINT) AS c,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        FROM q GROUP BY label, is_new, dim_pos
+    ),
+    paired AS (
+        SELECT o.label, o.dim_pos,
+               o.c AS c_old, nw.c AS c_new,
+               o.n AS n_old, nw.n AS n_new
+        FROM cent o JOIN cent nw
+          ON nw.label = o.label AND nw.dim_pos = o.dim_pos
+        WHERE NOT o.is_new AND nw.is_new
+    )
+    SELECT label,
+           CAST(min(n_old) AS BIGINT) AS n_old,
+           CAST(min(n_new) AS BIGINT) AS n_new,
+           CAST(sum((c_old - c_new) * (c_old - c_new)) AS BIGINT)
+               AS dist2,
+           CAST(floor(sqrt(CAST(sum((c_old - c_new) * (c_old - c_new))
+                AS DOUBLE)) + 0.5) AS BIGINT) AS drift_micro
+    FROM paired
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query(
+    "emb_centroid_drift",
+    oracle=_DRIFT_ORACLE,
+    phase="P4",
+    tags=("similarity", "embedding", "drift"),
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two deterministic cohorts
+    (even vec_ids = the deployed snapshot, odd = the refresh): the
+    L2 distance between each label's cohort centroids, in micro
+    units — the re-embedding go/no-go a retrieval stack checks
+    before mixing vectors from two encoder runs in one index (a
+    label whose centroid moved is a label whose OLD vectors will
+    mis-retrieve against NEW queries; sim_ann_ivf_incremental
+    watches list growth, this watches list MEANING).
+
+    Exactness: cohort centroids are floor-mean integer vectors (the
+    kmeans update arithmetic); dist² is an exact integer sum; the
+    single sqrt is spelled once.
+
+    Plan: both cohort centroids fold as CONDITIONAL aggregates in ONE
+    combinable (label, dim) pass over the long form (a per-cohort
+    filter + self-join would explode the corpus twice — no
+    cross-branch CSE), then a label-grain fold — the corpus is
+    touched once."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    q = e.select(
+        "vec_id", "label", "is_new", F.posexplode("qv").alias("dim_pos", "v")
+    )
+    old_v = F.when(~F.col("is_new"), F.col("v"))
+    new_v = F.when(F.col("is_new"), F.col("v"))
+    old_id = F.when(~F.col("is_new"), F.col("vec_id"))
+    new_id = F.when(F.col("is_new"), F.col("vec_id"))
+    paired = q.groupBy("label", "dim_pos").agg(
+        F.floor(F.sum(old_v).cast("double") / F.countDistinct(old_id))
+        .cast("bigint")
+        .alias("c_old"),
+        F.floor(F.sum(new_v).cast("double") / F.countDistinct(new_id))
+        .cast("bigint")
+        .alias("c_new"),
+        F.countDistinct(old_id).cast("bigint").alias("n_old"),
+        F.countDistinct(new_id).cast("bigint").alias("n_new"),
+    )
+    d2 = (F.col("c_old") - F.col("c_new")) * (
+        F.col("c_old") - F.col("c_new")
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.min("n_old").cast("bigint").alias("n_old"),
+            F.min("n_new").cast("bigint").alias("n_new"),
+            F.sum(d2).cast("bigint").alias("dist2"),
+            F.floor(F.sqrt(F.sum(d2).cast("double")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("drift_micro"),
+        )
+        .orderBy("label")
+    )

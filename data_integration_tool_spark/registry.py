@@ -232,6 +232,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_dau_mau",
     "eval_topk_accuracy",
     "text_source_divergence",
+    "seq_perplexity",
+    "dq_arrival_sla",
+    "emb_centroid_drift",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

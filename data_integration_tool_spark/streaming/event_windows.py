@@ -4278,3 +4278,114 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mth")
     )
+
+
+@query(
+    "seq_perplexity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        steps AS (
+            SELECT user_id, prev, event_type AS cur
+            FROM seq WHERE prev IS NOT NULL
+        ),
+        trans AS (
+            SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+            FROM steps GROUP BY prev, cur
+        ),
+        from_tot AS (
+            SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a
+            FROM trans GROUP BY prev
+        ),
+        scored AS (
+            SELECT s.user_id,
+                   CAST(floor(-ln(CAST(t.c_ab AS DOUBLE) / f.c_a)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS nll_pico
+            FROM steps s
+            JOIN trans t ON t.prev = s.prev AND t.cur = s.cur
+            JOIN from_tot f ON f.prev = s.prev
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_steps,
+               CAST(sum(nll_pico) AS BIGINT) AS nll_pico,
+               CAST(floor(exp(CAST(sum(nll_pico) AS DOUBLE)
+                    / 1000000000000.0 / count(*)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS perplexity_micro
+        FROM scored
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    phase="P4",
+    tags=("sequence", "language-model", "anomaly"),
+)
+def seq_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral perplexity under the corpus bigram
+    transition model (seq_transition_matrix's model turned into a
+    scorer): each user's event sequence accumulates −ln P(cur|prev)
+    per step, and perplexity = exp(mean NLL). Users far BELOW corpus
+    perplexity are suspiciously mechanical (bots replaying one
+    transition); far above are broken instrumentation emitting
+    transitions the population never makes — the behavioral sibling
+    of text_bigram_lm's document scoring.
+
+    Exactness: transition probabilities are exact integer-count
+    ratios; each step's −ln quantizes to pico at STEP grain
+    (order-free per-user integer sums — the seq_survival_km pico-ln
+    pattern); the single exp is spelled once over the exact sum. No
+    smoothing is needed: every scored step exists in the counts by
+    construction, so P > 0 always.
+
+    Plan: one user-keyed lag window derives steps; the 25-row
+    transition model aggregates from it (eagerly checkpointed — the
+    scoring pass joins it back broadcast, and without the cut the
+    model rebuild would re-run the window); scoring is map-side; the
+    final roll-up is user-grain combinable."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    steps = seq.filter(F.col("prev").isNotNull())
+    trans = (
+        steps.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    from_tot = trans.groupBy("prev").agg(
+        F.sum("c_ab").cast("bigint").alias("c_a")
+    )
+    nll = F.floor(
+        -F.log(F.col("c_ab").cast("double") / F.col("c_a"))
+        * F.lit(1000000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        steps.join(F.broadcast(trans), ["prev", "cur"])
+        .join(F.broadcast(from_tot), "prev")
+        .select("user_id", nll.alias("nll_pico"))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            F.sum("nll_pico").cast("bigint").alias("nll_pico"),
+            F.floor(
+                F.exp(
+                    F.sum("nll_pico").cast("double")
+                    / F.lit(1000000000000.0)
+                    / F.count(F.lit(1))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("perplexity_micro"),
+        )
+        .orderBy("user_id")
+    )

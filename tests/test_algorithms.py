@@ -6449,3 +6449,105 @@ def test_source_divergence_matches_python(spark, sf_dir):
         )
         js = s_pico / 1e12 + 0.5 * (1.0 - covered / n) * math.log(2.0)
         assert r.js_micro == math.floor(js * 1e6 + 0.5)
+
+
+def test_perplexity_matches_python(spark, sf_dir):
+    """Per-user NLL sums must match a python replay of the bigram
+    model with identical pico quantization."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_perplexity,
+    )
+
+    got = {r.user_id: r for r in seq_perplexity(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(
+            (int(e.ts.timestamp() * 1e6), e.event_id, e.event_type)
+        )
+    trans = Counter()
+    from_tot = Counter()
+    steps = defaultdict(list)
+    for u, rows in by_user.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+            from_tot[a] += 1
+            steps[u].append((a, b))
+    for u, ss in steps.items():
+        nll = sum(
+            math.floor(
+                -math.log(trans[(a, b)] / from_tot[a]) * 1e12 + 0.5
+            )
+            for a, b in ss
+        )
+        r = got[u]
+        assert (r.n_steps, r.nll_pico) == (len(ss), nll)
+        assert r.perplexity_micro == math.floor(
+            math.exp(nll / 1e12 / len(ss)) * 1e6 + 0.5
+        )
+    assert set(got) == set(steps)
+
+
+def test_arrival_sla_matches_python(spark, sf_dir):
+    """Compliance counts and the breach fence must match a python
+    recompute from props delays."""
+    import re
+    from collections import defaultdict
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.quality import dq_arrival_sla
+
+    got = {r.event_type: r for r in dq_arrival_sla(spark, sf_dir).collect()}
+    sla = {"purchase": 30, "signup": 30, "click": 60, "view": 120}
+    agg = defaultdict(lambda: [0, 0, 0])
+    for e in load(spark, sf_dir, "events").collect():
+        d = int(re.search(r"([0-9]+)", e.props).group(1))
+        s = sla.get(e.event_type, 15)
+        a = agg[e.event_type]
+        a[0] += 1
+        a[1] += d <= s
+        a[2] = max(a[2], d)
+    for etype, (n, ok, mx) in agg.items():
+        r = got[etype]
+        assert (r.n_events, r.n_within, r.max_delay_sec) == (n, ok, mx)
+        assert r.verdict == ("breach" if 20 * ok < 19 * n else "ok")
+
+
+def test_centroid_drift_matches_python(spark, sf_dir):
+    """Cohort centroids and drift distances must match an integer
+    numpy recompute on the parity split."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        emb_centroid_drift,
+    )
+
+    got = {r.label: r for r in emb_centroid_drift(spark, sf_dir).collect()}
+    coh = defaultdict(list)
+    for r in load(spark, sf_dir, "embeddings").collect():
+        q = np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        coh[(r.label, r.vec_id % 2 == 1)].append(q)
+    for label in {k[0] for k in coh}:
+        old = coh[(label, False)]
+        new = coh[(label, True)]
+        c_old = np.array(
+            [math.floor(s / len(old)) for s in np.sum(old, axis=0).tolist()]
+        )
+        c_new = np.array(
+            [math.floor(s / len(new)) for s in np.sum(new, axis=0).tolist()]
+        )
+        d2 = int(((c_old - c_new) ** 2).sum())
+        r = got[label]
+        assert (r.n_old, r.n_new, r.dist2) == (len(old), len(new), d2)
+        assert r.drift_micro == math.floor(math.sqrt(d2) + 0.5)
