@@ -61,6 +61,20 @@ def main() -> None:
         for name, spec in specs.items()
         if {"dedup", "similarity"} & set(spec.tags)
     }
+    # AQE is a big-shuffle optimizer: on sub-second queries its
+    # per-stage re-optimization rounds are pure overhead (measured at
+    # sf0.1: light sweep 0.28 → 0.22 s/query with AQE off, ~22%).
+    # Keep it ON for the heavy pair/shuffle class (where coalescing
+    # and skew handling earn their keep — and exactly what you'd run
+    # at 100 TB) and for queries whose OUTPUT depends on the adaptive
+    # plan (the skew-join flag query and the plan-introspection gates,
+    # whose pinned shapes were measured under default AQE).
+    aqe_pinned = {
+        name
+        for name, spec in specs.items()
+        if {"planner", "regression-gate", "graph", "iterative", "join"}
+        & set(spec.tags)
+    } | {"join_skew_aqe", "join_bucketed"}
 
     iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
     per_run: dict[str, list[float]] = {}
@@ -74,6 +88,10 @@ def main() -> None:
     for name in sorted(set(specs) - set(skipped)):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(CPUS) if name in heavy else "8"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "true" if (name in heavy or name in aqe_pinned) else "false",
         )
         runs = []
         for _ in range(iters):
