@@ -115,61 +115,11 @@ _loaded = False
 # after it. NEW r9 additions must land AFTER the r10 queue so the
 # never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r9 window: 50 full-oracle never-driver-rowed queries. The 50
-    # r8-window names proven in CORRECTNESS_r08.json were cut from the
-    # head of this list at r9 start, exactly as VERDICT r8 Next #1
+    # ---- r10 window: 50 full-oracle never-driver-rowed queries (36
+    # r8-backlog + the first 14 r9 additions). The 50 r9-window names
+    # proven 50/50 full green in CORRECTNESS_r09.json were cut from the
+    # head of this list at r10 start, exactly as VERDICT r9 Next #1
     # prescribed. ----
-    "eval_regression_metrics",
-    "ts_bollinger_bands",
-    "agg_mutual_info",
-    "agg_weighted_median",
-    "agg_kmv_jaccard",
-    "text_zipf_fit",
-    "feat_woe_iv",
-    "dq_l_diversity",
-    "etl_late_arriving_dim",
-    "graph_clustering_coeff",
-    "emb_silhouette",
-    "ts_theil_sen",
-    "seq_attribution",
-    "dq_expectation_suite",
-    "seq_survival_km",
-    "text_keyword_rake",
-    "agg_cramers_v",
-    "sample_balanced_downsample",
-    "etl_surrogate_key_plan",
-    "ts_pacf_durbin",
-    "fn_uuid_name",
-    "win_concurrency_sweep",
-    "sim_pairwise_diversity",
-    # r8 additions (full oracle, exact-checked at sf0.001/0.01/0.1):
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "etl_zorder_incremental",
-    "agg_mann_whitney",
-    "agg_kruskal_wallis",
-    "agg_cohens_kappa",
-    "emb_random_projection",
-    "subq_quantified_all",
-    "ts_kalman_1d",
-    "agg_trimmed_mean",
-    "ts_sax",
-    "ts_cross_correlation",
-    "win_decayed_sum",
-    "eval_cluster_purity",
-    "etl_file_skipping_stats",
-    "agg_approx_audit",
-    "dedup_lsh_recall_audit",
-    "graph_adamic_adar",
-    "agg_ratio_delta_ci",
-    "agg_theil_index",
-    "agg_concentration_hhi",
-    "ts_ljung_box",
-    "graph_harmonic_centrality",
-    "text_readability",
-    "eval_brier_decomposition",
-    "ts_hurst_exponent",
     "seq_time_to_convert",
     "text_heaps_law",
     "eval_ks_separation",
@@ -235,6 +185,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_perplexity",
     "dq_arrival_sla",
     "emb_centroid_drift",
+    # r11 promotion (VERDICT r9 Next #6): these four gained full
+    # reconciliation oracles in r8 but their only driver rows are stale
+    # rows-only entries from r5/r6 — re-prove them with hash rows:
+    "stream_true_engine",
+    "stream_foreach_batch",
+    "stream_stream_join",
+    "stream_stateful_totals",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",
