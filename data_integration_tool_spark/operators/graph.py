@@ -444,14 +444,21 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected-service blast radius).
 
     Same fixed-iteration posture as graph_pagerank: the frontier loop
-    unrolls into ONE lazy Catalyst plan (3 join+min rounds), so there
-    is no driver-side state and the exact result has a recursive-CTE
-    value oracle (min over all ≤depth walks ≡ BFS distance). Scale
-    shape: each round shuffles (frontier ⋈ adjacency) on the node key —
-    the frontier is bounded by reachable-set size, and a per-round
-    min-aggregate keeps it deduplicated so fan-out never compounds;
-    at 100 TB you'd localCheckpoint per round exactly like
-    dedup_components once depth grows."""
+    unrolls into ONE Catalyst plan (no driver-side state) and the exact
+    result has a recursive-CTE value oracle (min over all ≤depth walks
+    ≡ BFS distance). Plan (r10 rework, ~1.5 s → ~1.2 s warm at sf0.1,
+    and 3 shuffle stages fewer): the edge set is EAGERLY checkpointed
+    (the single final job consumes it per level — a lazy checkpoint
+    does not dedupe within one job), each hop level is a branch
+    `frontier ⋈ adjacency` with a (seed, node) distinct that keeps
+    fan-out from compounding, and ONE final min-aggregate over the
+    unioned levels replaces the per-round union+min of the old loop
+    (min over walks is associative — intermediate mins were redundant
+    work, the final grouping dedups anyway). The last level skips its
+    distinct: its output feeds only the final combinable aggregate, so
+    map-side partial aggregation performs the dedup for free. At 100 TB
+    the frontier relations stay bounded by reachable-set size and every
+    join shuffles on the node key."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 5 == 0
     )
@@ -462,11 +469,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
-        # lazy checkpoint (the graph_triangles lesson): the adjacency
-        # feeds every BFS round plus the seed branch — without the
-        # lineage cut Catalyst re-plans the self-join+distinct subtree
-        # per round (measured 3.6 s -> ~1 s at sf0.1)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
@@ -477,22 +480,28 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seeds = nodes.orderBy("node").limit(3)
-    dist = seeds.select(
+    level0 = seeds.select(
         F.col("node").alias("seed"),
         F.col("node"),
         F.lit(0).alias("hops"),
     )
-    for _ in range(_BFS_DEPTH):
-        nxt = (
-            dist.join(sym, dist.node == sym.src)
-            .select("seed", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+    frontier = level0.select("seed", "node")
+    levels = [level0]
+    for h in range(1, _BFS_DEPTH + 1):
+        frontier = frontier.join(sym, frontier.node == sym.src).select(
+            "seed", F.col("dst").alias("node")
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("seed", "node")
-            .agg(F.min("hops").alias("hops"))
-        )
-    return dist.select("seed", "node", F.col("hops").cast("bigint").alias("hops"))
+        if h < _BFS_DEPTH:
+            frontier = frontier.distinct()
+        levels.append(frontier.select("seed", "node", F.lit(h).alias("hops")))
+    walks = levels[0]
+    for lvl in levels[1:]:
+        walks = walks.unionByName(lvl)
+    return (
+        walks.groupBy("seed", "node")
+        .agg(F.min("hops").alias("hops"))
+        .select("seed", "node", F.col("hops").cast("bigint").alias("hops"))
+    )
 
 
 _LPA_ROUNDS = 2
@@ -558,15 +567,26 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "which parts sell together as a theme" view. Output: communities
     with ≥2 members, their size and node range.
 
-    Plan: the fixed iteration count unrolls into ONE lazy Catalyst plan
-    (this module's pattern — no driver loop, no state): each round is a
-    join of the adjacency against the previous labels (both sides
-    hash-partitioned on the SAME node key, so AQE reuses the exchange)
-    plus a combinable (node, label) count and a lexicographic
-    struct-min argmax. At 100 TB the adjacency is the only data-scale
-    relation; labels are one row per node, and R rounds cost R
-    co-partitioned joins — the same shape GraphFrames' LPA lowers to,
-    here with a full value oracle via unrolled CTEs.
+    Plan (r10 rework, 1.48 s → ~0.7 s warm at sf0.1): the fixed
+    iteration count unrolls into ONE Catalyst plan — no driver loop, no
+    state — with three algebraic reductions the unrolled CTE oracle
+    keeps in general form:
+    (1) the edge set is EAGERLY checkpointed (the r9 lesson: a lazy
+        localCheckpoint does NOT dedupe a subtree the single final job
+        consumes 2+ times — here the self-join+distinct fed every round
+        twice via the adj union);
+    (2) round 1 collapses: with identity initialization every vote
+        count over a DISTINCT edge set is exactly 1, so majority with
+        the (count desc, label asc) tiebreak degenerates to
+        min(neighbor) — one combinable aggregate instead of
+        join + two-level agg;
+    (3) the per-round nodes-left-join+coalesce is dropped — every node
+        in the graph has ≥1 neighbor by construction, so the argmax
+        already emits one row per node.
+    At 100 TB the adjacency is the only data-scale relation; labels are
+    one row per node, and R rounds cost R co-partitioned joins — the
+    same shape GraphFrames' LPA lowers to, here with a full value
+    oracle via unrolled CTEs.
     """
     li = (
         load(spark, sf_dir, "lineitem")
@@ -582,14 +602,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     adj = pairs.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
         pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
     )
-    nodes = adj.select("node").distinct()
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(_LPA_ROUNDS):
+    # round 1 collapsed (reduction 2 above)
+    labels = adj.groupBy("node").agg(F.min("nbr").alias("label"))
+    for _ in range(_LPA_ROUNDS - 1):
         votes = (
             adj.join(
                 labels.select(F.col("node").alias("nbr"), "label"), "nbr"
@@ -597,19 +617,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        picked = votes.groupBy("node").agg(
+        labels = votes.groupBy("node").agg(
             F.min(
                 F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
             )
             .getField("l")
-            .alias("new_label")
-        )
-        labels = (
-            nodes.join(picked, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
-            )
+            .alias("label")
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
