@@ -3583,3 +3583,245 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- IVF rebalance apply (r10: consumes sim_ann_ivf_incremental) ----------
+
+_REBAL_PREFIX_SQL = f"""
+    e AS (
+        SELECT vec_id, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                   AS nrm,
+               {_IVF_DELTA_SQL} AS is_delta
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id < {IVF_NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, is_delta, cent_id,
+               {MICRO_SQL.format(x='cos')} AS cos_micro
+        FROM (
+            SELECT e.vec_id, e.is_delta, c.cent_id,
+                   {{cos_expr}} AS cos,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {{cos_expr}} DESC, c.cent_id
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    flagged AS (
+        SELECT cent_id FROM assigned GROUP BY cent_id
+        HAVING 5 * count(*) FILTER (WHERE is_delta)
+                 > count(*) FILTER (WHERE NOT is_delta)
+    )
+"""
+
+
+@query(
+    "sim_ann_ivf_rebalance",
+    oracle=f"""
+        WITH {_REBAL_PREFIX_SQL.format(
+            cos_expr=_duck_cos_nrm('e.embedding', 'c.ce', 'e.nrm', 'c.cnrm')
+        )},
+        fm AS (
+            SELECT a.vec_id, a.cent_id, a.cos_micro
+            FROM assigned a JOIN flagged f USING (cent_id)
+        ),
+        seeds AS (
+            SELECT cent_id,
+                   -(max(struct_pack(c := cos_micro, nv := -vec_id)).nv)
+                       AS hi_vec,
+                   (min(struct_pack(c := cos_micro, v := vec_id)).v)
+                       AS lo_vec
+            FROM fm GROUP BY cent_id
+        ),
+        seed_rel AS (
+            SELECT s.cent_id, CAST(0 AS BIGINT) AS sub_id,
+                   s.hi_vec AS seed_vec, e.embedding AS se, e.nrm AS snrm
+            FROM seeds s JOIN e ON e.vec_id = s.hi_vec
+            UNION ALL
+            SELECT s.cent_id, CAST(1 AS BIGINT), s.lo_vec,
+                   e.embedding, e.nrm
+            FROM seeds s JOIN e ON e.vec_id = s.lo_vec
+        ),
+        fme AS (
+            SELECT f.vec_id, f.cent_id, e.embedding, e.nrm
+            FROM fm f JOIN e USING (vec_id)
+        ),
+        scored AS (
+            SELECT m.vec_id, m.cent_id, s.sub_id, s.seed_vec,
+                   {MICRO_SQL.format(
+                       x=_duck_cos_nrm('m.embedding', 's.se',
+                                       'm.nrm', 's.snrm')
+                   )} AS cm
+            FROM fme m JOIN seed_rel s USING (cent_id)
+        ),
+        picked AS (
+            SELECT vec_id, cent_id,
+                   max(struct_pack(c := cm, ns := -sub_id,
+                                   sv := seed_vec)) AS b
+            FROM scored GROUP BY vec_id, cent_id
+        )
+        SELECT vec_id, cent_id,
+               CAST(-(b.ns) AS BIGINT) AS sub_id,
+               b.sv AS seed_vec_id,
+               b.c AS cos_to_seed_micro,
+               TRUE AS is_split
+        FROM picked
+        UNION ALL
+        SELECT a.vec_id, a.cent_id, CAST(0 AS BIGINT), a.cent_id,
+               a.cos_micro, FALSE
+        FROM assigned a LEFT JOIN flagged f USING (cent_id)
+        WHERE f.cent_id IS NULL
+        ORDER BY vec_id
+    """,
+    phase="P4",
+    tags=("similarity", "ann", "ivf", "incremental", "apply"),
+)
+def sim_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF rebalance APPLY step — consumes sim_ann_ivf_incremental's
+    verdict the way etl_cdc_apply consumes a CDC plan: every inverted
+    list the 20% growth fence flagged is SPLIT by a deterministic
+    one-step 2-means over its members, and the member-grain
+    reassignment table is emitted (vec_id → (old list, sub-list, new
+    seed vector, cosine to seed)). The distinct (cent_id, sub_id,
+    seed_vec_id) rows ARE the new centroid table; unflagged lists pass
+    through with their original centroid and assignment cosine, so the
+    output is the complete post-rebalance index state.
+
+    Deterministic split (no RNG, no iteration — exact twin on both
+    engines): the two seeds of a flagged list are its most-central
+    member (max assigned cosine, ties → min vec_id) and its most-
+    peripheral member (min assigned cosine, ties → min vec_id) — the
+    drifted tail that caused the flag. Each member joins the seed it
+    is closer to; cosines micro-quantize at (member, seed) grain
+    BEFORE the argmax and ties break toward sub 0, so IEEE noise can
+    never flip a membership (the house argmax-on-quantized rule).
+
+    Plan: one corpus scan feeds the broadcast-centroid assignment
+    argmax (WindowGroupLimit partial below the exchange — map-side
+    top-1, verified in r9); the assignment is eagerly checkpointed
+    because the final job reads it four ways (fence, seeds, flagged
+    members, pass-through). Flag/seed relations are K-grain and
+    broadcast; flagged members meet their 2 seeds map-side, so the
+    only data-scale shuffles are the assignment argmax and the
+    member-grain union. At 100 TB the pass-through leg is metadata
+    (you would not rewrite unflagged lists); it is materialized here
+    so the oracle can verify the complete index state."""
+    ne = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        (
+            (F.col("vec_id") >= IVF_NLIST) & (F.col("vec_id") % 5 == 4)
+        ).alias("is_delta"),
+    )
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cent_id")
+    )
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "embedding", "nrm", "is_delta", "cent_id", cos_c.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "is_delta",
+            "cent_id",
+            micro(F.col("cos")).alias("cos_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flagged = F.broadcast(
+        assigned.groupBy("cent_id")
+        .agg(
+            F.count(F.when(F.col("is_delta"), F.lit(1))).alias("n_delta"),
+            F.count(F.when(~F.col("is_delta"), F.lit(1))).alias("n_base"),
+        )
+        .filter(F.lit(5) * F.col("n_delta") > F.col("n_base"))
+        .select("cent_id")
+    )
+    fm = assigned.join(flagged, "cent_id")
+    seeds = fm.groupBy("cent_id").agg(
+        (
+            -F.max(
+                F.struct(
+                    F.col("cos_micro").alias("c"),
+                    (-F.col("vec_id")).alias("nv"),
+                )
+            ).getField("nv")
+        ).alias("hi_vec"),
+        F.min(
+            F.struct(F.col("cos_micro").alias("c"), F.col("vec_id").alias("v"))
+        )
+        .getField("v")
+        .alias("lo_vec"),
+    )
+    seed_melt = seeds.select(
+        "cent_id", F.lit(0).cast("bigint").alias("sub_id"), F.col("hi_vec").alias("seed_vec")
+    ).unionAll(
+        seeds.select(
+            "cent_id", F.lit(1).cast("bigint").alias("sub_id"), F.col("lo_vec").alias("seed_vec")
+        )
+    )
+    seed_rel = F.broadcast(
+        ne.select(
+            F.col("vec_id").alias("seed_vec"),
+            F.col("embedding").alias("se"),
+            F.col("nrm").alias("snrm"),
+        ).join(F.broadcast(seed_melt), "seed_vec")
+    )
+    cos_m = dot(F.col("embedding"), F.col("se")) / (
+        F.col("nrm") * F.col("snrm")
+    )
+    scored = fm.join(seed_rel, "cent_id").select(
+        "vec_id",
+        "cent_id",
+        "sub_id",
+        "seed_vec",
+        micro(cos_m).alias("cm"),
+    )
+    picked = scored.groupBy("vec_id", "cent_id").agg(
+        F.max(
+            F.struct(
+                F.col("cm").alias("c"),
+                (-F.col("sub_id")).alias("ns"),
+                F.col("seed_vec").alias("sv"),
+            )
+        ).alias("b")
+    )
+    split_rows = picked.select(
+        "vec_id",
+        "cent_id",
+        (-F.col("b.ns")).cast("bigint").alias("sub_id"),
+        F.col("b.sv").alias("seed_vec_id"),
+        F.col("b.c").alias("cos_to_seed_micro"),
+        F.lit(True).alias("is_split"),
+    )
+    pass_rows = (
+        assigned.join(flagged, "cent_id", "left_anti")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.lit(0).cast("bigint").alias("sub_id"),
+            F.col("cent_id").alias("seed_vec_id"),
+            F.col("cos_micro").alias("cos_to_seed_micro"),
+            F.lit(False).alias("is_split"),
+        )
+    )
+    return split_rows.unionByName(pass_rows).orderBy("vec_id")

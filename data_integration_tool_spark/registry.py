@@ -192,6 +192,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_foreach_batch",
     "stream_stream_join",
     "stream_stateful_totals",
+    # r10 additions (full oracle; land AFTER the r11 queue head so the
+    # never-rowed backlog drains deterministically):
+    "sim_ann_ivf_rebalance",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5655,6 +5655,56 @@ def test_ivf_incremental_counters_and_fence(spark, sf_dir):
         )
 
 
+def test_ivf_rebalance_applies_the_fence_verdict(spark, sf_dir):
+    """The rebalance APPLY step must consume exactly the lists the
+    incremental fence flagged: split members carry one of their list's
+    two seeds (most-central / most-peripheral by assigned cosine with
+    vec_id tiebreaks), each seed claims itself at cosine 1, pass-through
+    lists keep their original centroid and assignment cosine, and the
+    member-grain output partitions the corpus."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        sim_ann_ivf_incremental,
+        sim_ann_ivf_rebalance,
+    )
+
+    verdicts = {
+        r.cent_id: r.verdict
+        for r in sim_ann_ivf_incremental(spark, sf_dir).collect()
+    }
+    rows = sim_ann_ivf_rebalance(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    assert sorted(r.vec_id for r in rows) == list(range(n))
+    split_lists = {r.cent_id for r in rows if r.is_split}
+    assert split_lists == {
+        c for c, v in verdicts.items() if v == "rebalance"
+    }
+    by_list: dict[int, list] = {}
+    for r in rows:
+        by_list.setdefault(r.cent_id, []).append(r)
+    for cent_id, members in by_list.items():
+        if cent_id in split_lists:
+            seeds = {r.sub_id: r.seed_vec_id for r in members}
+            assert set(seeds) <= {0, 1}
+            # each seed is a member of its own sub-list at cosine 1
+            # (degenerate hi==lo collapses everything into sub 0)
+            for sub, sv in seeds.items():
+                me = [r for r in members if r.vec_id == sv]
+                assert len(me) == 1
+                if len(set(seeds.values())) > 1:
+                    assert me[0].sub_id == sub
+                assert me[0].cos_to_seed_micro == 1_000_000
+            # every member's seed matches its sub_id
+            for r in members:
+                assert r.seed_vec_id == seeds[r.sub_id]
+        else:
+            for r in members:
+                assert not r.is_split
+                assert r.sub_id == 0
+                assert r.seed_vec_id == r.cent_id
+
+
 def test_semantic_clusters_match_python_components(spark, sf_dir):
     """The semantic components must equal a full python union-find over
     the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
