@@ -3825,3 +3825,405 @@ def sim_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split_rows.unionByName(pass_rows).orderBy("vec_id")
+
+
+# --- reciprocal-rank + Matryoshka truncation audits (r10) ------------------
+
+_MRR_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    ranked AS (
+        SELECT query_id,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe',
+                             'e.nrm', 'q.qnrm')} DESC, e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (SELECT query_id, rel, rn FROM ranked WHERE rn <= 10)
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_rel_at_10,
+           CAST(min(CASE WHEN rel = 1 THEN rn END) AS BIGINT)
+               AS first_hit_rank,
+           CAST(floor(1000000.0
+                / min(CASE WHEN rel = 1 THEN rn END) + 0.5) AS BIGINT)
+               AS rr_micro
+    FROM topk
+    GROUP BY query_id
+    ORDER BY query_id
+"""
+
+
+@query(
+    "eval_mrr_at_k",
+    oracle=_MRR_ORACLE,
+    phase="P4",
+    tags=("evaluation", "similarity", "ranking"),
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 over the 20-query retrieval set (relevant =
+    same label): the rank of the FIRST relevant hit per query and its
+    reciprocal — the metric that matters when the consumer reads only
+    one result (RAG context slot 1, dedup canonical pick). Completes
+    the ranking-eval family: MAP averages all hit positions,
+    NDCG discounts them, MRR keeps only the first.
+
+    Exactness: ranking uses the house (cosine desc, vec_id) tiebreak;
+    first_hit_rank is an exact integer min; the reciprocal quantizes
+    one spelled division (1e6/rank); queries with no hit in 10 emit
+    NULLs, never 0.
+
+    Plan: identical shape to eval_map_at_k — corpus × 20 broadcast
+    queries, map-side top-10 (WindowGroupLimit partial below the
+    exchange), 200-row grain after the rank filter."""
+    ne = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            "vec_id",
+            rescore.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+    )
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel_at_10"),
+            F.min(F.when(F.col("rel") == 1, F.col("rn")))
+            .cast("bigint")
+            .alias("first_hit_rank"),
+        )
+        .select(
+            "query_id",
+            "n_rel_at_10",
+            "first_hit_rank",
+            F.floor(
+                F.lit(1000000.0) / F.col("first_hit_rank") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+MRL_PREFIX_DIMS = 16  # truncation point: the first 16 of 64 dims
+
+_DUCK_DOT_PRE = (
+    f"list_sum(list_transform(range(1, {MRL_PREFIX_DIMS + 1}), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_MRL_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                   AS nrm,
+               sqrt({_DUCK_DOT_PRE.format(a='embedding', b='embedding')})
+                   AS pnrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+                 nrm AS qnrm, pnrm AS qpnrm
+          FROM e WHERE vec_id < 20),
+    ranked AS (
+        SELECT query_id,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe',
+                             'e.nrm', 'q.qnrm')} DESC, e.vec_id
+               ) AS rn_full,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ({_DUCK_DOT_PRE.format(a='e.embedding',
+                              b='q.qe')} / (e.pnrm * q.qpnrm))
+                            DESC, e.vec_id
+               ) AS rn_pre
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    hits AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN rn_full <= 10 AND rn_pre <= 10
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               CAST(sum(CASE WHEN rn_full <= 10 THEN rel ELSE 0 END)
+                    AS BIGINT) AS n_rel_full,
+               CAST(sum(CASE WHEN rn_pre <= 10 THEN rel ELSE 0 END)
+                    AS BIGINT) AS n_rel_prefix
+        FROM ranked
+        WHERE rn_full <= 10 OR rn_pre <= 10
+        GROUP BY query_id
+    )
+    SELECT query_id, n_overlap,
+           CAST(floor(CAST(n_overlap AS DOUBLE) / (20 - n_overlap)
+                * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
+           n_rel_full, n_rel_prefix
+    FROM hits
+    ORDER BY query_id
+"""
+
+
+@query(
+    "emb_mrl_truncation_audit",
+    oracle=_MRL_ORACLE,
+    phase="P4",
+    tags=("similarity", "embedding", "evaluation"),
+)
+def emb_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much retrieval quality survives
+    when the index stores only the FIRST 16 of 64 embedding dims (the
+    MRL deployment move — 4× smaller index, coarse-to-fine serving)?
+    Per query of the house 20-query probe set: top-10 overlap between
+    the full-dim and prefix-dim rankings, its Jaccard, and same-label
+    hit counts under each ranking — the table that decides whether the
+    truncated index needs a full-dim rescore pass.
+
+    Exactness: two independent rankings over the SAME cross-join, each
+    with the house (cosine desc, vec_id) tiebreak; prefix cosine uses
+    an in-order 16-dim fold (an exact prefix of the 64-dim fold's
+    operand order, twinned in SQL via range(1,17)); all outputs are
+    exact integers except the one spelled Jaccard division
+    (overlap / (20 − overlap), denominators ≥ 10 > 0 always).
+
+    Plan: ONE corpus × 20-broadcast-queries pass computes both
+    cosines; the two row_numbers share the query_id partitioning (one
+    exchange, two sorts); everything after the rank filter is
+    ≤400-row grain."""
+    ne = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        F.sqrt(
+            dot(
+                F.slice("embedding", 1, MRL_PREFIX_DIMS),
+                F.slice("embedding", 1, MRL_PREFIX_DIMS),
+            )
+        ).alias("pnrm"),
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("pnrm").alias("qpnrm"),
+        )
+    )
+    cos_full = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    cos_pre = dot(
+        F.slice("embedding", 1, MRL_PREFIX_DIMS),
+        F.slice("qe", 1, MRL_PREFIX_DIMS),
+    ) / (F.col("pnrm") * F.col("qpnrm"))
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("vec_id")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_pre"), F.asc("vec_id")
+    )
+    ranked = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            "vec_id",
+            cos_full.alias("cos_full"),
+            cos_pre.alias("cos_pre"),
+        )
+        .withColumn("rn_full", F.row_number().over(w_full))
+        .withColumn("rn_pre", F.row_number().over(w_pre))
+        .filter((F.col("rn_full") <= 10) | (F.col("rn_pre") <= 10))
+    )
+    hits = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("rn_full") <= 10) & (F.col("rn_pre") <= 10), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.sum(F.when(F.col("rn_full") <= 10, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_full"),
+        F.sum(F.when(F.col("rn_pre") <= 10, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_prefix"),
+    )
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        F.floor(
+            F.col("n_overlap").cast("double")
+            / (F.lit(20) - F.col("n_overlap"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("jaccard_micro"),
+        "n_rel_full",
+        "n_rel_prefix",
+    ).orderBy("query_id")
+
+
+# --- binary (sign-bit) embedding quantization audit (r10) -------------------
+
+# bit d's place value; bit 63 spelled (-max-1) because DuckDB errors on
+# 1<<63 overflow (the dedup_simhash pack trick)
+_BQ_BIT_SQL = [
+    (
+        f"(CAST(1 AS BIGINT) << {d})"
+        if d < 63
+        else "(-9223372036854775807 - 1)"
+    )
+    for d in range(64)
+]
+
+_BQ_SIG_SQL = "list_sum(list_transform(embedding, (x, i) -> CASE " + " ".join(
+    f"WHEN i = {d + 1} AND CAST(x AS DOUBLE) > 0 THEN {_BQ_BIT_SQL[d]}"
+    for d in range(64)
+) + " ELSE CAST(0 AS BIGINT) END))"
+
+_BQ_NPOS_SQL = ",\n               ".join(
+    f"sum((sig >> {d}) & 1) AS p{d}" for d in range(64)
+)
+_BQ_MAJ_SQL = "\n                 + ".join(
+    f"(CASE WHEN 2 * p{d} > n THEN {_BQ_BIT_SQL[d]} ELSE 0 END)"
+    for d in range(64)
+)
+_BQ_HAM_SQL = "\n                 + ".join(
+    f"(CASE WHEN 2 * p{d} > n THEN n - p{d} ELSE p{d} END)"
+    for d in range(64)
+)
+
+
+@query(
+    "emb_quantize_binary",
+    oracle=f"""
+        WITH sigs AS (
+            SELECT vec_id, label,
+                   CAST({_BQ_SIG_SQL} AS BIGINT) AS sig
+            FROM embeddings
+        ),
+        g AS (
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT sig) AS BIGINT) AS n_distinct_sigs,
+                   {_BQ_NPOS_SQL}
+            FROM sigs GROUP BY label
+        )
+        SELECT label,
+               n AS n_vecs,
+               n_distinct_sigs,
+               CAST({_BQ_MAJ_SQL} AS BIGINT) AS majority_sig,
+               CAST({_BQ_HAM_SQL} AS BIGINT) AS total_hamming,
+               CAST(floor(CAST({_BQ_HAM_SQL} AS DOUBLE) / n
+                    * 1000000.0 + 0.5) AS BIGINT) AS mean_hamming_micro
+        FROM g
+        ORDER BY label
+    """,
+    phase="P4",
+    tags=("similarity", "embedding", "quantization"),
+)
+def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization audit — the 32×
+    compression step below even emb_quantize_int8 (64 floats → one
+    64-bit word, hamming distance ≈ angular distance): per-vector
+    sign signature packed to a BIGINT, then per label the signature
+    diversity (distinct codes), the label's MAJORITY-sign code (its
+    binary centroid; per-dim vote with ties → 0), and the mean hamming
+    distance of members to that code — the distortion number that
+    decides whether a hamming pre-filter can front the full-precision
+    rescore.
+
+    Exactness: sign bits compare one exact double (> 0) per dim; the
+    pack is a sum of distinct powers of two (bit 63 spelled −max−1 —
+    DuckDB errors on 1<<63); per-dim positive counts are recovered
+    from the PACKED signatures ((sig >> d) & 1 — arithmetic shift
+    sign-extends identically in both engines, the &1 masks it); the
+    majority vote, hamming total (maj ? n−p : p summed over dims),
+    and the one spelled mean division are pure integer forms.
+
+    Plan: one corpus scan packs signatures map-side (no explode — the
+    64-term conditional sum is one projection); the label-grain agg is
+    combinable (count + distinct + 64 bit-sums); majority and hamming
+    derive from the K-row aggregate, NOT from a second corpus pass —
+    the no-cross-branch-CSE rule."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = F.lit(0).cast("long")
+    for d in range(64):
+        bit_val = (
+            F.shiftleft(F.lit(1).cast("long"), d)
+            if d < 63
+            else F.lit(-9223372036854775807 - 1)
+        )
+        sig = sig + F.when(
+            F.element_at("embedding", d + 1).cast("double") > 0, bit_val
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = e.select("vec_id", "label", sig.alias("sig"))
+    g = sigs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("sig").cast("bigint").alias("n_distinct_sigs"),
+        *[
+            F.sum(F.shiftright(F.col("sig"), d).bitwiseAND(F.lit(1))).alias(
+                f"p{d}"
+            )
+            for d in range(64)
+        ],
+    )
+    maj = F.lit(0).cast("long")
+    ham = F.lit(0).cast("long")
+    for d in range(64):
+        bit_val = (
+            F.shiftleft(F.lit(1).cast("long"), d)
+            if d < 63
+            else F.lit(-9223372036854775807 - 1)
+        )
+        is_maj = 2 * F.col(f"p{d}") > F.col("n")
+        maj = maj + F.when(is_maj, bit_val).otherwise(F.lit(0).cast("long"))
+        ham = ham + F.when(is_maj, F.col("n") - F.col(f"p{d}")).otherwise(
+            F.col(f"p{d}")
+        )
+    return g.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        "n_distinct_sigs",
+        maj.cast("bigint").alias("majority_sig"),
+        ham.cast("bigint").alias("total_hamming"),
+        F.floor(
+            ham.cast("double") / F.col("n") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_hamming_micro"),
+    ).orderBy("label")

@@ -1925,3 +1925,106 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- curation operating-point sweep (r10) ----------------------------------
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM (SELECT doc_id, n_chars,
+                         string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ),
+        banded AS (
+            SELECT CAST(least(floor(CAST(n_distinct AS DOUBLE)
+                        / n_tokens * 20.0), 19.0) AS BIGINT) AS band_id,
+                   n_chars, n_tokens
+            FROM base
+        ),
+        counts AS (
+            SELECT band_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM banded GROUP BY band_id
+        )
+        SELECT band_id,
+               CAST(band_id * 50000 AS BIGINT) AS band_lo_micro,
+               n_docs,
+               CAST(sum(n_docs) OVER (ORDER BY band_id DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS docs_retained,
+               CAST(sum(n_chars) OVER (ORDER BY band_id DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS chars_retained,
+               CAST(sum(n_tokens) OVER (ORDER BY band_id DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS tokens_retained
+        FROM counts
+        ORDER BY band_id
+    """,
+    phase="P4",
+    tags=("text", "quality", "curation", "tuning"),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate operating-point sweep: histogram of the corpus over
+    0.05-wide bands of the vocabulary-diversity score (distinct/total
+    tokens — text_quality's graded signal), with cumulative docs,
+    chars, and tokens retained at-or-above each band. This is the
+    curve a curation pipeline reads to PICK its quality threshold —
+    "where does tightening the gate start deleting real data?" — the
+    same decision sim_threshold_sweep answers for the dedup cosine.
+
+    Exactness: the band floors one spelled double division of two
+    exact integers (same expression both engines, so band membership
+    can't flip); every retained figure is an exact integer sum over a
+    ≤20-row cumulative window.
+
+    Plan: one corpus scan → per-doc integer triple (map-only array
+    expressions, no shuffle) → 20-key combinable agg → 20-row window.
+    At 100 TB the only data-scale stage is the scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select(
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    banded = base.select(
+        F.least(
+            F.floor(
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens")
+                * F.lit(20.0)
+            ),
+            F.lit(19.0),
+        )
+        .cast("bigint")
+        .alias("band_id"),
+        "n_chars",
+        "n_tokens",
+    )
+    counts = banded.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("band_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.select(
+        "band_id",
+        (F.col("band_id") * F.lit(50000)).cast("bigint").alias(
+            "band_lo_micro"
+        ),
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_retained"),
+        F.sum("n_chars").over(w).cast("bigint").alias("chars_retained"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("tokens_retained"),
+    ).orderBy("band_id")

@@ -195,6 +195,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r10 additions (full oracle; land AFTER the r11 queue head so the
     # never-rowed backlog drains deterministically):
     "sim_ann_ivf_rebalance",
+    "eval_mrr_at_k",
+    "emb_mrl_truncation_audit",
+    "quality_threshold_sweep",
+    "emb_quantize_binary",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5705,6 +5705,107 @@ def test_ivf_rebalance_applies_the_fence_verdict(spark, sf_dir):
                 assert r.seed_vec_id == r.cent_id
 
 
+def test_mrr_reciprocal_of_first_hit(spark, sf_dir):
+    """MRR invariants: 20 query rows; first_hit_rank in 1..10 or NULL
+    exactly when no relevant landed in the top 10; rr_micro is the
+    quantized reciprocal of that rank; rank-1 hits give exactly 1e6."""
+    import math
+
+    from data_integration_tool_spark.operators.similarity import eval_mrr_at_k
+
+    rows = eval_mrr_at_k(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r.n_rel_at_10 == 0:
+            assert r.first_hit_rank is None and r.rr_micro is None
+        else:
+            assert 1 <= r.first_hit_rank <= 10
+            assert r.rr_micro == math.floor(1e6 / r.first_hit_rank + 0.5)
+
+
+def test_mrl_truncation_overlap_bounds(spark, sf_dir):
+    """MRL audit invariants: 20 query rows; overlap within [0, 10];
+    jaccard is the spelled overlap/(20-overlap) quantization; relevant
+    hit counts bounded by 10; full ranking can't be beaten by more
+    than the list size."""
+    import math
+
+    from data_integration_tool_spark.operators.similarity import (
+        emb_mrl_truncation_audit,
+    )
+
+    rows = emb_mrl_truncation_audit(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert 0 <= r.n_rel_full <= 10 and 0 <= r.n_rel_prefix <= 10
+        assert r.jaccard_micro == math.floor(
+            r.n_overlap / (20 - r.n_overlap) * 1e6 + 0.5
+        )
+
+
+def test_quality_sweep_cumulative_consistency(spark, sf_dir):
+    """The sweep's most-permissive operating point must retain the
+    whole corpus (docs and chars), retention must be monotone in the
+    threshold, and per-band doc counts must sum to the corpus."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.text import (
+        quality_threshold_sweep,
+    )
+
+    rows = sorted(
+        quality_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.band_id,
+    )
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_chars = d.agg({"n_chars": "sum"}).collect()[0][0]
+    assert rows[0].docs_retained == n_docs == sum(r.n_docs for r in rows)
+    assert rows[0].chars_retained == n_chars
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.docs_retained >= hi.docs_retained
+        assert lo.chars_retained >= hi.chars_retained
+        assert lo.tokens_retained >= hi.tokens_retained
+
+
+def test_binary_quantization_matches_numpy(spark, sf_dir):
+    """The packed majority signature and hamming totals must equal a
+    numpy recompute of the sign-bit quantization (vote per dim, ties
+    to 0, mismatch count against the majority code)."""
+    import numpy as np
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.similarity import (
+        emb_quantize_binary,
+    )
+
+    got = {r.label: r for r in emb_quantize_binary(spark, sf_dir).collect()}
+    pdf = load(spark, sf_dir, "embeddings").toPandas()
+    for label, grp in pdf.groupby("label"):
+        V = np.array([np.asarray(v, dtype=np.float64) for v in grp.embedding])
+        bits = (V > 0).astype(np.int64)  # n x 64
+        n = len(grp)
+        n_pos = bits.sum(axis=0)
+        maj = (2 * n_pos > n).astype(np.int64)
+        sig = 0
+        for d in range(64):
+            if maj[d]:
+                sig += (1 << d) if d < 63 else -(1 << 63)
+        ham = int(np.where(maj == 1, n - n_pos, n_pos).sum())
+        sigs = {
+            sum(
+                ((1 << d) if d < 63 else -(1 << 63)) * int(row[d])
+                for d in range(64)
+            )
+            for row in bits
+        }
+        r = got[label]
+        assert r.n_vecs == n
+        assert r.n_distinct_sigs == len(sigs)
+        assert r.majority_sig == sig
+        assert r.total_hamming == ham
+
+
 def test_semantic_clusters_match_python_components(spark, sf_dir):
     """The semantic components must equal a full python union-find over
     the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
