@@ -4569,3 +4569,141 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hl_estimate_cents"),
     )
+
+
+# --- Brown-Forsythe variance-homogeneity test (r10) -------------------------
+
+
+@query(
+    "agg_levene_test",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(floor(value + 0.5) AS BIGINT) AS v
+            FROM events
+        ), dv AS (
+            SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY event_type, v
+        ), cums AS (
+            SELECT event_type, v,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type
+                        ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS tot
+            FROM dv
+        ), med AS (
+            SELECT event_type, CAST(min(v) AS BIGINT) AS med_v
+            FROM cums WHERE 2 * cum >= tot
+            GROUP BY event_type
+        ), z AS (
+            SELECT vals.event_type, abs(v - med_v) AS zv
+            FROM vals JOIN med USING (event_type)
+        ), g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT)     AS n_g,
+                   CAST(sum(zv) AS BIGINT)      AS s_g,
+                   CAST(sum(zv * zv) AS BIGINT) AS q_g
+            FROM z GROUP BY event_type
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT)  AS k,
+                   CAST(sum(n_g) AS BIGINT)  AS n_tot,
+                   CAST(sum(s_g) AS BIGINT)  AS s_tot,
+                   CAST(sum(q_g) AS BIGINT)  AS q_tot,
+                   CAST(sum(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cm_sum
+            FROM g
+        )
+        SELECT k, n_tot, s_tot, q_tot, cm_sum,
+               CAST(floor({_ANOVA_SSB} * 1000000.0 + 0.5) AS BIGINT)
+                   AS ssb_micro,
+               CAST(floor({_ANOVA_SSW} * 1000000.0 + 0.5) AS BIGINT)
+                   AS ssw_micro,
+               CAST(floor({_ANOVA_F} * 1000000.0 + 0.5) AS BIGINT)
+                   AS w_micro
+        FROM m
+    """,
+    phase="P2",
+    tags=("agg", "statistics", "hypothesis-test"),
+)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test across the five event-type arms — the gate BEFORE
+    agg_anova_oneway: ANOVA's F assumes equal group variances, and
+    this is the robust test of that assumption (median-centered, so
+    heavy tails don't inflate it). W = one-way ANOVA's F computed on
+    z = |v − median(group)|.
+
+    Exactness: group medians are the house all-integer order-stat
+    selection (smallest v with 2·cum ≥ n over distinct-value counts —
+    no percentile interpolation), so every z is an exact integer and
+    the entire ANOVA stage reuses agg_anova_oneway's proven integer-
+    moment + micro-quantized s²/n machinery verbatim (same _ANOVA_*
+    formula strings, shared Spark/SQL spelling).
+
+    Plan: distinct-value grain for the median scan (bounded keys per
+    arm), one combinable z-moment aggregate, k-row reduce. The
+    median join-back is a broadcast of k rows; nothing data-scale
+    shuffles twice."""
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    dv = vals.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cums = dv.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_tot).cast("bigint").alias("tot"),
+    )
+    med = F.broadcast(
+        cums.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("v").cast("bigint").alias("med_v"))
+    )
+    z = vals.join(med, "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_v")).alias("zv")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("zv").cast("bigint").alias("s_g"),
+        F.sum(F.col("zv") * F.col("zv")).cast("bigint").alias("q_g"),
+    )
+    cm = F.floor(
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_tot"),
+        F.sum("s_g").cast("bigint").alias("s_tot"),
+        F.sum("q_g").cast("bigint").alias("q_tot"),
+        F.sum(cm).cast("bigint").alias("cm_sum"),
+    )
+    return m.select(
+        "k",
+        "n_tot",
+        "s_tot",
+        "q_tot",
+        "cm_sum",
+        F.floor(F.expr(_ANOVA_SSB) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ssb_micro"),
+        F.floor(F.expr(_ANOVA_SSW) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ssw_micro"),
+        F.floor(F.expr(_ANOVA_F) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("w_micro"),
+    )

@@ -4227,3 +4227,213 @@ def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_hamming_micro"),
     ).orderBy("label")
+
+
+# --- IVF nprobe tuning sweep (r10) ------------------------------------------
+
+NPROBE_SWEEP_MAX = 5  # sweep nprobe = 1..5 of the 10 coarse lists
+
+
+@query(
+    "sim_ivf_nprobe_sweep",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DUCK_DOT.format(a='embedding', b='embedding')})
+                       AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm
+            FROM e WHERE vec_id < {IVF_NLIST}
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+              FROM e WHERE vec_id < 20),
+        assigned AS (
+            SELECT vec_id, embedding, nrm, cent_id FROM (
+                SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_duck_cos_nrm('e.embedding', 'c.ce',
+                                     'e.nrm', 'c.cnrm')} DESC, c.cent_id
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cent_id, pr FROM (
+                SELECT q.query_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_duck_cos_nrm('c.ce', 'q.qe',
+                                     'c.cnrm', 'q.qnrm')} DESC, c.cent_id
+                       ) AS pr
+                FROM cent c CROSS JOIN q
+            ) WHERE pr <= {NPROBE_SWEEP_MAX}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id, p.pr,
+                   {_duck_cos_nrm('a.embedding', 'q.qe',
+                                  'a.nrm', 'q.qnrm')} AS cosine
+            FROM assigned a
+            JOIN probes p ON a.cent_id = p.cent_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+        ),
+        swept AS (
+            SELECT unnest(range(pr, {NPROBE_SWEEP_MAX + 1})) AS nprobe,
+                   query_id, vec_id, cosine
+            FROM cand
+        ),
+        topk AS (
+            SELECT nprobe, query_id, vec_id FROM (
+                SELECT nprobe, query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY nprobe, query_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rn
+                FROM swept
+            ) WHERE rn <= 10
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe',
+                                     'e.nrm', 'q.qnrm')} DESC, e.vec_id
+                       ) AS rn
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ) WHERE rn <= 10
+        )
+        SELECT t.nprobe,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(floor(CAST(count(*) AS DOUBLE) / (20 * 10)
+                    * 1000000.0 + 0.5) AS BIGINT) AS mean_recall_micro
+        FROM topk t JOIN exact x
+          ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+        GROUP BY t.nprobe
+        ORDER BY t.nprobe
+    """,
+    phase="P4",
+    tags=("similarity", "ann", "ivf", "tuning"),
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe tuning curve: mean recall@10 over the 20-query
+    probe set at every nprobe in 1..5 — the curve that PICKS the IVF
+    operating point (where does another probed list stop buying
+    recall?), the ANN sibling of sim_threshold_sweep /
+    quality_threshold_sweep. sim_ivf_recall_audit grades the SHIPPED
+    nprobe; this sweeps the knob.
+
+    Exactness: one candidate relation carries each (query, vector)
+    with the PROBE RANK of its list; candidacy at nprobe p is simply
+    pr ≤ p, so the sweep explodes each candidate into the nprobe
+    values it serves (sequence(pr, 5) — ≤5× a bounded relation) and
+    re-ranks per (nprobe, query) with the house tiebreaks. Counts are
+    exact integers; the one recall division is spelled once.
+
+    Plan: assignment + probe + rescore run ONCE (broadcast centroids
+    and queries, map-side argmax); only the 20-query candidate set —
+    not the corpus — is exploded 5×; exact top-10 is the same single
+    brute-force pass the audit pays. At 100 TB the sweep costs the
+    same one scan as the audit."""
+    e = load(spark, sf_dir, "embeddings")
+    ne = e.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    cent = F.broadcast(
+        ne.filter(F.col("vec_id") < IVF_NLIST).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cos_c = dot(F.col("embedding"), F.col("ce")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    assigned = (
+        ne.crossJoin(cent)
+        .select("vec_id", "embedding", "nrm", "cent_id", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+    cos_q = dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("cent_id")
+    )
+    probes = F.broadcast(
+        cent.crossJoin(q)
+        .select("query_id", "cent_id", cos_q.alias("cos_q"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= NPROBE_SWEEP_MAX)
+        .select("query_id", "cent_id", "pr")
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    cand = (
+        assigned.join(probes, "cent_id")
+        .join(q, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "pr", rescore.alias("cosine"))
+    )
+    swept = cand.select(
+        F.explode(
+            F.sequence(F.col("pr"), F.lit(NPROBE_SWEEP_MAX))
+        ).alias("nprobe"),
+        "query_id",
+        "vec_id",
+        "cosine",
+    )
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        swept.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    exact = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rescore.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("query_id").alias("xq"), F.col("vec_id").alias("xv"))
+    )
+    return (
+        topk.join(
+            exact,
+            (F.col("query_id") == F.col("xq"))
+            & (F.col("vec_id") == F.col("xv")),
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            "n_hits",
+            F.floor(
+                F.col("n_hits").cast("double")
+                / F.lit(200.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_recall_micro"),
+        )
+        .orderBy("nprobe")
+    )

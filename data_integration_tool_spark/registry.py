@@ -199,6 +199,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_mrl_truncation_audit",
     "quality_threshold_sweep",
     "emb_quantize_binary",
+    "sim_ivf_nprobe_sweep",
+    "etl_analyze_table_stats",
+    "agg_levene_test",
+    "ts_circadian_profile",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

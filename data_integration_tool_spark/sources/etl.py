@@ -2465,3 +2465,128 @@ def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- ANALYZE TABLE stats collection (r10) -----------------------------------
+
+# (column, kind) pairs driving both engines' stat expressions; kind
+# decides how min/max stringify so the melted schema stays uniform:
+# ints print natively, doubles print as micro-quantized ints (double
+# formatting differs between engines), timestamps print a pinned format.
+_ANALYZE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _analyze_minmax_sql(col: str, kind: str, agg: str) -> str:
+    if kind == "int":
+        return f"CAST({agg}({col}) AS VARCHAR)"
+    if kind == "double":
+        return (
+            f"CAST(CAST(floor({agg}({col}) * 1000000.0 + 0.5) AS BIGINT)"
+            " AS VARCHAR)"
+        )
+    if kind == "ts":
+        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"{agg}({col})"
+
+
+@query(
+    "etl_analyze_table_stats",
+    oracle=f"""
+        WITH wide AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   {", ".join(
+                       f"CAST(count({c}) AS BIGINT) AS nn_{c},"
+                       f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c},"
+                       f" {_analyze_minmax_sql(c, k, 'min')} AS min_{c},"
+                       f" {_analyze_minmax_sql(c, k, 'max')} AS max_{c}"
+                       for c, k in _ANALYZE_COLS
+                   )}
+            FROM lineitem
+        )
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, n_rows,"
+            f" n_rows - nn_{c} AS n_nulls, ndv_{c} AS ndv,"
+            f" min_{c} AS min_str, max_{c} AS max_str FROM wide"
+            for c, _ in _ANALYZE_COLS
+        )}
+        ORDER BY column_name
+    """,
+    phase="P2",
+    tags=("etl", "stats", "profiling"),
+)
+def etl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS emulation over lineitem: one
+    row per column with row count, null count, exact NDV, and min/max
+    — the statistics a cost-based optimizer (and every warehouse's
+    table catalog) keeps per column. dq_profile reads data QUALITY;
+    this emits the CBO's planning inputs, the numbers that decide
+    broadcast-vs-shuffle and join order at 100 TB.
+
+    Exactness: counts and NDVs are exact integers; min/max stringify
+    through type-pinned forms (ints natively, doubles as micro ints —
+    double→string formatting differs across engines — timestamps via
+    a pinned format string), so the melted schema is uniform and
+    hash-stable.
+
+    Plan: ONE wide aggregate over one scan computes every column's
+    stats together (Spark plans the multi-distinct via Expand — the
+    same one-pass shape ANALYZE runs); the melt to catalog rows
+    happens on the single aggregate row, not on data. At scale you'd
+    swap exact NDV for HLL sketches column-by-column (agg_hll_merge
+    is the house primitive) — exact here so the oracle can verify."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def mm(col: str, kind: str, agg_fn):
+        a = agg_fn(F.col(col))
+        if kind == "int":
+            return a.cast("string")
+        if kind == "double":
+            return (
+                F.floor(a * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string")
+            )
+        if kind == "ts":
+            return F.date_format(a, "yyyy-MM-dd HH:mm:ss")
+        return a
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, k in _ANALYZE_COLS:
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"ndv_{c}"))
+        aggs.append(mm(c, k, F.min).alias(f"min_{c}"))
+        aggs.append(mm(c, k, F.max).alias(f"max_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = []
+    for c, _ in _ANALYZE_COLS:
+        stack_args += [
+            F.lit(c),
+            F.col(f"nn_{c}"),
+            F.col(f"ndv_{c}"),
+            F.col(f"min_{c}"),
+            F.col(f"max_{c}"),
+        ]
+    melted = wide.select(
+        "n_rows",
+        F.stack(
+            F.lit(len(_ANALYZE_COLS)), *stack_args
+        ).alias("column_name", "nn", "ndv", "min_str", "max_str"),
+    )
+    return melted.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
+        "ndv",
+        "min_str",
+        "max_str",
+    ).orderBy("column_name")

