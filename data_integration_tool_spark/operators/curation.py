@@ -1499,3 +1499,136 @@ def mixture_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- LSH-layer decontamination (r10) ----------------------------------------
+
+from .dedup import _MH_AGREE_SQL, _MH_FLAT_SQL  # noqa: E402
+from .dedup import N_MINHASH as _DECON_N_MINHASH  # noqa: E402
+
+_DECON_LSH_ORACLE = f"""
+    WITH {_MH_FLAT_SQL},
+    tb_train AS (
+        SELECT doc_id AS train_doc, band_idx, band_hash
+        FROM banded WHERE NOT (doc_id % 20 = 0)
+    ),
+    tb_eval AS (
+        SELECT doc_id AS eval_doc, band_idx, band_hash
+        FROM banded WHERE doc_id % 20 = 0
+    ),
+    pairs AS (
+        SELECT train_doc, eval_doc,
+               CAST(count(*) AS BIGINT) AS n_bands_shared
+        FROM tb_train t JOIN tb_eval e USING (band_idx, band_hash)
+        GROUP BY train_doc, eval_doc
+    ),
+    scored AS (
+        SELECT p.train_doc, p.eval_doc, p.n_bands_shared,
+               CAST(floor(CAST(({_MH_AGREE_SQL}) AS DOUBLE)
+                    / {_DECON_N_MINHASH} * 1000000.0 + 0.5) AS BIGINT)
+                   AS est_jaccard_micro
+        FROM pairs p
+        JOIN flat a ON a.doc_id = p.train_doc
+        JOIN flat b ON b.doc_id = p.eval_doc
+    )
+    SELECT train_doc AS doc_id,
+           CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_partners,
+           CAST(sum(n_bands_shared) AS BIGINT) AS n_bucket_hits,
+           CAST(max(est_jaccard_micro) AS BIGINT)
+               AS best_est_jaccard_micro
+    FROM scored
+    GROUP BY train_doc
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "decon_lsh_candidates",
+    oracle=_DECON_LSH_ORACLE,
+    phase="P4",
+    tags=("curation", "decontamination", "dedup", "minhash"),
+)
+def decon_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at the LSH layer — the shape that
+    actually runs at 100 TB, where decon_ngram's exact shingle join is
+    the audit and THIS is the production pass: a training doc is a
+    contamination CANDIDATE if it shares any MinHash band bucket with
+    an eval-suite doc (doc_id % 20 == 0, the house benchmark stand-in).
+    Per candidate: distinct eval partners, total shared band buckets,
+    and the best estimated Jaccard (32-slot signature agreement) —
+    the triage columns a decon reviewer sorts by.
+
+    Reuses dedup_minhash's _flat_signatures verbatim (same banding,
+    same hash family), so the candidate set is exactly the pair
+    universe the dedup pipeline already ships — decontamination drops
+    in as one more consumer of the existing signature relation, no
+    second shingling pass.
+
+    Plan: the flat signature relation is computed once and EAGERLY
+    checkpointed (three consumers in the final job: the banded
+    explode per side and the per-pair signature join). The bucket
+    join is train×eval WITHIN a (band, hash) bucket — the eval side
+    is the 5% benchmark slice, so candidate volume is bounded by
+    bucket co-membership, never all-pairs. Agreement scoring runs at
+    candidate-pair grain (already linear)."""
+    from .dedup import N_BANDS, N_MINHASH, _flat_signatures
+
+    d = load(spark, sf_dir, "documents")
+    flat = _flat_signatures(d).localCheckpoint(eager=True)
+    banded = flat.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    is_bench = F.col("doc_id") % 20 == 0
+    train_b = banded.filter(~is_bench).select(
+        F.col("doc_id").alias("train_doc"), "band_idx", "band_hash"
+    )
+    eval_b = banded.filter(is_bench).select(
+        F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
+    )
+    pairs = (
+        train_b.join(eval_b, ["band_idx", "band_hash"])
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_shared"))
+    )
+    ta = flat.select(
+        F.col("doc_id").alias("train_doc"),
+        *[F.col(f"s{i}").alias(f"ta{i}") for i in range(N_MINHASH)],
+    )
+    tb = flat.select(
+        F.col("doc_id").alias("eval_doc"),
+        *[F.col(f"s{i}").alias(f"tb{i}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        (F.col(f"ta{i}") == F.col(f"tb{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    scored = (
+        pairs.join(ta, "train_doc")
+        .join(tb, "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_bands_shared",
+            F.floor(
+                agree.cast("double") / F.lit(float(N_MINHASH))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("est_jaccard_micro"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("train_doc").alias("doc_id"))
+        .agg(
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_partners"),
+            F.sum("n_bands_shared").cast("bigint").alias("n_bucket_hits"),
+            F.max("est_jaccard_micro")
+            .cast("bigint")
+            .alias("best_est_jaccard_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -821,3 +821,146 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# --- temporal train/test split + leakage audit (r10) -------------------------
+
+
+@query(
+    "sample_time_split_audit",
+    oracle="""
+        WITH days AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   user_id
+            FROM events
+        ),
+        dg AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS cnt
+            FROM days GROUP BY day
+        ),
+        cums AS (
+            SELECT day,
+                   CAST(sum(cnt) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS tot
+            FROM dg
+        ),
+        cut AS (
+            SELECT CAST(min(day) AS BIGINT) AS cutoff_day
+            FROM cums WHERE 5 * cum >= 4 * tot
+        ),
+        u AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE day <= cutoff_day)
+                        AS BIGINT) AS n_train_ev,
+                   CAST(count(*) FILTER (WHERE day > cutoff_day)
+                        AS BIGINT) AS n_test_ev
+            FROM days CROSS JOIN cut
+            GROUP BY user_id
+        )
+        SELECT (SELECT cutoff_day FROM cut) AS cutoff_day,
+               CAST(sum(n_train_ev) AS BIGINT) AS n_train_events,
+               CAST(sum(n_test_ev) AS BIGINT) AS n_test_events,
+               CAST(sum(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_users_train,
+               CAST(sum(CASE WHEN n_test_ev > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_users_test,
+               CAST(sum(CASE WHEN n_train_ev > 0 AND n_test_ev > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_users_leaked,
+               CAST(sum(CASE WHEN n_train_ev > 0 THEN n_test_ev
+                        ELSE 0 END) AS BIGINT) AS n_test_events_leaked,
+               CAST(floor(CAST(sum(CASE WHEN n_train_ev > 0
+                                   THEN n_test_ev ELSE 0 END) AS DOUBLE)
+                    / sum(n_test_ev) * 1000000.0 + 0.5) AS BIGINT)
+                   AS leak_frac_micro
+        FROM u
+    """,
+    phase="P3",
+    tags=("sample", "split", "leakage", "events"),
+)
+def sample_time_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a leakage audit — the split a
+    forecasting/recs pipeline actually ships (train on the past, test
+    on the future) plus the number that invalidates it: how much of
+    the test set belongs to users the model already saw in training
+    (entity leakage — the reason sample_entity_holdout exists; this
+    op MEASURES the leak a pure time split leaves). Cutoff = the
+    all-integer 80% order statistic over per-day event counts
+    (smallest day with 5·cum ≥ 4·total), so the split is
+    deterministic and append-stable, never an RNG draw.
+
+    Exactness: day indices are exact integer date-diffs from a pinned
+    epoch; the cutoff is an integer-predicate selection; every output
+    is an exact integer count except the one spelled leak-fraction
+    division.
+
+    Plan: day-grain combinable agg (+tiny cumulative window at day
+    grain), 1-row cutoff broadcast back, then ONE user-grain
+    conditional aggregate over a single scan — the same two-phase
+    selection shape as agg_approx_percentile. At 100 TB nothing
+    shuffles twice and no window touches event grain."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    dg = days.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cums = dg.select(
+        "day",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_tot).cast("bigint").alias("tot"),
+    )
+    cut = F.broadcast(
+        cums.filter(5 * F.col("cum") >= 4 * F.col("tot")).agg(
+            F.min("day").cast("bigint").alias("cutoff_day")
+        )
+    )
+    u = (
+        days.crossJoin(cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("day") <= F.col("cutoff_day"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_train_ev"),
+            F.count(F.when(F.col("day") > F.col("cutoff_day"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_test_ev"),
+            F.min("cutoff_day").alias("cutoff_day"),
+        )
+    )
+    leaked_ev = F.sum(
+        F.when(F.col("n_train_ev") > 0, F.col("n_test_ev")).otherwise(0)
+    )
+    return u.agg(
+        F.min("cutoff_day").cast("bigint").alias("cutoff_day"),
+        F.sum("n_train_ev").cast("bigint").alias("n_train_events"),
+        F.sum("n_test_ev").cast("bigint").alias("n_test_events"),
+        F.sum(F.when(F.col("n_train_ev") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_train"),
+        F.sum(F.when(F.col("n_test_ev") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_test"),
+        F.sum(
+            F.when((F.col("n_train_ev") > 0) & (F.col("n_test_ev") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_users_leaked"),
+        leaked_ev.cast("bigint").alias("n_test_events_leaked"),
+        F.floor(
+            leaked_ev.cast("double")
+            / F.sum("n_test_ev")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("leak_frac_micro"),
+    )

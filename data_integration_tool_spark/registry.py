@@ -203,6 +203,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_analyze_table_stats",
     "agg_levene_test",
     "ts_circadian_profile",
+    "decon_lsh_candidates",
+    "sample_time_split_audit",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5914,6 +5914,50 @@ def test_circadian_profile_resultant_bounds(spark, sf_dir):
         assert r.peak_cnt <= r.n_events
 
 
+def test_decon_lsh_candidates_superset_of_exact_decon(spark, sf_dir):
+    """Every candidate is a real train doc (never a benchmark doc),
+    the best estimated Jaccard is a valid 32-slot fraction, and bucket
+    hits bound partners (each partner shares >= 1 bucket)."""
+    from data_integration_tool_spark.operators.curation import (
+        decon_lsh_candidates,
+    )
+
+    rows = decon_lsh_candidates(spark, sf_dir).collect()
+    assert rows, "fixture plants near-dups across the %20 boundary"
+    for r in rows:
+        assert r.doc_id % 20 != 0
+        assert r.n_eval_partners >= 1
+        assert r.n_bucket_hits >= r.n_eval_partners
+        assert 0 <= r.best_est_jaccard_micro <= 1_000_000
+        # agreement is i/32 for integer i: micro values quantize there
+        assert any(
+            r.best_est_jaccard_micro == round(i / 32 * 1e6)
+            for i in range(33)
+        )
+
+
+def test_time_split_audit_conservation(spark, sf_dir):
+    """Split invariants: train+test events partition the corpus, the
+    cutoff honors the 80% integer fence, leaked users are the overlap
+    of the user sets, and the leak fraction is the spelled division."""
+    import math
+
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.operators.sort_limit import (
+        sample_time_split_audit,
+    )
+
+    r = sample_time_split_audit(spark, sf_dir).collect()[0]
+    n = load(spark, sf_dir, "events").count()
+    assert r.n_train_events + r.n_test_events == n
+    assert 5 * r.n_train_events >= 4 * n  # cutoff fence
+    assert r.n_users_leaked <= min(r.n_users_train, r.n_users_test)
+    assert r.n_test_events_leaked <= r.n_test_events
+    assert r.leak_frac_micro == math.floor(
+        r.n_test_events_leaked / r.n_test_events * 1e6 + 0.5
+    )
+
+
 def test_semantic_clusters_match_python_components(spark, sf_dir):
     """The semantic components must equal a full python union-find over
     the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
