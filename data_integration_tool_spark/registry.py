@@ -205,6 +205,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_circadian_profile",
     "decon_lsh_candidates",
     "sample_time_split_audit",
+    "ts_spectral_entropy",
+    "ts_dtw_distance",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

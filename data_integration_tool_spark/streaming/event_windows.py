@@ -4523,3 +4523,391 @@ def ts_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("resultant_micro"),
     ).orderBy("event_type")
+
+
+# --- spectral entropy of the periodogram (r10) -------------------------------
+
+_SPECENT_LN_K = repr(_math.log(float(len(_PGRAM_PERIODS))))
+
+
+def _specent_oracle() -> str:
+    sums = []
+    for p in _PGRAM_PERIODS:
+        cos, sin = _pgram_coefs(p)
+        for tag, coefs in (("c", cos), ("s", sin)):
+            sums.append(
+                f"CAST(sum(CAST(floor(x * ({_pgram_case_sql(p, coefs)})"
+                f" * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+                f" AS {tag}{p}"
+            )
+    branches = " UNION ALL ".join(
+        f"SELECT {p} AS period, c{p} AS sc, s{p} AS ss FROM wide"
+        for p in _PGRAM_PERIODS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        wide AS MATERIALIZED (
+            SELECT {", ".join(sums)} FROM hourly
+        ),
+        rows_ AS ({branches}),
+        powered AS (
+            SELECT period,
+                   CAST(floor(
+                       (CAST(sc AS DOUBLE) / 1000000000.0)
+                     * (CAST(sc AS DOUBLE) / 1000000000.0)
+                     + (CAST(ss AS DOUBLE) / 1000000000.0)
+                     * (CAST(ss AS DOUBLE) / 1000000000.0)
+                     + 0.5) AS BIGINT) AS pw
+            FROM rows_
+        ),
+        tot AS (SELECT CAST(sum(pw) AS BIGINT) AS total FROM powered),
+        terms AS (
+            SELECT CASE WHEN pw > 0 THEN
+                       CAST(floor(-(CAST(pw AS DOUBLE) / total)
+                            * ln(CAST(pw AS DOUBLE) / total)
+                            * 1000000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END AS term,
+                   CAST(floor(CAST(pw AS DOUBLE) / total * 1000000.0
+                        + 0.5) AS BIGINT) AS share_micro
+            FROM powered CROSS JOIN tot
+        )
+        SELECT CAST({len(_PGRAM_PERIODS)} AS BIGINT) AS n_periods,
+               (SELECT total FROM tot) AS total_power_unit,
+               CAST(sum(term) AS BIGINT) AS entropy_nano,
+               CAST(floor(CAST(sum(term) AS DOUBLE) / 1000000000.0
+                    / {_SPECENT_LN_K} * 1000000.0 + 0.5) AS BIGINT)
+                   AS entropy_norm_micro,
+               CAST(max(share_micro) AS BIGINT) AS peak_share_micro
+        FROM terms
+    """
+
+
+@query(
+    "ts_spectral_entropy",
+    oracle=_specent_oracle(),
+    phase="P4",
+    tags=("timeseries", "spectral", "seasonality"),
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the candidate-period power distribution —
+    ONE number summarizing ts_periodogram's seven: entropy near 0
+    means the hourly series is dominated by a single cycle (schedule
+    it), near ln(7) means the spectrum is flat (no exploitable
+    seasonality; alerting should use level rules, not seasonal
+    baselines). Ships the normalized entropy, total power, and the
+    dominant period's power share.
+
+    Exactness: powers are ts_periodogram's exact integer power_units
+    (Python-minted trig literals, nano-quantized hour-grain terms);
+    each −p·ln(p) term quantizes to nano at PERIOD grain (the
+    seq_survival_km per-step-ln recipe) so the 7-term reduction is an
+    order-free integer sum; the normalizing ln(7) is a Python-minted
+    repr literal, never engine libm at a bare double.
+
+    Plan: identical single-pass shape as ts_periodogram (one
+    combinable hour-grain agg → 14 conditional sums in one 1-row
+    aggregate) with a 7-row entropy reduce on top — the spectrum
+    costs one scan regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    aggs = []
+    for p in _PGRAM_PERIODS:
+        cos, sin = _pgram_coefs(p)
+        for tag, coefs in (("c", cos), ("s", sin)):
+            coef = F.element_at(
+                F.array(*[F.lit(float(v)) for v in coefs]),
+                (F.col("t") % p).cast("int") + 1,
+            )
+            aggs.append(
+                F.sum(
+                    F.floor(
+                        F.col("x") * coef * F.lit(1000000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias(f"{tag}{p}")
+            )
+    wide = hourly.agg(*aggs)
+    stack_args = []
+    for p in _PGRAM_PERIODS:
+        stack_args += [F.lit(p).cast("bigint"), F.col(f"c{p}"), F.col(f"s{p}")]
+    rows = wide.select(
+        F.stack(F.lit(len(_PGRAM_PERIODS)), *stack_args).alias(
+            "period", "sc", "ss"
+        )
+    )
+    scd = F.col("sc").cast("double") / F.lit(1000000000.0)
+    ssd = F.col("ss").cast("double") / F.lit(1000000000.0)
+    powered = rows.select(
+        "period",
+        F.floor(scd * scd + ssd * ssd + F.lit(0.5))
+        .cast("bigint")
+        .alias("pw"),
+    )
+    w_tot = Window.partitionBy()
+    terms = powered.select(
+        F.sum("pw").over(w_tot).cast("bigint").alias("total"),
+        F.when(
+            F.col("pw") > 0,
+            F.floor(
+                -(F.col("pw").cast("double") / F.sum("pw").over(w_tot))
+                * F.log(
+                    F.col("pw").cast("double") / F.sum("pw").over(w_tot)
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("term"),
+        F.floor(
+            F.col("pw").cast("double") / F.sum("pw").over(w_tot)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    return terms.agg(
+        F.lit(len(_PGRAM_PERIODS)).cast("bigint").alias("n_periods"),
+        F.min("total").cast("bigint").alias("total_power_unit"),
+        F.sum("term").cast("bigint").alias("entropy_nano"),
+        F.floor(
+            F.sum("term").cast("double")
+            / F.lit(1000000000.0)
+            / F.lit(float(_SPECENT_LN_K))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("entropy_norm_micro"),
+        F.max("share_micro").cast("bigint").alias("peak_share_micro"),
+    )
+
+
+# --- dynamic time warping between event-type series (r10) --------------------
+
+_DTW_DAYS = 32  # fixed window: first 32 days from the corpus min day
+
+
+def _dtw_oracle() -> str:
+    """Unrolled anti-diagonal DTW DP: cells on diagonal d = i + j
+    derive from diagonals d-1 (left/up) and d-2 (diag step), so the
+    2·K−1 diagonals unroll into MATERIALIZED CTEs (the graph_kcore
+    recipe — DuckDB re-expands non-materialized references and a
+    63-deep chain would exhaust handles). All-integer costs: exact."""
+    k = _DTW_DAYS
+    ctes = [
+        f"""days AS MATERIALIZED (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events
+        ),
+        rel AS MATERIALIZED (
+            SELECT event_type,
+                   day - (SELECT min(day) FROM days) AS rd
+            FROM days
+            WHERE day - (SELECT min(day) FROM days) < {k}
+        ),
+        types AS (SELECT DISTINCT event_type FROM days),
+        grid0 AS (
+            SELECT t.event_type, u.rd
+            FROM types t
+            CROSS JOIN (SELECT unnest(range({k})) AS rd) u
+        ),
+        series AS MATERIALIZED (
+            SELECT g.event_type, g.rd,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS x
+            FROM grid0 g
+            LEFT JOIN (SELECT event_type, rd,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM rel GROUP BY event_type, rd) c
+              ON c.event_type = g.event_type AND c.rd = g.rd
+        ),
+        grid AS MATERIALIZED (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   a.rd AS i, b.rd AS j, a.rd + b.rd AS diag,
+                   abs(a.x - b.x) AS ad
+            FROM series a JOIN series b
+              ON a.event_type < b.event_type
+        ),
+        dp0 AS MATERIALIZED (
+            SELECT ta, tb, i, j, ad AS cost
+            FROM grid WHERE diag = 0
+        ),
+        dp1 AS MATERIALIZED (
+            SELECT g.ta, g.tb, g.i, g.j, g.ad + min(p.cost) AS cost
+            FROM grid g JOIN dp0 p
+              ON p.ta = g.ta AND p.tb = g.tb
+             AND ((p.i = g.i - 1 AND p.j = g.j)
+                  OR (p.i = g.i AND p.j = g.j - 1))
+            WHERE g.diag = 1
+            GROUP BY g.ta, g.tb, g.i, g.j, g.ad
+        )"""
+    ]
+    for d in range(2, 2 * k - 1):
+        ctes.append(f"""dp{d} AS MATERIALIZED (
+            SELECT g.ta, g.tb, g.i, g.j, g.ad + min(p.cost) AS cost
+            FROM grid g JOIN (
+                SELECT ta, tb, i, j, cost FROM dp{d - 1}
+                UNION ALL
+                SELECT ta, tb, i, j, cost FROM dp{d - 2}
+            ) p ON p.ta = g.ta AND p.tb = g.tb
+               AND ((p.i = g.i - 1 AND p.j = g.j)
+                    OR (p.i = g.i AND p.j = g.j - 1)
+                    OR (p.i = g.i - 1 AND p.j = g.j - 1))
+            WHERE g.diag = {d}
+            GROUP BY g.ta, g.tb, g.i, g.j, g.ad
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT d.ta AS type_a, d.tb AS type_b,
+               CAST({k} AS BIGINT) AS n_days,
+               CAST(d.cost AS BIGINT) AS dtw_dist,
+               CAST(l.l1 AS BIGINT) AS l1_dist
+        FROM dp{2 * k - 2} d
+        JOIN (SELECT ta, tb, sum(ad) AS l1 FROM grid
+              WHERE i = j GROUP BY ta, tb) l
+          ON l.ta = d.ta AND l.tb = d.tb
+        WHERE d.i = {k - 1} AND d.j = {k - 1}
+        ORDER BY type_a, type_b
+    """
+    )
+
+
+@query(
+    "ts_dtw_distance",
+    oracle=_dtw_oracle(),
+    phase="P4",
+    tags=("timeseries", "similarity", "kernel"),
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of event-type
+    daily-count series (first 32 days, zero-filled) — the alignment-
+    tolerant series similarity Spark has no operator for: L1 punishes
+    a one-day phase shift as hard as a real shape change, DTW aligns
+    first (classic for matching usage curves, release rollouts,
+    anomaly propagation across services). Ships DTW next to the rigid
+    L1 so the gap itself is the phase-shift signal.
+
+    Semantics: classic DP over the |x_i − y_j| cost grid,
+    dp[i][j] = cost + min(left, up, diag) — all integers, so the
+    kernel and the oracle agree bit-for-bit. The oracle unrolls the
+    DP by ANTI-DIAGONALS (63 MATERIALIZED CTEs: diagonal d needs only
+    d−1 and d−2), the same unrolled-iteration posture as graph_kcore.
+
+    Plan: per-pair Arrow kernel (applyInPandas) over the k(k−1)/2
+    type pairs — each group carries two 32-long integer series, the
+    DP is a numpy int64 loop inside one kernel call, and pairs
+    parallelize across executors (at 100 TB: thousands of series
+    pairs = thousands of independent tasks; the day-grain series
+    build is the only data-scale stage, one combinable agg)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    w_min = Window.partitionBy()
+    rel = days.select(
+        "event_type", (F.col("day") - F.min("day").over(w_min)).alias("rd")
+    ).filter(F.col("rd") < _DTW_DAYS)
+    counts = rel.groupBy("event_type", "rd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    types = days.select("event_type").distinct()
+    grid0 = types.crossJoin(
+        F.broadcast(
+            types.sparkSession.range(_DTW_DAYS).select(
+                F.col("id").cast("bigint").alias("rd")
+            )
+        )
+    )
+    series = (
+        grid0.join(counts, ["event_type", "rd"], "left")
+        .select(
+            "event_type",
+            "rd",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = series.select(
+        F.col("event_type").alias("type_a"),
+        F.col("rd").alias("rd"),
+        F.col("x").alias("xa"),
+    )
+    b = series.select(
+        F.col("event_type").alias("type_b"),
+        F.col("rd").alias("rd"),
+        F.col("x").alias("xb"),
+    )
+    paired = a.join(b, "rd").filter(F.col("type_a") < F.col("type_b"))
+    out_schema = StructType(
+        [
+            StructField("type_a", StringType()),
+            StructField("type_b", StringType()),
+            StructField("n_days", LongType()),
+            StructField("dtw_dist", LongType()),
+            StructField("l1_dist", LongType()),
+        ]
+    )
+
+    def dtw_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rd")
+        x = pdf["xa"].to_numpy(dtype=np.int64)
+        y = pdf["xb"].to_numpy(dtype=np.int64)
+        k = len(x)
+        ad = np.abs(x[:, None] - y[None, :])
+        BIG = np.int64(1) << 60
+        dp = np.full((k, k), BIG, dtype=np.int64)
+        dp[0, 0] = ad[0, 0]
+        for i in range(k):
+            for j in range(k):
+                if i == 0 and j == 0:
+                    continue
+                best = BIG
+                if i > 0:
+                    best = min(best, dp[i - 1, j])
+                if j > 0:
+                    best = min(best, dp[i, j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, dp[i - 1, j - 1])
+                dp[i, j] = ad[i, j] + best
+        return pd.DataFrame(
+            {
+                "type_a": [pdf["type_a"].iloc[0]],
+                "type_b": [pdf["type_b"].iloc[0]],
+                "n_days": [k],
+                "dtw_dist": [int(dp[k - 1, k - 1])],
+                "l1_dist": [int(np.abs(x - y).sum())],
+            }
+        )
+
+    return (
+        paired.groupBy("type_a", "type_b")
+        .applyInPandas(dtw_fn, out_schema)
+        .orderBy("type_a", "type_b")
+    )

@@ -5958,6 +5958,79 @@ def test_time_split_audit_conservation(spark, sf_dir):
     )
 
 
+def test_spectral_entropy_bounds_and_total(spark, sf_dir):
+    """Entropy of a 7-point distribution lies in [0, ln 7]; the peak
+    share bounds the entropy from above (H <= ln(1/max_p) + ... is
+    loose, so pin the simple bounds); total power matches the
+    periodogram's powers."""
+    import math
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_periodogram,
+        ts_spectral_entropy,
+    )
+
+    r = ts_spectral_entropy(spark, sf_dir).collect()[0]
+    assert r.n_periods == 7
+    assert 0 <= r.entropy_nano <= math.ceil(math.log(7) * 1e9) + 7
+    assert 0 <= r.entropy_norm_micro <= 1_000_001
+    assert 0 < r.peak_share_micro <= 1_000_000
+    total = sum(p.power_unit for p in ts_periodogram(spark, sf_dir).collect())
+    assert r.total_power_unit == total
+
+
+def test_dtw_matches_python_and_bounds_l1(spark, sf_dir):
+    """DTW must equal a pure-python DP over the same zero-filled
+    series and can never exceed the rigid L1 alignment."""
+    from data_integration_tool_spark.io import load
+    from data_integration_tool_spark.streaming.event_windows import (
+        _DTW_DAYS,
+        ts_dtw_distance,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ts_dtw_distance(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    pdf = e.toPandas()
+    mn = pdf.day.min()
+    series = {}
+    for et, grp in pdf.groupby("event_type"):
+        s = [0] * _DTW_DAYS
+        for d in grp.day:
+            rd = d - mn
+            if rd < _DTW_DAYS:
+                s[rd] += 1
+        series[et] = s
+    assert len(rows) == len(series) * (len(series) - 1) // 2
+    for r in rows:
+        x, y = series[r.type_a], series[r.type_b]
+        k = _DTW_DAYS
+        INF = 1 << 60
+        dp = [[INF] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(k):
+                c = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                    continue
+                best = INF
+                if i > 0:
+                    best = min(best, dp[i - 1][j])
+                if j > 0:
+                    best = min(best, dp[i][j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, dp[i - 1][j - 1])
+                dp[i][j] = c + best
+        assert r.dtw_dist == dp[k - 1][k - 1]
+        assert r.l1_dist == sum(abs(a - b) for a, b in zip(x, y))
+        assert r.dtw_dist <= r.l1_dist
+
+
 def test_semantic_clusters_match_python_components(spark, sf_dir):
     """The semantic components must equal a full python union-find over
     the SAME kmeans blocking and the same ≥0.3 cosine pairs (kernel fp
