@@ -56,10 +56,18 @@ def main() -> None:
     # dominated by task-scheduling overhead and wants few partitions
     # (AQE coalesces further). Measured at sf0.1: light queries ~1.8×
     # faster at 8, dedup_minhash ~1.4× faster at 32.
+    # "decontamination" joined the heavy class in r10: the decon queries
+    # are pair-generating gram joins exactly like dedup, and the r9
+    # AQE toggle had misfiled them as light — the only >1.5× shared-set
+    # regression of r9 (decon_containment 0.75→1.14 s) was that
+    # misclassification. Quiet-pair r10 measurement (same hour, loadavg
+    # ~1.1): decon_containment light(off,8) 1.15 s isolated / 0.97 s
+    # warm-JVM vs heavy(on,32) 0.95/0.92 s; decon_ngram 1.04→0.90 s;
+    # decon_lsh_candidates 2.71 vs 2.86 s (noise-level).
     heavy = {
         name
         for name, spec in specs.items()
-        if {"dedup", "similarity"} & set(spec.tags)
+        if {"dedup", "similarity", "decontamination"} & set(spec.tags)
     }
     # AQE is a big-shuffle optimizer: on sub-second queries its
     # per-stage re-optimization rounds are pure overhead (measured at
