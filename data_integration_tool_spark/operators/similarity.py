@@ -4437,3 +4437,329 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+_PRK_KS = (1, 5, 10)
+
+_PRK_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id < 20),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label),
+    ranked AS (
+        SELECT query_id, qlabel,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_duck_cos_nrm('e.embedding', 'q.qe',
+                             'e.nrm', 'q.qnrm')} DESC, e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _PRK_KS)}]) AS k),
+    terms AS (
+        SELECT r.query_id, r.qlabel, ks.k,
+               CAST(sum(r.rel) AS BIGINT) AS hits
+        FROM ranked r CROSS JOIN ks
+        WHERE r.rn <= ks.k
+        GROUP BY r.query_id, r.qlabel, ks.k
+    )
+    SELECT t.query_id,
+           CAST(t.k AS BIGINT) AS k,
+           t.hits,
+           CAST(lc.n - 1 AS BIGINT) AS n_rel_total,
+           CAST(floor(CAST(t.hits AS DOUBLE) / t.k * 1000000.0 + 0.5)
+                AS BIGINT) AS precision_micro,
+           CASE WHEN lc.n - 1 > 0 THEN
+               CAST(floor(CAST(t.hits AS DOUBLE) / (lc.n - 1)
+                    * 1000000.0 + 0.5) AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN lc.n - 1 > 0 THEN
+               CAST(floor(2.0 * t.hits / (t.k + lc.n - 1)
+                    * 1000000.0 + 0.5) AS BIGINT)
+           END AS f1_micro
+    FROM terms t JOIN lc ON lc.label = t.qlabel
+    ORDER BY t.query_id, t.k
+"""
+
+
+@query(
+    "eval_precision_recall_at_k",
+    oracle=_PRK_ORACLE,
+    phase="P4",
+    tags=("evaluation", "similarity", "ranking"),
+)
+def eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at k ∈ {1, 5, 10} over the same 20-query
+    retrieval set as ``eval_map_at_k`` (relevant = same label) — the
+    cutoff-level diagnostic MAP averages away: precision@1 is "is the
+    FIRST hit right", recall@10 is "how much of the relevant set a
+    10-result page surfaces". A retrieval pipeline tunes its k against
+    exactly this table.
+
+    Exactness: hits and the relevant-set size are exact BIGINTs;
+    precision = hits/k and recall = hits/(n−1) are each ONE spelled
+    division micro-quantized; F1 collapses algebraically to
+    2·hits/(k + n−1) — a single exact-integer division, so no
+    float-of-float composition ever happens. Zero-relevant queries
+    yield NULL recall/F1 (not 0/0), matching the MAP convention.
+
+    Plan: the ranked top-10 relation is the eval_map_at_k plan
+    verbatim (corpus × 20 broadcast queries, per-partition TakeOrdered
+    shape); the k-sweep is a 3-row broadcast cross join AT 200-ROW
+    GRAIN (after the rn ≤ 10 filter), so the sweep itself is free.
+    Everything downstream of the top-k filter is ≤600 rows regardless
+    of corpus size."""
+    ne = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = F.broadcast(
+        ne.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    lc = F.broadcast(
+        ne.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rescore = dot(F.col("embedding"), F.col("qe")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = (
+        ne.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            "vec_id",
+            rescore.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= max(_PRK_KS))
+    )
+    ks = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(k) for k in _PRK_KS])).alias("k")
+        )
+    )
+    terms = (
+        ranked.crossJoin(ks)
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("query_id", "qlabel", "k")
+        .agg(F.sum("rel").cast("bigint").alias("hits"))
+    )
+    nrel = (F.col("n") - 1).cast("bigint")
+    return (
+        terms.join(lc, terms.qlabel == lc.label)
+        .select(
+            "query_id",
+            F.col("k").cast("bigint").alias("k"),
+            "hits",
+            nrel.alias("n_rel_total"),
+            F.floor(
+                F.col("hits").cast("double") / F.col("k")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("precision_micro"),
+            F.when(
+                nrel > 0,
+                F.floor(
+                    F.col("hits").cast("double") / nrel
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("recall_micro"),
+            F.when(
+                nrel > 0,
+                F.floor(
+                    F.lit(2.0) * F.col("hits") / (F.col("k") + nrel)
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("f1_micro"),
+        )
+        .orderBy("query_id", "k")
+    )
+
+
+@query(
+    "eval_delong_auc",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0
+                              + 0.5) AS BIGINT) AS s,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ), grp AS (
+            SELECT s,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(pos) AS BIGINT) AS nps
+            FROM scored GROUP BY s
+        ), cum AS (
+            SELECT s, cnt, nps, cnt - nps AS nns,
+                   CAST(sum(cnt - nps) OVER (ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cneg,
+                   CAST(sum(nps) OVER (ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+            FROM grp
+        ), tot AS (
+            SELECT CAST(sum(nps) AS BIGINT) AS n_pos,
+                   CAST(sum(nns) AS BIGINT) AS n_neg
+            FROM cum
+        ), placed AS (
+            SELECT CAST(sum(nps * (2 * (cneg - nns) + nns)) AS BIGINT)
+                       AS sum_p2,
+                   CAST(sum(nps * (2 * (cneg - nns) + nns)
+                            * (2 * (cneg - nns) + nns)) AS BIGINT)
+                       AS sum_p2sq,
+                   CAST(sum(nns * (2 * (t.n_pos - cpos) + nps)) AS BIGINT)
+                       AS sum_q2,
+                   CAST(sum(nns * (2 * (t.n_pos - cpos) + nps)
+                            * (2 * (t.n_pos - cpos) + nps)) AS BIGINT)
+                       AS sum_q2sq
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT t.n_pos, t.n_neg, p.sum_p2, p.sum_p2sq, p.sum_q2, p.sum_q2sq,
+               CAST(floor(CAST(p.sum_p2 AS DOUBLE)
+                    / (2.0 * t.n_neg * t.n_pos) * 1000000.0 + 0.5)
+                    AS BIGINT) AS auc_micro,
+               CAST(floor(
+                   (CAST(p.sum_p2sq AS DOUBLE) / (4.0 * t.n_neg * t.n_neg)
+                    - t.n_pos * (CAST(p.sum_p2 AS DOUBLE)
+                                 / (2.0 * t.n_neg * t.n_pos))
+                              * (CAST(p.sum_p2 AS DOUBLE)
+                                 / (2.0 * t.n_neg * t.n_pos)))
+                   / (t.n_pos - 1) * 1000000000.0 + 0.5) AS BIGINT)
+                   AS v10_nano,
+               CAST(floor(
+                   (CAST(p.sum_q2sq AS DOUBLE) / (4.0 * t.n_pos * t.n_pos)
+                    - t.n_neg * (CAST(p.sum_q2 AS DOUBLE)
+                                 / (2.0 * t.n_pos * t.n_neg))
+                              * (CAST(p.sum_q2 AS DOUBLE)
+                                 / (2.0 * t.n_pos * t.n_neg)))
+                   / (t.n_neg - 1) * 1000000000.0 + 0.5) AS BIGINT)
+                   AS v01_nano,
+               CAST(floor(sqrt(
+                   (CAST(p.sum_p2sq AS DOUBLE) / (4.0 * t.n_neg * t.n_neg)
+                    - t.n_pos * (CAST(p.sum_p2 AS DOUBLE)
+                                 / (2.0 * t.n_neg * t.n_pos))
+                              * (CAST(p.sum_p2 AS DOUBLE)
+                                 / (2.0 * t.n_neg * t.n_pos)))
+                   / (t.n_pos - 1) / t.n_pos
+                   + (CAST(p.sum_q2sq AS DOUBLE) / (4.0 * t.n_pos * t.n_pos)
+                      - t.n_neg * (CAST(p.sum_q2 AS DOUBLE)
+                                   / (2.0 * t.n_pos * t.n_neg))
+                                * (CAST(p.sum_q2 AS DOUBLE)
+                                   / (2.0 * t.n_pos * t.n_neg)))
+                     / (t.n_neg - 1) / t.n_neg
+                   ) * 1000000000.0 + 0.5) AS BIGINT) AS se_nano
+        FROM tot t CROSS JOIN placed p
+    """,
+    phase="P4",
+    tags=("similarity", "evaluation", "auc"),
+)
+def eval_delong_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance for the ROC-AUC of ``eval_auc_rank``'s scorer —
+    the number that turns a point AUC into a confidence statement
+    (auc ± 1.96·se) and the prerequisite for comparing two models'
+    AUCs at all. Ships the structural-component sums as exact BIGINTs
+    beside the micro/nano-rounded estimates.
+
+    Method: tie-aware placements. For a positive at distinct score s,
+    V10 = (#neg below + ½·#neg tied)/n_neg; DeLong's S10 is the sample
+    variance of V10 over positives (S01 symmetric over negatives);
+    SE² = S10/n_pos + S01/n_neg. Everything doubles into integers:
+    p2 = 2·neg_below + neg_tied per score group, so Σp2 and Σp2² are
+    exact BIGINT sums at DISTINCT-SCORE grain (p2 ≤ 2n, p2²·cnt stays
+    far under 2^63 through sf10), and the float path is a fixed spelled
+    expression over five exact integers — identical IEEE on both
+    engines, no ordering sensitivity anywhere. mean(V10) = mean(V01) =
+    AUC (the Mann-Whitney identity), so the variance centering reuses
+    the AUC expression verbatim.
+
+    Plan: identical to eval_auc_rank — one combinable distinct-score
+    aggregate, one running window at reduced grain, a 1-row reduce.
+    The variance costs nothing extra at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = e.select(
+        micro(F.element_at("embedding", 1).cast("double")).alias("s"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("nps"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "s",
+        "cnt",
+        "nps",
+        (F.col("cnt") - F.col("nps")).alias("nns"),
+        F.sum(F.col("cnt") - F.col("nps")).over(w).cast("bigint").alias("cneg"),
+        F.sum("nps").over(w).cast("bigint").alias("cpos"),
+    )
+    tot = cum.agg(
+        F.sum("nps").cast("bigint").alias("n_pos"),
+        F.sum("nns").cast("bigint").alias("n_neg"),
+    )
+    p2 = 2 * (F.col("cneg") - F.col("nns")) + F.col("nns")
+    q2 = 2 * (F.col("n_pos") - F.col("cpos")) + F.col("nps")
+    placed = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("nps") * p2).cast("bigint").alias("sum_p2"),
+        F.sum(F.col("nps") * p2 * p2).cast("bigint").alias("sum_p2sq"),
+        F.sum(F.col("nns") * q2).cast("bigint").alias("sum_q2"),
+        F.sum(F.col("nns") * q2 * q2).cast("bigint").alias("sum_q2sq"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    auc_d = F.col("sum_p2").cast("double") / (F.lit(2.0) * nneg * npos)
+    auc_q = F.col("sum_q2").cast("double") / (F.lit(2.0) * npos * nneg)
+    v10 = (
+        F.col("sum_p2sq").cast("double") / (F.lit(4.0) * nneg * nneg)
+        - npos * auc_d * auc_d
+    ) / (npos - 1)
+    v01 = (
+        F.col("sum_q2sq").cast("double") / (F.lit(4.0) * npos * npos)
+        - nneg * auc_q * auc_q
+    ) / (nneg - 1)
+    return (
+        tot.crossJoin(F.broadcast(placed))
+        .select(
+            "n_pos",
+            "n_neg",
+            "sum_p2",
+            "sum_p2sq",
+            "sum_q2",
+            "sum_q2sq",
+            F.floor(auc_d * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("auc_micro"),
+            F.floor(v10 * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("v10_nano"),
+            F.floor(v01 * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("v01_nano"),
+            F.floor(
+                F.sqrt(v10 / npos + v01 / nneg) * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("se_nano"),
+        )
+    )

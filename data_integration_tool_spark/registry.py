@@ -207,6 +207,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_time_split_audit",
     "ts_spectral_entropy",
     "ts_dtw_distance",
+    "eval_precision_recall_at_k",
+    "eval_delong_auc",
+    "ts_permutation_entropy",
+    "seq_bigram_novelty",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -4911,3 +4911,232 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dtw_fn, out_schema)
         .orderBy("type_a", "type_b")
     )
+
+
+# ln(6) as a Python-minted repr literal (house rule: no engine libm at
+# a bare double for normalizing constants).
+_PERMENT_LN6 = repr(_math.log(6.0))
+
+
+@query(
+    "ts_permutation_entropy",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        trip AS (
+            SELECT x AS a,
+                   lead(x, 1) OVER (ORDER BY t) AS b,
+                   lead(x, 2) OVER (ORDER BY t) AS c
+            FROM hourly
+        ),
+        pats AS (
+            SELECT CAST(4 * CASE WHEN b < a THEN 1 ELSE 0 END
+                      + 2 * CASE WHEN c < a THEN 1 ELSE 0 END
+                      +     CASE WHEN c < b THEN 1 ELSE 0 END AS BIGINT)
+                       AS pattern_id
+            FROM trip WHERE b IS NOT NULL AND c IS NOT NULL
+        ),
+        cnts AS (
+            SELECT pattern_id, CAST(count(*) AS BIGINT) AS n_windows
+            FROM pats GROUP BY pattern_id
+        ),
+        tot AS (SELECT CAST(sum(n_windows) AS BIGINT) AS total FROM cnts),
+        terms AS (
+            SELECT pattern_id, n_windows,
+                   CAST(floor(CAST(n_windows AS DOUBLE) / total
+                        * 1000000.0 + 0.5) AS BIGINT) AS share_micro,
+                   CAST(floor(-(CAST(n_windows AS DOUBLE) / total)
+                        * ln(CAST(n_windows AS DOUBLE) / total)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+            FROM cnts CROSS JOIN tot
+        )
+        SELECT pattern_id, n_windows, share_micro, term_nano,
+               CAST(sum(term_nano) OVER () AS BIGINT) AS entropy_nano,
+               CAST(floor(CAST(sum(term_nano) OVER () AS DOUBLE)
+                    / 1000000000.0 / {_PERMENT_LN6} * 1000000.0 + 0.5)
+                    AS BIGINT) AS entropy_norm_micro
+        FROM terms
+        ORDER BY pattern_id
+    """,
+    phase="P4",
+    tags=("timeseries", "entropy", "complexity"),
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order 3) of the hourly event-count series —
+    the model-free complexity score: near 0 means the series' local
+    up/down shapes are few and repetitive (predictable, compressible),
+    near ln 6 means all six ordinal patterns of three consecutive
+    hours occur equally (noise-like). Unlike ts_spectral_entropy it is
+    amplitude-blind — a regime where LEVELS drift but SHAPES repeat
+    still scores low. Ships the per-pattern census beside the entropy.
+
+    Ordinal encoding: each consecutive hour triple (a,b,c) maps to
+    4·[b<a] + 2·[c<a] + [c<b] — strict comparisons, so ties resolve to
+    time order (the stable convention); exactly six of the eight codes
+    are logically reachable. Each −p·ln p term nano-quantizes at
+    PATTERN grain (the ts_spectral_entropy recipe) so the reduction is
+    an order-free integer sum, and the normalizing ln 6 is a
+    Python-minted repr literal.
+
+    Plan: one combinable hour-grain aggregate (the series is ~10³ rows
+    at any corpus size — hours, not events), one lead window over that
+    reduced grain, a 6-row pattern census. The corpus is scanned
+    once; everything after the first aggregate is fixed-size."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w_t = Window.orderBy("t")
+    trip = hourly.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(w_t).alias("b"),
+        F.lead("x", 2).over(w_t).alias("c"),
+    )
+    pats = trip.filter(
+        F.col("b").isNotNull() & F.col("c").isNotNull()
+    ).select(
+        (
+            4 * (F.col("b") < F.col("a")).cast("int")
+            + 2 * (F.col("c") < F.col("a")).cast("int")
+            + (F.col("c") < F.col("b")).cast("int")
+        )
+        .cast("bigint")
+        .alias("pattern_id")
+    )
+    cnts = pats.groupBy("pattern_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_windows").over(w_all)
+    p = F.col("n_windows").cast("double") / total
+    terms = cnts.select(
+        "pattern_id",
+        "n_windows",
+        F.floor(p * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_micro"),
+        F.floor(-p * F.log(p) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return terms.select(
+        "pattern_id",
+        "n_windows",
+        "share_micro",
+        "term_nano",
+        F.sum("term_nano").over(w_all).cast("bigint").alias("entropy_nano"),
+        F.floor(
+            F.sum("term_nano").over(w_all).cast("double")
+            / F.lit(1000000000.0)
+            / F.lit(float(_PERMENT_LN6))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("entropy_norm_micro"),
+    ).orderBy("pattern_id")
+
+
+@query(
+    "seq_bigram_novelty",
+    oracle="""
+        WITH seq AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        bg AS (
+            SELECT day, prev_type || '>' || event_type AS bigram
+            FROM seq WHERE prev_type IS NOT NULL
+        ),
+        firsts AS (
+            SELECT bigram, min(day) AS first_day FROM bg GROUP BY bigram
+        )
+        SELECT b.day,
+               CAST(count(*) AS BIGINT) AS n_instances,
+               CAST(sum(CASE WHEN b.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(count(DISTINCT CASE WHEN b.day = f.first_day
+                                        THEN b.bigram END) AS BIGINT)
+                   AS n_new_bigrams,
+               CAST(floor(CAST(sum(CASE WHEN b.day = f.first_day
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*) * 1000000.0 + 0.5) AS BIGINT)
+                   AS novelty_micro
+        FROM bg b JOIN firsts f USING (bigram)
+        GROUP BY b.day
+        ORDER BY b.day
+    """,
+    phase="P4",
+    tags=("sequence", "novelty", "events"),
+)
+def seq_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-novelty discovery curve: per day, the fraction of
+    event-type BIGRAM instances (prev→next within a user's stream)
+    whose bigram had never occurred on any earlier day. Early days run
+    hot (everything is new); the decay rate tells you when the
+    product's observed behavior space saturates — the same curve a
+    training-data pipeline draws over n-grams to decide when more
+    crawl stops adding information (text_novelty's corpus-level
+    question, asked of the event stream).
+
+    An instance is novel iff its day equals the bigram's global first
+    day — so all instances on the first day count novel, later days
+    don't, and the per-day rate is exact integer division, micro-
+    quantized once. Lag ordering ties break on event_id (house
+    determinism rule).
+
+    Plan: one lag window keyed by user (the sessionization shuffle),
+    one bigram-grain first-day aggregate joined back at instance
+    grain, one day-grain reduce. Bigram cardinality is tiny (event
+    types squared), so the firsts relation broadcasts at any scale;
+    the only data-sized shuffles are the per-user window and the
+    day reduce — both linear, no pair blowup anywhere."""
+    e = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.lag("event_type").over(w_u).alias("prev_type"),
+    )
+    bg = seq.filter(F.col("prev_type").isNotNull()).select(
+        "day",
+        F.concat_ws(">", "prev_type", "event_type").alias("bigram"),
+    )
+    firsts = bg.groupBy("bigram").agg(F.min("day").alias("first_day"))
+    novel = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        bg.join(F.broadcast(firsts), "bigram")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("bigram"))
+            )
+            .cast("bigint")
+            .alias("n_new_bigrams"),
+            F.floor(
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+        .orderBy("day")
+    )

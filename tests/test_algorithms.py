@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_integration_tool_spark.io import load
@@ -6927,3 +6928,127 @@ def test_centroid_drift_matches_python(spark, sf_dir):
         r = got[label]
         assert (r.n_old, r.n_new, r.dist2) == (len(old), len(new), d2)
         assert r.drift_micro == math.floor(math.sqrt(d2) + 0.5)
+
+
+def test_precision_recall_at_k_consistency(spark, sf_dir):
+    """P/R@k must be mutually consistent and agree with MAP's top-10
+    relevant counts at k=10; F1 must equal 2hits/(k+R) micro."""
+    from data_integration_tool_spark.operators.similarity import (
+        eval_map_at_k,
+        eval_precision_recall_at_k,
+    )
+
+    rows = eval_precision_recall_at_k(spark, sf_dir).collect()
+    ap = {r.query_id: r for r in eval_map_at_k(spark, sf_dir).collect()}
+    seen = {}
+    for r in rows:
+        assert r.k in (1, 5, 10)
+        assert 0 <= r.hits <= r.k
+        assert r.precision_micro == math.floor(r.hits / r.k * 1e6 + 0.5)
+        if r.n_rel_total > 0:
+            assert r.recall_micro == math.floor(
+                r.hits / r.n_rel_total * 1e6 + 0.5
+            )
+            assert r.f1_micro == math.floor(
+                2 * r.hits / (r.k + r.n_rel_total) * 1e6 + 0.5
+            )
+        else:
+            assert r.recall_micro is None and r.f1_micro is None
+        seen.setdefault(r.query_id, {})[r.k] = r.hits
+        if r.k == 10:
+            assert r.hits == ap[r.query_id].n_rel_at_10
+    for q, by_k in seen.items():
+        assert by_k[1] <= by_k[5] <= by_k[10]  # hits monotone in k
+
+
+def test_delong_auc_matches_rank_auc_and_python(spark, sf_dir):
+    """DeLong AUC must equal eval_auc_rank's; SE must match a direct
+    python placement computation on the same micro-quantized scores."""
+    import numpy as np
+
+    from data_integration_tool_spark.operators.similarity import (
+        eval_auc_rank,
+        eval_delong_auc,
+    )
+
+    d = eval_delong_auc(spark, sf_dir).collect()[0]
+    a = eval_auc_rank(spark, sf_dir).collect()[0]
+    assert d.auc_micro == a.auc_micro
+    assert (d.n_pos, d.n_neg) == (a.n_pos, a.n_neg)
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 1e6 + 0.5
+            ).alias("s"),
+            (F.col("label") == 0).cast("int").alias("pos"),
+        )
+        .collect()
+    )
+    s = np.array([r.s for r in rows], dtype=np.int64)
+    pos = np.array([r.pos for r in rows], dtype=bool)
+    ps, ns = s[pos], s[~pos]
+    v10 = np.array(
+        [((x > ns).sum() + 0.5 * (x == ns).sum()) / len(ns) for x in ps]
+    )
+    v01 = np.array(
+        [((x < ps).sum() + 0.5 * (x == ps).sum()) / len(ps) for x in ns]
+    )
+    se = math.sqrt(
+        v10.var(ddof=1) / len(ps) + v01.var(ddof=1) / len(ns)
+    )
+    assert abs(d.se_nano / 1e9 - se) < 2e-9
+    assert abs(d.v10_nano / 1e9 - v10.var(ddof=1)) < 2e-9
+    assert abs(d.v01_nano / 1e9 - v01.var(ddof=1)) < 2e-9
+
+
+def test_permutation_entropy_census_and_bounds(spark, sf_dir):
+    """The six-pattern census must sum to n_hours - 2 (contiguous
+    hourly series ⇒ every interior triple), entropy within [0, ln 6],
+    and the pattern ids must be logically reachable codes only."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_permutation_entropy,
+    )
+
+    rows = ts_permutation_entropy(spark, sf_dir).collect()
+    assert rows, "no pattern rows"
+    reachable = {0, 1, 3, 4, 6, 7}  # {2, 5} are order-inconsistent
+    assert {r.pattern_id for r in rows} <= reachable
+    n_hours = (
+        load(spark, sf_dir, "events")
+        .select((F.unix_micros("ts") / 3600000000).cast("bigint"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_windows for r in rows) == n_hours - 2
+    ent = rows[0].entropy_nano
+    assert all(r.entropy_nano == ent for r in rows)
+    assert 0 <= ent <= math.ceil(math.log(6) * 1e9) + 6
+    assert abs(sum(r.share_micro for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_bigram_novelty_first_day_all_novel(spark, sf_dir):
+    """Day 1 must be 100% novel; novel counts never exceed instances;
+    total new bigrams across days = distinct bigram vocabulary."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_bigram_novelty,
+    )
+
+    rows = seq_bigram_novelty(spark, sf_dir).collect()
+    assert rows[0].novelty_micro == 1_000_000
+    assert rows[0].n_novel == rows[0].n_instances
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_instances
+        assert r.n_new_bigrams <= r.n_novel
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vocab = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type", F.lag("event_type").over(w).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select(F.concat_ws(">", "p", "event_type"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new_bigrams for r in rows) == vocab
