@@ -1632,3 +1632,115 @@ def decon_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pack_bestfit_decreasing",
+    oracle=f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS INTEGER)
+                       AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY len(list_filter(string_split(lower(text),
+                                    ' '), t -> t <> '')) DESC, doc_id)
+                       AS rn
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source, n_tokens, rn,
+                   CAST(1 AS BIGINT) AS bin_id,
+                   [n_tokens] AS loads
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.doc_id, b.source, b.n_tokens, b.rn,
+                   CASE WHEN best.k IS NULL
+                        THEN CAST(len(r.loads) + 1 AS BIGINT)
+                        ELSE CAST(best.k % 1000000 AS BIGINT) END,
+                   CASE WHEN best.k IS NULL
+                        THEN list_append(r.loads, b.n_tokens)
+                        ELSE list_transform(r.loads, (x, j) ->
+                             CASE WHEN j = best.k % 1000000
+                                  THEN x + b.n_tokens ELSE x END)
+                   END
+            FROM r
+            JOIN base b ON b.source = r.source AND b.rn = r.rn + 1,
+            LATERAL (
+                SELECT min(CASE WHEN x + b.n_tokens <= {_PACK_CAPACITY}
+                           THEN ({_PACK_CAPACITY} - (x + b.n_tokens))
+                                * 1000000 + j END) AS k
+                FROM (SELECT unnest(r.loads) AS x,
+                             generate_subscripts(r.loads, 1) AS j)
+            ) AS best
+        )
+        SELECT doc_id, source, n_tokens, bin_id
+        FROM r ORDER BY source, doc_id
+    """,
+    phase="P4",
+    tags=("curation", "packing"),
+)
+def pack_bestfit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the quality upgrade over
+    ``pack_sequences``' arrival-order next-fit: docs sort by token
+    count (descending, doc_id tiebreak) and each goes into the
+    FULLEST bin it still fits (lowest bin index on load ties), opening
+    a new bin only when none fits. BFD is the classic 11/9·OPT+1
+    guarantee; against next-fit it typically saves 20-40% of bins on
+    skewed length distributions — directly fewer padded tokens burned
+    per training epoch. Same contract as pack_sequences: whole docs,
+    oversized docs isolate in their own bin, bins never span sources.
+
+    The fill state is a multiset of bin loads, not a scalar, so the
+    kernel keeps an explicit load list; the choice rule is encoded as
+    ONE deterministic integer key min — (leftover·10⁶ + bin_idx) —
+    which the DuckDB twin reproduces verbatim inside a recursive CTE
+    whose state column IS the load list (list_transform step update).
+    All-integer state → exact, no fp anywhere.
+
+    Plan: one applyInPandas pass per source group (the packing shard =
+    the parallelism unit, as in pack_sequences); token counts are
+    array expressions BEFORE the shuffle; within a shard the fill is
+    the inherent linear scan. At 100 TB you shard by (source, date)
+    and BFD's bin count advantage compounds per shard."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    schema = "doc_id bigint, source string, n_tokens int, bin_id bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        bins = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            best_key = None
+            for j, x in enumerate(loads, start=1):
+                if x + n <= _PACK_CAPACITY:
+                    key = (_PACK_CAPACITY - (x + n)) * 1000000 + j
+                    if best_key is None or key < best_key:
+                        best_key = key
+            if best_key is None:
+                loads.append(n)
+                bins.append(len(loads))
+            else:
+                j = best_key % 1000000
+                loads[j - 1] += n
+                bins.append(j)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(pack, schema)
+        .orderBy("source", "doc_id")
+    )

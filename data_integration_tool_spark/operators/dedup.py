@@ -1676,3 +1676,308 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# (bands, rows) sweep grid for the S-curve tuning audit — every config
+# uses at most the 32 available minhash slots.
+_SWEEP_CONFIGS = ((16, 2), (10, 3), (8, 4), (6, 5), (5, 6), (4, 8), (3, 10), (2, 16))
+
+
+def _scurve_p(s, b: int, r: int):
+    """P(candidate) = 1 − (1 − s^r)^b as LEFT-ASSOCIATED repeated
+    multiplication (never pow(): libm pow may differ in the last ULP
+    across engines; a fixed multiply chain over an exact dyadic s is
+    deterministic IEEE everywhere)."""
+    sr = s
+    for _ in range(r - 1):
+        sr = sr * s
+    q = F.lit(1.0) - sr
+    qb = q
+    for _ in range(b - 1):
+        qb = qb * q
+    return F.lit(1.0) - qb
+
+
+def _scurve_p_sql(s: str, b: int, r: int) -> str:
+    sr = s
+    for _ in range(r - 1):
+        sr = f"({sr} * {s})"
+    q = f"(1.0 - {sr})"
+    qb = q
+    for _ in range(b - 1):
+        qb = f"({qb} * {q})"
+    return f"(1.0 - {qb})"
+
+
+def _band_sweep_oracle() -> str:
+    agree = " + ".join(
+        f"CAST(a.s{i} = b.s{i} AS INTEGER)" for i in range(N_MINHASH)
+    )
+    sums = []
+    for bb, rr in _SWEEP_CONFIGS:
+        p = _scurve_p_sql("est", bb, rr)
+        pm = f"CAST(floor({p} * 1000000.0 + 0.5) AS BIGINT)"
+        sums.append(f"CAST(sum(w * {pm}) AS BIGINT) AS all_{bb}_{rr}")
+        sums.append(
+            f"CAST(sum(CASE WHEN est >= {NEAR_DUP_THRESHOLD} THEN"
+            f" w * {pm} ELSE 0 END) AS BIGINT) AS dup_{bb}_{rr}"
+        )
+    branches = " UNION ALL ".join(
+        f"SELECT {bb} AS bands, {rr} AS rows_per_band,"
+        f" all_{bb}_{rr} AS sum_p_all, dup_{bb}_{rr} AS sum_p_dup"
+        f" FROM wide" for bb, rr in _SWEEP_CONFIGS
+    )
+    slot_list = ", ".join(f"s{i}" for i in range(N_MINHASH))
+    band_mins = ", ".join(f"min(b{b}) AS b{b}" for b in range(N_BANDS))
+    first_match = " AND ".join(
+        f"(a.band_idx <= {j} OR a.b{j} <> b.b{j})" for j in range(N_BANDS)
+    )
+    return f"""
+        WITH {_MH_FLAT_SQL},
+        cls AS (
+            SELECT {slot_list}, {band_mins},
+                   min(doc_id) AS repr_id,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM flat GROUP BY {slot_list}
+        ),
+        cbanded AS (
+            SELECT c.*, u.band_idx,
+                   CASE u.band_idx
+                        {" ".join(f"WHEN {b} THEN b{b}" for b in range(N_BANDS))}
+                   END AS band_hash
+            FROM cls c
+            CROSS JOIN (SELECT unnest(range({N_BANDS})) AS band_idx) u
+        ),
+        stats AS (
+            SELECT *,
+                   count(*) OVER (PARTITION BY band_idx, band_hash)
+                       AS n_bucket
+            FROM cbanded
+        ),
+        pairs AS (
+            SELECT a.w * b.w AS w,
+                   CAST(({agree}) AS DOUBLE) / {N_MINHASH} AS est
+            FROM stats a JOIN stats b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.repr_id < b.repr_id
+             AND a.n_bucket <= {MAX_PAIR_BUCKET}
+             AND {first_match}
+        ),
+        scal AS (
+            SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT)
+                       AS within_pairs
+            FROM cls
+        ),
+        over_ AS (
+            SELECT CAST(count(DISTINCT band_idx * 2147483647 + band_hash)
+                        AS BIGINT) AS n_oversized
+            FROM stats WHERE n_bucket > {MAX_PAIR_BUCKET}
+        ),
+        gl AS (
+            SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS w_total,
+                   CAST(coalesce(sum(CASE WHEN est >= {NEAR_DUP_THRESHOLD}
+                                     THEN w ELSE 0 END), 0) AS BIGINT)
+                       AS w_dup
+            FROM pairs
+        ),
+        wide AS (
+            SELECT {", ".join(f"CAST(coalesce(sum(w * CAST(floor({_scurve_p_sql('est', bb, rr)} * 1000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS all_{bb}_{rr}, CAST(coalesce(sum(CASE WHEN est >= {NEAR_DUP_THRESHOLD} THEN w * CAST(floor({_scurve_p_sql('est', bb, rr)} * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS dup_{bb}_{rr}" for bb, rr in _SWEEP_CONFIGS)}
+            FROM pairs
+        ),
+        cfg AS ({branches})
+        SELECT CAST(cfg.bands AS BIGINT) AS bands,
+               CAST(cfg.rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(cfg.bands * cfg.rows_per_band AS BIGINT) AS slots_used,
+               CAST(cfg.sum_p_all + s.within_pairs * 1000000 AS BIGINT)
+                   AS exp_candidates_micro,
+               CAST(g.w_dup + s.within_pairs AS BIGINT) AS dup_pairs,
+               CASE WHEN g.w_dup + s.within_pairs > 0 THEN
+                   CAST(floor(CAST(cfg.sum_p_dup + s.within_pairs * 1000000
+                              AS DOUBLE) / (g.w_dup + s.within_pairs) + 0.5)
+                        AS BIGINT)
+               END AS exp_recall_micro,
+               CASE WHEN g.w_total - g.w_dup > 0 THEN
+                   CAST(floor(CAST(cfg.sum_p_all - cfg.sum_p_dup AS DOUBLE)
+                              / (g.w_total - g.w_dup) + 0.5) AS BIGINT)
+               END AS exp_fp_rate_micro,
+               o.n_oversized AS n_oversized_buckets
+        FROM cfg CROSS JOIN scal s CROSS JOIN gl g CROSS JOIN over_ o
+        ORDER BY bands DESC
+    """
+
+
+@query(
+    "dedup_band_sweep",
+    oracle=_band_sweep_oracle(),
+    phase="P4",
+    tags=("dedup", "minhash", "lsh", "planner"),
+)
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve sweep — the tuning table behind
+    dedup_minhash's fixed 5×6 operating point: for each (bands, rows)
+    layout of the 32-slot signature, the expected candidate volume,
+    expected recall on the ≥0.8 near-dup population, and expected
+    false-positive rate below it, all under the standard
+    P(candidate) = 1 − (1 − s^r)^b model evaluated at each observed
+    pair's estimated similarity. This is the query you run BEFORE
+    re-sharding a 100 TB dedup job with a different precision/recall
+    trade — it prices every config from ONE banding pass.
+
+    Scale design (the join_fuzzy_blocked distinct-grain recipe):
+    everything runs at DISTINCT-SIGNATURE-CLASS grain. Docs with
+    identical 32-slot signatures collapse to one weighted class row
+    first — exactly the template clusters that make doc-grain pair
+    enumeration quadratic — so between-class candidates are banded
+    over a relation that is already deduplicated, pair weights are
+    w_a·w_b, and the signature-identical mass (s = 1, caught by every
+    config with certainty) enters as ONE Σw(w−1)/2 scalar. Oversized
+    class-grain buckets (> MAX_PAIR_BUCKET classes) are EXCLUDED, not
+    star-guarded — a star edge's similarity is meaningless to an
+    expected-volume integral — and their count ships visibly as
+    n_oversized_buckets (the no-silent-caps rule).
+
+    Exactness: est = agree/32 is an exact dyadic rational; s^r and
+    (1−s^r)^b are fixed left-associated multiply chains (never libm
+    pow); each pair's p micro-quantizes BEFORE the weighted sum, so
+    all eight configs reduce as order-free integer sums in one wide
+    aggregate; the recall/fp divisions are spelled once at config
+    grain."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    flat = _flat_signatures(d)
+    slot_cols = [f"s{i}" for i in range(N_MINHASH)]
+    cls = flat.groupBy(*slot_cols).agg(
+        *[F.min(f"b{b}").alias(f"b{b}") for b in range(N_BANDS)],
+        F.min("doc_id").alias("repr_id"),
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+    )
+    cbanded = cls.select(
+        "*",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    bucket = W.partitionBy("band_idx", "band_hash")
+    stats = cbanded.select(
+        "*", F.count(F.lit(1)).over(bucket).alias("n_bucket")
+    ).localCheckpoint(eager=False)
+    a = stats.alias("a")
+    b = stats.alias("b")
+    first_match = F.lit(True)
+    for j in range(N_BANDS):
+        first_match = first_match & (
+            (F.col("a.band_idx") <= F.lit(j))
+            | (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
+        )
+    agree = sum(
+        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.repr_id") < F.col("b.repr_id"))
+        & (F.col("a.n_bucket") <= F.lit(MAX_PAIR_BUCKET))
+        & first_match,
+    ).select(
+        (F.col("a.w") * F.col("b.w")).alias("w"),
+        (agree.cast("double") / N_MINHASH).alias("est"),
+    )
+    scal = F.broadcast(
+        cls.agg(
+            F.coalesce(
+                F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("bigint"),
+                F.lit(0),
+            ).alias("within_pairs")
+        )
+    )
+    over_ = F.broadcast(
+        stats.filter(F.col("n_bucket") > MAX_PAIR_BUCKET)
+        .agg(
+            F.countDistinct(
+                F.col("band_idx").cast("bigint") * F.lit(2147483647)
+                + F.col("band_hash")
+            )
+            .cast("bigint")
+            .alias("n_oversized")
+        )
+    )
+    dup_pred = F.col("est") >= NEAR_DUP_THRESHOLD
+    aggs = [
+        F.coalesce(F.sum("w").cast("bigint"), F.lit(0)).alias("w_total"),
+        F.coalesce(
+            F.sum(F.when(dup_pred, F.col("w")).otherwise(0)).cast("bigint"),
+            F.lit(0),
+        ).alias("w_dup"),
+    ]
+    for bb, rr in _SWEEP_CONFIGS:
+        pm = (
+            F.floor(
+                _scurve_p(F.col("est"), bb, rr) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+        ).cast("bigint")
+        aggs.append(
+            F.coalesce(F.sum(F.col("w") * pm).cast("bigint"), F.lit(0)).alias(
+                f"all_{bb}_{rr}"
+            )
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(dup_pred, F.col("w") * pm).otherwise(0)).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            ).alias(f"dup_{bb}_{rr}")
+        )
+    wide = pairs.agg(*aggs)
+    stack_args = []
+    for bb, rr in _SWEEP_CONFIGS:
+        stack_args += [
+            F.lit(bb).cast("bigint"),
+            F.lit(rr).cast("bigint"),
+            F.col(f"all_{bb}_{rr}"),
+            F.col(f"dup_{bb}_{rr}"),
+        ]
+    cfg = wide.select(
+        "w_total",
+        "w_dup",
+        F.stack(
+            F.lit(len(_SWEEP_CONFIGS)), *stack_args
+        ).alias("bands", "rows_per_band", "sum_p_all", "sum_p_dup"),
+    )
+    joined = cfg.crossJoin(scal).crossJoin(over_)
+    dup_tot = F.col("w_dup") + F.col("within_pairs")
+    nondup = F.col("w_total") - F.col("w_dup")
+    return joined.select(
+        "bands",
+        "rows_per_band",
+        (F.col("bands") * F.col("rows_per_band"))
+        .cast("bigint")
+        .alias("slots_used"),
+        (F.col("sum_p_all") + F.col("within_pairs") * 1000000)
+        .cast("bigint")
+        .alias("exp_candidates_micro"),
+        dup_tot.cast("bigint").alias("dup_pairs"),
+        F.when(
+            dup_tot > 0,
+            F.floor(
+                (
+                    F.col("sum_p_dup") + F.col("within_pairs") * 1000000
+                ).cast("double")
+                / dup_tot
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("exp_recall_micro"),
+        F.when(
+            nondup > 0,
+            F.floor(
+                (F.col("sum_p_all") - F.col("sum_p_dup")).cast("double")
+                / nondup
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("exp_fp_rate_micro"),
+        F.col("n_oversized").alias("n_oversized_buckets"),
+    ).orderBy(F.desc("bands"))

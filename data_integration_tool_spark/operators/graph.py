@@ -1636,3 +1636,147 @@ def graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("embeddedness", "node_a", "node_b")
         .limit(50)
     )
+
+
+_RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 20 = 0
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT pa AS node FROM pairs
+                  UNION ALL SELECT pb FROM pairs)
+            GROUP BY node
+        ),
+        edeg AS (
+            SELECT da.d AS d_a, db.d AS d_b
+            FROM pairs p JOIN deg da ON da.node = p.pa
+                         JOIN deg db ON db.node = p.pb
+        ),
+        wide AS (
+            SELECT
+                {", ".join(
+                    f"CAST(count(*) FILTER (WHERE d_a > {k} AND d_b > {k})"
+                    f" AS BIGINT) AS e{k}" for k in _RICH_CLUB_KS)},
+                {", ".join(
+                    f"(SELECT CAST(count(*) AS BIGINT) FROM deg"
+                    f" WHERE d > {k}) AS n{k}" for k in _RICH_CLUB_KS)}
+            FROM edeg
+        )
+        SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+               CASE WHEN n_rich >= 2 THEN
+                   CAST(floor(2.0 * e_rich / (n_rich * (n_rich - 1))
+                        * 1000000.0 + 0.5) AS BIGINT)
+               END AS phi_micro
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS k, n{k} AS n_rich, e{k} AS e_rich FROM wide"
+                for k in _RICH_CLUB_KS)}
+        )
+        ORDER BY k
+    """,
+    phase="P3",
+    tags=("graph", "topology"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the basket graph at degree
+    thresholds k ∈ {{2,4,8,16}}: among nodes of degree > k, the
+    fraction of possible edges actually present — rising φ(k) means
+    the hubs preferentially interconnect (a hub oligopoly; relevant to
+    both merchandising and to whether degree-based skew guards will
+    see correlated hot JOINS, not just hot nodes). Companion to
+    graph_degree_assortativity's single correlation number.
+
+    Exactness: node and edge counts are exact BIGINTs from one
+    degree aggregate; φ = 2E/(N(N−1)) is one spelled division,
+    micro-quantized; thresholds where the club has < 2 members yield
+    NULL, not 0/0.
+
+    Plan: every-20th-order slice (the link_predict bound), ONE
+    degree aggregate, edges join their two endpoint degrees (node-key
+    shuffles; at 100 TB the degree relation is node-grain — orders of
+    magnitude smaller than edges — and broadcasts), then ONE wide
+    conditional-count aggregate answers all four thresholds in a
+    single pass over the edge list; the k-sweep is a 4-row stack of
+    that 1-row result."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    edeg = (
+        pairs.join(da, F.col("pa") == F.col("da.node"))
+        .join(db, F.col("pb") == F.col("db.node"))
+        .select(F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
+    )
+    e_aggs = [
+        F.sum(
+            ((F.col("d_a") > k) & (F.col("d_b") > k)).cast("int")
+        )
+        .cast("bigint")
+        .alias(f"e{k}")
+        for k in _RICH_CLUB_KS
+    ]
+    n_aggs = [
+        F.sum((F.col("d") > k).cast("int")).cast("bigint").alias(f"n{k}")
+        for k in _RICH_CLUB_KS
+    ]
+    wide = edeg.agg(*e_aggs).crossJoin(F.broadcast(deg.agg(*n_aggs)))
+    stack_args = []
+    for k in _RICH_CLUB_KS:
+        stack_args += [
+            F.lit(k).cast("bigint"),
+            F.col(f"n{k}"),
+            F.col(f"e{k}"),
+        ]
+    stacked = wide.select(
+        F.stack(F.lit(len(_RICH_CLUB_KS)), *stack_args).alias(
+            "k", "n_rich", "e_rich"
+        )
+    )
+    return stacked.select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.floor(
+                F.lit(2.0)
+                * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - 1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("phi_micro"),
+    ).orderBy("k")

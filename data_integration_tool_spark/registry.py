@@ -211,6 +211,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_delong_auc",
     "ts_permutation_entropy",
     "seq_bigram_novelty",
+    "dedup_band_sweep",
+    "pack_bestfit_decreasing",
+    "graph_rich_club",
+    "ts_variance_ratio",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5140,3 +5140,163 @@ def seq_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_VR_LAGS = (2, 4, 8)
+
+
+def _vr_oracle() -> str:
+    lag_sums = []
+    for q in (1,) + _VR_LAGS:
+        lag_sums.append(
+            f"CAST(count(d{q}) AS BIGINT) AS n{q}, "
+            f"CAST(sum(d{q}) AS BIGINT) AS s{q}, "
+            f"CAST(sum(d{q} * d{q}) AS BIGINT) AS ss{q}"
+        )
+    var = (
+        "((CAST(ss{q} AS DOUBLE) - CAST(s{q} AS DOUBLE) * s{q} / n{q})"
+        " / (n{q} - 1))"
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {q} AS q, n{q} AS n_diffs, "
+        f"{var.format(q=q)} AS s2q, {var.format(q=1)} AS s21, n1 FROM wide"
+        for q in _VR_LAGS
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        diffs AS (
+            SELECT {", ".join(
+                f"lead(x, {q}) OVER (ORDER BY t) - x AS d{q}"
+                for q in (1,) + _VR_LAGS)}
+            FROM hourly
+        ),
+        wide AS (
+            SELECT {", ".join(lag_sums)} FROM diffs
+        ),
+        cfg AS ({branches})
+        SELECT CAST(q AS BIGINT) AS q, n_diffs,
+               CAST(floor(s2q / (q * s21) * 1000000.0 + 0.5) AS BIGINT)
+                   AS vr_micro,
+               CAST(floor((s2q / (q * s21) - 1.0)
+                    / sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n1))
+                    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        FROM cfg
+        ORDER BY q
+    """
+
+
+@query(
+    "ts_variance_ratio",
+    oracle=_vr_oracle(),
+    phase="P4",
+    tags=("timeseries", "stationarity"),
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on the hourly event-count
+    series at horizons q ∈ {2,4,8}: VR(q) = Var(q-step change) /
+    (q · Var(1-step change)). A random walk holds VR ≈ 1; VR < 1 means
+    mean-reversion (hourly shocks cancel — capacity can ride the
+    average), VR > 1 means trending/momentum (shocks compound — the
+    alerting baseline must adapt). The homoskedastic z-statistic ships
+    beside each ratio, so "VR = 1.3" comes with "is that just noise".
+
+    Exactness: hourly counts and their lagged differences are exact
+    BIGINTs, so each lag's (n, Σd, Σd²) moments are order-free integer
+    sums; the variance/ratio/z chain is ONE spelled IEEE expression
+    over those integers (the ts_hurst_exponent discipline) with the
+    final values micro-quantized once.
+
+    Plan: one combinable hour-grain aggregate (~10³ rows at any
+    corpus size), ONE lead window at that reduced grain computing all
+    four lags, one 1-row wide moments aggregate, a 3-row stack — the
+    corpus is scanned once and everything downstream is fixed-size."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w_t = Window.orderBy("t")
+    lags = (1,) + _VR_LAGS
+    diffs = hourly.select(
+        *[
+            (F.lead("x", q).over(w_t) - F.col("x")).alias(f"d{q}")
+            for q in lags
+        ]
+    )
+    aggs = []
+    for q in lags:
+        aggs += [
+            F.count(f"d{q}").cast("bigint").alias(f"n{q}"),
+            F.sum(f"d{q}").cast("bigint").alias(f"s{q}"),
+            F.sum(F.col(f"d{q}") * F.col(f"d{q}"))
+            .cast("bigint")
+            .alias(f"ss{q}"),
+        ]
+    wide = diffs.agg(*aggs)
+
+    def var_of(q: int):
+        n = F.col(f"n{q}")
+        s = F.col(f"s{q}")
+        ss = F.col(f"ss{q}")
+        return (ss.cast("double") - s.cast("double") * s / n) / (n - 1)
+
+    stack_args = []
+    for q in _VR_LAGS:
+        stack_args += [F.lit(q).cast("bigint"), F.col(f"n{q}")]
+    stacked = wide.select(
+        "n1",
+        "s1",
+        "ss1",
+        *[F.col(c) for q in _VR_LAGS for c in (f"s{q}", f"ss{q}")],
+        F.stack(F.lit(len(_VR_LAGS)), *stack_args).alias("q", "n_diffs"),
+    )
+    s2q = (
+        F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(q) for q in _VR_LAGS]),
+                F.array(
+                    *[
+                        (
+                            F.col(f"ss{q}").cast("double")
+                            - F.col(f"s{q}").cast("double")
+                            * F.col(f"s{q}")
+                            / F.col("n_diffs")
+                        )
+                        for q in _VR_LAGS
+                    ]
+                ),
+            ),
+            F.col("q").cast("int"),
+        )
+        / (F.col("n_diffs") - 1)
+    )
+    s21 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    vr = s2q / (F.col("q") * s21)
+    z_den = F.sqrt(
+        F.lit(2.0)
+        * (2 * F.col("q") - 1)
+        * (F.col("q") - 1)
+        / (F.lit(3.0) * F.col("q") * F.col("n1"))
+    )
+    return stacked.select(
+        "q",
+        "n_diffs",
+        F.floor(vr * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vr_micro"),
+        F.floor((vr - F.lit(1.0)) / z_den * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("z_micro"),
+    ).orderBy("q")

@@ -7052,3 +7052,138 @@ def test_bigram_novelty_first_day_all_novel(spark, sf_dir):
         .count()
     )
     assert sum(r.n_new_bigrams for r in rows) == vocab
+
+
+def test_band_sweep_monotone_in_rows(spark, sf_dir):
+    """At a fixed slot budget, fewer rows per band ⇒ pointwise higher
+    detection probability, so recall and fp-rate must be non-increasing
+    as rows_per_band grows; all rates within [0, 1e6]."""
+    from data_integration_tool_spark.operators.dedup import dedup_band_sweep
+
+    rows = dedup_band_sweep(spark, sf_dir).collect()
+    assert len(rows) == 8
+    by_r = sorted(rows, key=lambda r: r.rows_per_band)
+    for prev, cur in zip(by_r, by_r[1:]):
+        if prev.exp_recall_micro is not None and cur.exp_recall_micro is not None:
+            assert prev.exp_recall_micro >= cur.exp_recall_micro
+        if prev.exp_fp_rate_micro is not None and cur.exp_fp_rate_micro is not None:
+            assert prev.exp_fp_rate_micro >= cur.exp_fp_rate_micro
+    dups = {r.dup_pairs for r in rows}
+    assert len(dups) == 1  # config-independent truth population
+    for r in rows:
+        assert 2 <= r.bands * r.rows_per_band == r.slots_used <= 32
+        for v in (r.exp_recall_micro, r.exp_fp_rate_micro):
+            assert v is None or 0 <= v <= 1_000_000
+        assert r.exp_candidates_micro >= 0
+
+
+def test_bestfit_decreasing_beats_nextfit(spark, sf_dir):
+    """BFD must respect capacity (single-doc bins excepted), assign
+    every doc exactly once, and never use MORE bins than arrival-order
+    next-fit on any source."""
+    import collections
+
+    from data_integration_tool_spark.operators.curation import (
+        _PACK_CAPACITY,
+        pack_bestfit_decreasing,
+        pack_sequences,
+    )
+
+    bfd = pack_bestfit_decreasing(spark, sf_dir).collect()
+    nf = pack_sequences(spark, sf_dir).collect()
+    assert len(bfd) == len(nf)
+    assert {(r.doc_id) for r in bfd} == {(r.doc_id) for r in nf}
+    loads = collections.Counter()
+    members = collections.Counter()
+    for r in bfd:
+        loads[(r.source, r.bin_id)] += r.n_tokens
+        members[(r.source, r.bin_id)] += 1
+    for key, tot in loads.items():
+        assert tot <= _PACK_CAPACITY or members[key] == 1
+    bins_bfd = collections.Counter()
+    bins_nf = collections.Counter()
+    for r in bfd:
+        bins_bfd[r.source] = max(bins_bfd[r.source], r.bin_id)
+    for r in nf:
+        bins_nf[r.source] = max(bins_nf[r.source], r.bin_id + 1)  # 0-based
+    for src in bins_nf:
+        assert bins_bfd[src] <= bins_nf[src]
+
+
+def test_rich_club_matches_python(spark, sf_dir):
+    """phi(k) must match a direct python recount over the same edge
+    slice, and the club shrinks as k grows."""
+    from data_integration_tool_spark.operators.graph import (
+        _RICH_CLUB_KS,
+        graph_rich_club,
+    )
+
+    rows = {r.k: r for r in graph_rich_club(spark, sf_dir).collect()}
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    prev_n = None
+    for k in _RICH_CLUB_KS:
+        rich = {n for n, d in deg.items() if d > k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        r = rows[k]
+        assert r.n_rich == len(rich) and r.e_rich == e_rich
+        if len(rich) >= 2:
+            assert r.phi_micro == math.floor(
+                2 * e_rich / (len(rich) * (len(rich) - 1)) * 1e6 + 0.5
+            )
+        else:
+            assert r.phi_micro is None
+        if prev_n is not None:
+            assert r.n_rich <= prev_n
+        prev_n = r.n_rich
+
+
+def test_variance_ratio_matches_python(spark, sf_dir):
+    """VR(q) and z must match a numpy recompute over the same hourly
+    series (sample variances, ddof=1)."""
+    import numpy as np
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        _VR_LAGS,
+        ts_variance_ratio,
+    )
+
+    rows = {r.q: r for r in ts_variance_ratio(spark, sf_dir).collect()}
+    hr = (
+        load(spark, sf_dir, "events")
+        .select((F.unix_micros("ts") / 3600000000).cast("bigint").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy("t")
+        .collect()
+    )
+    x = np.array([r["count"] for r in hr], dtype=np.float64)
+    d1 = x[1:] - x[:-1]
+    s21 = d1.var(ddof=1)
+    for q in _VR_LAGS:
+        dq = x[q:] - x[:-q]
+        vr = dq.var(ddof=1) / (q * s21)
+        z = (vr - 1.0) / math.sqrt(
+            2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * len(d1))
+        )
+        r = rows[q]
+        assert r.n_diffs == len(dq)
+        assert abs(r.vr_micro / 1e6 - vr) < 2e-6
+        assert abs(r.z_micro / 1e6 - z) < 5e-6
