@@ -1744,3 +1744,206 @@ def pack_bestfit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema)
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "sample_ess_reweight",
+    oracle="""
+        WITH bylang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM bylang
+        ),
+        weighted AS (
+            SELECT lang, n_docs,
+                   CAST(floor(CAST(total AS DOUBLE) / (k * n_docs)
+                        * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
+            FROM bylang CROSS JOIN tot
+        ),
+        ess AS (
+            SELECT CAST(sum(n_docs * weight_micro) AS BIGINT) AS sw,
+                   CAST(sum(n_docs * weight_micro * weight_micro)
+                        AS BIGINT) AS sw2
+            FROM weighted
+        )
+        SELECT w.lang, w.n_docs, w.weight_micro,
+               CAST(floor(CAST(e.sw AS DOUBLE) * e.sw / e.sw2 + 0.5)
+                    AS BIGINT) AS ess_docs,
+               CAST(floor(CAST(e.sw AS DOUBLE) * e.sw / e.sw2
+                    / t.total * 1000000.0 + 0.5) AS BIGINT)
+                   AS ess_ratio_micro
+        FROM weighted w CROSS JOIN ess e CROSS JOIN tot t
+        ORDER BY w.lang
+    """,
+    phase="P4",
+    tags=("curation", "sampling", "mixture"),
+)
+def sample_ess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance reweighting toward a UNIFORM language mixture with
+    the effective-sample-size price tag: per language the weight
+    (target share / actual share) every doc would carry, and globally
+    Kish's ESS = (Σw)²/Σw² — how many "real" documents the reweighted
+    corpus is worth. ESS ≪ N says the target mixture is too far from
+    the data to reach by weighting alone (a few heavy-weight docs
+    dominate) and the pipeline should RESAMPLE (mixture_sample) or
+    relax the target (mixture_temperature) instead — this query is
+    the decision between those tools.
+
+    Exactness: weights quantize to micro at LANGUAGE grain (the only
+    division before the sums), so Σn·w and Σn·w² are exact integer
+    sums — micro units cancel in Kish's ratio, leaving document units;
+    the final ESS divisions are spelled once.
+
+    Plan: ONE combinable language-grain aggregate is the only
+    corpus-sized stage; weighting, the ESS fold, and the ratio all run
+    at language-count grain (a handful of rows) with broadcast scalar
+    attachments."""
+    d = load(spark, sf_dir, "documents")
+    bylang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = F.broadcast(
+        bylang.agg(
+            F.sum("n_docs").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    weighted = bylang.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.col("total").cast("double")
+            / (F.col("k") * F.col("n_docs"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("weight_micro"),
+        "total",
+    )
+    ess = F.broadcast(
+        weighted.agg(
+            F.sum(F.col("n_docs") * F.col("weight_micro"))
+            .cast("bigint")
+            .alias("sw"),
+            F.sum(
+                F.col("n_docs")
+                * F.col("weight_micro")
+                * F.col("weight_micro")
+            )
+            .cast("bigint")
+            .alias("sw2"),
+        )
+    )
+    ess_docs = (
+        F.col("sw").cast("double") * F.col("sw") / F.col("sw2")
+    )
+    return (
+        weighted.crossJoin(ess)
+        .select(
+            "lang",
+            "n_docs",
+            "weight_micro",
+            F.floor(ess_docs + F.lit(0.5)).cast("bigint").alias("ess_docs"),
+            F.floor(
+                ess_docs / F.col("total") * F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ess_ratio_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "feat_frequency_encode",
+    oracle="""
+        WITH split AS (
+            SELECT event_id, event_type,
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'cd'
+                       AS is_train
+            FROM events
+        ),
+        freq AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS train_count
+            FROM split WHERE is_train GROUP BY event_type
+        ),
+        tr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_train
+            FROM split WHERE is_train
+        )
+        SELECT s.event_id, s.event_type,
+               CAST(coalesce(f.train_count, 0) AS BIGINT) AS train_count,
+               CAST(floor(CAST(coalesce(f.train_count, 0) AS DOUBLE)
+                    / t.n_train * 1000000.0 + 0.5) AS BIGINT)
+                   AS freq_micro
+        FROM split s LEFT JOIN freq f USING (event_type)
+        CROSS JOIN tr t
+        WHERE NOT s.is_train
+        ORDER BY s.event_id
+    """,
+    phase="P4",
+    tags=("curation", "features", "encoding"),
+)
+def feat_frequency_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency (count) encoding with the train/apply discipline the
+    LOO target encoder (feat_target_encode) doesn't demonstrate:
+    category frequencies are fitted on the md5-band TRAIN split ONLY
+    (the sample_train_test_split convention — membership is a pure
+    function of the key) and applied to the held-out rows, with
+    unseen categories falling back to frequency 0 via the left join —
+    the leakage-free path every fitted feature transform must walk.
+
+    Exactness: counts are exact BIGINTs; the one division (train
+    count / train size) is spelled once and micro-quantized.
+
+    Plan: the split predicate is two scan-stage string compares (no
+    rand(), no shuffle); the fitted frequency relation is
+    category-grain (tiny → broadcast); application is a map-side
+    broadcast join onto the held-out scan. At 100 TB this is one scan
+    + one broadcast — the reference shape for serving any fitted
+    per-category statistic."""
+    e = load(spark, sf_dir, "events")
+    is_train = (
+        F.substring(
+            F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2
+        )
+        < "cd"
+    )
+    split = e.select("event_id", "event_type", is_train.alias("is_train"))
+    freq = (
+        split.filter(F.col("is_train"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("train_count"))
+    )
+    tr = F.broadcast(
+        split.filter(F.col("is_train")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train")
+        )
+    )
+    return (
+        split.filter(~F.col("is_train"))
+        .join(F.broadcast(freq), "event_type", "left")
+        .crossJoin(tr)
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("train_count"), F.lit(0))
+            .cast("bigint")
+            .alias("train_count"),
+            F.floor(
+                F.coalesce(F.col("train_count"), F.lit(0)).cast("double")
+                / F.col("n_train")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("freq_micro"),
+        )
+        .orderBy("event_id")
+    )

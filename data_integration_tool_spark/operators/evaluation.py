@@ -1400,3 +1400,166 @@ def eval_gauc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gauc_micro"),
     )
+
+
+@query(
+    "eval_calibration_isotonic",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(least(greatest(
+                       CAST(embedding[1] AS DOUBLE) + 0.5, 0.0), 1.0)
+                       AS DOUBLE) AS p,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ), binned AS (
+            SELECT CAST(least(floor(p * 10.0), 9.0) AS BIGINT) AS bin,
+                   CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pm,
+                   pos
+            FROM scored
+        ), bins AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(pm) AS BIGINT) AS sum_pred_micro
+            FROM binned GROUP BY bin
+        ), cum AS (
+            SELECT bin, n, n_pos, sum_pred_micro,
+                   CAST(sum(n) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                   CAST(sum(n_pos) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+            FROM bins
+        ), iv AS (
+            SELECT j.bin AS jb, k.bin AS kb,
+                   CAST(floor(CAST(k.cpos - (j.cpos - j.n_pos) AS DOUBLE)
+                        / (k.cn - (j.cn - j.n)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS rate_micro
+            FROM cum j JOIN cum k ON j.bin <= k.bin
+        ), inner_min AS (
+            SELECT b.bin, iv.jb,
+                   CAST(min(iv.rate_micro) AS BIGINT) AS mn
+            FROM bins b JOIN iv
+              ON iv.jb <= b.bin AND iv.kb >= b.bin
+            GROUP BY b.bin, iv.jb
+        ), iso AS (
+            SELECT bin, CAST(max(mn) AS BIGINT) AS iso_micro
+            FROM inner_min GROUP BY bin
+        )
+        SELECT b.bin, b.n, b.n_pos,
+               CAST(floor(CAST(b.sum_pred_micro AS DOUBLE) / b.n + 0.5)
+                    AS BIGINT) AS avg_pred_micro,
+               CAST(floor(CAST(b.n_pos AS DOUBLE) * 1000000.0 / b.n
+                    + 0.5) AS BIGINT) AS obs_micro,
+               i.iso_micro,
+               CAST(i.iso_micro
+                    - floor(CAST(b.n_pos AS DOUBLE) * 1000000.0 / b.n
+                            + 0.5) AS BIGINT) AS pool_shift_micro
+        FROM bins b JOIN iso i USING (bin)
+        ORDER BY b.bin
+    """,
+    phase="P4",
+    tags=("evaluation", "calibration", "classification"),
+)
+def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the reliability bins — what the
+    eval_calibration_bins diagram feeds in practice: the
+    monotone-non-decreasing fit to the per-bin observed rates,
+    weighted by bin population. Bins where the raw observed rate
+    DROPS as the score rises (the calibration pathology isotonic
+    exists to fix) get pooled; pool_shift_micro per bin shows exactly
+    how far the fit moved each observed rate.
+
+    Method: the max–min characterization of isotonic regression —
+    iso_i = max_{j≤i} min_{k≥i} pooledRate(j..k) — instead of the
+    sequential pool-adjacent-violators sweep: over B bins it is a
+    B²-interval enumeration (B = 10, so 55 intervals), every interval
+    rate derives from two exact cumulative integers and quantizes to
+    micro AT INTERVAL GRAIN, and the min/max reduction is then pure
+    integer — no sequential state, no fp ordering anywhere, and both
+    engines spell it identically. pytest pins the result against a
+    classic python PAV sweep.
+
+    Plan: ONE combinable 10-key aggregate is the only corpus-sized
+    stage; the interval lattice, min/max folds, and final join all
+    run at ≤55-row grain regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            F.element_at("embedding", 1).cast("double") + F.lit(0.5),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    binned = e.select(
+        F.least(F.floor(p * F.lit(10.0)), F.lit(9.0))
+        .cast("bigint")
+        .alias("bin"),
+        micro(p).alias("pm"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("pm").cast("bigint").alias("sum_pred_micro"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_pred_micro",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cpos"),
+    ).localCheckpoint(eager=False)
+    j = cum.alias("j")
+    k = cum.alias("k")
+    iv = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("jb"),
+        F.col("k.bin").alias("kb"),
+        F.floor(
+            (
+                F.col("k.cpos") - (F.col("j.cpos") - F.col("j.n_pos"))
+            ).cast("double")
+            / (F.col("k.cn") - (F.col("j.cn") - F.col("j.n")))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rate_micro"),
+    )
+    inner_min = (
+        cum.select("bin")
+        .join(
+            iv,
+            (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("rate_micro").cast("bigint").alias("mn"))
+    )
+    iso = inner_min.groupBy("bin").agg(
+        F.max("mn").cast("bigint").alias("iso_micro")
+    )
+    avg_pred = F.floor(
+        F.col("sum_pred_micro").cast("double") / F.col("n") + F.lit(0.5)
+    )
+    obs = F.floor(
+        F.col("n_pos").cast("double") * F.lit(1000000.0) / F.col("n")
+        + F.lit(0.5)
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            avg_pred.cast("bigint").alias("avg_pred_micro"),
+            obs.cast("bigint").alias("obs_micro"),
+            "iso_micro",
+            (F.col("iso_micro") - obs).cast("bigint").alias(
+                "pool_shift_micro"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -215,6 +215,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_bestfit_decreasing",
     "graph_rich_club",
     "ts_variance_ratio",
+    "eval_calibration_isotonic",
+    "ts_forecast_baselines",
+    "sample_ess_reweight",
+    "feat_frequency_encode",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5300,3 +5300,204 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_micro"),
     ).orderBy("q")
+
+
+@query(
+    "ts_forecast_baselines",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT y,
+                   lag(y, 1) OVER (ORDER BY day) AS y1,
+                   lag(y, 7) OVER (ORDER BY day) AS y7,
+                   first_value(y) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS yf,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM daily
+        ),
+        errs AS (
+            SELECT
+                CASE WHEN y1 IS NOT NULL THEN
+                    CAST(abs(y - y1) AS BIGINT) * 1000000 END AS ae_naive,
+                CASE WHEN y1 IS NOT NULL THEN
+                    CAST(y - y1 AS BIGINT) * (y - y1) END AS se_naive,
+                CASE WHEN y7 IS NOT NULL THEN
+                    CAST(abs(y - y7) AS BIGINT) * 1000000 END AS ae_snaive,
+                CASE WHEN y7 IS NOT NULL THEN
+                    CAST(y - y7 AS BIGINT) * (y - y7) END AS se_snaive,
+                CASE WHEN rn >= 3 THEN
+                    CAST(floor(abs(CAST(y AS DOUBLE) - (y1
+                         + (CAST(y1 AS DOUBLE) - yf) / (rn - 2)))
+                         * 1000000.0 + 0.5) AS BIGINT) END AS ae_drift,
+                CASE WHEN rn >= 3 THEN
+                    CAST(floor((CAST(y AS DOUBLE) - (y1
+                         + (CAST(y1 AS DOUBLE) - yf) / (rn - 2)))
+                       * (CAST(y AS DOUBLE) - (y1
+                         + (CAST(y1 AS DOUBLE) - yf) / (rn - 2)))
+                         * 1000000.0 + 0.5) AS BIGINT) END AS se_drift
+            FROM seq
+        ),
+        wide AS (
+            SELECT
+                CAST(count(ae_naive) AS BIGINT) AS n_naive,
+                CAST(sum(ae_naive) AS BIGINT) AS sae_naive,
+                CAST(sum(se_naive) AS BIGINT) * 1000000 AS sse_naive,
+                CAST(count(ae_snaive) AS BIGINT) AS n_snaive,
+                CAST(sum(ae_snaive) AS BIGINT) AS sae_snaive,
+                CAST(sum(se_snaive) AS BIGINT) * 1000000 AS sse_snaive,
+                CAST(count(ae_drift) AS BIGINT) AS n_drift,
+                CAST(sum(ae_drift) AS BIGINT) AS sae_drift,
+                CAST(sum(se_drift) AS BIGINT) AS sse_drift
+            FROM errs
+        ),
+        cfg AS (
+            SELECT 'naive' AS method, n_naive AS n_evals,
+                   sae_naive AS sae, sse_naive AS sse,
+                   n_naive AS nn, sae_naive AS saen FROM wide
+            UNION ALL
+            SELECT 'snaive7', n_snaive, sae_snaive, sse_snaive,
+                   n_naive, sae_naive FROM wide
+            UNION ALL
+            SELECT 'drift', n_drift, sae_drift, sse_drift,
+                   n_naive, sae_naive FROM wide
+        )
+        SELECT method, n_evals,
+               CAST(floor(CAST(sae AS DOUBLE) / n_evals + 0.5) AS BIGINT)
+                   AS mae_micro,
+               CAST(floor(sqrt(CAST(sse AS DOUBLE) / 1000000.0 / n_evals)
+                    * 1000000.0 + 0.5) AS BIGINT) AS rmse_micro,
+               CAST(floor((CAST(sae AS DOUBLE) / n_evals)
+                    / (CAST(saen AS DOUBLE) / nn) * 1000000.0 + 0.5)
+                    AS BIGINT) AS mase_micro
+        FROM cfg
+        ORDER BY method
+    """,
+    phase="P4",
+    tags=("timeseries", "forecasting"),
+)
+def ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three forecast sanity baselines every model must beat,
+    scored one-step-ahead in-sample over the daily event-count
+    series: naive (yesterday), seasonal-naive (same weekday last
+    week), and drift (yesterday + average historical slope). Ships
+    MAE, RMSE, and MASE (MAE relative to naive — the scale-free
+    skill score); a "real" forecaster whose MASE ≥ these is burning
+    compute to lose to persistence.
+
+    Exactness: naive/seasonal errors are exact integer differences
+    (micro-scaled by a constant); drift predictions cross a division
+    so |e| and e² micro-quantize at DAY grain before the order-free
+    integer sums; the MAE/RMSE/MASE chain is spelled once at method
+    grain over exact integers.
+
+    Plan: one combinable day-grain aggregate (the series is ~10²–10³
+    rows at any corpus size), ONE window pass computing both lags,
+    the running first value and the row index together, one 1-row
+    wide aggregate, a 3-row method stack."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+        F.first("y").over(w_run).alias("yf"),
+        F.row_number().over(w).alias("rn"),
+    )
+    drift_err = F.col("y").cast("double") - (
+        F.col("y1")
+        + (F.col("y1").cast("double") - F.col("yf")) / (F.col("rn") - 2)
+    )
+    errs = seq.select(
+        F.when(
+            F.col("y1").isNotNull(),
+            F.abs(F.col("y") - F.col("y1")).cast("bigint") * 1000000,
+        ).alias("ae_naive"),
+        F.when(
+            F.col("y1").isNotNull(),
+            (F.col("y") - F.col("y1")).cast("bigint")
+            * (F.col("y") - F.col("y1")),
+        ).alias("se_naive"),
+        F.when(
+            F.col("y7").isNotNull(),
+            F.abs(F.col("y") - F.col("y7")).cast("bigint") * 1000000,
+        ).alias("ae_snaive"),
+        F.when(
+            F.col("y7").isNotNull(),
+            (F.col("y") - F.col("y7")).cast("bigint")
+            * (F.col("y") - F.col("y7")),
+        ).alias("se_snaive"),
+        F.when(
+            F.col("rn") >= 3,
+            F.floor(
+                F.abs(drift_err) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("ae_drift"),
+        F.when(
+            F.col("rn") >= 3,
+            F.floor(
+                drift_err * drift_err * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("se_drift"),
+    )
+    wide = errs.agg(
+        F.count("ae_naive").cast("bigint").alias("n_naive"),
+        F.sum("ae_naive").cast("bigint").alias("sae_naive"),
+        (F.sum("se_naive").cast("bigint") * 1000000).alias("sse_naive"),
+        F.count("ae_snaive").cast("bigint").alias("n_snaive"),
+        F.sum("ae_snaive").cast("bigint").alias("sae_snaive"),
+        (F.sum("se_snaive").cast("bigint") * 1000000).alias("sse_snaive"),
+        F.count("ae_drift").cast("bigint").alias("n_drift"),
+        F.sum("ae_drift").cast("bigint").alias("sae_drift"),
+        F.sum("se_drift").cast("bigint").alias("sse_drift"),
+    )
+    stack_args = []
+    for m in ("naive", "snaive7", "drift"):
+        key = {"naive": "naive", "snaive7": "snaive", "drift": "drift"}[m]
+        stack_args += [
+            F.lit(m),
+            F.col(f"n_{key}"),
+            F.col(f"sae_{key}"),
+            F.col(f"sse_{key}"),
+        ]
+    cfg = wide.select(
+        F.col("n_naive").alias("nn"),
+        F.col("sae_naive").alias("saen"),
+        F.stack(F.lit(3), *stack_args).alias(
+            "method", "n_evals", "sae", "sse"
+        ),
+    )
+    mae = F.col("sae").cast("double") / F.col("n_evals")
+    return cfg.select(
+        "method",
+        "n_evals",
+        F.floor(mae + F.lit(0.5)).cast("bigint").alias("mae_micro"),
+        F.floor(
+            F.sqrt(
+                F.col("sse").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_evals")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rmse_micro"),
+        F.floor(
+            mae
+            / (F.col("saen").cast("double") / F.col("nn"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mase_micro"),
+    ).orderBy("method")

@@ -7187,3 +7187,133 @@ def test_variance_ratio_matches_python(spark, sf_dir):
         assert r.n_diffs == len(dq)
         assert abs(r.vr_micro / 1e6 - vr) < 2e-6
         assert abs(r.z_micro / 1e6 - z) < 5e-6
+
+
+def test_isotonic_matches_classic_pav(spark, sf_dir):
+    """The max-min isotonic fit must equal a classic sequential
+    pool-adjacent-violators sweep over the same micro-quantized bin
+    rates, and must be monotone non-decreasing."""
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_calibration_bins,
+        eval_calibration_isotonic,
+    )
+
+    iso = eval_calibration_isotonic(spark, sf_dir).collect()
+    bins = {r.bin: r for r in eval_calibration_bins(spark, sf_dir).collect()}
+    # classic PAV over (n, n_pos) blocks; pooled rates quantized only
+    # at the END (the max-min form quantizes per interval — allow 1
+    # micro of divergence per pooled block)
+    blocks = []
+    for r in sorted(iso, key=lambda r: r.bin):
+        blocks.append([r.n, r.n_pos])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    fitted = []
+    i = 0
+    for n, pos in blocks:
+        consumed = 0
+        while consumed < n:
+            r = sorted(iso, key=lambda r: r.bin)[i]
+            fitted.append((r.bin, pos / n))
+            consumed += r.n
+            i += 1
+    got = {r.bin: r.iso_micro for r in iso}
+    prev = None
+    for bin_id, rate in fitted:
+        assert abs(got[bin_id] - math.floor(rate * 1e6 + 0.5)) <= 1
+        if prev is not None:
+            assert got[bin_id] >= prev
+        prev = got[bin_id]
+    for r in iso:
+        assert (r.n, r.n_pos) == (bins[r.bin].n, bins[r.bin].n_pos)
+
+
+def test_forecast_baselines_match_python(spark, sf_dir):
+    """MAE/RMSE/MASE must match a numpy recompute of the three
+    persistence baselines on the daily series."""
+    import numpy as np
+
+    from data_integration_tool_spark.streaming.event_windows import (
+        ts_forecast_baselines,
+    )
+
+    rows = {r.method: r for r in ts_forecast_baselines(spark, sf_dir).collect()}
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    y = np.array([r["count"] for r in daily], dtype=np.float64)
+    errs = {
+        "naive": y[1:] - y[:-1],
+        "snaive7": y[7:] - y[:-7],
+        "drift": np.array(
+            [
+                y[t] - (y[t - 1] + (y[t - 1] - y[0]) / (t - 1))
+                for t in range(2, len(y))
+            ]
+        ),
+    }
+    mae_naive = np.abs(errs["naive"]).mean()
+    for m, e in errs.items():
+        r = rows[m]
+        assert r.n_evals == len(e)
+        assert abs(r.mae_micro / 1e6 - np.abs(e).mean()) < 2e-6
+        assert abs(r.rmse_micro / 1e6 - math.sqrt((e * e).mean())) < 2e-6
+        assert abs(r.mase_micro / 1e6 - np.abs(e).mean() / mae_naive) < 2e-6
+    assert rows["naive"].mase_micro == 1_000_000
+
+
+def test_ess_reweight_bounds_and_uniform_target(spark, sf_dir):
+    """Kish ESS lies in [largest-stratum-count-excluded bounds]: ESS <= N
+    always, with equality iff weights are constant; weights times counts
+    approximate the uniform target share."""
+    from data_integration_tool_spark.operators.curation import (
+        sample_ess_reweight,
+    )
+
+    rows = sample_ess_reweight(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    k = len(rows)
+    ess = rows[0].ess_docs
+    assert all(r.ess_docs == ess for r in rows)
+    assert 0 < ess <= n + 1
+    assert 0 < rows[0].ess_ratio_micro <= 1_000_001
+    for r in rows:
+        # n_docs * weight ≈ N/K (the uniform target mass per language)
+        assert abs(r.n_docs * r.weight_micro / 1e6 - n / k) < 0.51 * r.n_docs / 1e6 + 1
+
+
+def test_frequency_encode_leakage_free(spark, sf_dir):
+    """Held-out rows only; train counts must equal a direct count over
+    the md5-band train split; frequencies sum to <= 1 over categories."""
+    from data_integration_tool_spark.operators.curation import (
+        feat_frequency_encode,
+    )
+
+    rows = feat_frequency_encode(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    is_train = (
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2)
+        < "cd"
+    )
+    train = e.filter(is_train)
+    n_train = train.count()
+    counts = {
+        r.event_type: r["count"]
+        for r in train.groupBy("event_type").count().collect()
+    }
+    test_ids = {r.event_id for r in e.filter(~is_train).collect()}
+    assert {r.event_id for r in rows} == test_ids
+    for r in rows:
+        assert r.train_count == counts.get(r.event_type, 0)
+        assert r.freq_micro == math.floor(
+            r.train_count / n_train * 1e6 + 0.5
+        )
