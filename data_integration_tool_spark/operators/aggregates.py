@@ -4707,3 +4707,226 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w_micro"),
     )
+
+
+@query(
+    "agg_cuped",
+    oracle="""
+        WITH span AS (
+            SELECT (min(datediff('day', DATE '1970-01-01',
+                                 CAST(CAST(ts AS TIMESTAMP) AS DATE)))
+                  + max(datediff('day', DATE '1970-01-01',
+                                 CAST(CAST(ts AS TIMESTAMP) AS DATE)))) // 2
+                       AS mid
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id % 2 AS variant,
+                   CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                      CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                                      < s.mid
+                            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                      CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                                      >= s.mid
+                            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN span s
+            GROUP BY user_id, s.mid
+        ),
+        pooled AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM per_user
+        ),
+        theta AS (
+            SELECT n, sx, sy,
+                   CASE WHEN n > 1 AND
+                        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        > 0.0
+                   THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   END AS th
+            FROM pooled
+        ),
+        per_variant AS (
+            SELECT variant,
+                   CAST(count(*) AS BIGINT) AS nv,
+                   CAST(sum(x) AS BIGINT) AS sxv,
+                   CAST(sum(y) AS BIGINT) AS syv,
+                   CAST(sum(x * y) AS BIGINT) AS sxyv,
+                   CAST(sum(x * x) AS BIGINT) AS sxxv,
+                   CAST(sum(y * y) AS BIGINT) AS syyv
+            FROM per_user GROUP BY variant
+        )
+        SELECT CAST(v.variant AS BIGINT) AS variant,
+               v.nv AS n_users,
+               CAST(floor(CAST(v.syv AS DOUBLE) / v.nv / 100.0
+                    * 1000000.0 + 0.5) AS BIGINT) AS mean_y_micro,
+               CASE WHEN t.th IS NOT NULL THEN
+                   CAST(floor((CAST(v.syv AS DOUBLE) / v.nv
+                        - t.th * (CAST(v.sxv AS DOUBLE) / v.nv
+                                  - CAST(t.sx AS DOUBLE) / t.n))
+                        / 100.0 * 1000000.0 + 0.5) AS BIGINT)
+               END AS mean_y_adj_micro,
+               CASE WHEN t.th IS NOT NULL THEN
+                   CAST(floor(t.th * 1000000.0 + 0.5) AS BIGINT)
+               END AS theta_micro,
+               CASE WHEN t.th IS NOT NULL AND v.nv > 1 AND
+                    (CAST(v.syyv AS DOUBLE)
+                     - CAST(v.syv AS DOUBLE) * v.syv / v.nv) > 0.0
+               THEN
+                   CAST(floor((1.0 -
+                       ((CAST(v.syyv AS DOUBLE)
+                         - CAST(v.syv AS DOUBLE) * v.syv / v.nv)
+                        - 2.0 * t.th * (CAST(v.sxyv AS DOUBLE)
+                          - CAST(v.sxv AS DOUBLE) * v.syv / v.nv)
+                        + t.th * t.th * (CAST(v.sxxv AS DOUBLE)
+                          - CAST(v.sxv AS DOUBLE) * v.sxv / v.nv))
+                       / (CAST(v.syyv AS DOUBLE)
+                          - CAST(v.syv AS DOUBLE) * v.syv / v.nv))
+                       * 1000000.0 + 0.5) AS BIGINT)
+               END AS var_reduction_micro
+        FROM per_variant v CROSS JOIN theta t
+        ORDER BY variant
+    """,
+    phase="P4",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (variant = user_id
+    parity): per-user pre-period covariate x and post-period metric y
+    (cents-quantized value sums split at the corpus midpoint day),
+    pooled θ = cov(x,y)/var(x), and per variant the raw vs
+    CUPED-adjusted mean and the achieved variance-reduction fraction
+    (≈ ρ² when θ transfers) — the standard experiment-platform trick
+    that turns a week of extra traffic into an arithmetic identity.
+
+    Exactness: x and y quantize to CENTS at USER grain (micro²
+    would overflow int64 in Σxy), so all five pooled and six
+    per-variant moments are exact BIGINT sums; θ, the adjusted means
+    and the variance ratios are ONE spelled IEEE chain over those
+    integers, micro-quantized at output. Degenerate pre-periods
+    (var(x) = 0, e.g. a single-day corpus) yield NULL θ/adjusted
+    columns, never 0/0.
+
+    Plan: one tiny min/max-day aggregate broadcasts the split point;
+    ONE combinable user-grain aggregate builds (x, y); pooled and
+    per-variant moments are two more combinable aggs at user grain;
+    everything after the user rollup is ≤3 rows. Two linear shuffles
+    total at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    span = F.broadcast(
+        e.agg(
+            ((F.min(day) + F.max(day)) / 2)
+            .cast("bigint")
+            .alias("mid")
+        )
+    )
+    c = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    per_user = (
+        e.crossJoin(span)
+        .groupBy("user_id", "mid")
+        .agg(
+            F.sum(F.when(day < F.col("mid"), c).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(day >= F.col("mid"), c).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    var_x = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    cov_xy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy") / F.col("n")
+    theta = F.broadcast(
+        pooled.select(
+            "n",
+            "sx",
+            "sy",
+            F.when((F.col("n") > 1) & (var_x > 0.0), cov_xy / var_x).alias(
+                "th"
+            ),
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+        F.sum("x").cast("bigint").alias("sxv"),
+        F.sum("y").cast("bigint").alias("syv"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxyv"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxxv"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syyv"),
+    )
+    vy = F.col("syyv").cast("double") - F.col("syv").cast("double") * F.col(
+        "syv"
+    ) / F.col("nv")
+    cvy = F.col("sxyv").cast("double") - F.col("sxv").cast(
+        "double"
+    ) * F.col("syv") / F.col("nv")
+    vx = F.col("sxxv").cast("double") - F.col("sxv").cast("double") * F.col(
+        "sxv"
+    ) / F.col("nv")
+    th = F.col("th")
+    adj_var = vy - F.lit(2.0) * th * cvy + th * th * vx
+    return (
+        per_variant.crossJoin(theta)
+        .select(
+            F.col("variant").cast("bigint").alias("variant"),
+            F.col("nv").alias("n_users"),
+            F.floor(
+                F.col("syv").cast("double")
+                / F.col("nv")
+                / F.lit(100.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_y_micro"),
+            F.when(
+                th.isNotNull(),
+                F.floor(
+                    (
+                        F.col("syv").cast("double") / F.col("nv")
+                        - th
+                        * (
+                            F.col("sxv").cast("double") / F.col("nv")
+                            - F.col("sx").cast("double") / F.col("n")
+                        )
+                    )
+                    / F.lit(100.0)
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("mean_y_adj_micro"),
+            F.when(
+                th.isNotNull(),
+                F.floor(th * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+            ).alias("theta_micro"),
+            F.when(
+                th.isNotNull() & (F.col("nv") > 1) & (vy > 0.0),
+                F.floor(
+                    (F.lit(1.0) - adj_var / vy) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("var_reduction_micro"),
+        )
+        .orderBy("variant")
+    )

@@ -1947,3 +1947,174 @@ def feat_frequency_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "decon_report",
+    oracle=f"""
+        WITH exact_bench AS (
+            SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE {_BENCH_PRED_SQL}
+        ),
+        toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE {_BENCH_PRED_SQL}
+        ),
+        eval_grams AS (
+            SELECT DISTINCT doc_id, source, gram
+            FROM grams WHERE NOT ({_BENCH_PRED_SQL})
+        ),
+        cont AS (
+            SELECT e.doc_id, e.source,
+                   count(b.gram)              AS n_shared,
+                   count(*)                   AS n_grams
+            FROM eval_grams e LEFT JOIN bench b USING (gram)
+            GROUP BY e.doc_id, e.source
+        ),
+        flags AS (
+            SELECT d.doc_id, d.source,
+                   CASE WHEN eb.h IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+                   CASE WHEN coalesce(c.n_shared, 0) >= 1
+                        THEN 1 ELSE 0 END AS f_ngram,
+                   CASE WHEN coalesce(c.n_shared, 0)
+                             >= 0.5 * coalesce(c.n_grams, 1)
+                        THEN 1 ELSE 0 END AS f_contain
+            FROM documents d
+            LEFT JOIN exact_bench eb ON md5(d.text) = eb.h
+            LEFT JOIN cont c USING (doc_id)
+            WHERE NOT ({_BENCH_PRED_SQL})
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)       AS n_docs,
+               CAST(sum(f_exact) AS BIGINT)   AS n_exact,
+               CAST(sum(f_ngram) AS BIGINT)   AS n_ngram,
+               CAST(sum(f_contain) AS BIGINT) AS n_containment,
+               CAST(sum(CASE WHEN f_exact + f_ngram + f_contain > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+               CAST(floor(CAST(sum(CASE WHEN f_exact + f_ngram
+                                             + f_contain > 0
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*) * 1000000.0 + 0.5) AS BIGINT)
+                   AS any_rate_micro
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P4",
+    tags=("curation", "decontamination"),
+)
+def decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REPORT at source grain — the table an eval-
+    hygiene run actually publishes: per training source, how many docs
+    each leakage detector flags (exact copy, any shared 4-gram,
+    containment ≥ 0.5) and the union rate. exact ⊆ contained ⊆
+    gram-overlap in principle, so diverging columns localize WHERE a
+    source's leakage sits on the verbatim→paraphrase spectrum — the
+    per-source number that decides which sources need the expensive
+    LSH sweep (decon_lsh_candidates) at all.
+
+    Plan: ONE shingling pass serves both n-gram legs (overlap = shared
+    count ≥ 1 and containment = the same count against the doc's gram
+    total — the decon_containment relation computed once, read twice);
+    the exact leg is one md5 per doc against the broadcast benchmark
+    hash set; the eval-suite predicate pushes below every shingle
+    explode (the decon_ngram no-cross-branch-CSE rule). Source grain
+    output — three linear shuffles, no pair blowup anywhere."""
+    d = load(spark, sf_dir, "documents")
+    exact_bench = (
+        d.filter(F.expr(_BENCH_PRED_SQL))
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias(
+            "ts"
+        ),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("ts") >= 4,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 3),"
+                    " i -> concat_ws(' ', slice(ts, i, 4)))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.expr(_BENCH_PRED_SQL))
+        .select(F.col("gram").alias("bgram"))
+        .distinct()
+    )
+    cont = (
+        grams.filter(~F.expr(_BENCH_PRED_SQL))
+        .select("doc_id", "source", "gram")
+        .distinct()
+        .join(F.broadcast(bench), F.col("gram") == F.col("bgram"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("bgram").alias("n_shared"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    flags = (
+        d.filter(~F.expr(_BENCH_PRED_SQL))
+        .select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .join(
+            F.broadcast(exact_bench.withColumnRenamed("h", "bh")),
+            F.col("h") == F.col("bh"),
+            "left",
+        )
+        .join(cont, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("bh").isNotNull(), 1).otherwise(0).alias("f_exact"),
+            F.when(F.coalesce(F.col("n_shared"), F.lit(0)) >= 1, 1)
+            .otherwise(0)
+            .alias("f_ngram"),
+            F.when(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                >= F.lit(0.5) * F.coalesce(F.col("n_grams"), F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("f_contain"),
+        )
+    )
+    any_f = (
+        F.col("f_exact") + F.col("f_ngram") + F.col("f_contain") > 0
+    ).cast("int")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("f_exact").cast("bigint").alias("n_exact"),
+            F.sum("f_ngram").cast("bigint").alias("n_ngram"),
+            F.sum("f_contain").cast("bigint").alias("n_containment"),
+            F.sum(any_f).cast("bigint").alias("n_any"),
+            F.floor(
+                F.sum(any_f).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("any_rate_micro"),
+        )
+        .orderBy("source")
+    )

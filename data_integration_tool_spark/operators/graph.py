@@ -1780,3 +1780,146 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("phi_micro"),
     ).orderBy("k")
+
+
+_PPR_ITERS = 3
+_PPR_DAMPING = 0.85
+
+
+@query(
+    "graph_pagerank_personalized",
+    oracle=f"""
+        WITH edges AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                FROM events
+            )
+            WHERE nxt IS NOT NULL
+            GROUP BY src, nxt
+        ),
+        wsum AS (
+            SELECT src, CAST(sum(w) AS BIGINT) AS tot
+            FROM edges GROUP BY src
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ),
+        seed AS (SELECT min(node) AS s FROM nodes),
+        r0 AS (
+            SELECT node,
+                   CASE WHEN node = (SELECT s FROM seed)
+                        THEN CAST(1000000000 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS r
+            FROM nodes
+        ),
+        {", ".join(
+            f'''r{i + 1} AS (
+            SELECT nd.node,
+                   CAST(CASE WHEN nd.node = (SELECT s FROM seed)
+                        THEN 150000000 ELSE 0 END
+                   + CAST(floor({_PPR_DAMPING} * coalesce(sum(
+                         CAST(floor(CAST(r{i}.r AS DOUBLE) * e.w / ws.tot
+                              + 0.5) AS BIGINT)), 0) + 0.5) AS BIGINT)
+                     AS BIGINT) AS r
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN wsum ws ON ws.src = e.src
+            LEFT JOIN r{i} ON r{i}.node = e.src
+            GROUP BY nd.node
+        )''' for i in range(_PPR_ITERS))}
+        SELECT node, r AS ppr_nano FROM r{_PPR_ITERS} ORDER BY node
+    """,
+    phase="P3",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (damping 0.85, 3 fixed iterations) from a
+    single seed — the lexicographically first event type — over the
+    event-type transition graph: teleport returns to the SEED, not
+    uniformly, so scores measure proximity to the seed's behavioral
+    neighborhood (the recommender / related-entity primitive, vs
+    graph_pagerank's global importance).
+
+    Exactness upgrade over the sibling: ranks travel as NANO BIGINTs
+    and every per-edge contribution floor-quantizes at EDGE grain
+    (rank·w/out_weight over three exact integers) before the per-node
+    integer sum, so the iteration is order-free on both engines — no
+    float accumulation anywhere. Teleport adds an integer constant at
+    the seed. Mass is conserved to ±1 nano per edge per round
+    (documented rounding, identical in both engines).
+
+    Plan: same shape as graph_pagerank — one lead window + edge
+    rollup (checkpointed once; |types|² rows), then three unrolled
+    contribution-join → groupBy(dst) rounds at edge grain with the
+    out-weight relation joined (node-grain, broadcasts at any
+    scale)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wsum = edges.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("tot")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = F.broadcast(nodes.agg(F.min("node").alias("s")))
+    ranks = nodes.crossJoin(seed).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(1000000000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    ew = edges.join(F.broadcast(wsum), "src")
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                "dst",
+                F.floor(
+                    F.col("r").cast("double") * F.col("w") / F.col("tot")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(seed)
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("s"), F.lit(150000000)
+                    ).otherwise(F.lit(0))
+                    + F.floor(
+                        F.lit(_PPR_DAMPING)
+                        * F.coalesce(F.col("incoming"), F.lit(0)).cast(
+                            "double"
+                        )
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("ppr_nano")).orderBy("node")

@@ -2028,3 +2028,113 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").over(w).cast("bigint").alias("chars_retained"),
         F.sum("n_tokens").over(w).cast("bigint").alias("tokens_retained"),
     ).orderBy("band_id")
+
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "text_ngram_coverage_curve",
+    oracle=f"""
+        WITH tf AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS token
+                FROM documents
+            )
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT tf,
+                   row_number() OVER (ORDER BY tf DESC, token) AS rnk
+            FROM tf
+        ),
+        wide AS (
+            SELECT CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(tf) AS BIGINT) AS total,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN rnk <= {k} THEN tf ELSE 0 END)"
+                       f" AS BIGINT) AS c{k}" for k in _COVERAGE_KS)}
+            FROM ranked
+        )
+        SELECT CAST(k AS BIGINT) AS k, vocab, total, covered,
+               CAST(floor(CAST(covered AS DOUBLE) / total * 1000000.0
+                    + 0.5) AS BIGINT) AS coverage_micro
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS k, vocab, total, c{k} AS covered FROM wide"
+                for k in _COVERAGE_KS)}
+        )
+        ORDER BY k
+    """,
+    phase="P4",
+    tags=("text", "vocabulary"),
+)
+def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage curve: what fraction of all corpus token
+    occurrences the top-k vocabulary entries account for, at
+    k ∈ {10, 100, 1000} — the curve that sizes a tokenizer vocabulary
+    or a stopword list (Zipfian corpora cover ~50% with tens of
+    types; a flat curve means high lexical diversity and a bigger
+    vocab budget). Completes text_zipf_fit (the exponent) and
+    text_heaps_law (vocab growth) with the actual cumulative shares.
+
+    Exactness: term frequencies are exact BIGINTs; ranking breaks tf
+    ties lexicographically (deterministic); the three cumulative
+    masses are conditional integer sums in ONE wide aggregate; each
+    coverage share is one spelled division micro-quantized.
+
+    Plan: one tokenize-explode pass to term grain (the only
+    corpus-sized stage), one row_number window at VOCAB grain (at
+    extreme vocab cardinality the same curve runs off
+    agg_approx_percentile's two-phase selection instead), a 1-row
+    wide aggregate, a 3-row stack."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    ranked = tf.select("tf", F.row_number().over(w).alias("rnk"))
+    wide = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("tf").cast("bigint").alias("total"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in _COVERAGE_KS
+        ],
+    )
+    stack_args = []
+    for k in _COVERAGE_KS:
+        stack_args += [F.lit(k).cast("bigint"), F.col(f"c{k}")]
+    return (
+        wide.select(
+            "vocab",
+            "total",
+            F.stack(F.lit(len(_COVERAGE_KS)), *stack_args).alias(
+                "k", "covered"
+            ),
+        )
+        .select(
+            "k",
+            "vocab",
+            "total",
+            "covered",
+            F.floor(
+                F.col("covered").cast("double")
+                / F.col("total")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+        .orderBy("k")
+    )

@@ -219,6 +219,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_forecast_baselines",
     "sample_ess_reweight",
     "feat_frequency_encode",
+    "decon_report",
+    "agg_cuped",
+    "text_ngram_coverage_curve",
+    "graph_pagerank_personalized",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -7317,3 +7317,103 @@ def test_frequency_encode_leakage_free(spark, sf_dir):
         assert r.freq_micro == math.floor(
             r.train_count / n_train * 1e6 + 0.5
         )
+
+
+def test_decon_report_flag_hierarchy(spark, sf_dir):
+    """Per source: exact copies are containment hits, containment hits
+    are gram-overlap hits; union >= each leg; totals cover the eval
+    side of the corpus."""
+    from data_integration_tool_spark.operators.curation import decon_report
+
+    rows = decon_report(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    n_eval = d.filter(~F.expr("doc_id % 20 = 0")).count()
+    assert sum(r.n_docs for r in rows) == n_eval
+    for r in rows:
+        assert r.n_exact <= r.n_containment <= r.n_ngram <= r.n_docs
+        assert max(r.n_exact, r.n_ngram, r.n_containment) <= r.n_any
+        assert r.n_any <= r.n_ngram + r.n_exact + r.n_containment
+        assert r.any_rate_micro == math.floor(r.n_any / r.n_docs * 1e6 + 0.5)
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    """theta, adjusted means and variance reduction must match a numpy
+    recompute over the same cents-quantized per-user (x, y)."""
+    import numpy as np
+
+    from data_integration_tool_spark.operators.aggregates import agg_cuped
+
+    rows = {r.variant: r for r in agg_cuped(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    import datetime
+
+    days = [(r.user_id, (r.ts.date() - datetime.date(1970, 1, 1)).days,
+             math.floor(r.value * 100 + 0.5)) for r in e]
+    lo, hi = min(d for _, d, _ in days), max(d for _, d, _ in days)
+    mid = (lo + hi) // 2
+    per_user = {}
+    for uid, d, c in days:
+        x, y = per_user.setdefault(uid, [0, 0])
+        if d < mid:
+            per_user[uid][0] += c
+        else:
+            per_user[uid][1] += c
+    xs = np.array([v[0] for v in per_user.values()], dtype=np.float64)
+    ys = np.array([v[1] for v in per_user.values()], dtype=np.float64)
+    var = np.array([uid % 2 for uid in per_user], dtype=np.int64)
+    if len(xs) > 1 and xs.var() > 0:
+        theta = ((xs * ys).mean() - xs.mean() * ys.mean()) * len(xs) / (
+            len(xs) - 1
+        ) / (xs.var(ddof=1))
+        for v in (0, 1):
+            m = var == v
+            r = rows[v]
+            assert r.n_users == int(m.sum())
+            assert abs(r.mean_y_micro / 1e6 - ys[m].mean() / 100) < 2e-6
+            adj = ys[m].mean() - theta * (xs[m].mean() - xs.mean())
+            assert abs(r.mean_y_adj_micro / 1e6 - adj / 100) < 2e-6
+            assert abs(r.theta_micro / 1e6 - theta) < 2e-6
+            y_adj = ys[m] - theta * (xs[m] - xs.mean())
+            red = 1 - y_adj.var(ddof=1) / ys[m].var(ddof=1)
+            assert abs(r.var_reduction_micro / 1e6 - red) < 5e-6
+
+
+def test_coverage_curve_monotone_and_total(spark, sf_dir):
+    """Coverage must be monotone in k, bounded by 1, and the covered
+    mass at k >= vocab must equal the corpus total."""
+    from data_integration_tool_spark.operators.text import (
+        text_ngram_coverage_curve,
+    )
+
+    rows = sorted(
+        text_ngram_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [10, 100, 1000]
+    prev = 0
+    for r in rows:
+        assert prev <= r.covered <= r.total
+        assert r.coverage_micro == math.floor(r.covered / r.total * 1e6 + 0.5)
+        prev = r.covered
+        if r.k >= r.vocab:
+            assert r.covered == r.total
+
+
+def test_ppr_mass_concentrates_at_seed(spark, sf_dir):
+    """PPR must put the maximum score on (or adjacent to) the seed,
+    conserve total mass to within per-edge rounding, and differ from
+    uniform pagerank's ordering signature."""
+    from data_integration_tool_spark.operators.graph import (
+        graph_pagerank_personalized,
+    )
+
+    rows = graph_pagerank_personalized(spark, sf_dir).collect()
+    seed = min(r.node for r in rows)
+    total = sum(r.ppr_nano for r in rows)
+    # mass 1e9, teleport re-injects at seed; rounding drifts by at most
+    # ~1 nano per edge per round
+    assert abs(total - 1_000_000_000) < 3 * len(rows) * len(rows) + 1000
+    by_score = sorted(rows, key=lambda r: -r.ppr_nano)
+    assert by_score[0].ppr_nano > 150_000_000  # seed teleport floor
+    seed_rank = [r.node for r in by_score].index(seed)
+    assert seed_rank <= 2  # seed in the top neighborhood
