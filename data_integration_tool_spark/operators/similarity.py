@@ -4763,3 +4763,142 @@ def eval_delong_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("se_nano"),
         )
     )
+
+
+_TRIPLET_ORACLE = """
+    WITH q AS (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding, (x, i) -> i - 1))
+                   AS dim_pos,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                   + 0.5) AS BIGINT))) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim_pos,
+               CAST(floor(CAST(sum(v) AS DOUBLE)
+                    / count(DISTINCT vec_id)) AS BIGINT) AS c
+        FROM q GROUP BY label, dim_pos
+    ),
+    dists AS (
+        SELECT q.vec_id, q.label, cent.clabel,
+               CAST(sum((q.v - cent.c) * (q.v - cent.c)) AS BIGINT)
+                   AS dist
+        FROM q JOIN cent USING (dim_pos)
+        GROUP BY q.vec_id, q.label, cent.clabel
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               CAST(min(CASE WHEN clabel = label THEN dist END)
+                    AS BIGINT) AS own_dist,
+               CAST(min(CASE WHEN clabel <> label THEN dist END)
+                    AS BIGINT) AS other_dist
+        FROM dists GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(floor(CAST(sum(other_dist - own_dist) AS DOUBLE)
+                / count(*)) AS BIGINT) AS mean_margin_unit,
+           CAST(sum(CASE WHEN other_dist <= own_dist THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(floor(CAST(sum(CASE WHEN other_dist <= own_dist
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) * 1000000.0 + 0.5) AS BIGINT)
+               AS violation_rate_micro
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query(
+    "emb_triplet_margin_audit",
+    oracle=_TRIPLET_ORACLE,
+    phase="P4",
+    tags=("similarity", "embedding", "evaluation"),
+)
+def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid triplet margins — the metric-learning audit
+    behind eval_topk_accuracy's hit rates: for every vector, the gap
+    between its distance to the NEAREST FOREIGN centroid and to its
+    OWN (positive margin = correctly clustered with room; ≤ 0 = the
+    vector sits closer to another class). Mean margin says how much
+    headroom a label has before augmentation noise or quantization
+    (emb_quantize_int8/binary eat exactly this margin) starts flipping
+    assignments — the top-1 accuracy says IF vectors flip, the margin
+    says HOW CLOSE every vector is to flipping.
+
+    Exactness: eval_topk_accuracy's arithmetic verbatim — quantized
+    micro embeddings, floor-divided integer centroids, exact integer
+    squared L2 — so margins are exact BIGINT differences and the only
+    divisions are the two spelled per-label means.
+
+    Plan: ONE (label, dim) combinable aggregate builds the K×64
+    centroid relation (broadcasts at any scale); distances run at
+    (vector × K) grain map-side; everything after the per-vec min
+    pair is label-grain."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+    q = e.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim_pos", "v")
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim_pos").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.countDistinct("vec_id")
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+    dists = (
+        q.join(F.broadcast(cent), "dim_pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            )
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist")))
+        .cast("bigint")
+        .alias("own_dist"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist")))
+        .cast("bigint")
+        .alias("other_dist"),
+    )
+    viol = F.when(
+        F.col("other_dist") <= F.col("own_dist"), 1
+    ).otherwise(0)
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.floor(
+                F.sum(F.col("other_dist") - F.col("own_dist"))
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("mean_margin_unit"),
+            F.sum(viol).cast("bigint").alias("n_violations"),
+            F.floor(
+                F.sum(viol).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("violation_rate_micro"),
+        )
+        .orderBy("label")
+    )

@@ -580,3 +580,77 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(xover_fn, out_schema)
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+        WITH sents AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> trim(s)), s -> s <> '') AS ss
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS sent_idx,
+               ss[i] AS sentence,
+               CAST(len(list_filter(string_split(ss[i], ' '),
+                        t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM sents, unnest(range(1, len(ss) + 1)) AS g(i)
+        ORDER BY doc_id, sent_idx
+    """,
+    phase="P4",
+    tags=("udtf", "text"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF splitting each document into sentences on
+    terminal-punctuation runs ([.!?]+) — the second genuinely
+    table-valued shape in §2.11 after udtf_chunk_docs: one doc yields
+    a variable number of typed sentence rows (index, text, token
+    count), the granularity sentence-level dedup, PII scanning, and
+    quality filters operate at.
+
+    Arrow-optimized UDTF invoked via SQL LATERAL (per-partition
+    fan-out, no shuffle). The Python side strips exactly the space
+    characters DuckDB's trim() strips, so the twin — regexp split +
+    list_filter + generate_subscripts — is value-identical; empty
+    segments (leading punctuation, trailing terminator) are dropped
+    on both sides BEFORE indexing, so sent_idx counts surviving
+    sentences only.
+
+    At 100 TB this is a map-only stage: the lateral never leaves the
+    scan task and downstream sentence-grain operators shuffle on the
+    sentence keys they need."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id: bigint, sent_idx: bigint, sentence: string,"
+            " n_tokens: bigint"
+        ),
+        useArrow=True,
+    )
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            import re
+
+            idx = 0
+            for seg in re.split(r"[.!?]+", text):
+                s = seg.strip(" ")
+                if not s:
+                    continue
+                yield doc_id, idx, s, len(
+                    [t for t in s.split(" ") if t]
+                )
+                idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_sent_docs"
+    )
+    return spark.sql(
+        "SELECT s.* FROM _udtf_sent_docs,"
+        " LATERAL sentence_split(doc_id, text) AS s"
+        " ORDER BY doc_id, sent_idx"
+    )

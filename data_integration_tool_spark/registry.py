@@ -223,6 +223,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_cuped",
     "text_ngram_coverage_curve",
     "graph_pagerank_personalized",
+    "udtf_sentence_split",
+    "emb_triplet_margin_audit",
+    "events_growth_accounting",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

@@ -5501,3 +5501,169 @@ def ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mase_micro"),
     ).orderBy("method")
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+                       AS wk
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, min(wk) AS first_wk FROM act GROUP BY user_id
+        ),
+        cur AS (
+            SELECT a.user_id, a.wk, f.first_wk,
+                   CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS was_prev
+            FROM act a
+            JOIN firsts f USING (user_id)
+            LEFT JOIN act p
+              ON p.user_id = a.user_id AND p.wk = a.wk - 1
+        ),
+        gains AS (
+            SELECT wk,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN first_wk = wk THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN was_prev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   CAST(sum(CASE WHEN first_wk < wk AND was_prev = 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_resurrected
+            FROM cur GROUP BY wk
+        ),
+        churn AS (
+            SELECT a.wk + 1 AS wk,
+                   CAST(count(*) AS BIGINT) AS n_churned
+            FROM act a
+            LEFT JOIN act nx
+              ON nx.user_id = a.user_id AND nx.wk = a.wk + 1
+            WHERE nx.user_id IS NULL
+              AND a.wk < (SELECT max(wk) FROM act)
+            GROUP BY a.wk + 1
+        )
+        SELECT g.wk,
+               g.n_active, g.n_new, g.n_retained, g.n_resurrected,
+               CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+               CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
+                   CAST(floor(CAST(g.n_new + g.n_resurrected AS DOUBLE)
+                        / c.n_churned * 1000000.0 + 0.5) AS BIGINT)
+               END AS quick_ratio_micro
+        FROM gains g LEFT JOIN churn c USING (wk)
+        ORDER BY g.wk
+    """,
+    phase="P4",
+    tags=("events", "retention", "growth"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    decomposition (and Social Capital's quick ratio
+    (new+resurrected)/churned) that turns a DAU curve into WHY it
+    moved: growth from acquisition is bought, growth from
+    resurrection is won back, and a quick ratio < 1 means the product
+    leaks faster than it fills. Weeks are epoch-day // 7 (calendar
+    convention pinned identically in both engines); a user churns
+    INTO the first week they go missing.
+
+    Identity (pytest-pinned): n_active(w) = n_new + n_retained +
+    n_resurrected, and n_active(w) − n_active(w−1) = n_new +
+    n_resurrected − n_churned.
+
+    Exactness: pure integer counts; the quick ratio is the only
+    division, spelled once, NULL when nothing churned.
+
+    Plan: ONE distinct to (user, week) grain is the only corpus-sized
+    shuffle; first-week, previous-week and next-week relations are
+    all self-joins AT THAT REDUCED GRAIN on (user, week) keys —
+    linear, co-partitioned, no window over the full corpus; the final
+    aggregate is week-grain."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    act = (
+        e.select("user_id", F.floor(day / 7).cast("bigint").alias("wk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    firsts = act.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    p = act.select(
+        F.col("user_id").alias("p_uid"), (F.col("wk") + 1).alias("p_wk")
+    )
+    cur = (
+        act.join(firsts, "user_id")
+        .join(
+            p,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("wk") == F.col("p_wk")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "wk",
+            "first_wk",
+            F.when(F.col("p_uid").isNotNull(), 1).otherwise(0).alias(
+                "was_prev"
+            ),
+        )
+    )
+    gains = cur.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum("was_prev").cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("first_wk") < F.col("wk"))
+                & (F.col("was_prev") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    mx = F.broadcast(act.agg(F.max("wk").alias("max_wk")))
+    nx = act.select(
+        F.col("user_id").alias("n_uid"), (F.col("wk") - 1).alias("n_wk")
+    )
+    churn = (
+        act.join(
+            nx,
+            (F.col("user_id") == F.col("n_uid"))
+            & (F.col("wk") == F.col("n_wk")),
+            "left",
+        )
+        .crossJoin(mx)
+        .filter(F.col("n_uid").isNull() & (F.col("wk") < F.col("max_wk")))
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        gains.join(churn, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.when(
+                F.coalesce(F.col("n_churned"), F.lit(0)) > 0,
+                F.floor(
+                    (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                    / F.col("n_churned")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("quick_ratio_micro"),
+        )
+        .orderBy("wk")
+    )

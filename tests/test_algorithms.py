@@ -7417,3 +7417,71 @@ def test_ppr_mass_concentrates_at_seed(spark, sf_dir):
     assert by_score[0].ppr_nano > 150_000_000  # seed teleport floor
     seed_rank = [r.node for r in by_score].index(seed)
     assert seed_rank <= 2  # seed in the top neighborhood
+
+
+def test_sentence_split_matches_expression_twin(spark, sf_dir):
+    """The UDTF's sentence rows must equal a pure-expression split on
+    the same punctuation runs."""
+    from data_integration_tool_spark.operators.udfs import udtf_sentence_split
+
+    got = {
+        (r.doc_id, r.sent_idx): (r.sentence, r.n_tokens)
+        for r in udtf_sentence_split(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import re
+
+    want = {}
+    for d in docs:
+        idx = 0
+        for seg in re.split(r"[.!?]+", d.text):
+            s = seg.strip(" ")
+            if not s:
+                continue
+            want[(d.doc_id, idx)] = (s, len([t for t in s.split(" ") if t]))
+            idx += 1
+    assert got == want
+
+
+def test_triplet_margin_consistent_with_topk(spark, sf_dir):
+    """A label whose every member has positive margin must have 100%
+    top-1 accuracy (same centroids, same integer distances)."""
+    from data_integration_tool_spark.operators.similarity import (
+        emb_triplet_margin_audit,
+        eval_topk_accuracy,
+    )
+
+    margins = {r.label: r for r in emb_triplet_margin_audit(spark, sf_dir).collect()}
+    topk = {r.label: r for r in eval_topk_accuracy(spark, sf_dir).collect()}
+    assert set(margins) == set(topk)
+    for lbl, m in margins.items():
+        t = topk[lbl]
+        assert m.n_vecs == t.n
+        # violations = members whose own centroid does NOT strictly win
+        # top-1 misses = members whose own centroid is not ranked first
+        # (ties break toward the LOWER label, so violations >= misses)
+        assert m.n_violations >= t.n - t.n_top1
+        assert 0 <= m.violation_rate_micro <= 1_000_000
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """active = new + retained + resurrected each week, and the
+    active delta must equal new + resurrected - churned."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        events_growth_accounting,
+    )
+
+    rows = sorted(
+        events_growth_accounting(spark, sf_dir).collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.wk == prev.wk + 1:
+            assert (
+                cur.n_active - prev.n_active
+                == cur.n_new + cur.n_resurrected - cur.n_churned
+            )
+    assert rows[0].n_active == rows[0].n_new  # week 1: everyone is new
