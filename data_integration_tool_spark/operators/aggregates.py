@@ -4930,3 +4930,123 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_HILL_KS = (50, 100, 200)
+
+
+@query(
+    "agg_tail_index_hill",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(floor(ln(CAST(floor(o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) * 1000000.0 + 0.5) AS BIGINT)
+                       AS lnm,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ),
+        wide AS (
+            SELECT
+                {", ".join(
+                    f"CAST(sum(CASE WHEN rnk <= {k} THEN lnm ELSE 0 END)"
+                    f" AS BIGINT) AS s{k},"
+                    f" CAST(max(CASE WHEN rnk = {k} + 1 THEN lnm END)"
+                    f" AS BIGINT) AS t{k},"
+                    f" CAST(max(CASE WHEN rnk = {k} + 1 THEN cents END)"
+                    f" AS BIGINT) AS c{k}"
+                    for k in _HILL_KS)}
+            FROM ranked
+        )
+        SELECT CAST(k AS BIGINT) AS k, thresh_cents,
+               CAST(floor((CAST(s AS DOUBLE) - k * t) / k + 0.5)
+                    AS BIGINT) AS hill_h_micro,
+               CAST(floor(1000000.0
+                    / ((CAST(s AS DOUBLE) - k * t) / k / 1000000.0)
+                    * 1.0 + 0.5) AS BIGINT) AS alpha_micro
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {k} AS k, s{k} AS s, t{k} AS t,"
+                f" c{k} AS thresh_cents FROM wide"
+                for k in _HILL_KS)}
+        )
+        ORDER BY k
+    """,
+    phase="P3",
+    tags=("aggregate", "statistics", "tail"),
+)
+def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator for order values at k ∈ {{50,100,200}}
+    top order statistics: H(k) = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α = 1/H. A
+    stable α across k certifies a genuine power-law tail (α < 2 ⇒
+    infinite variance — capacity planning must stop using means;
+    α > 3 ⇒ CLT-safe); α drifting with k means the "heavy tail" is
+    just a mixture. Completes agg_tail_mean_cvar (tail mass) with the
+    tail SHAPE, and prices the k-sensitivity the single-k textbook
+    estimate hides.
+
+    Exactness: values quantize to exact integer cents BEFORE the ln
+    (so both engines take ln of identical integers); each ln
+    micro-quantizes at ROW grain; H(k) = (Σlnm − k·lnm₍ₖ₊₁₎)/k is
+    then pure integer arithmetic with one spelled division; ranking
+    ties break on the unique order key.
+
+    Plan: ONE row_number window — at scale the top-(k+1) selection
+    runs as the TakeOrdered/WindowGroupLimit map-side pattern since
+    only ranks ≤ 201 survive the conditional sums — one 1-row wide
+    aggregate answers all three k, then a 3-row stack."""
+    o = load(spark, sf_dir, "orders")
+    cents_v = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        cents_v.alias("cents"),
+        F.floor(F.log(cents_v) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lnm"),
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= max(_HILL_KS) + 1)
+    aggs = []
+    for k in _HILL_KS:
+        aggs += [
+            F.sum(F.when(F.col("rnk") <= k, F.col("lnm")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{k}"),
+            F.max(F.when(F.col("rnk") == k + 1, F.col("lnm")))
+            .cast("bigint")
+            .alias(f"t{k}"),
+            F.max(F.when(F.col("rnk") == k + 1, F.col("cents")))
+            .cast("bigint")
+            .alias(f"c{k}"),
+        ]
+    wide = ranked.agg(*aggs)
+    stack_args = []
+    for k in _HILL_KS:
+        stack_args += [
+            F.lit(k).cast("bigint"),
+            F.col(f"s{k}"),
+            F.col(f"t{k}"),
+            F.col(f"c{k}"),
+        ]
+    cfg = wide.select(
+        F.stack(F.lit(len(_HILL_KS)), *stack_args).alias(
+            "k", "s", "t", "thresh_cents"
+        )
+    )
+    h = (
+        F.col("s").cast("double") - F.col("k") * F.col("t")
+    ) / F.col("k")
+    return cfg.select(
+        "k",
+        "thresh_cents",
+        F.floor(h + F.lit(0.5)).cast("bigint").alias("hill_h_micro"),
+        F.floor(
+            F.lit(1000000.0) / (h / F.lit(1000000.0)) * F.lit(1.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("alpha_micro"),
+    ).orderBy("k")

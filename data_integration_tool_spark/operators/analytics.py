@@ -2079,3 +2079,116 @@ def orders_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mth")
     )
+
+
+@query(
+    "orders_price_elasticity",
+    oracle="""
+        WITH pts AS (
+            SELECT p.p_brand,
+                   CAST(floor(ln(l.l_quantity) * 1000.0 + 0.5) AS BIGINT)
+                       AS y,
+                   CAST(floor(ln(l.l_extendedprice / l.l_quantity)
+                        * 1000.0 + 0.5) AS BIGINT) AS x
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity > 0
+        ),
+        m AS (
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pts GROUP BY p_brand
+        )
+        SELECT p_brand, n,
+               CASE WHEN n > 1 AND
+                    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    > 0.0
+               THEN CAST(floor(
+                    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * 1000000.0 + 0.5) AS BIGINT)
+               END AS elasticity_micro,
+               CASE WHEN n > 1 AND
+                    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    > 0.0 AND
+                    (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    > 0.0
+               THEN CAST(floor(
+                    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                    * 1000000.0 + 0.5) AS BIGINT)
+               END AS r2_micro
+        FROM m
+        ORDER BY p_brand
+    """,
+    phase="P3",
+    tags=("analytics", "regression", "pricing"),
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand — the log-log OLS slope of
+    quantity on unit price (β < −1 elastic: price cuts grow revenue;
+    −1 < β < 0 inelastic: price raises grow revenue) with the fit R² —
+    the pricing-analytics staple, and agg_regression's ln-ln sibling
+    at category grain.
+
+    Exactness: both ln values quantize to MILLI at ROW grain (micro²
+    cross-products would overflow int64 at sf1 row counts — the
+    documented precision/headroom trade; the slope itself is reported
+    micro from exact milli moments), so all six per-brand moments are
+    order-free BIGINT sums; the slope and R² are each ONE spelled IEEE
+    chain over those integers; degenerate brands (constant price)
+    yield NULL, never 0/0.
+
+    Plan: one broadcast join (part is the dim side) onto the lineitem
+    scan, one combinable brand-grain moments aggregate — a single
+    linear shuffle at any scale."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.floor(F.log(F.col("l_quantity")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "p_brand",
+        "n",
+        F.when(
+            (F.col("n") > 1) & (varx_n > 0.0),
+            F.floor(cov_n / varx_n * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("elasticity_micro"),
+        F.when(
+            (F.col("n") > 1) & (varx_n > 0.0) & (vary_n > 0.0),
+            F.floor(
+                cov_n * cov_n / (varx_n * vary_n) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("r2_micro"),
+    ).orderBy("p_brand")

@@ -2138,3 +2138,141 @@ def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_KN_D = 0.75  # absolute-discount mass (the standard Kneser-Ney value)
+
+
+@query(
+    "text_kneser_ney",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, u.w, u.ord
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), LATERAL (
+                SELECT unnest(ts) AS w,
+                       unnest(range(1, len(ts) + 1)) AS ord
+            ) u
+        ),
+        seq AS (
+            SELECT doc_id,
+                   lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+                   w AS w2
+            FROM toks
+        ),
+        doc_bg AS (
+            SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE w1 IS NOT NULL
+            GROUP BY doc_id, w1, w2
+        ),
+        corpus AS (
+            SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+            FROM doc_bg GROUP BY w1, w2
+        ),
+        stats AS (
+            SELECT w1, w2, c12,
+                   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                   CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1w1,
+                   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS ncw2,
+                   CAST(count(*) OVER () AS BIGINT) AS ntypes
+            FROM corpus
+        ),
+        scored AS (
+            SELECT w1, w2,
+                   CAST(floor(-ln(
+                       (c12 - {_KN_D}) / c1
+                       + ({_KN_D} * n1w1 / c1) * (CAST(ncw2 AS DOUBLE)
+                                                  / ntypes))
+                       * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+            FROM stats
+        )
+        SELECT d.doc_id,
+               CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+               CAST(floor(CAST(sum(d.cnt * s.nll_micro) AS DOUBLE)
+                    / sum(d.cnt) + 0.5) AS BIGINT) AS mean_nll_kn_micro
+        FROM doc_bg d JOIN scored s USING (w1, w2)
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    phase="P4",
+    tags=("text", "language-model"),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram fluency score per document — the
+    production upgrade over text_bigram_lm's MLE: absolute discount
+    D = 0.75 reserves mass from every observed bigram and backs off
+    to the CONTINUATION unigram (how many distinct contexts a word
+    follows, not how often it occurs) — the distinction that stops
+    "san francisco"-style collocation words from leaking probability
+    into impossible contexts. Docs whose KN score diverges from their
+    MLE score are exactly the ones leaning on rare collocations.
+
+    P_KN(w₂|w₁) = (C₁₂−D)/C₁ + (D·N₁₊(w₁·)/C₁)·(N₁₊(·w₂)/N₁₊(··));
+    every −ln P quantizes to micro at CORPUS-PAIR grain, so per-doc
+    scores are order-free integer folds (Σcnt·nll / Σcnt, one spelled
+    division). Self-scored corpus ⇒ every bigram observed ⇒ C₁₂ > D
+    and the ln argument is strictly positive.
+
+    Plan: corpus-sized stages are the tokenize/explode and ONE
+    (doc, bigram) groupBy; the corpus pair relation derives by a
+    re-agg at DISTINCT-BIGRAM grain, where all four KN statistics
+    attach as three window sums over that same reduced relation (the
+    text_bigram_lm no-rescan trick, plus the w2 continuation
+    partition); scoring joins back on (w1, w2) — co-partitioned with
+    the grain it was built at."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("ord", "w"),
+    ).filter(F.col("w") != "")
+    w_seq = Window.partitionBy("doc_id").orderBy("ord")
+    seq = toks.select(
+        "doc_id", F.lag("w").over(w_seq).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    doc_bg = seq.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    corpus = doc_bg.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("bigint").alias("c12")
+    )
+    w1p = Window.partitionBy("w1")
+    w2p = Window.partitionBy("w2")
+    allp = Window.partitionBy()
+    stats = corpus.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1p).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).over(w1p).cast("bigint").alias("n1w1"),
+        F.count(F.lit(1)).over(w2p).cast("bigint").alias("ncw2"),
+        F.count(F.lit(1)).over(allp).cast("bigint").alias("ntypes"),
+    )
+    p_kn = (F.col("c12") - F.lit(_KN_D)) / F.col("c1") + (
+        F.lit(_KN_D) * F.col("n1w1") / F.col("c1")
+    ) * (F.col("ncw2").cast("double") / F.col("ntypes"))
+    scored = stats.select(
+        "w1",
+        "w2",
+        F.floor(-F.log(p_kn) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    return (
+        doc_bg.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.floor(
+                F.sum(F.col("cnt") * F.col("nll_micro")).cast("double")
+                / F.sum("cnt")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_nll_kn_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -226,6 +226,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_sentence_split",
     "emb_triplet_margin_audit",
     "events_growth_accounting",
+    "text_kneser_ney",
+    "orders_price_elasticity",
+    "agg_tail_index_hill",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

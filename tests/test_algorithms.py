@@ -7485,3 +7485,116 @@ def test_growth_accounting_identities(spark, sf_dir):
                 == cur.n_new + cur.n_resurrected - cur.n_churned
             )
     assert rows[0].n_active == rows[0].n_new  # week 1: everyone is new
+
+
+def test_kneser_ney_matches_python(spark, sf_dir):
+    """Per-doc KN scores must match a pure-python recompute of the
+    smoothed bigram model over the same corpus."""
+    import collections
+
+    from data_integration_tool_spark.operators.text import (
+        _KN_D,
+        text_kneser_ney,
+    )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_kn_micro)
+        for r in text_kneser_ney(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    doc_bg = collections.defaultdict(collections.Counter)
+    corpus = collections.Counter()
+    for d in docs:
+        toks = [t for t in d.text.lower().split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            doc_bg[d.doc_id][(a, b)] += 1
+            corpus[(a, b)] += 1
+    c1 = collections.Counter()
+    n1w1 = collections.Counter()
+    ncw2 = collections.Counter()
+    for (a, b), c in corpus.items():
+        c1[a] += c
+        n1w1[a] += 1
+        ncw2[b] += 1
+    ntypes = len(corpus)
+    nll = {
+        (a, b): math.floor(
+            -math.log(
+                (corpus[(a, b)] - _KN_D) / c1[a]
+                + (_KN_D * n1w1[a] / c1[a]) * (ncw2[b] / ntypes)
+            )
+            * 1e6
+            + 0.5
+        )
+        for (a, b) in corpus
+    }
+    for doc_id, bgs in doc_bg.items():
+        n = sum(bgs.values())
+        s = sum(cnt * nll[bg] for bg, cnt in bgs.items())
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - math.floor(s / n + 0.5)) <= 1
+    assert set(got) == set(doc_bg)
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    """Slope and R2 must match numpy OLS over the same milli-quantized
+    log pairs."""
+    import numpy as np
+
+    from data_integration_tool_spark.operators.analytics import (
+        orders_price_elasticity,
+    )
+
+    rows = {r.p_brand: r for r in orders_price_elasticity(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_brand = {}
+    for r in pts:
+        x = math.floor(math.log(r.l_extendedprice / r.l_quantity) * 1e3 + 0.5)
+        y = math.floor(math.log(r.l_quantity) * 1e3 + 0.5)
+        by_brand.setdefault(r.p_brand, []).append((x, y))
+    for brand, xy in by_brand.items():
+        x = np.array([a for a, _ in xy], dtype=np.float64)
+        y = np.array([b for _, b in xy], dtype=np.float64)
+        r = rows[brand]
+        assert r.n == len(xy)
+        if len(xy) > 1 and x.var() > 0:
+            slope = np.polyfit(x, y, 1)[0]
+            assert abs(r.elasticity_micro / 1e6 - slope) < 5e-6
+            corr = np.corrcoef(x, y)[0, 1]
+            assert abs(r.r2_micro / 1e6 - corr * corr) < 5e-6
+
+
+def test_hill_estimator_matches_python(spark, sf_dir):
+    """H(k) must equal the python Hill sum over the same cents-ln
+    order statistics (when the table has more than k+1 rows)."""
+    from data_integration_tool_spark.operators.aggregates import (
+        _HILL_KS,
+        agg_tail_index_hill,
+    )
+
+    rows = {r.k: r for r in agg_tail_index_hill(spark, sf_dir).collect()}
+    vals = sorted(
+        (
+            math.floor(r.o_totalprice * 100 + 0.5)
+            for r in load(spark, sf_dir, "orders")
+            .select("o_totalprice")
+            .collect()
+        ),
+        reverse=True,
+    )
+    lnm = [math.floor(math.log(v) * 1e6 + 0.5) for v in vals]
+    for k in _HILL_KS:
+        r = rows[k]
+        if len(vals) <= k:
+            assert r.hill_h_micro is None
+            continue
+        h = (sum(lnm[:k]) - k * lnm[k]) / k
+        assert r.thresh_cents == vals[k]
+        assert abs(r.hill_h_micro - math.floor(h + 0.5)) <= 1
+        assert abs(r.alpha_micro / 1e6 - 1e6 / h) < 5e-3
