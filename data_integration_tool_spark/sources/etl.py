@@ -2560,19 +2560,33 @@ def etl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(a, "yyyy-MM-dd HH:mm:ss")
         return a
 
+    # Counts/nulls/min/max: ONE wide aggregate, one scan, no distincts.
+    # NDVs deliberately do NOT ride the same aggregate: N countDistinct
+    # columns in one agg plan through Expand — every input row
+    # replicates (N+1)x before the distinct hash agg (measured 22.8 s
+    # vs 2.5 s at sf0.1 for 9 columns). Instead each column gets its
+    # own column-pruned scan + 2-stage distinct (exactly how warehouse
+    # ANALYZE jobs run: per-column passes that each read ONE column),
+    # unioned into a 9-row (column_name, ndv) relation that broadcasts
+    # onto the melted stats.
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c, k in _ANALYZE_COLS:
         aggs.append(F.count(F.col(c)).cast("bigint").alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"ndv_{c}"))
         aggs.append(mm(c, k, F.min).alias(f"min_{c}"))
         aggs.append(mm(c, k, F.max).alias(f"max_{c}"))
     wide = li.agg(*aggs)
+    ndv = None
+    for c, _ in _ANALYZE_COLS:
+        branch = li.select(F.col(c)).agg(
+            F.lit(c).alias("ndv_col"),
+            F.countDistinct(F.col(c)).cast("bigint").alias("ndv"),
+        )
+        ndv = branch if ndv is None else ndv.unionAll(branch)
     stack_args = []
     for c, _ in _ANALYZE_COLS:
         stack_args += [
             F.lit(c),
             F.col(f"nn_{c}"),
-            F.col(f"ndv_{c}"),
             F.col(f"min_{c}"),
             F.col(f"max_{c}"),
         ]
@@ -2580,13 +2594,19 @@ def etl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.stack(
             F.lit(len(_ANALYZE_COLS)), *stack_args
-        ).alias("column_name", "nn", "ndv", "min_str", "max_str"),
+        ).alias("column_name", "nn", "min_str", "max_str"),
     )
-    return melted.select(
-        "column_name",
-        "n_rows",
-        (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
-        "ndv",
-        "min_str",
-        "max_str",
-    ).orderBy("column_name")
+    return (
+        melted.join(
+            F.broadcast(ndv), melted.column_name == F.col("ndv_col")
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
+            "ndv",
+            "min_str",
+            "max_str",
+        )
+        .orderBy("column_name")
+    )
