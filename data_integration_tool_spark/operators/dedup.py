@@ -558,13 +558,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CASE-WHEN sums dominated codegen, not the data volume).
     ex = (
         d.select("doc_id", F.explode(_tokens()).alias("t"))
+    )
+    # md5 + two 15-hex-digit conv parses run at DISTINCT-TOKEN (vocab)
+    # grain, not per (doc, token) occurrence — the r10 follow-up to the
+    # bit-sum rework: the string hashing was the remaining per-row cost
+    # and the vocabulary is orders of magnitude smaller than the
+    # occurrence relation at any corpus scale. Broadcast join-back; at
+    # a 100 TB vocabulary the same plan degrades to a shuffle join on
+    # the token key.
+    vocab = (
+        ex.select("t")
+        .distinct()
         .withColumn("hx", F.md5(F.col("t").cast("binary")))
         .select(
-            "doc_id",
+            "t",
             F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring("hx", 16, 15), 16, 10).cast("long").alias("h2"),
         )
     )
+    ex = ex.join(F.broadcast(vocab), "t").select("doc_id", "h1", "h2")
     bit_aggs = [F.count(F.lit(1)).alias("n")]
     for b in range(64):
         src = "h1" if b < 60 else "h2"
@@ -1847,11 +1859,15 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     flat = _flat_signatures(d)
     slot_cols = [f"s{i}" for i in range(N_MINHASH)]
+    # Eager: the class relation feeds FOUR subtrees (banding, the
+    # within-pairs scalar, and both sides of the pair self-join via
+    # stats) — a lazy checkpoint would not dedupe the md5 + 32-perm
+    # token pipeline within the single final job (the LPA lesson).
     cls = flat.groupBy(*slot_cols).agg(
         *[F.min(f"b{b}").alias(f"b{b}") for b in range(N_BANDS)],
         F.min("doc_id").alias("repr_id"),
         F.count(F.lit(1)).cast("bigint").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     cbanded = cls.select(
         "*",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
@@ -1861,7 +1877,7 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = W.partitionBy("band_idx", "band_hash")
     stats = cbanded.select(
         "*", F.count(F.lit(1)).over(bucket).alias("n_bucket")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = stats.alias("a")
     b = stats.alias("b")
     first_match = F.lit(True)
