@@ -5050,3 +5050,157 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alpha_micro"),
     ).orderBy("k")
+
+
+_IPF_ITERS = 3
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "w0"
+    idx = 0
+    for _ in range(_IPF_ITERS):
+        for axis, kcol in (("lang", "n_langs"), ("source", "n_sources")):
+            idx += 1
+            steps.append(
+                f"""w{idx} AS (
+            SELECT lang, source, n, n_total, n_langs, n_sources,
+                   CAST(floor(CAST(w AS DOUBLE)
+                        * (CAST(n_total AS DOUBLE) / {kcol})
+                        / (CAST(sum(n * w) OVER (PARTITION BY {axis})
+                           AS DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS w
+            FROM {prev}
+        )"""
+            )
+            prev = f"w{idx}"
+    return f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM cells
+        ),
+        w0 AS (
+            SELECT lang, source, n, n_total, n_langs, n_sources,
+                   CAST(1000000 AS BIGINT) AS w
+            FROM cells CROSS JOIN tot
+        ),
+        {", ".join(steps)},
+        final AS (SELECT * FROM {prev}),
+        errs AS (
+            SELECT CAST(max(abs(lang_mass - CAST(floor(
+                       CAST(n_total AS DOUBLE) / n_langs * 1000000.0 + 0.5)
+                       AS BIGINT))) AS BIGINT) AS max_lang_err_micro
+            FROM (
+                SELECT n_total, n_langs,
+                       CAST(sum(n * w) AS BIGINT) AS lang_mass
+                FROM final GROUP BY lang, n_total, n_langs
+            )
+        )
+        SELECT f.lang, f.source, f.n AS n_docs, f.w AS weight_micro,
+               e.max_lang_err_micro
+        FROM final f CROSS JOIN errs e
+        ORDER BY f.lang, f.source
+    """
+
+
+@query(
+    "agg_raking_ipf",
+    oracle=_ipf_oracle(),
+    phase="P4",
+    tags=("aggregate", "statistics", "weighting"),
+)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting of document weights to
+    UNIFORM lang × source marginals (3 sweeps): the survey-statistics
+    workhorse for matching a corpus to two target distributions AT
+    ONCE — where sample_ess_reweight hits one marginal exactly,
+    raking alternates row (lang) and column (source) rescales until
+    both hold. Ships the final per-cell weight and the residual
+    lang-marginal error after 3 sweeps (raking converges
+    geometrically; the residual column is the "did 3 suffice"
+    answer).
+
+    Exactness: weights live as MICRO BIGINTs; each half-step is ONE
+    spelled float rescale (target mass / achieved mass over exact
+    integer sums) floor-quantized back to micro at CELL grain, so
+    every iteration is deterministic and the unrolled 6-step chain is
+    identical in both engines.
+
+    Plan: ONE combinable (lang, source) aggregate collapses the
+    corpus to marginal-cell grain (L×S rows — tiny at any corpus
+    size); all six rescale steps are window sums AT THAT GRAIN; the
+    output is cell-grain. One corpus-sized shuffle total."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n").cast("bigint").alias("n_total"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    cur = cells.crossJoin(tot).select(
+        "*", F.lit(1000000).cast("bigint").alias("w")
+    )
+    for _ in range(_IPF_ITERS):
+        for axis, kcol in (("lang", "n_langs"), ("source", "n_sources")):
+            wp = Window.partitionBy(axis)
+            cur = cur.select(
+                "lang",
+                "source",
+                "n",
+                "n_total",
+                "n_langs",
+                "n_sources",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (F.col("n_total").cast("double") / F.col(kcol))
+                    / (
+                        F.sum(F.col("n") * F.col("w"))
+                        .over(wp)
+                        .cast("double")
+                        / F.lit(1000000.0)
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+    lang_mass = cur.groupBy("lang", "n_total", "n_langs").agg(
+        F.sum(F.col("n") * F.col("w")).cast("bigint").alias("lang_mass")
+    )
+    errs = F.broadcast(
+        lang_mass.agg(
+            F.max(
+                F.abs(
+                    F.col("lang_mass")
+                    - F.floor(
+                        F.col("n_total").cast("double")
+                        / F.col("n_langs")
+                        * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("max_lang_err_micro")
+        )
+    )
+    return (
+        cur.crossJoin(errs)
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("w").alias("weight_micro"),
+            "max_lang_err_micro",
+        )
+        .orderBy("lang", "source")
+    )

@@ -313,6 +313,56 @@ _LSH_ORACLE = f"""
 """
 
 
+def _lsh_hashed(e):
+    """vec_id/label/embedding + 8-slot LSH bucket-code array — the
+    shared hashing stage of sim_ann_lsh and sim_ann_lsh_multiprobe.
+    Vectorized numpy per Arrow batch; the 64-dim reduction is an
+    in-order left fold (per-dim accumulate, NOT matmul) so every sign
+    bit matches the oracle's list_sum sequential accumulation."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes = np.array(_LSH_SIGNS)
+    bit_weights = np.tile(1 << np.arange(BITS_PER_TABLE), N_TABLES)
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("buckets", ArrayType(LongType())),
+        ]
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # one n×32 buffer instead of an n×64×32 cumsum temporary
+            proj = np.zeros((len(pdf), planes.shape[1]))
+            for d in range(planes.shape[0]):
+                proj += A[:, d, None] * planes[d][None, :]
+            bits = proj > 0  # n x (tables*bits)
+            codes = (bits * bit_weights).reshape(
+                len(pdf), N_TABLES, BITS_PER_TABLE
+            ).sum(axis=2)
+            pdf = pdf[["vec_id", "label", "embedding"]].copy()
+            pdf["buckets"] = list(codes)
+            yield pdf
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        bucketize, out_schema
+    )
+
+
 @query(
     "sim_ann_lsh",
     oracle=_LSH_ORACLE,
@@ -346,58 +396,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (table, bucket) keys and equi-join instead of the broadcast.
     pytest still measures recall vs sim_knn_exact.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        ArrayType,
-        FloatType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
     e = load(spark, sf_dir, "embeddings")
-
-    # (64 x 32) ±1 sign-plane matrix — module-level _LSH_SIGNS, the same
-    # values the generated DuckDB oracle embeds as literals
-    planes = np.array(_LSH_SIGNS)
-    bit_weights = np.tile(1 << np.arange(BITS_PER_TABLE), N_TABLES)
-
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("label", IntegerType()),
-            StructField("embedding", ArrayType(FloatType())),
-            StructField("buckets", ArrayType(LongType())),
-        ]
-    )
-
-    def bucketize(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # in-order left fold over the 64 dims (per-dim accumulate,
-            # NOT matmul): bit decisions at zero crossings must match
-            # list_sum's sequential accumulation in the oracle. The
-            # pairwise_cosine_exact pattern — one n×32 buffer instead
-            # of a full n×64×32 cumsum temporary (~65 MB/batch).
-            proj = np.zeros((len(pdf), planes.shape[1]))
-            for d in range(planes.shape[0]):
-                proj += A[:, d, None] * planes[d][None, :]
-            bits = proj > 0  # n x (tables*bits)
-            codes = (bits * bit_weights).reshape(
-                len(pdf), N_TABLES, BITS_PER_TABLE
-            ).sum(axis=2)
-            pdf = pdf[["vec_id", "label", "embedding"]].copy()
-            pdf["buckets"] = list(codes)
-            yield pdf
-
-    hashed = e.select("vec_id", "label", "embedding").mapInPandas(
-        bucketize, out_schema
-    )
+    # hashing factored into _lsh_hashed (shared with
+    # sim_ann_lsh_multiprobe); the (64 x 32) ±1 sign-plane matrix is
+    # module-level _LSH_SIGNS, the same values the generated DuckDB
+    # oracle embeds as literals
+    hashed = _lsh_hashed(e)
     q = F.broadcast(
         hashed.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qe"), F.col("buckets").alias("qbuckets")
@@ -4901,4 +4905,102 @@ def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("violation_rate_micro"),
         )
         .orderBy("label")
+    )
+
+
+_LSH_MP_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ), proj AS (
+        SELECT vec_id, label, embedding, nrm,
+               {", ".join(f"{_lsh_code_sql(t)} AS c{t}" for t in range(N_TABLES))}
+        FROM e
+    ), q AS (
+        SELECT embedding AS qe, nrm AS qnrm,
+               {", ".join(f"c{t} AS qc{t}" for t in range(N_TABLES))}
+        FROM proj WHERE vec_id = 0
+    ), cand AS (
+        SELECT p.vec_id, p.label,
+               {_DUCK_DOT.format(a='p.embedding', b='q.qe')}
+                   / (p.nrm * q.qnrm) AS cosine
+        FROM proj p CROSS JOIN q
+        WHERE p.vec_id <> 0
+          AND ({" OR ".join(
+              f"bit_count(CAST(xor(p.c{t}, q.qc{t}) AS BIGINT)) <= 1"
+              for t in range(N_TABLES))})
+    )
+    SELECT vec_id, label, cosine,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_lsh_multiprobe",
+    oracle=_LSH_MP_ORACLE,
+    phase="P4",
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH top-10 for vector 0 — the recall lever that does
+    NOT cost more tables: a vector is a candidate when its 4-bit code
+    in ANY table is within Hamming distance 1 of the query's (exact
+    bucket + the 4 single-bit-flip neighbor buckets), i.e. 5 probes
+    per table instead of 1. The standard production trade — multiprobe
+    buys the recall of ~5× the tables at the index size of 8 — made
+    comparable here: same planes, same tables as sim_ann_lsh, with the
+    candidate-set size shipped beside the top-10 so the recall/cost
+    curve against the single-probe query is one diff.
+
+    Exactness: identical hashing stage as sim_ann_lsh (shared
+    _lsh_hashed — in-order per-dim folds, bit-identical sign
+    decisions); the Hamming test is integer xor + bit_count on the
+    4-bit codes; cosines are the house in-order fold.
+
+    Scale shape: unchanged from sim_ann_lsh — the probe side is a
+    1-row broadcast; candidates grow ~5× per table but stay a small
+    corpus fraction; for batch probes explode the 5 probe codes per
+    (table, query) and equi-join on (table, code) — multiprobe at
+    scale is literally MORE join keys, not more index."""
+    e = load(spark, sf_dir, "embeddings")
+    hashed = _lsh_hashed(e)
+    q = F.broadcast(
+        hashed.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"),
+            F.col("buckets").alias("qbuckets"),
+        )
+    )
+    collide = F.exists(
+        F.zip_with(
+            "buckets",
+            "qbuckets",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)) <= 1,
+        ),
+        lambda v: v,
+    )
+    cand = (
+        hashed.crossJoin(q)
+        .filter((F.col("vec_id") != 0) & collide)
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cosine",
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias(
+                "n_candidates"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
     )

@@ -229,6 +229,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_kneser_ney",
     "orders_price_elasticity",
     "agg_tail_index_hill",
+    "sim_ann_lsh_multiprobe",
+    "agg_raking_ipf",
+    "seq_activity_islands",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

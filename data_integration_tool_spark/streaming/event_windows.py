@@ -5667,3 +5667,71 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@query(
+    "seq_activity_islands",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS island_key
+            FROM ud
+        )
+        SELECT user_id,
+               CAST(min(day) AS BIGINT) AS start_day,
+               CAST(max(day) AS BIGINT) AS end_day,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM grp
+        GROUP BY user_id, island_key
+        ORDER BY user_id, start_day
+    """,
+    phase="P4",
+    tags=("sequence", "events", "sessionization"),
+)
+def seq_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over daily user activity: maximal runs of
+    CONSECUTIVE active days per user (start, end, length) — the
+    streak-shaped retention signal stream_session's timestamp-gap
+    windows can't express (a user active at 23:59 and 00:01 is one
+    session but two calendar days; habit metrics count days). The
+    classic row_number-difference idiom: within a user, day − rank is
+    constant exactly along a consecutive run.
+
+    Exactness: pure integer day arithmetic end to end — no floats
+    anywhere.
+
+    Plan: ONE distinct to (user, day) grain (the only corpus-sized
+    shuffle — events collapse to at most users × days rows), one
+    row_number window and one group-by both keyed by user at that
+    reduced grain, reusing its exchange. Island output is bounded by
+    the user-day relation, never by raw event volume."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island_key"),
+    )
+    return (
+        grp.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").cast("bigint").alias("start_day"),
+            F.max("day").cast("bigint").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .drop("island_key")
+        .orderBy("user_id", "start_day")
+    )

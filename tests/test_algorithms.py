@@ -7598,3 +7598,71 @@ def test_hill_estimator_matches_python(spark, sf_dir):
         assert r.thresh_cents == vals[k]
         assert abs(r.hill_h_micro - math.floor(h + 0.5)) <= 1
         assert abs(r.alpha_micro / 1e6 - 1e6 / h) < 5e-3
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming<=1 candidates are a superset of exact-bucket candidates,
+    so multiprobe recall vs exact top-10 must be >= single-probe's."""
+    from data_integration_tool_spark.operators.similarity import (
+        sim_ann_lsh,
+        sim_ann_lsh_multiprobe,
+        sim_knn_exact,
+    )
+
+    exact = {r.vec_id for r in sim_knn_exact(spark, sf_dir).collect()}
+    single = {r.vec_id for r in sim_ann_lsh(spark, sf_dir).collect()}
+    multi_rows = sim_ann_lsh_multiprobe(spark, sf_dir).collect()
+    multi = {r.vec_id for r in multi_rows}
+    assert len(exact & multi) >= len(exact & single)
+    n_cand = multi_rows[0].n_candidates
+    assert all(r.n_candidates == n_cand for r in multi_rows)
+    assert n_cand >= len(multi)
+
+
+def test_raking_converges_to_uniform_marginals(spark, sf_dir):
+    """After 3 sweeps the SOURCE marginal (the last-rescaled axis) must
+    hold exactly to rounding; the lang residual ships in the output and
+    must be small relative to the target mass."""
+    import collections
+
+    from data_integration_tool_spark.operators.aggregates import agg_raking_ipf
+
+    rows = agg_raking_ipf(spark, sf_dir).collect()
+    n_total = sum(r.n_docs for r in rows)
+    langs = {r.lang for r in rows}
+    sources = {r.source for r in rows}
+    src_mass = collections.Counter()
+    for r in rows:
+        src_mass[r.source] += r.n_docs * r.weight_micro
+    target_src = n_total * 1_000_000 / len(sources)
+    for s, m in src_mass.items():
+        assert abs(m - target_src) < 1_000_000 * len(langs)  # rounding only
+    assert rows[0].max_lang_err_micro < 0.05 * n_total * 1_000_000 / len(langs)
+
+
+def test_activity_islands_partition_user_days(spark, sf_dir):
+    """Islands must tile each user's active-day set exactly: disjoint,
+    consecutive, gaps >= 2 between islands, day counts summing to the
+    distinct user-day total."""
+    from data_integration_tool_spark.streaming.event_windows import (
+        seq_activity_islands,
+    )
+
+    rows = seq_activity_islands(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        assert r.n_days == r.end_day - r.start_day + 1
+        by_user.setdefault(r.user_id, []).append((r.start_day, r.end_day))
+    total_days = 0
+    for user, islands in by_user.items():
+        islands.sort()
+        for (s1, e1), (s2, e2) in zip(islands, islands[1:]):
+            assert s2 > e1 + 1  # a gap of at least one inactive day
+        total_days += sum(e - s + 1 for s, e in islands)
+    n_user_days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert total_days == n_user_days
