@@ -5204,3 +5204,145 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "agg_two_proportion_ztest",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id % 2 AS variant,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                           > sum(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT
+                CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+                CAST(sum(converted) FILTER (WHERE variant = 0) AS BIGINT)
+                    AS x_a,
+                CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+                CAST(sum(converted) FILTER (WHERE variant = 1) AS BIGINT)
+                    AS x_b
+            FROM per_user
+        )
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(floor(CAST(x_a AS DOUBLE) / n_a * 1000000.0 + 0.5)
+                    AS BIGINT) AS rate_a_micro,
+               CAST(floor(CAST(x_b AS DOUBLE) / n_b * 1000000.0 + 0.5)
+                    AS BIGINT) AS rate_b_micro,
+               CAST(floor((CAST(x_b AS DOUBLE) / n_b
+                           - CAST(x_a AS DOUBLE) / n_a)
+                    * 1000000.0 + 0.5) AS BIGINT) AS diff_micro,
+               CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+               CAST(floor((CAST(x_b AS DOUBLE) / n_b
+                           - CAST(x_a AS DOUBLE) / n_a)
+                    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+                    * 1000000.0 + 0.5) AS BIGINT) END AS z_micro,
+               CAST(floor(sqrt(CAST(x_a AS DOUBLE) / n_a
+                         * (1.0 - CAST(x_a AS DOUBLE) / n_a) / n_a
+                         + CAST(x_b AS DOUBLE) / n_b
+                         * (1.0 - CAST(x_b AS DOUBLE) / n_b) / n_b)
+                    * 1000000.0 + 0.5) AS BIGINT) AS se_unpooled_micro
+        FROM v
+    """,
+    phase="P4",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for a conversion A/B readout (variant =
+    user parity, success = the user fired more purchases than errors):
+    per-variant user-grain conversion rates, the pooled-variance z
+    statistic, and the unpooled standard error (diff ± 1.96·se is the
+    CI) — the first-line experiment readout, and agg_cuped's binary
+    sibling (CUPED adjusts continuous metrics; rates get THIS test).
+    User grain, not event grain, because conversion is a per-user
+    fact — event-grain rates double-count heavy users (the classic
+    A/B analysis bug this op's shape forbids).
+
+    Exactness: the four counts are exact BIGINTs from one user-grain
+    aggregate; every rate/z/se is ONE spelled IEEE chain over those
+    integers, micro-quantized at output.
+
+    Plan: ONE combinable user-grain aggregate (max of a flag) is the
+    only corpus-sized stage; the 2×2 table folds in a second tiny
+    aggregate; output is a single row."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    v = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    ra = F.col("x_a").cast("double") / F.col("n_a")
+    rb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return v.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.floor(ra * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rate_a_micro"),
+        F.floor(rb * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rate_b_micro"),
+        F.floor((rb - ra) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("diff_micro"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+            F.floor(
+                (rb - ra)
+                / F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("z_micro"),
+        F.floor(
+            F.sqrt(
+                ra * (F.lit(1.0) - ra) / F.col("n_a")
+                + rb * (F.lit(1.0) - rb) / F.col("n_b")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("se_unpooled_micro"),
+    )

@@ -2192,3 +2192,107 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("r2_micro"),
     ).orderBy("p_brand")
+
+
+@query(
+    "orders_abc_classes",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice
+                        * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents DESC, l_partkey)
+                       AS rnk,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+            FROM rev
+        ),
+        classed AS (
+            SELECT CASE WHEN cum <= 0.80 * total THEN 'A'
+                        WHEN cum <= 0.95 * total THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   cents
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST(floor(CAST(sum(cents) AS DOUBLE)
+                    / (SELECT CAST(sum(cents) AS BIGINT) FROM rev)
+                    * 1000000.0 + 0.5) AS BIGINT) AS revenue_share_micro
+        FROM classed
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+    phase="P3",
+    tags=("analytics", "pareto"),
+)
+def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A =
+    parts inside the first 80% of cumulative revenue, B = the next
+    15%, C = the tail — the operational cut behind win_pareto_share's
+    continuous curve (A-parts get safety stock and review cadence;
+    C-parts get batch treatment). Ships part counts, exact revenue,
+    and each class's realized share.
+
+    Exactness: revenue quantizes to cents at LINE grain, so part
+    revenues, the running total, and the grand total are exact
+    BIGINTs; class boundaries compare cum ≤ 0.80·total as an
+    integer-to-double product comparison spelled identically in both
+    engines; ranking ties break on part key.
+
+    Plan: one combinable part-grain rollup (the only corpus-sized
+    shuffle), one ordered window at PART grain (at extreme part
+    cardinality the cutoffs come from agg_approx_percentile's
+    two-phase selection instead), a 3-row class reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_run).cast("bigint").alias("cum"),
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") <= F.lit(0.80) * F.col("total"), "A")
+        .when(F.col("cum") <= F.lit(0.95) * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.floor(
+                F.sum("cents").cast("double")
+                / F.max("total")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("revenue_share_micro"),
+        )
+        .orderBy("abc_class")
+    )

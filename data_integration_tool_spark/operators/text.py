@@ -2276,3 +2276,93 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_sentence_dedup_rate",
+    oracle="""
+        WITH sents AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> trim(s)), s -> s <> '')) AS sentence
+            FROM documents
+        ),
+        hashed AS (
+            SELECT source, md5(sentence) AS h FROM sents
+        ),
+        per_hash AS (
+            SELECT source, h,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM hashed GROUP BY source, h
+        )
+        SELECT source,
+               CAST(sum(n_copies) AS BIGINT) AS n_sentences,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_instances,
+               CAST(floor(CAST(sum(n_copies - 1) AS DOUBLE)
+                    / sum(n_copies) * 1000000.0 + 0.5) AS BIGINT)
+                   AS dup_rate_micro,
+               CAST(max(n_copies) AS BIGINT) AS max_copies
+        FROM per_hash
+        GROUP BY source
+        ORDER BY source
+    """,
+    phase="P4",
+    tags=("text", "dedup", "curation"),
+)
+def text_sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain duplication rate per source — the boilerplate
+    census doc-level dedup structurally misses: navigation chrome,
+    legal footers, and template sentences repeat across otherwise
+    unique documents, and their share of a source's sentence mass is
+    the number that decides whether the pipeline needs
+    line/sentence-level dedup (this op) before paragraph and document
+    passes. max_copies pinpoints the single worst boilerplate string.
+
+    Sentences split on the udtf_sentence_split convention ([.!?]+
+    runs, space-trimmed, empties dropped), then hash to md5 so the
+    shuffle carries 32-byte keys, never sentence text. A duplicate
+    INSTANCE is any occurrence beyond a hash's first (n−1 per hash).
+
+    Plan: one explode pass, ONE (source, hash) combinable aggregate
+    (map-side combine collapses repeats before the exchange — exactly
+    the property boilerplate-heavy corpora reward), one source-grain
+    reduce. Two linear shuffles, no pair joins."""
+    d = load(spark, sf_dir, "documents")
+    sents = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split("text", "[.!?]+"), lambda s: F.trim(s)
+                ),
+                lambda s: s != "",
+            )
+        ).alias("sentence"),
+    )
+    per_hash = sents.select(
+        "source", F.md5(F.col("sentence").cast("binary")).alias("h")
+    ).groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("bigint").alias("n_sentences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("n_copies") - 1)
+            .cast("bigint")
+            .alias("n_dup_instances"),
+            F.floor(
+                F.sum(F.col("n_copies") - 1).cast("double")
+                / F.sum("n_copies")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_rate_micro"),
+            F.max("n_copies").cast("bigint").alias("max_copies"),
+        )
+        .orderBy("source")
+    )

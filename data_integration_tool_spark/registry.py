@@ -232,6 +232,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_multiprobe",
     "agg_raking_ipf",
     "seq_activity_islands",
+    "text_sentence_dedup_rate",
+    "agg_two_proportion_ztest",
+    "orders_abc_classes",
+    "etl_stats_merge_bounds",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

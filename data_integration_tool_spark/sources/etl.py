@@ -2610,3 +2610,107 @@ def etl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "etl_stats_merge_bounds",
+    oracle="""
+        WITH parts AS (
+            SELECT date_trunc('month', o_orderdate) AS part_month,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+                   CAST(min(o_custkey) AS BIGINT) AS mn,
+                   CAST(max(o_custkey) AS BIGINT) AS mx
+            FROM orders GROUP BY 1
+        ),
+        merged AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+                   CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                   CAST(max(ndv) AS BIGINT) AS ndv_lower,
+                   CAST(sum(ndv) AS BIGINT) AS ndv_upper,
+                   CAST(min(mn) AS BIGINT) AS global_min,
+                   CAST(max(mx) AS BIGINT) AS global_max
+            FROM parts
+        ),
+        exact AS (
+            SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+            FROM orders
+        )
+        SELECT m.n_partitions, m.total_rows,
+               m.global_min, m.global_max,
+               m.ndv_lower, m.ndv_upper, e.ndv_exact,
+               CAST(floor(CAST(m.ndv_upper - m.ndv_lower AS DOUBLE)
+                    / e.ndv_exact * 1000000.0 + 0.5) AS BIGINT)
+                   AS bound_width_micro,
+               CAST(floor(CAST(m.ndv_upper AS DOUBLE) / e.ndv_exact
+                    * 1000000.0 + 0.5) AS BIGINT)
+                   AS upper_overcount_micro
+        FROM merged m CROSS JOIN exact e
+    """,
+    phase="P3",
+    tags=("etl", "planner", "statistics"),
+)
+def etl_stats_merge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-statistics merge audit: per-month partition stats
+    for orders.o_custkey (count / NDV / min / max) merged into global
+    stats the way an incremental ANALYZE must — counts and min/max
+    merge EXACTLY, but per-partition NDVs only bracket the global NDV
+    (max ≤ NDV ≤ Σ), and this query measures that bracket against the
+    exact answer. A wide bracket (customers recur across months, so Σ
+    overcounts ~12×) is the quantitative case for keeping MERGEABLE
+    sketches (agg_hll_merge) in the catalog instead of per-partition
+    exact NDVs — this op prices that decision.
+
+    Exactness: every statistic is an exact integer; the two bracket
+    ratios are spelled once.
+
+    Plan: one month-grain combinable aggregate (each partition's
+    stats — at scale this is metadata-sized, one row per partition),
+    one 1-row merge, plus ONE exact global distinct as the audit's
+    ground truth (the expensive leg you run once to validate, then
+    replace with sketch merges)."""
+    o = load(spark, sf_dir, "orders")
+    parts = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("part_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv"),
+        F.min("o_custkey").cast("bigint").alias("mn"),
+        F.max("o_custkey").cast("bigint").alias("mx"),
+    )
+    merged = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("ndv").cast("bigint").alias("ndv_lower"),
+        F.sum("ndv").cast("bigint").alias("ndv_upper"),
+        F.min("mn").cast("bigint").alias("global_min"),
+        F.max("mx").cast("bigint").alias("global_max"),
+    )
+    exact = F.broadcast(
+        o.agg(F.countDistinct("o_custkey").cast("bigint").alias("ndv_exact"))
+    )
+    return merged.crossJoin(exact).select(
+        "n_partitions",
+        "total_rows",
+        "global_min",
+        "global_max",
+        "ndv_lower",
+        "ndv_upper",
+        "ndv_exact",
+        F.floor(
+            (F.col("ndv_upper") - F.col("ndv_lower")).cast("double")
+            / F.col("ndv_exact")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("bound_width_micro"),
+        F.floor(
+            F.col("ndv_upper").cast("double")
+            / F.col("ndv_exact")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("upper_overcount_micro"),
+    )

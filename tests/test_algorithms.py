@@ -7666,3 +7666,90 @@ def test_activity_islands_partition_user_days(spark, sf_dir):
         .count()
     )
     assert total_days == n_user_days
+
+
+def test_sentence_dedup_rate_identities(spark, sf_dir):
+    """distinct + dup instances = total; rate = dups/total; max copies
+    consistent with a direct python census."""
+    import collections
+
+    from data_integration_tool_spark.operators.text import (
+        text_sentence_dedup_rate,
+    )
+    import re
+
+    rows = {r.source: r for r in text_sentence_dedup_rate(spark, sf_dir).collect()}
+    census = collections.defaultdict(collections.Counter)
+    for d in load(spark, sf_dir, "documents").select("source", "text").collect():
+        for seg in re.split(r"[.!?]+", d.text):
+            s = seg.strip(" ")
+            if s:
+                census[d.source][s] += 1
+    for src, counter in census.items():
+        r = rows[src]
+        assert r.n_sentences == sum(counter.values())
+        assert r.n_distinct == len(counter)
+        assert r.n_dup_instances == r.n_sentences - r.n_distinct
+        assert r.max_copies == max(counter.values())
+        assert r.dup_rate_micro == math.floor(
+            r.n_dup_instances / r.n_sentences * 1e6 + 0.5
+        )
+
+
+def test_two_proportion_ztest_matches_python(spark, sf_dir):
+    """z and se must match a direct recompute from the four counts."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_two_proportion_ztest,
+    )
+
+    r = agg_two_proportion_ztest(spark, sf_dir).collect()[0]
+    assert 0 < r.x_a <= r.n_a and 0 < r.x_b <= r.n_b
+    ra, rb = r.x_a / r.n_a, r.x_b / r.n_b
+    pp = (r.x_a + r.x_b) / (r.n_a + r.n_b)
+    if 0 < pp < 1:
+        z = (rb - ra) / math.sqrt(pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b))
+        assert abs(r.z_micro / 1e6 - z) < 2e-6
+    se = math.sqrt(ra * (1 - ra) / r.n_a + rb * (1 - rb) / r.n_b)
+    assert abs(r.se_unpooled_micro / 1e6 - se) < 2e-6
+    assert r.diff_micro == math.floor((rb - ra) * 1e6 + 0.5)
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    """Classes partition the part universe; A's share >= B's >= C's per
+    the cumulative construction; shares sum to ~1."""
+    from data_integration_tool_spark.operators.analytics import (
+        orders_abc_classes,
+    )
+
+    rows = {r.abc_class: r for r in orders_abc_classes(spark, sf_dir).collect()}
+    n_parts = (
+        load(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    shares = sum(r.revenue_share_micro for r in rows.values())
+    assert abs(shares - 1_000_000) <= len(rows)
+    if "A" in rows:
+        assert rows["A"].revenue_share_micro <= 820_000  # 80% + one part
+    if "A" in rows and "C" in rows:
+        assert (
+            rows["A"].revenue_cents / rows["A"].n_parts
+            > rows["C"].revenue_cents / rows["C"].n_parts
+        )
+
+
+def test_stats_merge_bounds_bracket_exact(spark, sf_dir):
+    """The NDV bracket must contain the exact NDV; min/max/count merges
+    must equal direct globals."""
+    from data_integration_tool_spark.sources.etl import etl_stats_merge_bounds
+
+    r = etl_stats_merge_bounds(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    assert r.total_rows == o.count()
+    assert r.ndv_lower <= r.ndv_exact <= r.ndv_upper
+    direct = o.agg(
+        F.countDistinct("o_custkey"),
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+    ).collect()[0]
+    assert r.ndv_exact == direct[0]
+    assert (r.global_min, r.global_max) == (direct[1], direct[2])
