@@ -5346,3 +5346,105 @@ def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("se_unpooled_micro"),
     )
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+        WITH marks AS (
+            SELECT user_id,
+                   max(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)),
+                                 1, 1) < '4' THEN 1 ELSE 0 END) AS s1,
+                   max(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)),
+                                 2, 1) < '4' THEN 1 ELSE 0 END) AS s2
+            FROM events GROUP BY user_id
+        ),
+        counts AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(s1) AS BIGINT) AS n1,
+                   CAST(sum(s2) AS BIGINT) AS n2,
+                   CAST(sum(s1 * s2) AS BIGINT) AS m
+            FROM marks
+        )
+        SELECT n_true, n1, n2, m,
+               CAST(floor((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1)
+                    - 1.0 + 0.5) AS BIGINT) AS chapman_est,
+               CAST(floor(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1)
+                    - 1.0) / n_true * 1000000.0 + 0.5) AS BIGINT)
+                   AS est_over_true_micro,
+               CAST(floor(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                    * (n1 - m) * (n2 - m))
+                    / ((m + 1) * (m + 1) * (m + 2))) + 0.5) AS BIGINT)
+                   AS se_est
+        FROM counts
+    """,
+    phase="P4",
+    tags=("aggregate", "statistics", "estimation"),
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the distinct-user universe
+    from two INDEPENDENT hash-band samples of events — the ecology
+    estimator that answers "how many users exist" when you can only
+    afford to scan samples: N̂ = (n₁+1)(n₂+1)/(m+1) − 1, with its
+    standard error. Here the true count is cheap, so the query ships
+    est/true as a calibration check — at 100 TB the two marks come
+    from two cheap sampled scans and the exact leg is the one you
+    skip. The two samples use DIFFERENT md5 hex positions of the
+    event key, so membership is independent across samples but
+    deterministic across engines (no rand()).
+
+    Exactness: the four counts are exact BIGINTs from one user-grain
+    aggregate; Chapman's estimate and Seber's SE are each ONE spelled
+    IEEE chain, floor-quantized.
+
+    Plan: ONE combinable user-grain aggregate (two max-flags), one
+    1-row reduce."""
+    e = load(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    marks = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.substring(h, 1, 1) < "4", 1).otherwise(0)
+        ).alias("s1"),
+        F.max(
+            F.when(F.substring(h, 2, 1) < "4", 1).otherwise(0)
+        ).alias("s2"),
+    )
+    counts = marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("m"),
+    )
+    chap = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (
+        F.col("m") + 1
+    ) - F.lit(1.0)
+    return counts.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.floor(chap + F.lit(0.5)).cast("bigint").alias("chapman_est"),
+        F.floor(
+            chap / F.col("n_true") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("est_over_true_micro"),
+        F.floor(
+            F.sqrt(
+                (
+                    (F.col("n1") + 1).cast("double")
+                    * (F.col("n2") + 1)
+                    * (F.col("n1") - F.col("m"))
+                    * (F.col("n2") - F.col("m"))
+                )
+                / (
+                    (F.col("m") + 1)
+                    * (F.col("m") + 1)
+                    * (F.col("m") + 2)
+                )
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("se_est"),
+    )

@@ -1563,3 +1563,121 @@ def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "eval_fairness_audit",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN label % 2 = 0 THEN 0 ELSE 1 END AS grp,
+                   CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0.0
+                        THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        )
+        SELECT CAST(grp AS BIGINT) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+               CAST(floor(CAST(sum(pred) AS DOUBLE) / count(*)
+                    * 1000000.0 + 0.5) AS BIGINT) AS selection_micro,
+               CASE WHEN sum(pos) > 0 THEN
+                   CAST(floor(CAST(sum(pred * pos) AS DOUBLE) / sum(pos)
+                        * 1000000.0 + 0.5) AS BIGINT)
+               END AS tpr_micro,
+               CASE WHEN count(*) - sum(pos) > 0 THEN
+                   CAST(floor(CAST(sum(pred * (1 - pos)) AS DOUBLE)
+                        / (count(*) - sum(pos)) * 1000000.0 + 0.5)
+                        AS BIGINT)
+               END AS fpr_micro,
+               CAST(floor(CAST(sum(pred) AS DOUBLE) / count(*)
+                    * 1000000.0 + 0.5)
+                    - min(CAST(floor(CAST(sum(pred) AS DOUBLE) / count(*)
+                          * 1000000.0 + 0.5) AS BIGINT))
+                          OVER () AS BIGINT) AS parity_gap_micro
+        FROM scored
+        GROUP BY grp
+        ORDER BY grp
+    """,
+    phase="P4",
+    tags=("evaluation", "fairness", "classification"),
+)
+def eval_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the fixture classifier (threshold-0 on
+    embedding dim 1, positive class = label 0; protected-group
+    stand-in = label parity): per group the selection rate
+    (demographic parity), TPR (equal opportunity), and FPR (equalized
+    odds' second leg), with each group's selection-rate gap to the
+    least-selected group — the three gaps every production model
+    audit reports before shipping a classifier that gates people or
+    content. The four-fifths rule reads directly off
+    selection_micro ratios.
+
+    Exactness: all counts exact BIGINTs from ONE group-grain
+    aggregate; every rate is one spelled division micro-quantized;
+    groups without positives (negatives) yield NULL TPR (FPR), never
+    0/0; the gap subtracts two already-quantized integers via a
+    window min over the 2-row result.
+
+    Plan: one combinable group-grain aggregate over the corpus —
+    map-side-combined, ≤|groups| rows after the exchange; the gap
+    window runs at group grain."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.col("label") % 2).cast("bigint").alias("grp"),
+        F.when(
+            F.element_at("embedding", 1).cast("double") >= 0.0, 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    g = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pred").cast("bigint").alias("n_pred_pos"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("pred") * F.col("pos")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos")))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    sel = F.floor(
+        F.col("n_pred_pos").cast("double") / F.col("n") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    w_all = Window.partitionBy()
+    return (
+        g.select(
+            "grp",
+            "n",
+            "n_pred_pos",
+            sel.alias("selection_micro"),
+            F.when(
+                F.col("n_pos") > 0,
+                F.floor(
+                    F.col("tp").cast("double")
+                    / F.col("n_pos")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("tpr_micro"),
+            F.when(
+                F.col("n") - F.col("n_pos") > 0,
+                F.floor(
+                    F.col("fp").cast("double")
+                    / (F.col("n") - F.col("n_pos"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("fpr_micro"),
+        )
+        .select(
+            "*",
+            (
+                F.col("selection_micro")
+                - F.min("selection_micro").over(w_all)
+            )
+            .cast("bigint")
+            .alias("parity_gap_micro"),
+        )
+        .orderBy("grp")
+    )

@@ -1923,3 +1923,224 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("ppr_nano")).orderBy("node")
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(_HITS_ITERS):
+        steps.append(
+            f"""a{i + 1} AS MATERIALIZED (
+            SELECT nd.node,
+                   CAST(coalesce(sum(CAST(floor(
+                       CAST({prev_h}.v AS DOUBLE) * e.w / ws.tot + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN wsum ws ON ws.src = e.src
+            LEFT JOIN {prev_h} ON {prev_h}.node = e.src
+            GROUP BY nd.node
+        ), h{i + 1} AS MATERIALIZED (
+            SELECT nd.node,
+                   CAST(coalesce(sum(CAST(floor(
+                       CAST(a{i + 1}.v AS DOUBLE) * e.w / ws2.tot2 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.src = nd.node
+            LEFT JOIN wsum2 ws2 ON ws2.dst = e.dst
+            LEFT JOIN a{i + 1} ON a{i + 1}.node = e.dst
+            GROUP BY nd.node
+        )"""
+        )
+        prev_h = f"h{i + 1}"
+    last_a = f"a{_HITS_ITERS}"
+    last_h = f"h{_HITS_ITERS}"
+    return f"""
+        WITH edges AS MATERIALIZED (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                FROM events
+            )
+            WHERE nxt IS NOT NULL
+            GROUP BY src, nxt
+        ),
+        wsum AS MATERIALIZED (
+            SELECT src, CAST(sum(w) AS BIGINT) AS tot
+            FROM edges GROUP BY src
+        ),
+        wsum2 AS MATERIALIZED (
+            SELECT dst, CAST(sum(w) AS BIGINT) AS tot2
+            FROM edges GROUP BY dst
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        h0 AS MATERIALIZED (
+            SELECT node, CAST(1000000000 AS BIGINT) AS v FROM nodes
+        ),
+        {", ".join(steps)}
+        SELECT n.node,
+               CAST(floor(CAST({last_a}.v AS DOUBLE) * 1000000000.0
+                    / nullif((SELECT max(v) FROM {last_a}), 0) + 0.5)
+                    AS BIGINT) AS authority_nano,
+               CAST(floor(CAST({last_h}.v AS DOUBLE) * 1000000000.0
+                    / nullif((SELECT max(v) FROM {last_h}), 0) + 0.5)
+                    AS BIGINT) AS hub_nano
+        FROM nodes n
+        JOIN {last_a} ON {last_a}.node = n.node
+        JOIN {last_h} ON {last_h}.node = n.node
+        ORDER BY n.node
+    """
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    phase="P3",
+    tags=("graph", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (3 iterations) over the event-type
+    transition graph: an AUTHORITY is a state many strong hubs lead
+    INTO (conversion sinks), a HUB is a state that leads into strong
+    authorities (router screens) — the directional decomposition
+    PageRank's single score conflates, and the classic second opinion
+    next to graph_pagerank_personalized.
+
+    Exactness: scores travel as NANO BIGINTs; each per-edge
+    contribution floor-quantizes at EDGE grain (score·w/weight-sum
+    over exact integers — the personalized-PageRank recipe) before
+    the per-node integer sum. Iterations run UN-normalized — per
+    half-step growth is bounded by the node count, so the worst case
+    through six half-steps stays far inside int64 (|types|⁶·10⁹ <
+    2⁶³ for this grain; at larger node counts drop the start mass
+    accordingly) — and a single max-rescale per score family at the
+    END restores the [0, 1e9] range. Deferring normalization halves the
+    job count (no per-step max normalizers).
+
+    Plan: one lead window + edge rollup (checkpointed; |types|² rows),
+    six contribution-join → groupBy half-steps each eager-checkpointing
+    its |types|-row score relation (the doubled-direction recursion
+    re-executes shared subtrees if left lazy — measured 20 s vs 2 s),
+    then ONE final job applies both 1-row max normalizers (never a
+    driver round-trip)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("tot"))
+    wsum2 = edges.groupBy("dst").agg(
+        F.sum("w").cast("bigint").alias("tot2")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select(
+        "node", F.lit(1000000000).cast("bigint").alias("v")
+    )
+    ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=True)
+    ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=True)
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = (
+            nodes.join(
+                ew_in.join(
+                    hub.withColumnRenamed("node", "hn"),
+                    F.col("src") == F.col("hn"),
+                )
+                .select(
+                    "dst",
+                    F.floor(
+                        F.col("v").cast("double") * F.col("w")
+                        / F.col("tot")
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").cast("bigint").alias("raw")),
+                nodes.node == F.col("dst"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("raw"), F.lit(0))
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+        hub = (
+            nodes.join(
+                ew_out.join(
+                    auth.withColumnRenamed("node", "an"),
+                    F.col("dst") == F.col("an"),
+                )
+                .select(
+                    "src",
+                    F.floor(
+                        F.col("v").cast("double") * F.col("w")
+                        / F.col("tot2")
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("c"),
+                )
+                .groupBy("src")
+                .agg(F.sum("c").cast("bigint").alias("raw")),
+                nodes.node == F.col("src"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("raw"), F.lit(0))
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+    # Each score relation is referenced exactly ONCE below (the max
+    # normalizers are window aggregates over the joined result, not
+    # separate scalar subqueries): Spark re-executes a DataFrame
+    # subtree per REFERENCE within a job, so a second reference to
+    # auth/hub here would double the whole six-round recursion — and
+    # nested per-step normalizers compounded that to 2^6 (measured
+    # 20+ s vs ~2 s for this single-reference form).
+    w_all = Window.partitionBy()
+    joined = auth.withColumnRenamed("v", "av").join(
+        hub.withColumnRenamed("v", "hv"), "node"
+    )
+    return joined.select(
+        "node",
+        F.floor(
+            F.col("av").cast("double")
+            * F.lit(1000000000.0)
+            / F.nullif(F.max("av").over(w_all), F.lit(0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("authority_nano"),
+        F.floor(
+            F.col("hv").cast("double")
+            * F.lit(1000000000.0)
+            / F.nullif(F.max("hv").over(w_all), F.lit(0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("hub_nano"),
+    ).orderBy("node")

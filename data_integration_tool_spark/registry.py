@@ -236,6 +236,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_two_proportion_ztest",
     "orders_abc_classes",
     "etl_stats_merge_bounds",
+    "agg_capture_recapture",
+    "eval_fairness_audit",
+    "graph_hits",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",

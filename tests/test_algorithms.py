@@ -7753,3 +7753,107 @@ def test_stats_merge_bounds_bracket_exact(spark, sf_dir):
     ).collect()[0]
     assert r.ndv_exact == direct[0]
     assert (r.global_min, r.global_max) == (direct[1], direct[2])
+
+
+def test_capture_recapture_matches_python(spark, sf_dir):
+    """Chapman estimate and SE must match a direct recompute, and the
+    estimate should bracket the truth within ~4 SE on this fixture."""
+    from data_integration_tool_spark.operators.aggregates import (
+        agg_capture_recapture,
+    )
+
+    r = agg_capture_recapture(spark, sf_dir).collect()[0]
+    assert 0 < r.m <= min(r.n1, r.n2) <= r.n_true
+    chap = (r.n1 + 1) * (r.n2 + 1) / (r.m + 1) - 1
+    assert r.chapman_est == math.floor(chap + 0.5)
+    se = math.sqrt(
+        (r.n1 + 1) * (r.n2 + 1) * (r.n1 - r.m) * (r.n2 - r.m)
+        / ((r.m + 1) ** 2 * (r.m + 2))
+    )
+    assert r.se_est == math.floor(se + 0.5)
+    assert abs(chap - r.n_true) < 4 * se + 2
+
+
+def test_fairness_audit_consistency(spark, sf_dir):
+    """Groups partition the corpus; the least-selected group has gap 0;
+    rates match a python recompute."""
+    from data_integration_tool_spark.operators.evaluation import (
+        eval_fairness_audit,
+    )
+
+    rows = eval_fairness_audit(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding").collect()
+    import collections
+
+    cnt = collections.Counter()
+    sel = collections.Counter()
+    tp = collections.Counter()
+    pos = collections.Counter()
+    for v in e:
+        g = v.label % 2
+        pred = 1 if float(v.embedding[0]) >= 0.0 else 0
+        p = 1 if v.label == 0 else 0
+        cnt[g] += 1
+        sel[g] += pred
+        pos[g] += p
+        tp[g] += pred * p
+    assert sum(r.n for r in rows) == len(e)
+    min_sel = min(
+        math.floor(sel[r.grp] / cnt[r.grp] * 1e6 + 0.5) for r in rows
+    )
+    for r in rows:
+        assert r.n == cnt[r.grp]
+        assert r.selection_micro == math.floor(sel[r.grp] / cnt[r.grp] * 1e6 + 0.5)
+        if pos[r.grp] > 0:
+            assert r.tpr_micro == math.floor(tp[r.grp] / pos[r.grp] * 1e6 + 0.5)
+        assert r.parity_gap_micro == r.selection_micro - min_sel
+    assert min(r.parity_gap_micro for r in rows) == 0
+
+
+def test_hits_matches_python_iteration(spark, sf_dir):
+    """Authority/hub scores must match a python recompute of the same
+    integer-quantized 3-iteration recursion."""
+    import collections
+
+    from data_integration_tool_spark.operators.graph import (
+        _HITS_ITERS,
+        graph_hits,
+    )
+
+    got = {
+        r.node: (r.authority_nano, r.hub_nano)
+        for r in graph_hits(spark, sf_dir).collect()
+    }
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    edges = collections.Counter()
+    prev = {}
+    for r in e:
+        if r.user_id in prev:
+            edges[(prev[r.user_id], r.event_type)] += 1
+        prev[r.user_id] = r.event_type
+    tot = collections.Counter()
+    tot2 = collections.Counter()
+    for (a, b), w in edges.items():
+        tot[a] += w
+        tot2[b] += w
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    h = {n: 10**9 for n in nodes}
+    for _ in range(_HITS_ITERS):
+        a = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            a[d] += math.floor(h[s] * w / tot[s] + 0.5)
+        h = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            h[s] += math.floor(a[d] * w / tot2[d] + 0.5)
+    mxa, mxh = max(a.values()), max(h.values())
+    for n in nodes:
+        want = (
+            math.floor(a[n] * 1e9 / mxa + 0.5),
+            math.floor(h[n] * 1e9 / mxh + 0.5),
+        )
+        assert got[n] == want
