@@ -402,7 +402,10 @@ _FP_PINNED: tuple[tuple[str, int, int, int], ...] = (
     ("basket_rules", 6, 1, 2),
     ("dedup_cross_source_matrix", 3, 3, 4),
     ("dedup_minhash", 1, 1, 2),
-    ("dedup_simhash", 2, 0, 1),
+    # r10: +1 shuffle/+1 broadcast/+1 scan from the vocab-grain md5
+    # rework (token hashing at DISTINCT-token grain, broadcast join-back
+    # — SCALE.md) — re-pinned deliberately, not a regression
+    ("dedup_simhash", 3, 1, 2),
     ("graph_edge_embeddedness", 9, 1, 0),
     ("graph_link_predict", 4, 0, 0),
     ("graph_triangles", 5, 1, 0),
