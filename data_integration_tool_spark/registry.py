@@ -115,63 +115,27 @@ _loaded = False
 # after it. NEW r9 additions must land AFTER the r10 queue so the
 # never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r10 window: 50 full-oracle never-driver-rowed queries (36
-    # r8-backlog + the first 14 r9 additions). The 50 r9-window names
-    # proven 50/50 full green in CORRECTNESS_r09.json were cut from the
-    # head of this list at r10 start, exactly as VERDICT r9 Next #1
-    # prescribed. ----
-    "seq_time_to_convert",
-    "text_heaps_law",
-    "eval_ks_separation",
-    "agg_top_movers",
-    "sample_neyman_allocation",
-    "ts_seasonal_strength",
-    "plan_partition_advisor",
-    "etl_bloom_index_plan",
-    "agg_wilcoxon_signed_rank",
-    "eval_mcnemar_paired",
-    "agg_jackknife_ratio",
-    "sim_ivf_recall_audit",
-    "mixture_kl_divergence",
-    "orders_cycle_time",
-    "dedup_cross_source_matrix",
-    "graph_modularity",
-    "sample_entity_holdout",
-    "text_char_bigram_entropy",
-    "dq_volume_anomaly",
-    "sim_threshold_sweep",
-    "plan_shape_audit",
-    "eval_rank_overlap",
-    "agg_power_sample_size",
-    "etl_wap_gate",
-    "ts_anomaly_residual",
-    "graph_edge_embeddedness",
-    "etl_deletion_vector_plan",
-    "dq_cardinality_drift",
-    "eval_cost_optimal_threshold",
-    "emb_intrinsic_dim",
-    "win_time_weighted_avg",
-    "agg_bayes_beta_binomial",
-    "orders_repeat_interval",
-    "agg_geometric_mean",
-    "agg_harmonic_mean",
-    "agg_fano_dispersion",
-    # r9 additions (full oracle; land AFTER the r8-additions backlog so
-    # the never-rowed queue drains deterministically):
-    "plan_fingerprint_gate",
-    "sim_ann_ivf_incremental",
-    "dedup_semantic_clusters",
-    "ts_periodogram",
-    "eval_map_at_k",
-    "agg_kendall_tau",
-    "etl_retention_sweep",
-    "multimodal_shard_plan",
-    "dedup_impact_report",
-    "ts_mann_kendall",
-    "eval_gauc",
-    "sample_systematic",
-    "text_vocab_coverage",
-    "join_asof_tolerance",
+    # ---- r11 window: 50 of the 62 queries whose correctness has never
+    # been proven by a driver hash row (58 never-sampled + 4 streaming
+    # harnesses whose oracles post-date their stale rows-only rows).
+    # The 50 r10-window names proven 50/50 full green in
+    # CORRECTNESS_r10.json were cut from the head at r11 start, exactly
+    # as VERDICT r10 Next #1 prescribed. Leads are the newest (r10)
+    # additions the verdict called out by name, then the 4 streaming
+    # re-proofs, then the backlog in registration order. ----
+    "graph_hits",
+    "agg_raking_ipf",
+    "sim_ann_lsh_multiprobe",
+    "text_sentence_dedup_rate",
+    "seq_activity_islands",
+    # streaming re-proof (VERDICT r9 Next #6 / r10 Next #1): full
+    # reconciliation oracles since r8, but their only driver rows are
+    # stale rows-only entries from r5/r6 — re-prove with hash rows:
+    "stream_true_engine",
+    "stream_foreach_batch",
+    "stream_stream_join",
+    "stream_stateful_totals",
+    # never-driver-rowed backlog, registration order:
     "stream_watermark_audit",
     "agg_tail_mean_cvar",
     "ts_downsample_m4",
@@ -185,15 +149,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_perplexity",
     "dq_arrival_sla",
     "emb_centroid_drift",
-    # r11 promotion (VERDICT r9 Next #6): these four gained full
-    # reconciliation oracles in r8 but their only driver rows are stale
-    # rows-only entries from r5/r6 — re-prove them with hash rows:
-    "stream_true_engine",
-    "stream_foreach_batch",
-    "stream_stream_join",
-    "stream_stateful_totals",
-    # r10 additions (full oracle; land AFTER the r11 queue head so the
-    # never-rowed backlog drains deterministically):
     "sim_ann_ivf_rebalance",
     "eval_mrr_at_k",
     "emb_mrl_truncation_audit",
@@ -222,6 +177,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decon_report",
     "agg_cuped",
     "text_ngram_coverage_curve",
+    # ---- r12 queue: the remaining 12 of the 62; promote to the head
+    # when the r11 window is cut. ----
     "graph_pagerank_personalized",
     "udtf_sentence_split",
     "emb_triplet_margin_audit",
@@ -229,16 +186,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_kneser_ney",
     "orders_price_elasticity",
     "agg_tail_index_hill",
-    "sim_ann_lsh_multiprobe",
-    "agg_raking_ipf",
-    "seq_activity_islands",
-    "text_sentence_dedup_rate",
     "agg_two_proportion_ztest",
     "orders_abc_classes",
     "etl_stats_merge_bounds",
     "agg_capture_recapture",
     "eval_fairness_audit",
-    "graph_hits",
     # then the oldest r1 greens for re-proof + fresh sample_stratified:
     "sample_stratified",
     "scan_parquet",
