@@ -4963,9 +4963,11 @@ _HILL_KS = (50, 100, 200)
         SELECT CAST(k AS BIGINT) AS k, thresh_cents,
                CAST(floor((CAST(s AS DOUBLE) - k * t) / k + 0.5)
                     AS BIGINT) AS hill_h_micro,
-               CAST(floor(1000000.0
-                    / ((CAST(s AS DOUBLE) - k * t) / k / 1000000.0)
-                    * 1.0 + 0.5) AS BIGINT) AS alpha_micro
+               CASE WHEN (CAST(s AS DOUBLE) - k * t) / k > 0 THEN
+                   CAST(floor(1000000.0
+                        / ((CAST(s AS DOUBLE) - k * t) / k / 1000000.0)
+                        * 1.0 + 0.5) AS BIGINT)
+               END AS alpha_micro
         FROM (
             {" UNION ALL ".join(
                 f"SELECT {k} AS k, s{k} AS s, t{k} AS t,"
@@ -5043,12 +5045,18 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "thresh_cents",
         F.floor(h + F.lit(0.5)).cast("bigint").alias("hill_h_micro"),
-        F.floor(
-            F.lit(1000000.0) / (h / F.lit(1000000.0)) * F.lit(1.0)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("alpha_micro"),
+        # h = 0 is possible when the top k+1 order values are all equal
+        # (degenerate tail at tiny scale factors): α = 1/h would be inf,
+        # which Spark turns into NULL on the bigint cast while DuckDB
+        # ERRORS on CAST(inf AS BIGINT) — guard with h > 0 on BOTH
+        # engines (repo no-0/0 convention) so they agree by construction.
+        F.when(
+            h > 0,
+            F.floor(
+                F.lit(1000000.0) / (h / F.lit(1000000.0)) * F.lit(1.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("alpha_micro"),
     ).orderBy("k")
 
 

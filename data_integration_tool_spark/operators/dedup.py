@@ -563,9 +563,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain, not per (doc, token) occurrence — the r10 follow-up to the
     # bit-sum rework: the string hashing was the remaining per-row cost
     # and the vocabulary is orders of magnitude smaller than the
-    # occurrence relation at any corpus scale. Broadcast join-back; at
-    # a 100 TB vocabulary the same plan degrades to a shuffle join on
-    # the token key.
+    # occurrence relation at any corpus scale. Broadcast join-back.
+    # NOTE: F.broadcast is a HARD hint — Spark never demotes it, so at
+    # a vocabulary too large for the driver this line must be changed
+    # to a plain join (AQE then picks shuffle vs broadcast from the
+    # runtime size); it does not degrade automatically.
     vocab = (
         ex.select("t")
         .distinct()
@@ -577,19 +579,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = ex.join(F.broadcast(vocab), "t").select("doc_id", "h1", "h2")
-    bit_aggs = [F.count(F.lit(1)).alias("n")]
-    for b in range(64):
-        src = "h1" if b < 60 else "h2"
-        sh = b if b < 60 else b - 60
-        bit_aggs.append(
-            F.sum(F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))).alias(f"s{b}")
-        )
-    votes = ex.groupBy("doc_id").agg(*bit_aggs)
+    # r11 rework of the partial aggregate: the 64 per-bit SUM columns
+    # (the 65-column partial agg SCALE.md suspected as residual cost)
+    # are packed TWO counters per BIGINT in 32-bit fields, so the
+    # map-side combiner carries 33 columns instead of 65 — halving the
+    # partial-agg shuffle row width at any scale. Packed sums
+    # distribute over addition as long as no field overflows into its
+    # neighbor: each addend contributes 0/1 per field, so a field's
+    # final value equals that bit's vote count, bounded by the doc's
+    # DISTINCT-token count — safe to 2^31 tokens per document (a
+    # 16-bit/4-per-word packing would silently corrupt on any doc with
+    # ≥65,536 distinct tokens, so 32-bit fields are the scale-correct
+    # choice). Verified value-identical to the unpacked form at sf0.1
+    # (3,855 groups). Interleaved A/B at sf0.1 measured WALL PARITY
+    # with the unpacked form (1.05 vs 1.04 s min-of-4) — the local
+    # residual is the explode+join+two-shuffle stage floor, not agg
+    # width, so this is a scale win, not an sf0.1 win (SCALE.md).
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for wd in range(32):
+        lo, hi = 2 * wd, 2 * wd + 1
+        word = F.lit(0).cast("long")
+        for f_i, b in enumerate((lo, hi)):
+            src = "h1" if b < 60 else "h2"
+            sh = b if b < 60 else b - 60
+            bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+            word = word + F.shiftleft(bit, f_i * 32)
+        aggs.append(F.sum(word).alias(f"w{wd}"))
+    votes = ex.groupBy("doc_id").agg(*aggs)
     packed = F.lit(0).cast("long")
     for b in range(64):
-        # sign(2·s_b − n) > 0  ⇔  the ±1 vote sum is positive
+        wd, f_i = b // 2, b % 2
+        cnt = F.shiftright(F.col(f"w{wd}"), f_i * 32).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
+        # sign(2·cnt_b − n) > 0  ⇔  the ±1 vote sum is positive
         bit = (
-            F.when(2 * F.col(f"s{b}") - F.col("n") > 0, F.lit(1))
+            F.when(2 * cnt - F.col("n") > 0, F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
         )

@@ -2027,11 +2027,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     job count (no per-step max normalizers).
 
     Plan: one lead window + edge rollup (checkpointed; |types|² rows),
-    six contribution-join → groupBy half-steps each eager-checkpointing
-    its |types|-row score relation (the doubled-direction recursion
-    re-executes shared subtrees if left lazy — measured 20 s vs 2 s),
-    then ONE final job applies both 1-row max normalizers (never a
-    driver round-trip)."""
+    six contribution-join → groupBy half-steps left LAZY except ONE
+    eager checkpoint of the final authority relation — the only
+    doubly-referenced subtree (the last hub half-step and the output
+    join both read it; left lazy the whole six-step recursion
+    re-executes ~2×, and the nested per-step normalizers this form
+    replaced compounded that to 2^6 — measured 20 s vs 2 s), then ONE
+    final job applies both 1-row max normalizers (never a driver
+    round-trip)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -2057,7 +2060,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=True)
     ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=True)
     auth = None
-    for _ in range(_HITS_ITERS):
+    for it in range(_HITS_ITERS):
         auth = (
             nodes.join(
                 ew_in.join(
@@ -2086,6 +2089,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
         )
+        if it == _HITS_ITERS - 1:
+            # The final auth is the ONLY doubly-referenced score
+            # relation (last hub half-step + output join); one eager
+            # |types|-row checkpoint here halves the end-to-end work.
+            auth = auth.localCheckpoint(eager=True)
         hub = (
             nodes.join(
                 ew_out.join(

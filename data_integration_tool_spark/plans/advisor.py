@@ -450,7 +450,14 @@ _FP_VALUES_SQL = ",\n            ".join(
         ORDER BY query_name
     """,
     phase="P4",
-    tags=("planner", "regression-gate"),
+    # bench-skip: this is a verification harness, not a data query — it
+    # times 13 Catalyst compilations of the registry's heaviest plans.
+    # In the r10 bench it cost 13.8 s (the most expensive entry, and a
+    # 3.8× swing vs r9 purely from compile-under-load), polluting the
+    # throughput total with compiler wall time. It still runs in every
+    # correctness pass (driver t2 + parity suite), where it earns its
+    # keep as the plan-shape regression gate.
+    tags=("planner", "regression-gate", "bench-skip"),
 )
 def plan_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-query plan-fingerprint gate: compile the physical plan of
