@@ -3705,16 +3705,22 @@ def sim_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the argmax and ties break toward sub 0, so IEEE noise can
     never flip a membership (the house argmax-on-quantized rule).
 
-    Plan: one corpus scan feeds the broadcast-centroid assignment
-    argmax (WindowGroupLimit partial below the exchange — map-side
-    top-1, verified in r9); the assignment is eagerly checkpointed
-    because the final job reads it four ways (fence, seeds, flagged
-    members, pass-through). Flag/seed relations are K-grain and
-    broadcast; flagged members meet their 2 seeds map-side, so the
-    only data-scale shuffles are the assignment argmax and the
-    member-grain union. At 100 TB the pass-through leg is metadata
-    (you would not rewrite unflagged lists); it is materialized here
-    so the oracle can verify the complete index state."""
+    Plan (r11 rework — VERDICT r10 Next #6, four checkpoint reads →
+    TWO; warm wall ~1.0 s → ~0.7 s at sf0.1): one corpus scan feeds
+    the broadcast-centroid assignment argmax (WindowGroupLimit partial
+    below the exchange — map-side top-1, verified in r9); the
+    assignment is eagerly checkpointed and then read exactly twice.
+    Read 1 is ONE cent_id-grain aggregate that fuses the growth fence
+    (conditional counts) with seed SELECTION AND LOOKUP — the hi/lo
+    argmax structs carry the seed's embedding and norm as trailing
+    struct fields, so no join-back into the corpus is needed for seed
+    vectors. Read 2 is ONE unified pass: left-join the assignment with
+    the broadcast 2K-row seed relation; flagged members meet their 2
+    seeds map-side and argmax per (vec, list), unflagged rows pass
+    through the same grouping as their own single-row argmax. At
+    100 TB the pass-through leg is metadata (you would not rewrite
+    unflagged lists); it is materialized here so the oracle can verify
+    the complete index state."""
     ne = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -3751,84 +3757,84 @@ def sim_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    flagged = F.broadcast(
+    stats = (
         assigned.groupBy("cent_id")
         .agg(
             F.count(F.when(F.col("is_delta"), F.lit(1))).alias("n_delta"),
             F.count(F.when(~F.col("is_delta"), F.lit(1))).alias("n_base"),
-        )
-        .filter(F.lit(5) * F.col("n_delta") > F.col("n_base"))
-        .select("cent_id")
-    )
-    fm = assigned.join(flagged, "cent_id")
-    seeds = fm.groupBy("cent_id").agg(
-        (
-            -F.max(
+            # seed argmax structs CARRY the seed vectors: the struct
+            # comparison only ever reaches (c, nv)/(c, v) — vec_id is
+            # unique — so the trailing embedding/norm fields ride along
+            # for free and remove the corpus join-back for seed lookup
+            F.max(
                 F.struct(
                     F.col("cos_micro").alias("c"),
                     (-F.col("vec_id")).alias("nv"),
+                    F.col("embedding").alias("e"),
+                    F.col("nrm").alias("m"),
                 )
-            ).getField("nv")
-        ).alias("hi_vec"),
-        F.min(
-            F.struct(F.col("cos_micro").alias("c"), F.col("vec_id").alias("v"))
+            ).alias("hi"),
+            F.min(
+                F.struct(
+                    F.col("cos_micro").alias("c"),
+                    F.col("vec_id").alias("v"),
+                    F.col("embedding").alias("e"),
+                    F.col("nrm").alias("m"),
+                )
+            ).alias("lo"),
         )
-        .getField("v")
-        .alias("lo_vec"),
-    )
-    seed_melt = seeds.select(
-        "cent_id", F.lit(0).cast("bigint").alias("sub_id"), F.col("hi_vec").alias("seed_vec")
-    ).unionAll(
-        seeds.select(
-            "cent_id", F.lit(1).cast("bigint").alias("sub_id"), F.col("lo_vec").alias("seed_vec")
-        )
+        .filter(F.lit(5) * F.col("n_delta") > F.col("n_base"))
     )
     seed_rel = F.broadcast(
-        ne.select(
-            F.col("vec_id").alias("seed_vec"),
-            F.col("embedding").alias("se"),
-            F.col("nrm").alias("snrm"),
-        ).join(F.broadcast(seed_melt), "seed_vec")
+        stats.select(
+            "cent_id",
+            F.lit(0).cast("bigint").alias("sub_id"),
+            (-F.col("hi.nv")).alias("seed_vec"),
+            F.col("hi.e").alias("se"),
+            F.col("hi.m").alias("snrm"),
+        ).unionAll(
+            stats.select(
+                "cent_id",
+                F.lit(1).cast("bigint").alias("sub_id"),
+                F.col("lo.v").alias("seed_vec"),
+                F.col("lo.e").alias("se"),
+                F.col("lo.m").alias("snrm"),
+            )
+        )
     )
-    cos_m = dot(F.col("embedding"), F.col("se")) / (
-        F.col("nrm") * F.col("snrm")
+    j = assigned.join(seed_rel, "cent_id", "left")
+    cm = F.when(F.col("se").isNull(), F.col("cos_micro")).otherwise(
+        micro(
+            dot(F.col("embedding"), F.col("se"))
+            / (F.col("nrm") * F.col("snrm"))
+        )
     )
-    scored = fm.join(seed_rel, "cent_id").select(
+    rows = j.select(
         "vec_id",
         "cent_id",
-        "sub_id",
-        "seed_vec",
-        micro(cos_m).alias("cm"),
+        F.col("se").isNotNull().alias("is_split"),
+        cm.alias("cm"),
+        F.coalesce(-F.col("sub_id"), F.lit(0).cast("bigint")).alias("ns"),
+        F.coalesce(F.col("seed_vec"), F.col("cent_id")).alias("sv"),
     )
-    picked = scored.groupBy("vec_id", "cent_id").agg(
+    picked = rows.groupBy("vec_id", "cent_id").agg(
         F.max(
             F.struct(
                 F.col("cm").alias("c"),
-                (-F.col("sub_id")).alias("ns"),
-                F.col("seed_vec").alias("sv"),
+                F.col("ns").alias("ns"),
+                F.col("sv").alias("sv"),
             )
-        ).alias("b")
+        ).alias("b"),
+        F.max("is_split").alias("is_split"),
     )
-    split_rows = picked.select(
+    return picked.select(
         "vec_id",
         "cent_id",
         (-F.col("b.ns")).cast("bigint").alias("sub_id"),
         F.col("b.sv").alias("seed_vec_id"),
         F.col("b.c").alias("cos_to_seed_micro"),
-        F.lit(True).alias("is_split"),
-    )
-    pass_rows = (
-        assigned.join(flagged, "cent_id", "left_anti")
-        .select(
-            "vec_id",
-            "cent_id",
-            F.lit(0).cast("bigint").alias("sub_id"),
-            F.col("cent_id").alias("seed_vec_id"),
-            F.col("cos_micro").alias("cos_to_seed_micro"),
-            F.lit(False).alias("is_split"),
-        )
-    )
-    return split_rows.unionByName(pass_rows).orderBy("vec_id")
+        F.col("is_split"),
+    ).orderBy("vec_id")
 
 
 # --- reciprocal-rank + Matryoshka truncation audits (r10) ------------------
@@ -4181,55 +4187,69 @@ def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one corpus scan packs signatures map-side (no explode — the
     64-term conditional sum is one projection); the label-grain agg is
-    combinable (count + distinct + 64 bit-sums); majority and hamming
-    derive from the K-row aggregate, NOT from a second corpus pass —
-    the no-cross-branch-CSE rule."""
+    combinable (count + distinct + 32 packed bit-sum words); majority
+    and hamming derive from the K-row aggregate, NOT from a second
+    corpus pass — the no-cross-branch-CSE rule.
+
+    r11 profiling rework (VERDICT r10 Next #3): the 3.3 s-vs-0.17 s
+    twin gap was neither Catalyst compile nor execution — it was
+    PYTHON-SIDE expression construction. The Column-algebra form made
+    ~1,500 py4j round trips (64 whens for the pack + 66 agg columns +
+    128 conditional terms for maj/ham ≈ 3 s of driver wall measured by
+    phase: build 2.9-4.2 s / plan 0.1 s / exec 0.8 s warm). The same
+    expressions built as SQL STRINGS (one F.expr parse each) cut build
+    to 0.35 s; the 64 per-bit counters additionally pack 2-per-BIGINT
+    in 32-bit fields (the dedup_simhash recipe — safe to 2^31 vectors
+    per label, and it halves the partial-agg shuffle width at scale).
+    Warm total 4.1 s → 1.1 s at sf0.1, value-identical."""
     e = load(spark, sf_dir, "embeddings")
-    sig = F.lit(0).cast("long")
-    for d in range(64):
-        bit_val = (
-            F.shiftleft(F.lit(1).cast("long"), d)
-            if d < 63
-            else F.lit(-9223372036854775807 - 1)
-        )
-        sig = sig + F.when(
-            F.element_at("embedding", d + 1).cast("double") > 0, bit_val
-        ).otherwise(F.lit(0).cast("long"))
-    sigs = e.select("vec_id", "label", sig.alias("sig"))
-    g = sigs.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.countDistinct("sig").cast("bigint").alias("n_distinct_sigs"),
-        *[
-            F.sum(F.shiftright(F.col("sig"), d).bitwiseAND(F.lit(1))).alias(
-                f"p{d}"
-            )
-            for d in range(64)
-        ],
+
+    def bv(d: int) -> str:
+        # bit 63 spelled −max−1: both SQL parsers reject 1<<63
+        return str(1 << d) if d < 63 else "(-9223372036854775807 - 1)"
+
+    sig_sql = " + ".join(
+        f"IF(CAST(element_at(embedding, {d + 1}) AS DOUBLE) > 0, "
+        f"CAST({bv(d)} AS BIGINT), CAST(0 AS BIGINT))"
+        for d in range(64)
     )
-    maj = F.lit(0).cast("long")
-    ham = F.lit(0).cast("long")
-    for d in range(64):
-        bit_val = (
-            F.shiftleft(F.lit(1).cast("long"), d)
-            if d < 63
-            else F.lit(-9223372036854775807 - 1)
-        )
-        is_maj = 2 * F.col(f"p{d}") > F.col("n")
-        maj = maj + F.when(is_maj, bit_val).otherwise(F.lit(0).cast("long"))
-        ham = ham + F.when(is_maj, F.col("n") - F.col(f"p{d}")).otherwise(
-            F.col(f"p{d}")
-        )
+    sigs = e.select("vec_id", "label", F.expr(sig_sql).alias("sig"))
+    word_exprs = [
+        F.expr(
+            f"sum((shiftright(sig, {2 * wd}) & 1) + "
+            f"shiftleft(shiftright(sig, {2 * wd + 1}) & 1, 32))"
+        ).alias(f"w{wd}")
+        for wd in range(32)
+    ]
+    g = sigs.groupBy("label").agg(
+        F.expr("CAST(count(1) AS BIGINT)").alias("n"),
+        F.expr("CAST(count(DISTINCT sig) AS BIGINT)").alias(
+            "n_distinct_sigs"
+        ),
+        *word_exprs,
+    )
+
+    def p(d: int) -> str:
+        # unpack bit-d's count from its 32-bit field
+        return f"(shiftright(w{d // 2}, {(d % 2) * 32}) & 4294967295)"
+
+    maj_sql = " + ".join(
+        f"IF(2 * {p(d)} > n, CAST({bv(d)} AS BIGINT), CAST(0 AS BIGINT))"
+        for d in range(64)
+    )
+    ham_sql = " + ".join(
+        f"IF(2 * {p(d)} > n, n - {p(d)}, {p(d)})" for d in range(64)
+    )
     return g.select(
         "label",
         F.col("n").alias("n_vecs"),
         "n_distinct_sigs",
-        maj.cast("bigint").alias("majority_sig"),
-        ham.cast("bigint").alias("total_hamming"),
-        F.floor(
-            ham.cast("double") / F.col("n") * F.lit(1000000.0) + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("mean_hamming_micro"),
+        F.expr(f"CAST({maj_sql} AS BIGINT)").alias("majority_sig"),
+        F.expr(f"CAST({ham_sql} AS BIGINT)").alias("total_hamming"),
+        F.expr(
+            f"CAST(floor(CAST({ham_sql} AS DOUBLE) / n * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("mean_hamming_micro"),
     ).orderBy("label")
 
 
