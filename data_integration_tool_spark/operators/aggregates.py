@@ -1344,13 +1344,21 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("shard"), F.col("l_partkey").alias("key")
     ).distinct()
     h = F.md5(F.col("key").cast("string").cast("binary"))
-    ranked = shard_keys.select(
-        "shard",
-        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
-            "bucket"
-        ),
-        F.substring(h, 3, 13).alias("rest"),
-    ).select("shard", "bucket", F.expr(_HLL_RANK_SQL).alias("rank"))
+    ranked = (
+        shard_keys.select(
+            "shard",
+            (
+                F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M
+            ).alias("bucket"),
+            F.substring(h, 3, 13).alias("rest"),
+        )
+        .select("shard", "bucket", F.expr(_HLL_RANK_SQL).alias("rank"))
+        # THREE subtrees read this relation in the final job (direct,
+        # and merged twice via agree + est) — left lazy, the distinct +
+        # md5 + rank pipeline re-executes 3x (r11 measurement: 1.8-2.4 s
+        # -> 0.6-0.7 s warm at sf0.1 with the eager checkpoint)
+        .localCheckpoint(eager=True)
+    )
     shard_regs = ranked.groupBy("shard", "bucket").agg(
         F.max("rank").alias("reg")
     )
@@ -3028,16 +3036,27 @@ def agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     true median. A sketch regression (or a wrong rsd wiring) goes
     driver hash-RED.
 
-    Plan: ONE combinable aggregate computes all six figures — exact
-    distinct counts expand+dedup map-side, the sketches are constant
-    memory; at scale you'd keep only the sketch column set, which is
-    the point being audited."""
+    Plan (r11 rework — the repo's own never-multi-distinct rule, found
+    violated here after the etl_analyze_table_stats lesson was written):
+    TWO exact NDVs plus a percentile in one aggregate planned through
+    Expand, replicating every orders row ~3× before the distinct hash
+    agg. Split into three COLUMN-PRUNED single-row aggregates (one per
+    audited column, each pairing the exact figure with its sketch so
+    the comparison stays one-pass per column) crossJoined into the
+    audit row — independent subtrees of one job, 1.3-1.5 → 0.7-0.9 s
+    warm at sf0.1, value-identical. At scale each pass scans one
+    column; the sketches stay constant memory, which is the point
+    being audited."""
     o = load(spark, sf_dir, "orders")
-    m = o.agg(
+    ck = o.select("o_custkey").agg(
         F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
         F.approx_count_distinct("o_custkey", 0.05).alias("ack"),
+    )
+    pr = o.select("o_orderpriority").agg(
         F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
         F.approx_count_distinct("o_orderpriority", 0.05).alias("apr"),
+    )
+    md = o.select("o_totalprice").agg(
         F.expr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
         ).alias("med_exact"),
@@ -3045,6 +3064,7 @@ def agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(o_totalprice, 0.5, 10000)"
         ).alias("med_approx"),
     )
+    m = ck.crossJoin(pr).crossJoin(md)
     flagged = m.select(
         "nd_ck",
         "nd_pr",

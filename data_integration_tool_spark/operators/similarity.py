@@ -2478,6 +2478,12 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "cid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
     )
+    # lazy is sufficient here: all six reading subtrees (tot, both
+    # marginals, purity, MI, entropies) share the ONE checkpointed RDD
+    # within the final job, so the argmin scan runs once either way
+    # (measured eager≈lazy at sf0.1, r11 A/B — the LPA lesson applies
+    # to re-DERIVED lineages, not to shared references of one
+    # checkpointed DataFrame)
     cont = cont.localCheckpoint(eager=False)
     tot = cont.agg(
         F.sum("n_cl").cast("bigint").alias("n"),
