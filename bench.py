@@ -84,6 +84,12 @@ def main() -> None:
     # their many tiny union-of-aggregate stages was measured pure
     # overhead (plan_join_strategy 1.23 → 0.90 s min at sf0.1 — the
     # one genuine structural residual of the r10 drift triage).
+    # INVARIANT (ADVICE r11): any query that INTROSPECTS the physical
+    # plan (reads executedPlan / pins plan shapes) MUST carry the
+    # "regression-gate" tag — that tag is what keeps it on default AQE
+    # here, matching the driver's conf. A plan-introspecting query
+    # without it would silently run AQE-off in bench while the driver
+    # runs AQE-on, diverging the measured shape from the pinned one.
     aqe_pinned = (
         {
             name

@@ -537,8 +537,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + exact-signature dup groups.
 
     Each token votes its hash bits ±1; the signature sign-packs the
-    vote sums. Computed with transform/aggregate over the token array —
-    one pass, no shuffle until the final group.
+    vote sums. Shipped plan (r10/r11 rework): explode tokens →
+    distinct-token vocabulary hashed once with md5 → join the hashes
+    back onto the occurrence relation → packed-counter
+    groupBy(doc_id) partial aggregate → sign-pack → groupBy(simhash).
+    Hashing at vocabulary grain (not per occurrence) is the scale
+    choice: the vocab is orders of magnitude smaller than the
+    occurrence relation at any corpus size.
 
     FULLY oracled as of late r6 (was rows-only): token bits come from
     md5 — available in BOTH engines — split into two 60-bit words via
@@ -619,7 +624,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         )
         packed = packed + F.shiftleft(bit, b)
-    sim = votes.select("doc_id", packed.alias("simhash"))
+    # Packed-field overflow guard (ADVICE r11): a doc with >= 2^31
+    # distinct tokens would overflow a 32-bit lo field into its hi
+    # neighbour and unpack wrong with NO error. Physically implausible,
+    # but surface it as a hard failure instead of silent corruption —
+    # one comparison per doc row, null→0 on the good path.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n") < F.lit(2**31),
+            F.lit("dedup_simhash: packed vote counter overflow (n >= 2^31)"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    sim = votes.select("doc_id", (packed + guard).alias("simhash"))
     return (
         sim.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical"))

@@ -4250,7 +4250,15 @@ def emb_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("n").alias("n_vecs"),
         "n_distinct_sigs",
-        F.expr(f"CAST({maj_sql} AS BIGINT)").alias("majority_sig"),
+        # Packed-field overflow guard (ADVICE r11): a label with
+        # >= 2^31 vectors would overflow a 32-bit lo field into its hi
+        # neighbour and unpack wrong with NO error — surface it as a
+        # hard failure (one per-group comparison; null→0 good path).
+        F.expr(
+            f"CAST({maj_sql} AS BIGINT) + coalesce(CAST(assert_true("
+            "n < 2147483648, 'emb_quantize_binary: packed counter "
+            "overflow (n >= 2^31)') AS BIGINT), CAST(0 AS BIGINT))"
+        ).alias("majority_sig"),
         F.expr(f"CAST({ham_sql} AS BIGINT)").alias("total_hamming"),
         F.expr(
             f"CAST(floor(CAST({ham_sql} AS DOUBLE) / n * 1000000.0 + 0.5)"

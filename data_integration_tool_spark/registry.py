@@ -115,70 +115,12 @@ _loaded = False
 # after it. NEW r9 additions must land AFTER the r10 queue so the
 # never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r11 window: 50 of the 62 queries whose correctness has never
-    # been proven by a driver hash row (58 never-sampled + 4 streaming
-    # harnesses whose oracles post-date their stale rows-only rows).
-    # The 50 r10-window names proven 50/50 full green in
-    # CORRECTNESS_r10.json were cut from the head at r11 start, exactly
-    # as VERDICT r10 Next #1 prescribed. Leads are the newest (r10)
-    # additions the verdict called out by name, then the 4 streaming
-    # re-proofs, then the backlog in registration order. ----
-    "graph_hits",
-    "agg_raking_ipf",
-    "sim_ann_lsh_multiprobe",
-    "text_sentence_dedup_rate",
-    "seq_activity_islands",
-    # streaming re-proof (VERDICT r9 Next #6 / r10 Next #1): full
-    # reconciliation oracles since r8, but their only driver rows are
-    # stale rows-only entries from r5/r6 — re-prove with hash rows:
-    "stream_true_engine",
-    "stream_foreach_batch",
-    "stream_stream_join",
-    "stream_stateful_totals",
-    # never-driver-rowed backlog, registration order:
-    "stream_watermark_audit",
-    "agg_tail_mean_cvar",
-    "ts_downsample_m4",
-    "sample_kfold_assign",
-    "orders_reactivation",
-    "dq_grid_completeness",
-    "agg_hodges_lehmann",
-    "events_dau_mau",
-    "eval_topk_accuracy",
-    "text_source_divergence",
-    "seq_perplexity",
-    "dq_arrival_sla",
-    "emb_centroid_drift",
-    "sim_ann_ivf_rebalance",
-    "eval_mrr_at_k",
-    "emb_mrl_truncation_audit",
-    "quality_threshold_sweep",
-    "emb_quantize_binary",
-    "sim_ivf_nprobe_sweep",
-    "etl_analyze_table_stats",
-    "agg_levene_test",
-    "ts_circadian_profile",
-    "decon_lsh_candidates",
-    "sample_time_split_audit",
-    "ts_spectral_entropy",
-    "ts_dtw_distance",
-    "eval_precision_recall_at_k",
-    "eval_delong_auc",
-    "ts_permutation_entropy",
-    "seq_bigram_novelty",
-    "dedup_band_sweep",
-    "pack_bestfit_decreasing",
-    "graph_rich_club",
-    "ts_variance_ratio",
-    "eval_calibration_isotonic",
-    "ts_forecast_baselines",
-    "sample_ess_reweight",
-    "feat_frequency_encode",
-    "decon_report",
-    "agg_cuped",
-    "text_ngram_coverage_curve",
-    # ---- r12 queue: the remaining 12 of the 62; promote to the head
-    # when the r11 window is cut. ----
+    # ---- r12 window (VERDICT r11 Next #1 + ADVICE r11 #1) ----
+    # Leads: the final 12 never-driver-rowed queries (judge-verified
+    # green at sf0.01 in the r11 session; a green row here closes the
+    # verification story — every oracled query then has a hard driver
+    # proof). The 50 r11-window names proven 50/50 full green in
+    # CORRECTNESS_r11.json were cut from the head at r12 start.
     "graph_pagerank_personalized",
     "udtf_sentence_split",
     "emb_triplet_margin_audit",
@@ -191,7 +133,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_stats_merge_bounds",
     "agg_capture_recapture",
     "eval_fairness_audit",
-    # then the oldest r1 greens for re-proof + fresh sample_stratified:
+    # Re-proof of the four plans semantically reworked in r10/r11 whose
+    # latest driver hash rows pre-date the rework (ADVICE r11 #1):
+    "dedup_simhash",
+    "graph_bfs_hops",
+    "agg_hll_merge",
+    "agg_approx_audit",
+    # Oldest-green re-proof block (latest rows are r1): refresh the
+    # stalest hashes so no green is more than ~10 rounds old.
     "sample_stratified",
     "scan_parquet",
     "scan_projected",
@@ -218,9 +167,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_distinct",
     "agg_having",
     "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
     "win_rank",
     "win_lag_lead",
     "win_running",
+    "win_topk_pergroup",
+    # ---- end of the 50-entry r12 window ----
 )
 
 
