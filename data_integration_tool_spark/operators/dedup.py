@@ -65,31 +65,42 @@ _REHASH_A = [(splitmix64(2 * i) % (_MH_P - 1)) + 1 for i in range(N_MINHASH)]
 _REHASH_B = [splitmix64(2 * i + 1) % _MH_P for i in range(N_MINHASH)]
 
 
-def _token_hashes():
-    """array<long> of md5-derived 30-bit token hashes (one md5 per
-    distinct token; the k permutations rehash these cheap ints)."""
-    return F.transform(
-        _tokens(),
-        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % _MH_TOKEN_MOD,
-    )
-
-
 _TOKEN_HASHES_SQL = (
     "list_transform(list_distinct(list_filter("
     "string_split(lower(text), ' '), t -> t <> '')), "
     "t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1073741824)"
 )
 
+# Spark-side SQL-string twins of the expression builders below. The
+# signature pipeline is ~400 expression nodes wide; building it with
+# Column algebra costs one py4j round trip PER NODE (~1.7 s of driver
+# wall per invocation measured at r12 — the emb_quantize_binary lesson:
+# driver-side Column construction is O(terms) JVM calls, invisible in
+# .explain, found only by phase timing). The same trees built as SQL
+# strings parse in ONE call per selectExpr/expr. Semantics are
+# identical — these strings spell exactly the arithmetic the Column
+# forms spelled (and the DuckDB twins mirror).
+_TOKEN_HASHES_SPARK_SQL = (
+    "transform(array_distinct(filter(split(lower(text), ' '), "
+    "t -> t != '')), "
+    "t -> cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10) "
+    f"as bigint) % {_MH_TOKEN_MOD})"
+)
 
-def _seeded_rehash(i: int):
-    """Single-arg lambda factory: F.transform treats a TWO-parameter
-    lambda as (element, index) and silently passes the array index as
-    the second arg — a closure default would be overridden. Keep the
-    seed bound via a factory so each of the k hash functions differs."""
-    a, b = _REHASH_A[i], _REHASH_B[i]
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+
+def _slot_spark_sql(i: int) -> str:
+    """Spark twin of slot i: coalesce(min over rehashed tokens, 0).
+    Operates on a pre-hashed `hs` column (each token string md5-hashed
+    exactly ONCE in its own projection): inlining the tokenizer here
+    would copy the split/lower/distinct tree into all k slots — the
+    optimizer then carries a plan k× the text pipeline, measured 80×
+    slower end-to-end on the LSH self-join at sf0.1. coalesce keeps
+    the slot provably non-nullable — see the plan notes on
+    dedup_minhash (nullable slots re-inline the token pipeline)."""
+    return (
+        f"coalesce(array_min(transform(hs, "
+        f"h -> (h * {_REHASH_A[i]} + {_REHASH_B[i]}) % {_MH_P})), 0)"
+    )
 
 
 def _slot_sql(i: int) -> str:
@@ -100,40 +111,13 @@ def _slot_sql(i: int) -> str:
     )
 
 
-def _band_hash(cols):
-    """Polynomial fold of band slots, overflow-safe in both engines."""
-    acc = F.lit(0).cast("long")
-    for c in cols:
-        acc = (acc * F.lit(_BAND_MULT) + c) % F.lit(_MH_P)
-    return acc
-
-
 def _band_hash_sql(names) -> str:
+    """Polynomial fold of band slots — overflow-safe, engine-neutral
+    SQL shared by the Spark builders AND the DuckDB oracles."""
     acc = "CAST(0 AS BIGINT)"
     for n in names:
         acc = f"(({acc} * {_BAND_MULT} + {n}) % {_MH_P})"
     return acc
-
-
-def minhash_signature(token_hashes_col, n_hashes: int = N_MINHASH):
-    """MinHash signature: per seed i, min over pre-hashed tokens of
-    the universal-family rehash (a_i·h + b_i) mod P.
-
-    Takes a column of *already-hashed* tokens (``array<long>``), not raw
-    strings: each token string is hashed exactly once upstream, and the
-    k per-seed permutations rehash cheap fixed-width longs. Inlining the
-    tokenizer here instead would copy the split/lower/distinct expression
-    tree into all k elements — the optimizer then carries a plan whose
-    size is k× the text pipeline, which measured 80× slower end-to-end
-    on the LSH self-join at sf0.1 (the join duplicates the tree again on
-    both sides and planning time explodes).
-    """
-    return F.array(
-        *[
-            F.array_min(F.transform(token_hashes_col, _seeded_rehash(i)))
-            for i in range(n_hashes)
-        ]
-    )
 
 
 @query(
@@ -296,23 +280,23 @@ def _flat_signatures(d: DataFrame) -> DataFrame:
     """doc_id + flat MinHash slots s0..s31 + band hashes b0..b4 — the
     shared signature relation of dedup_minhash and
     dedup_lsh_recall_audit (kept flat for codegen; see the plan notes
-    on dedup_minhash)."""
-    token_hashes = _token_hashes()
-    slots = d.select("doc_id", token_hashes.alias("hs")).select(
+    on dedup_minhash). Built as SQL strings — three selectExpr calls
+    instead of ~400 py4j round trips (r12; see _TOKEN_HASHES_SPARK_SQL).
+    _band_hash_sql is engine-neutral arithmetic, shared verbatim with
+    the DuckDB oracle generator."""
+    slots = d.selectExpr(
+        "doc_id", f"{_TOKEN_HASHES_SPARK_SQL} AS hs"
+    ).selectExpr(
         "doc_id",
-        *[
-            F.coalesce(
-                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
-            ).alias(f"s{i}")
-            for i in range(N_MINHASH)
-        ],
+        *[f"{_slot_spark_sql(i)} AS s{i}" for i in range(N_MINHASH)],
     )
-    return slots.select(
+    return slots.selectExpr(
         "*",
         *[
-            _band_hash(
-                [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"b{b}")
+            _band_hash_sql(
+                [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            )
+            + f" AS b{b}"
             for b in range(N_BANDS)
         ],
     )
@@ -426,58 +410,54 @@ def _minhash_pairs(flat: DataFrame) -> DataFrame:
     pair-generating body of dedup_minhash, factored out so
     dedup_lsh_recall_audit can feed BOTH its legs (bucket-recall and
     shipped-candidate precision) from ONE checkpointed signature pass
-    instead of re-deriving the token pipeline per leg."""
-    banded = flat.select(
+    instead of re-deriving the token pipeline per leg. Built as SQL
+    strings (r12): the join condition + agree sum are ~150 expression
+    nodes; F.expr parses each string in one py4j call."""
+    banded = flat.selectExpr(
         "*",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
+        "posexplode(array("
+        + ", ".join(f"b{b}" for b in range(N_BANDS))
+        + ")) AS (band_idx, band_hash)",
     )
     # Bucket stats for the oversized-bucket guard: one extra shuffle of
     # the banded rows (linear, on the join key itself, so the exchange
     # is reusable by the self-join below).
-    from pyspark.sql import Window
-
-    bucket = Window.partitionBy("band_idx", "band_hash")
-    banded = banded.select(
+    banded = banded.selectExpr(
         "*",
-        F.count(F.lit(1)).over(bucket).alias("n_bucket"),
-        F.min("doc_id").over(bucket).alias("min_doc"),
+        "count(1) OVER (PARTITION BY band_idx, band_hash) AS n_bucket",
+        "min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS min_doc",
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    first_match = F.lit(True)
-    for j in range(N_BANDS):
-        first_match = first_match & (
-            (F.col("a.band_idx") <= F.lit(j))
-            | (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
-        )
-    agree = sum(
-        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int") for i in range(N_MINHASH)
+    first_match = " AND ".join(
+        f"(a.band_idx <= {j} OR a.b{j} != b.b{j})" for j in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(N_MINHASH)
     )
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # oversized buckets: star pairs only (a = bucket's min doc)
-            & (
-                (F.col("a.n_bucket") <= F.lit(MAX_PAIR_BUCKET))
-                | (F.col("a.doc_id") == F.col("a.min_doc"))
-            )
-            & first_match,
+            F.expr(
+                "a.band_idx = b.band_idx"
+                " AND a.band_hash = b.band_hash"
+                " AND a.doc_id < b.doc_id"
+                # oversized buckets: star pairs only (a = bucket min doc)
+                f" AND (a.n_bucket <= {MAX_PAIR_BUCKET}"
+                " OR a.doc_id = a.min_doc)"
+                f" AND {first_match}"
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
-            (F.col("a.n_bucket") > F.lit(MAX_PAIR_BUCKET)).alias("star_edge"),
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            f"CAST(({agree}) AS DOUBLE) / {N_MINHASH} AS est_jaccard",
+            f"a.n_bucket > {MAX_PAIR_BUCKET} AS star_edge",
         )
         # star edges pass unthresholded — they exist to keep the dup
         # graph connected, not to claim similarity (see docstring)
         .filter(
-            (F.col("est_jaccard") >= NEAR_DUP_THRESHOLD) | F.col("star_edge")
+            F.expr(f"est_jaccard >= {NEAR_DUP_THRESHOLD}D OR star_edge")
         )
     )
 
@@ -560,9 +540,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (votes_b = 2·sum(bit_b) − n), so each aggregate expression is a
     # bare shiftright+bitand instead of a CASE branch — the r10 rework
     # that took the warm wall from 2.1 s to 0.9 s at sf0.1 (the 64
-    # CASE-WHEN sums dominated codegen, not the data volume).
-    ex = (
-        d.select("doc_id", F.explode(_tokens()).alias("t"))
+    # CASE-WHEN sums dominated codegen, not the data volume). All wide
+    # expressions are SQL strings (r12): the Column-algebra form made
+    # ~700 py4j round trips per invocation (~2 s of driver wall at
+    # bench conditions — the gap between the r11 warm-exec A/B's 1.05 s
+    # and the 3.14 s bench reading was exactly this build time).
+    ex = d.selectExpr(
+        "doc_id",
+        "explode(array_distinct(filter(split(lower(text), ' '), "
+        "t -> t != ''))) AS t",
     )
     # md5 + two 15-hex-digit conv parses run at DISTINCT-TOKEN (vocab)
     # grain, not per (doc, token) occurrence — the r10 follow-up to the
@@ -576,11 +562,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         ex.select("t")
         .distinct()
-        .withColumn("hx", F.md5(F.col("t").cast("binary")))
-        .select(
+        .selectExpr("t", "md5(cast(t AS binary)) AS hx")
+        .selectExpr(
             "t",
-            F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring("hx", 16, 15), 16, 10).cast("long").alias("h2"),
+            "cast(conv(substring(hx, 1, 15), 16, 10) AS bigint) AS h1",
+            "cast(conv(substring(hx, 16, 15), 16, 10) AS bigint) AS h2",
         )
     )
     ex = ex.join(F.broadcast(vocab), "t").select("doc_id", "h1", "h2")
@@ -600,43 +586,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the unpacked form (1.05 vs 1.04 s min-of-4) — the local
     # residual is the explode+join+two-shuffle stage floor, not agg
     # width, so this is a scale win, not an sf0.1 win (SCALE.md).
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.expr("count(1)").alias("n")]
     for wd in range(32):
         lo, hi = 2 * wd, 2 * wd + 1
-        word = F.lit(0).cast("long")
+        terms = []
         for f_i, b in enumerate((lo, hi)):
             src = "h1" if b < 60 else "h2"
             sh = b if b < 60 else b - 60
-            bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
-            word = word + F.shiftleft(bit, f_i * 32)
-        aggs.append(F.sum(word).alias(f"w{wd}"))
+            terms.append(
+                f"shiftleft(shiftright({src}, {sh}) & 1, {f_i * 32})"
+            )
+        aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"w{wd}"))
     votes = ex.groupBy("doc_id").agg(*aggs)
-    packed = F.lit(0).cast("long")
+    # sign(2·cnt_b − n) > 0  ⇔  the ±1 vote sum is positive
+    pack_terms = []
     for b in range(64):
         wd, f_i = b // 2, b % 2
-        cnt = F.shiftright(F.col(f"w{wd}"), f_i * 32).bitwiseAND(
-            F.lit(0xFFFFFFFF)
+        cnt = f"(shiftright(w{wd}, {f_i * 32}) & 4294967295)"
+        pack_terms.append(
+            f"shiftleft(CAST(IF(2 * {cnt} - n > 0, 1, 0) AS BIGINT), {b})"
         )
-        # sign(2·cnt_b − n) > 0  ⇔  the ±1 vote sum is positive
-        bit = (
-            F.when(2 * cnt - F.col("n") > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        packed = packed + F.shiftleft(bit, b)
     # Packed-field overflow guard (ADVICE r11): a doc with >= 2^31
     # distinct tokens would overflow a 32-bit lo field into its hi
     # neighbour and unpack wrong with NO error. Physically implausible,
     # but surface it as a hard failure instead of silent corruption —
     # one comparison per doc row, null→0 on the good path.
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("n") < F.lit(2**31),
-            F.lit("dedup_simhash: packed vote counter overflow (n >= 2^31)"),
-        ).cast("long"),
-        F.lit(0).cast("long"),
+    guard = (
+        "coalesce(CAST(assert_true(n < 2147483648, "
+        "'dedup_simhash: packed vote counter overflow (n >= 2^31)') "
+        "AS BIGINT), CAST(0 AS BIGINT))"
     )
-    sim = votes.select("doc_id", (packed + guard).alias("simhash"))
+    sim = votes.selectExpr(
+        "doc_id", f"{' + '.join(pack_terms)} + {guard} AS simhash"
+    )
     return (
         sim.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical"))
@@ -793,31 +775,23 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical and distinct docs rarely do.
     """
     d = load(spark, sf_dir, "documents")
-    token_hashes = _token_hashes()
-    slots = d.select("doc_id", token_hashes.alias("hs")).select(
-        "doc_id",
-        *[
-            F.coalesce(
-                F.array_min(F.transform("hs", _seeded_rehash(i))), F.lit(0)
-            ).alias(f"s{i}")
-            for i in range(N_MINHASH)
-        ],
+    # signature pipeline as SQL strings — see _TOKEN_HASHES_SPARK_SQL
+    band_sqls = ", ".join(
+        _band_hash_sql(
+            [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        )
+        for b in range(N_BANDS)
     )
-    banded = slots.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    _band_hash(
-                        [
-                            F.col(f"s{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ]
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = (
+        d.selectExpr("doc_id", f"{_TOKEN_HASHES_SPARK_SQL} AS hs")
+        .selectExpr(
+            "doc_id",
+            *[f"{_slot_spark_sql(i)} AS s{i}" for i in range(N_MINHASH)],
+        )
+        .selectExpr(
+            "doc_id",
+            f"posexplode(array({band_sqls})) AS (band_idx, band_hash)",
+        )
     )
     bucket_canon = banded.groupBy("band_idx", "band_hash").agg(
         F.min("doc_id").alias("bucket_min"),
@@ -1737,22 +1711,12 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_CONFIGS = ((16, 2), (10, 3), (8, 4), (6, 5), (5, 6), (4, 8), (3, 10), (2, 16))
 
 
-def _scurve_p(s, b: int, r: int):
+def _scurve_p_sql(s: str, b: int, r: int) -> str:
     """P(candidate) = 1 − (1 − s^r)^b as LEFT-ASSOCIATED repeated
     multiplication (never pow(): libm pow may differ in the last ULP
     across engines; a fixed multiply chain over an exact dyadic s is
-    deterministic IEEE everywhere)."""
-    sr = s
-    for _ in range(r - 1):
-        sr = sr * s
-    q = F.lit(1.0) - sr
-    qb = q
-    for _ in range(b - 1):
-        qb = qb * q
-    return F.lit(1.0) - qb
-
-
-def _scurve_p_sql(s: str, b: int, r: int) -> str:
+    deterministic IEEE everywhere). Engine-neutral SQL — shared by the
+    Spark builder and the DuckDB oracle."""
     sr = s
     for _ in range(r - 1):
         sr = f"({sr} * {s})"
@@ -1896,8 +1860,6 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     all eight configs reduce as order-free integer sums in one wide
     aggregate; the recall/fp divisions are spelled once at config
     grain."""
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents")
     flat = _flat_signatures(d)
     slot_cols = [f"s{i}" for i in range(N_MINHASH)]
@@ -1910,38 +1872,39 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("repr_id"),
         F.count(F.lit(1)).cast("bigint").alias("w"),
     ).localCheckpoint(eager=True)
-    cbanded = cls.select(
+    # Wide expressions as SQL strings (r12): the Column-algebra join
+    # condition + agree sum + 18 sweep aggregates made ~600 py4j round
+    # trips per invocation (3.7-10.8 s of driver wall at bench
+    # conditions vs 0.5 s exec — the emb_quantize_binary lesson).
+    cbanded = cls.selectExpr(
         "*",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
+        "posexplode(array("
+        + ", ".join(f"b{b}" for b in range(N_BANDS))
+        + ")) AS (band_idx, band_hash)",
     )
-    bucket = W.partitionBy("band_idx", "band_hash")
-    stats = cbanded.select(
-        "*", F.count(F.lit(1)).over(bucket).alias("n_bucket")
+    stats = cbanded.selectExpr(
+        "*",
+        "count(1) OVER (PARTITION BY band_idx, band_hash) AS n_bucket",
     ).localCheckpoint(eager=True)
     a = stats.alias("a")
     b = stats.alias("b")
-    first_match = F.lit(True)
-    for j in range(N_BANDS):
-        first_match = first_match & (
-            (F.col("a.band_idx") <= F.lit(j))
-            | (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
-        )
-    agree = sum(
-        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
-        for i in range(N_MINHASH)
+    first_match = " AND ".join(
+        f"(a.band_idx <= {j} OR a.b{j} != b.b{j})" for j in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(N_MINHASH)
     )
     pairs = a.join(
         b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.repr_id") < F.col("b.repr_id"))
-        & (F.col("a.n_bucket") <= F.lit(MAX_PAIR_BUCKET))
-        & first_match,
-    ).select(
-        (F.col("a.w") * F.col("b.w")).alias("w"),
-        (agree.cast("double") / N_MINHASH).alias("est"),
+        F.expr(
+            "a.band_idx = b.band_idx AND a.band_hash = b.band_hash"
+            " AND a.repr_id < b.repr_id"
+            f" AND a.n_bucket <= {MAX_PAIR_BUCKET}"
+            f" AND {first_match}"
+        ),
+    ).selectExpr(
+        "a.w * b.w AS w",
+        f"CAST(({agree}) AS DOUBLE) / {N_MINHASH} AS est",
     )
     scal = F.broadcast(
         cls.agg(
@@ -1962,49 +1925,42 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oversized")
         )
     )
-    dup_pred = F.col("est") >= NEAR_DUP_THRESHOLD
+    # sweep aggregates as SQL strings — _scurve_p_sql is engine-neutral
+    # arithmetic shared verbatim with the DuckDB oracle generator
+    dup_sql = f"est >= {NEAR_DUP_THRESHOLD}D"
     aggs = [
-        F.coalesce(F.sum("w").cast("bigint"), F.lit(0)).alias("w_total"),
-        F.coalesce(
-            F.sum(F.when(dup_pred, F.col("w")).otherwise(0)).cast("bigint"),
-            F.lit(0),
+        F.expr("CAST(coalesce(sum(w), 0) AS BIGINT)").alias("w_total"),
+        F.expr(
+            f"CAST(coalesce(sum(IF({dup_sql}, w, 0)), 0) AS BIGINT)"
         ).alias("w_dup"),
     ]
     for bb, rr in _SWEEP_CONFIGS:
         pm = (
-            F.floor(
-                _scurve_p(F.col("est"), bb, rr) * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-        ).cast("bigint")
+            f"CAST(floor({_scurve_p_sql('est', bb, rr)} * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
         aggs.append(
-            F.coalesce(F.sum(F.col("w") * pm).cast("bigint"), F.lit(0)).alias(
+            F.expr(f"CAST(coalesce(sum(w * {pm}), 0) AS BIGINT)").alias(
                 f"all_{bb}_{rr}"
             )
         )
         aggs.append(
-            F.coalesce(
-                F.sum(F.when(dup_pred, F.col("w") * pm).otherwise(0)).cast(
-                    "bigint"
-                ),
-                F.lit(0),
+            F.expr(
+                f"CAST(coalesce(sum(IF({dup_sql}, w * {pm}, 0)), 0)"
+                " AS BIGINT)"
             ).alias(f"dup_{bb}_{rr}")
         )
     wide = pairs.agg(*aggs)
-    stack_args = []
-    for bb, rr in _SWEEP_CONFIGS:
-        stack_args += [
-            F.lit(bb).cast("bigint"),
-            F.lit(rr).cast("bigint"),
-            F.col(f"all_{bb}_{rr}"),
-            F.col(f"dup_{bb}_{rr}"),
-        ]
-    cfg = wide.select(
+    stack_sql = ", ".join(
+        f"CAST({bb} AS BIGINT), CAST({rr} AS BIGINT), "
+        f"all_{bb}_{rr}, dup_{bb}_{rr}"
+        for bb, rr in _SWEEP_CONFIGS
+    )
+    cfg = wide.selectExpr(
         "w_total",
         "w_dup",
-        F.stack(
-            F.lit(len(_SWEEP_CONFIGS)), *stack_args
-        ).alias("bands", "rows_per_band", "sum_p_all", "sum_p_dup"),
+        f"stack({len(_SWEEP_CONFIGS)}, {stack_sql})"
+        " AS (bands, rows_per_band, sum_p_all, sum_p_dup)",
     )
     joined = cfg.crossJoin(scal).crossJoin(over_)
     dup_tot = F.col("w_dup") + F.col("within_pairs")

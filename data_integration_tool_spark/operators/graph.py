@@ -446,21 +446,25 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same fixed-iteration posture as graph_pagerank: no driver-side
     state, and the exact result has a recursive-CTE value oracle (min
     over all ≤depth walks ≡ BFS distance). Plan (r11 rework — textbook
-    VISITED-SET PRUNING, the VERDICT r10 ≤1.0 s ask; warm wall 1.2-1.5 s
-    → ~0.7 s at sf0.1): the edge set is eagerly checkpointed, and each
-    level expands only the NEWLY-DISCOVERED frontier — `new_h =
-    distinct(expand(new_{h-1})) ANTI-JOIN visited` — so on a dense
-    graph the expensive deep levels join a shrinking frontier instead
-    of the whole reachable set (hop-2 already covers most of a basket
-    component; the old form re-expanded it all at hop 3). Pruning
-    preserves min-hop semantics exactly: a node's first discovery level
-    IS its BFS distance, and the final min-aggregate over the unioned
-    levels keeps the oracle-shaped dedup for the unpruned last level.
-    Intermediate frontiers are |new| ≤ |reachable| rows, eagerly
-    checkpointed so the anti-join and the next expansion share one
-    materialization. At 100 TB every join shuffles on the node key and
-    the anti-join is the standard distributed BFS dedup — this is the
-    shape that survives scale-up."""
+    VISITED-SET PRUNING, the VERDICT r10 ≤1.0 s ask): the edge set is
+    checkpointed, and each level expands only the NEWLY-DISCOVERED
+    frontier — `new_h = distinct(expand(new_{h-1})) ANTI-JOIN visited`
+    — so on a dense graph the expensive deep levels join a shrinking
+    frontier instead of the whole reachable set (hop-2 already covers
+    most of a basket component; the old form re-expanded it all at
+    hop 3). Pruning preserves min-hop semantics exactly: a node's first
+    discovery level IS its BFS distance, and the final min-aggregate
+    over the unioned levels keeps the oracle-shaped dedup for the
+    unpruned last level. Checkpoints are LAZY (r12): every
+    checkpointed frontier is multiply-REFERENCED (next expansion +
+    visited union + final union), never re-derived, so all references
+    share one RDD computed inside the single final job — the measured
+    lazy-checkpoint semantics of SCALE.md §6h. The r11 eager form ran
+    4 driver-blocking jobs before the final one; lazy collapsed the
+    bench wall 2.59 → 1.59 s min at sf0.1 (interleaved A/B,
+    value-identical on all 28,394 rows). At 100 TB every join shuffles
+    on the node key and the anti-join is the standard distributed BFS
+    dedup — this is the shape that survives scale-up."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 5 == 0
     )
@@ -471,7 +475,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sym = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
@@ -487,7 +491,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node"),
         F.lit(0).alias("hops"),
     )
-    new = level0.select("seed", "node").localCheckpoint(eager=True)
+    new = level0.select("seed", "node").localCheckpoint(eager=False)
     visited = new
     levels = [level0]
     for h in range(1, _BFS_DEPTH + 1):
@@ -500,7 +504,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         if h < _BFS_DEPTH:
             # materialize once: the union into `visited` and the next
             # level's expansion both read this frontier
-            new = new.localCheckpoint(eager=True)
+            new = new.localCheckpoint(eager=False)
             visited = visited.unionByName(new)
         levels.append(new.select("seed", "node", F.lit(h).alias("hops")))
     walks = levels[0]
