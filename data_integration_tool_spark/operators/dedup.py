@@ -554,11 +554,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain, not per (doc, token) occurrence — the r10 follow-up to the
     # bit-sum rework: the string hashing was the remaining per-row cost
     # and the vocabulary is orders of magnitude smaller than the
-    # occurrence relation at any corpus scale. Broadcast join-back.
-    # NOTE: F.broadcast is a HARD hint — Spark never demotes it, so at
-    # a vocabulary too large for the driver this line must be changed
-    # to a plain join (AQE then picks shuffle vs broadcast from the
-    # runtime size); it does not degrade automatically.
+    # occurrence relation at any corpus scale. PLAIN join-back (r12,
+    # VERDICT r11 Next #3): the planner broadcasts it from stats at
+    # every test SF (compile fingerprint (3,1,2) with or without a
+    # hint, verified sf0.001/0.01/0.1) and wall is at parity
+    # (1.19-1.58 s vs 1.36-1.50 s hinted, interleaved min-of-3), while
+    # at a 100 TB vocabulary the stats/AQE path degrades to a shuffle
+    # join automatically — the hard F.broadcast hint never demotes and
+    # needed a documented hand-edit before any large run.
     vocab = (
         ex.select("t")
         .distinct()
@@ -569,7 +572,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substring(hx, 16, 15), 16, 10) AS bigint) AS h2",
         )
     )
-    ex = ex.join(F.broadcast(vocab), "t").select("doc_id", "h1", "h2")
+    ex = ex.join(vocab, "t").select("doc_id", "h1", "h2")
     # r11 rework of the partial aggregate: the 64 per-bit SUM columns
     # (the 65-column partial agg SCALE.md suspected as residual cost)
     # are packed TWO counters per BIGINT in 32-bit fields, so the
