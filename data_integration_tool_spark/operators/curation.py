@@ -1564,9 +1564,10 @@ def decon_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     in as one more consumer of the existing signature relation, no
     second shingling pass.
 
-    Plan: the flat signature relation is computed once and EAGERLY
-    checkpointed (three consumers in the final job: the banded
-    explode per side and the per-pair signature join). The bucket
+    Plan: the flat signature relation is computed once via a LAZY
+    checkpoint (three consumers in the final job: the banded explode
+    per side and the per-pair signature join — multiple references to
+    one checkpointed DataFrame share one RDD, SCALE.md §6h). The bucket
     join is train×eval WITHIN a (band, hash) bucket — the eval side
     is the 5% benchmark slice, so candidate volume is bounded by
     bucket co-membership, never all-pairs. Agreement scoring runs at
@@ -1574,12 +1575,18 @@ def decon_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import N_BANDS, N_MINHASH, _flat_signatures
 
     d = load(spark, sf_dir, "documents")
-    flat = _flat_signatures(d).localCheckpoint(eager=True)
-    banded = flat.select(
+    # LAZY checkpoint (r12): flat is multiply-REFERENCED (banded
+    # explode + both signature join sides), never re-derived, so all
+    # references share one RDD computed inside the final job — the
+    # eager form ran a driver-blocking job at build time for nothing
+    # (SCALE.md §6h lazy semantics). Wide selects are SQL strings
+    # (§6i): the Column form made ~300 py4j round trips per call.
+    flat = _flat_signatures(d).localCheckpoint(eager=False)
+    banded = flat.selectExpr(
         "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])
-        ).alias("band_idx", "band_hash"),
+        "posexplode(array("
+        + ", ".join(f"b{b}" for b in range(N_BANDS))
+        + ")) AS (band_idx, band_hash)",
     )
     is_bench = F.col("doc_id") % 20 == 0
     train_b = banded.filter(~is_bench).select(
@@ -1593,32 +1600,27 @@ def decon_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_shared"))
     )
-    ta = flat.select(
-        F.col("doc_id").alias("train_doc"),
-        *[F.col(f"s{i}").alias(f"ta{i}") for i in range(N_MINHASH)],
+    ta = flat.selectExpr(
+        "doc_id AS train_doc",
+        *[f"s{i} AS ta{i}" for i in range(N_MINHASH)],
     )
-    tb = flat.select(
-        F.col("doc_id").alias("eval_doc"),
-        *[F.col(f"s{i}").alias(f"tb{i}") for i in range(N_MINHASH)],
+    tb = flat.selectExpr(
+        "doc_id AS eval_doc",
+        *[f"s{i} AS tb{i}" for i in range(N_MINHASH)],
     )
-    agree = sum(
-        (F.col(f"ta{i}") == F.col(f"tb{i}")).cast("int")
-        for i in range(N_MINHASH)
+    agree = " + ".join(
+        f"CAST(ta{i} = tb{i} AS INT)" for i in range(N_MINHASH)
     )
     scored = (
         pairs.join(ta, "train_doc")
         .join(tb, "eval_doc")
-        .select(
+        .selectExpr(
             "train_doc",
             "eval_doc",
             "n_bands_shared",
-            F.floor(
-                agree.cast("double") / F.lit(float(N_MINHASH))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("est_jaccard_micro"),
+            f"CAST(floor(CAST(({agree}) AS DOUBLE) / "
+            f"CAST({N_MINHASH} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+            " AS est_jaccard_micro",
         )
     )
     return (

@@ -1209,36 +1209,30 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: truth pairs join the banded relation once per side (linear
     in truth×bands, no quadratic bucket expansion); the precision leg
     is a pair-grain semi-join against the already-linear candidate
-    set. The flat signature relation is computed ONCE and eagerly
-    checkpointed: both the bucket-recall leg (banded explode) and the
-    shipped-candidate leg (_minhash_pairs) read the checkpoint instead
-    of each re-deriving the token→minhash pipeline from the raw
-    corpus (the r8 verdict's double-scan finding). The truth and
-    signature checkpoints are INDEPENDENT legs over the same cached
-    scan, so they materialize concurrently on a 2-thread pool (the
-    plan_fingerprint_gate scheduling pattern) instead of serializing
-    two cluster-idle barriers — 3.7 s → ~2.3 s warm at sf0.1; on a
-    real cluster concurrent jobs interleave at stage granularity, so
-    the overlap survives scale-up."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    set. The flat signature relation is computed ONCE via a LAZY
+    checkpoint: both the bucket-recall leg (banded explode) and the
+    shipped-candidate leg (_minhash_pairs) share the one checkpointed
+    RDD inside the final job (multiple REFERENCES, never re-derived —
+    SCALE.md §6h), instead of each re-deriving the token→minhash
+    pipeline from the raw corpus (the r8 verdict's double-scan
+    finding). The truth and candidate checkpoints are lazy for the
+    same reason; the r11 form ran the two eager checkpoints on a
+    2-thread pool to overlap their driver-blocking jobs — with lazy
+    checkpoints there are no build-time jobs left to overlap, and the
+    all-lazy form measured faster still (1.69 → 1.60 s warm min at
+    sf0.1 bench confs, r12 A/B, value-identical)."""
     d = load(spark, sf_dir, "documents")
-    with ThreadPoolExecutor(2) as pool:
-        truth_f = pool.submit(
-            lambda: dedup_ngram_jaccard(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
-        )
-        flat_f = pool.submit(
-            lambda: _flat_signatures(d).localCheckpoint(eager=True)
-        )
-        truth = truth_f.result()
-        flat = flat_f.result()
-    banded = flat.select(
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    flat = _flat_signatures(d).localCheckpoint(eager=False)
+    banded = flat.selectExpr(
         "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])
-        ).alias("band_idx", "band_hash"),
+        "posexplode(array("
+        + ", ".join(f"b{b}" for b in range(N_BANDS))
+        + ")) AS (band_idx, band_hash)",
     )
     ba = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
@@ -1272,7 +1266,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src_a") == F.col("src_b"))
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand_true = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     m = (
@@ -1866,15 +1860,19 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     flat = _flat_signatures(d)
     slot_cols = [f"s{i}" for i in range(N_MINHASH)]
-    # Eager: the class relation feeds FOUR subtrees (banding, the
-    # within-pairs scalar, and both sides of the pair self-join via
-    # stats) — a lazy checkpoint would not dedupe the md5 + 32-perm
-    # token pipeline within the single final job (the LPA lesson).
+    # LAZY checkpoints (r12): the class relation feeds FOUR subtrees
+    # (banding, the within-pairs scalar, and both sides of the pair
+    # self-join via stats) — all REFERENCES to one checkpointed
+    # DataFrame, never re-derivations, so they share one RDD computed
+    # inside the final job (SCALE.md §6h; the earlier eager
+    # justification cited the LPA lesson, which only covers re-derived
+    # lineages). Eager vs lazy A/B at bench confs: 1.04 vs 0.97 s warm
+    # min, value-identical.
     cls = flat.groupBy(*slot_cols).agg(
         *[F.min(f"b{b}").alias(f"b{b}") for b in range(N_BANDS)],
         F.min("doc_id").alias("repr_id"),
         F.count(F.lit(1)).cast("bigint").alias("w"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Wide expressions as SQL strings (r12): the Column-algebra join
     # condition + agree sum + 18 sweep aggregates made ~600 py4j round
     # trips per invocation (3.7-10.8 s of driver wall at bench
@@ -1888,7 +1886,7 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cbanded.selectExpr(
         "*",
         "count(1) OVER (PARTITION BY band_idx, band_hash) AS n_bucket",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = stats.alias("a")
     b = stats.alias("b")
     first_match = " AND ".join(
