@@ -2040,14 +2040,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     job count (no per-step max normalizers).
 
     Plan: one lead window + edge rollup (checkpointed; |types|² rows),
-    six contribution-join → groupBy half-steps left LAZY except ONE
-    eager checkpoint of the final authority relation — the only
-    doubly-referenced subtree (the last hub half-step and the output
-    join both read it; left lazy the whole six-step recursion
-    re-executes ~2×, and the nested per-step normalizers this form
-    replaced compounded that to 2^6 — measured 20 s vs 2 s), then ONE
-    final job applies both 1-row max normalizers (never a driver
-    round-trip)."""
+    six contribution-join → groupBy half-steps, with checkpoints on
+    the multiply-referenced relations (edges, nodes, the two
+    weight-joined edge relations, and the final authority — the last
+    hub half-step and the output join both read it). All checkpoints
+    are LAZY (r12): each is multiply-REFERENCED, never re-derived, so
+    they share one RDD inside the single final job (SCALE.md §6h
+    semantics; A/B at bench confs 2.36 → 2.25 s min, value-identical
+    — and without ANY checkpoint on the final authority the recursion
+    re-executes ~2×, which the replaced nested-normalizer form
+    compounded to 2^6: measured 20 s vs 2 s). ONE final job applies
+    both 1-row max normalizers (never a driver round-trip).
+    NOTE (ADVICE r11): plan depth grows with _HITS_ITERS, and the
+    single-final-job shape relies on every intermediate auth/hub being
+    single-reference — keep checkpoints on anything that gains a
+    second reference, and re-measure if _HITS_ITERS is raised."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -2055,7 +2062,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("tot"))
     wsum2 = edges.groupBy("dst").agg(
@@ -2065,13 +2072,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hub = nodes.select(
         "node", F.lit(1000000000).cast("bigint").alias("v")
     )
-    ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=True)
-    ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=True)
+    ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=False)
+    ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=False)
     auth = None
     for it in range(_HITS_ITERS):
         auth = (
@@ -2106,7 +2113,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The final auth is the ONLY doubly-referenced score
             # relation (last hub half-step + output join); one eager
             # |types|-row checkpoint here halves the end-to-end work.
-            auth = auth.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=False)
         hub = (
             nodes.join(
                 ew_out.join(
