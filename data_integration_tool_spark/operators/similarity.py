@@ -1347,18 +1347,18 @@ PQ_K = 8  # codewords per subspace (vectors 0..7 — the IVF house pattern)
 PQ_TOPK = 10
 
 
-def _sub_l2sq(a, b, m: int) -> Column:
-    """In-order double L2² of subspace m (1-based slice) of two arrays."""
+def _sub_l2sq_sql(a: str, b: str, m: int) -> str:
+    """In-order double L2² of subspace m (1-based slice) of two arrays —
+    Spark SQL string (r12: the Column/lambda form cost ~25 py4j round
+    trips per call × 8 calls per emb_ann_pq invocation; same fold
+    order, so the cross-engine ranking boundary is unchanged)."""
     lo = m * PQ_SUBDIM + 1
-    return F.aggregate(
-        F.zip_with(
-            F.slice(a, lo, PQ_SUBDIM),
-            F.slice(b, lo, PQ_SUBDIM),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return (
+        f"aggregate(zip_with(slice({a}, {lo}, {PQ_SUBDIM}), "
+        f"slice({b}, {lo}, {PQ_SUBDIM}), "
+        "(x, y) -> (cast(x AS double) - cast(y AS double)) "
+        "* (cast(x AS double) - cast(y AS double))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -1445,25 +1445,29 @@ def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
         )
     )
-    dists = e.crossJoin(cb).select(
+    dists = e.crossJoin(cb).selectExpr(
         "vec_id",
         "label",
         "cent_id",
-        *[_sub_l2sq(F.col("embedding"), F.col("ce"), m).alias(f"d{m}") for m in range(PQ_M)],
+        *[
+            f"{_sub_l2sq_sql('embedding', 'ce', m)} AS d{m}"
+            for m in range(PQ_M)
+        ],
     )
     assigned = dists.groupBy("vec_id", "label").agg(
         *[
-            F.min(F.struct(F.col(f"d{m}").alias("d"), F.col("cent_id").alias("c")))
-            .getField("c")
-            .alias(f"c{m}")
+            F.expr(f"min(struct(d{m} AS d, cent_id AS c)).c").alias(f"c{m}")
             for m in range(PQ_M)
         ]
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     qd = F.broadcast(
-        cb.crossJoin(q).select(
+        cb.crossJoin(q).selectExpr(
             "cent_id",
-            *[_sub_l2sq(F.col("qe"), F.col("ce"), m).alias(f"d{m}") for m in range(PQ_M)],
+            *[
+                f"{_sub_l2sq_sql('qe', 'ce', m)} AS d{m}"
+                for m in range(PQ_M)
+            ],
         )
     )
     out = assigned
