@@ -2043,14 +2043,17 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     six contribution-join → groupBy half-steps, with checkpoints on
     the multiply-referenced relations (edges, nodes, the two
     weight-joined edge relations, and the final authority — the last
-    hub half-step and the output join both read it). All checkpoints
-    are LAZY (r12): each is multiply-REFERENCED, never re-derived, so
-    they share one RDD inside the single final job (SCALE.md §6h
-    semantics; A/B at bench confs 2.36 → 2.25 s min, value-identical
-    — and without ANY checkpoint on the final authority the recursion
-    re-executes ~2×, which the replaced nested-normalizer form
-    compounded to 2^6: measured 20 s vs 2 s). ONE final job applies
-    both 1-row max normalizers (never a driver round-trip).
+    hub half-step and the output join both read it). Checkpoints stay
+    EAGER here — measured, not assumed (r12): a lazy flip was A/B'd
+    both warm (parity, 2.36 vs 2.25 s) and across six fresh-process
+    bench-conf sessions, where eager won consistently (2.91-3.45 vs
+    3.47-4.57 s min) — the six-half-step join chain plans broadcast
+    joins off the MATERIALIZED checkpoint sizes, which a lazy
+    checkpoint can't expose at compile time. (Without ANY checkpoint
+    on the final authority the recursion re-executes ~2×, which the
+    replaced nested-normalizer form compounded to 2^6: measured 20 s
+    vs 2 s.) ONE final job applies both 1-row max normalizers (never
+    a driver round-trip).
     NOTE (ADVICE r11): plan depth grows with _HITS_ITERS, and the
     single-final-job shape relies on every intermediate auth/hub being
     single-reference — keep checkpoints on anything that gains a
@@ -2062,7 +2065,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("tot"))
     wsum2 = edges.groupBy("dst").agg(
@@ -2072,13 +2075,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     hub = nodes.select(
         "node", F.lit(1000000000).cast("bigint").alias("v")
     )
-    ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=False)
-    ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=False)
+    ew_in = edges.join(F.broadcast(wsum), "src").localCheckpoint(eager=True)
+    ew_out = edges.join(F.broadcast(wsum2), "dst").localCheckpoint(eager=True)
     auth = None
     for it in range(_HITS_ITERS):
         auth = (
@@ -2113,7 +2116,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The final auth is the ONLY doubly-referenced score
             # relation (last hub half-step + output join); one eager
             # |types|-row checkpoint here halves the end-to-end work.
-            auth = auth.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=True)
         hub = (
             nodes.join(
                 ew_out.join(
