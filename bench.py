@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_integration_tool_spark import registry
+from data_integration_tool_spark import benchconf, registry
 from data_integration_tool_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,63 +45,21 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
     spark = get_spark(app_name="bench", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
+    # keep the driver's stdout-tail parse window clean of the benign
+    # accumulator-race ERROR spew (see benchconf for the root cause)
+    benchconf.silence_dagscheduler_accumulator_spew(spark)
 
     specs = registry.specs()
     # warmup: JVM + parquet footer caches, excluded from timings
     _run(specs["agg_group"].builder(spark, SF_DIR))
 
-    # Shuffle-partition count is a per-workload knob (runtime conf):
-    # pair-generating dedup/similarity queries shuffle millions of rows
-    # and want full parallelism; everything else at this scale is
-    # dominated by task-scheduling overhead and wants few partitions
-    # (AQE coalesces further). Measured at sf0.1: light queries ~1.8×
-    # faster at 8, dedup_minhash ~1.4× faster at 32.
-    # "decontamination" joined the heavy class in r10: the decon queries
-    # are pair-generating gram joins exactly like dedup, and the r9
-    # AQE toggle had misfiled them as light — the only >1.5× shared-set
-    # regression of r9 (decon_containment 0.75→1.14 s) was that
-    # misclassification. Quiet-pair r10 measurement (same hour, loadavg
-    # ~1.1): decon_containment light(off,8) 1.15 s isolated / 0.97 s
-    # warm-JVM vs heavy(on,32) 0.95/0.92 s; decon_ngram 1.04→0.90 s;
-    # decon_lsh_candidates 2.71 vs 2.86 s (noise-level).
-    heavy = {
-        name
-        for name, spec in specs.items()
-        if {"dedup", "similarity", "decontamination"} & set(spec.tags)
-    }
-    # AQE is a big-shuffle optimizer: on sub-second queries its
-    # per-stage re-optimization rounds are pure overhead (measured at
-    # sf0.1: light sweep 0.28 → 0.22 s/query with AQE off, ~22%).
-    # Keep it ON for the heavy pair/shuffle class (where coalescing
-    # and skew handling earn their keep — and exactly what you'd run
-    # at 100 TB) and for queries whose OUTPUT depends on the adaptive
-    # plan (the skew-join flag query and the plan-introspection gates,
-    # whose pinned shapes were measured under default AQE). r11: the
-    # blanket "planner" tag left this set — only the regression-gate
-    # pair actually introspects plans; the other planner-tagged queries
-    # (join-strategy/partition advisors, ETL stats planners) compute
-    # pure data statistics, and AQE's per-stage re-optimization on
-    # their many tiny union-of-aggregate stages was measured pure
-    # overhead (plan_join_strategy 1.23 → 0.90 s min at sf0.1 — the
-    # one genuine structural residual of the r10 drift triage).
-    # INVARIANT (ADVICE r11): any query that INTROSPECTS the physical
-    # plan (reads executedPlan / pins plan shapes) MUST carry the
-    # "regression-gate" tag — that tag is what keeps it on default AQE
-    # here, matching the driver's conf. A plan-introspecting query
-    # without it would silently run AQE-off in bench while the driver
-    # runs AQE-on, diverging the measured shape from the pinned one.
-    aqe_pinned = (
-        {
-            name
-            for name, spec in specs.items()
-            if {"regression-gate", "graph", "iterative", "join"}
-            & set(spec.tags)
-        }
-        | {"join_skew_aqe", "join_bucketed"}
-        # its "join" tag is topical (it ADVISES join strategies); the
-        # query itself is 7 tiny table-stat aggregates + 2 broadcast
-        # joins — no adaptive decision to make, only adaptive overhead
-    ) - {"plan_join_strategy"}
+    # Per-workload conf split (shuffle partitions + AQE). The sets and
+    # their measured rationale live in benchconf — the ONE source of
+    # truth shared with tools/interleaved_bench.py (ADVICE r12 #1), so
+    # the burst-robust interleaved ratio always compares like-for-like
+    # with these legs.
+    heavy = benchconf.heavy_set(specs)
+    aqe_pinned = benchconf.aqe_pinned_set(specs)
 
     iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
     per_run: dict[str, list[float]] = {}
@@ -113,13 +71,7 @@ def main() -> None:
         print(f"bench-skip (verification harnesses, not timed): {skipped}",
               file=sys.stderr)
     for name in sorted(set(specs) - set(skipped)):
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(CPUS) if name in heavy else "8"
-        )
-        spark.conf.set(
-            "spark.sql.adaptive.enabled",
-            "true" if (name in heavy or name in aqe_pinned) else "false",
-        )
+        benchconf.apply_query_conf(spark, name, heavy, aqe_pinned, CPUS)
         runs = []
         for _ in range(iters):
             t0 = time.perf_counter()
@@ -131,13 +83,15 @@ def main() -> None:
     # spikes that say nothing about the plan (round-1 driver measured 8 s
     # for a 15 k-row INTERSECT that reruns at <0.5 s)
     timings = {name: round(min(runs), 2) for name, runs in per_run.items()}
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # None (not a crash) when the dir does not follow the sf<N>
+    # convention (ADVICE r12 #3)
+    sf = benchconf.parse_sf(SF_DIR)
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo_dir, "bench_detail.json")
     detail = {
         "iters": iters,
-        "sf": float(sf),
+        "sf": sf,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "runs": per_run,
     }
@@ -163,7 +117,7 @@ def main() -> None:
             if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         round_no = max(rounds) + 1 if rounds else None
-    if round_no is not None and float(sf) == 0.1:
+    if round_no is not None and sf == 0.1:
         archive = os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json")
         if not os.path.exists(archive):
             with open(archive, "w") as f:
@@ -174,7 +128,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         # 1/5/15-min load average at measurement time: co-tenant load on
         # the driver box inflated r04/r05 totals ~1.5x uniformly
         # (BASELINE.md), so the claim must be self-evidencing per run

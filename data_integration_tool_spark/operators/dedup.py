@@ -557,7 +557,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occurrence relation at any corpus scale. PLAIN join-back (r12,
     # VERDICT r11 Next #3): the planner broadcasts it from stats at
     # every test SF (compile fingerprint (3,1,2) with or without a
-    # hint, verified sf0.001/0.01/0.1) and wall is at parity
+    # hint, verified sf0.001/0.01/0.1 — under the bench HEAVY conf,
+    # AQE ON + CPUS shuffle partitions; an AQE-OFF driver run planning
+    # a shuffle join here is conf drift, not a regression) and wall is
+    # at parity
     # (1.19-1.58 s vs 1.36-1.50 s hinted, interleaved min-of-3), while
     # at a 100 TB vocabulary the stats/AQE path degrades to a shuffle
     # join automatically — the hard F.broadcast hint never demotes and

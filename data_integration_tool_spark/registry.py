@@ -115,67 +115,69 @@ _loaded = False
 # after it. NEW r9 additions must land AFTER the r10 queue so the
 # never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r12 window (VERDICT r11 Next #1 + ADVICE r11 #1) ----
-    # Leads: the final 12 never-driver-rowed queries (judge-verified
-    # green at sf0.01 in the r11 session; a green row here closes the
-    # verification story — every oracled query then has a hard driver
-    # proof). The 50 r11-window names proven 50/50 full green in
-    # CORRECTNESS_r11.json were cut from the head at r12 start.
-    "graph_pagerank_personalized",
-    "udtf_sentence_split",
-    "emb_triplet_margin_audit",
-    "events_growth_accounting",
-    "text_kneser_ney",
-    "orders_price_elasticity",
-    "agg_tail_index_hill",
-    "agg_two_proportion_ztest",
-    "orders_abc_classes",
-    "etl_stats_merge_bounds",
-    "agg_capture_recapture",
-    "eval_fairness_audit",
-    # Re-proof of the four plans semantically reworked in r10/r11 whose
-    # latest driver hash rows pre-date the rework (ADVICE r11 #1):
-    "dedup_simhash",
-    "graph_bfs_hops",
-    "agg_hll_merge",
-    "agg_approx_audit",
-    # Oldest-green re-proof block (latest rows are r1): refresh the
-    # stalest hashes so no green is more than ~10 rounds old.
-    "sample_stratified",
-    "scan_parquet",
-    "scan_projected",
-    "filter_cmp",
-    "filter_in_like",
-    "filter_null",
-    "project_case",
-    "project_expr",
-    "join_inner",
-    "join_left",
-    "join_multiway",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_theta",
-    "join_cross",
-    "join_asof",
-    "join_interval",
-    "join_lateral",
-    "agg_group",
-    "agg_global",
-    "agg_distinct",
-    "agg_having",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "win_rank",
-    "win_lag_lead",
-    "win_running",
-    "win_topk_pergroup",
-    # ---- end of the 50-entry r12 window ----
+    # ---- r13 window (VERDICT r12 Next #5: freshness rotation) ----
+    # The never-rowed backlog is zero since r12; rotation's job is now
+    # keeping every green ≤10 rounds old. This window = the 50 stalest
+    # latest-green rows computed programmatically from CORRECTNESS_r{1..12}
+    # at r13 start: all 14 remaining r1 greens + 36 of the 39 r3 greens
+    # (deferred to r14: tpch_q7_volume_shipping, tpch_q8_market_share,
+    # tpch_q9_profit_by_nation_year — the alphabetical tail of the r3
+    # block). The 49-green r12 window (CORRECTNESS_r12.json) was cut from
+    # the head at r13 start.
+    # r1-green block (stalest):
+    "agg_arg_max",
+    "agg_histogram",
+    "agg_string_agg",
+    "limit_offset",
+    "pivot",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi",
+    "topk",
+    "win_first_last",
+    "win_ntile_cume",
+    "win_range_frame",
+    "win_share",
+    "win_sliding_rows",
+    # r3-green block (36 of 39):
+    "agg_collect",
+    "agg_weighted_avg",
+    "chunk_dedup",
+    "cluster_assign",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dim_date_generate",
+    "dq_profile",
+    "emb_centroids",
+    "etl_scd2_intervals",
+    "hist_equidepth",
+    "join_null_safe",
+    "pivot_dynamic",
+    "seasonal_index",
+    "sim_ann_ivf",
+    "sim_ann_ivf_batch",
+    "sim_knn_batch",
+    "sim_knn_exact",
+    "sim_pairs_threshold",
+    "skyline_pareto",
+    "text_fingerprint",
+    "text_ngram_freq",
+    "text_quality",
+    "text_stats",
+    "text_token_count",
+    "text_tokenize_tf",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    # ---- end of the 50-entry r13 window ----
 )
 
 

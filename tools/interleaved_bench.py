@@ -45,13 +45,14 @@ def main() -> None:
 
     import duckdb
 
-    from data_integration_tool_spark import registry
+    from data_integration_tool_spark import benchconf, registry
     from data_integration_tool_spark.session import get_spark
 
     spark = get_spark(
         app_name="interleaved-bench", shuffle_partitions=int(CPUS)
     )
     spark.sparkContext.setLogLevel("ERROR")
+    benchconf.silence_dagscheduler_accumulator_spew(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -66,20 +67,10 @@ def main() -> None:
     ).save()
     con.execute(specs["agg_group"].oracle).fetchall()
 
-    heavy = {
-        n
-        for n, s in specs.items()
-        if {"dedup", "similarity", "decontamination"} & set(s.tags)
-    }
-    aqe_pinned = (
-        {
-            n
-            for n, s in specs.items()
-            if {"regression-gate", "graph", "iterative", "join"}
-            & set(s.tags)
-        }
-        | {"join_skew_aqe", "join_bucketed"}
-    ) - {"plan_join_strategy"}
+    # conf split comes from the shared module so it can never diverge
+    # from bench.py's legs (ADVICE r12 #1)
+    heavy = benchconf.heavy_set(specs)
+    aqe_pinned = benchconf.aqe_pinned_set(specs)
 
     iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
     shared = [
@@ -93,14 +84,7 @@ def main() -> None:
     load_samples = [os.getloadavg()[0]]
     for name in shared:
         spec = specs[name]
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            CPUS if name in heavy else "8",
-        )
-        spark.conf.set(
-            "spark.sql.adaptive.enabled",
-            "true" if (name in heavy or name in aqe_pinned) else "false",
-        )
+        benchconf.apply_query_conf(spark, name, heavy, aqe_pinned, CPUS)
         s_runs = []
         for _ in range(iters):
             t0 = time.perf_counter()
@@ -121,7 +105,8 @@ def main() -> None:
     du_total = sum(du_times.values())
     out = {
         "kind": "interleaved_pair",
-        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        # None when the dir doesn't follow sf<N> (ADVICE r12 #3)
+        "sf": benchconf.parse_sf(SF_DIR),
         "iters": iters,
         "n_queries": len(shared),
         "wall_sec": round(time.time() - t_start, 1),
