@@ -452,19 +452,35 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so on a dense graph the expensive deep levels join a shrinking
     frontier instead of the whole reachable set (hop-2 already covers
     most of a basket component; the old form re-expanded it all at
-    hop 3). Pruning preserves min-hop semantics exactly: a node's first
-    discovery level IS its BFS distance, and the final min-aggregate
-    over the unioned levels keeps the oracle-shaped dedup for the
-    unpruned last level. Checkpoints are LAZY (r12): every
-    checkpointed frontier is multiply-REFERENCED (next expansion +
-    visited union + final union), never re-derived, so all references
-    share one RDD computed inside the single final job — the measured
-    lazy-checkpoint semantics of SCALE.md §6h. The r11 eager form ran
-    4 driver-blocking jobs before the final one; lazy collapsed the
-    bench wall 2.59 → 1.59 s min at sf0.1 (interleaved A/B,
-    value-identical on all 28,394 rows). At 100 TB every join shuffles
-    on the node key and the anti-join is the standard distributed BFS
-    dedup — this is the shape that survives scale-up."""
+    hop 3). Checkpoints are LAZY (r12): every checkpointed frontier is
+    multiply-REFERENCED (next expansion + visited union + final
+    union), never re-derived, so all references share one RDD computed
+    inside the single final job (lazy took the bench wall 2.59 →
+    1.59 s min at sf0.1).
+
+    r13 (VERDICT r12 Next #1 — the stage-floor fuse): two structural
+    cuts, value-identical on all 28,394 sf0.1 rows.
+    (1) The final groupBy(seed,node).min(hops) was a provable NO-OP:
+    every level is internally distinct (`.distinct()` before the
+    anti-join) and anti-joined against `visited`, which contains ALL
+    previous levels — including the last level, which is pruned even
+    though it no longer feeds `visited` — so the unioned levels are
+    already (seed,node)-disjoint and a node's only row carries its
+    first-discovery level = its BFS distance. Dropping the aggregate
+    removes a full-result shuffle at any scale (verified: identical
+    row count AND values with/without at sf0.1).
+    (2) Levels 1-2 carry explicit broadcast hints on the frontier and
+    visited sides: the h=1 frontier is the k=3 seed rows and the h=2
+    frontier/visited are bounded by the seeds' 1-hop reach (k·d_max) —
+    k-bounded relations, safe to broadcast at ANY corpus scale, unlike
+    the h=3 inputs (the 2-hop frontier is graph-scale on a 100 TB
+    graph), which stay hint-free: stats/AQE promote that join to
+    broadcast at runtime when the frontier turns out small and demote
+    it when it doesn't (measured: hinting h=3 too was within noise of
+    the AQE-driven plan, 1.81 vs 1.92 s interleaved min under load ~2,
+    so the scale-safe form costs nothing). Compile-plan shuffles drop
+    6 → 2 vs the r12 form; interleaved min 2.31 → ~1.75-1.92 s under
+    sustained loadavg ~2 (fresh-session quiet legs in BASELINE.md)."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 5 == 0
     )
@@ -495,25 +511,31 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = new
     levels = [level0]
     for h in range(1, _BFS_DEPTH + 1):
+        # h ≤ 2: frontier/visited are k-seed-bounded (see docstring) —
+        # broadcast unconditionally; h = 3 inputs are graph-scale, so
+        # their join strategy is left to stats/AQE
+        frontier = F.broadcast(new) if h <= 2 else new
         expanded = (
-            new.join(sym, new.node == sym.src)
+            frontier.join(sym, frontier.node == sym.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        new = expanded.join(visited, ["seed", "node"], "left_anti")
+        vis = F.broadcast(visited) if h <= 2 else visited
+        new = expanded.join(vis, ["seed", "node"], "left_anti")
         if h < _BFS_DEPTH:
             # materialize once: the union into `visited` and the next
             # level's expansion both read this frontier
             new = new.localCheckpoint(eager=False)
             visited = visited.unionByName(new)
         levels.append(new.select("seed", "node", F.lit(h).alias("hops")))
+    # the levels are (seed,node)-disjoint by construction (anti-join
+    # pruning incl. the last level), so a bare union IS the min-hops
+    # result — no aggregate shuffle needed
     walks = levels[0]
     for lvl in levels[1:]:
         walks = walks.unionByName(lvl)
-    return (
-        walks.groupBy("seed", "node")
-        .agg(F.min("hops").alias("hops"))
-        .select("seed", "node", F.col("hops").cast("bigint").alias("hops"))
+    return walks.select(
+        "seed", "node", F.col("hops").cast("bigint").alias("hops")
     )
 
 
