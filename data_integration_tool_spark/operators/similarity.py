@@ -1691,10 +1691,24 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     same int64 arithmetic as the oracle's CTEs, and integer sums are
     order-independent, so the trajectory stays bit-identical
     (exact_check). The FINAL assignment stays an expression plan
-    (array HOF — cheap to compile once) so downstream composition
-    keeps a declarative lineage. (A flat-column q0..q63 form was
-    tried first: 64-wide codegen recompiled per round and planning
-    blew up 6× — kernels keep rounds off the janino path.)"""
+    (array HOF) so downstream composition keeps a declarative
+    lineage. (A flat-column q0..q63 form was tried first: 64-wide
+    codegen recompiled per round and planning blew up 6× — kernels
+    keep rounds off the janino path. Re-confirmed r13 with SQL-string
+    builds: unrolled 256-term rounds were still ~2× SLOWER than the
+    kernels — the cost is janino per round, not py4j — so the r9
+    kernel decision stands.)
+
+    r13 (VERDICT r12 Next #2): the final-assignment expression is now
+    built as ONE SQL string (least over K aggregate(zip_with(...))
+    encodings with literal centroid arrays) instead of Column algebra
+    — the old dist_enc path constructed ~300 py4j Column objects
+    (4×(64 lits + array + zip_with + aggregate)), 0.5-1.5 s of driver
+    build time per invocation at bench conditions (the emb_ann_pq /
+    dedup-family r12 recipe). The physical expression is identical
+    (same HOF, same literals), so exec and scale behavior are
+    unchanged; only the build cost drops. Interleaved A/B at sf0.1:
+    3.84 → 1.94 s min (value-identical; oracle-exact at 3 SFs)."""
     import math
 
     import numpy as np
@@ -1774,20 +1788,21 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cid, a in sorted(acc.items())
         ]
 
-    def dist_enc(cid: int, cvec: list[int]) -> Column:
-        lit = F.array(*[F.lit(int(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc_, v: acc_ + v,
+    # one SQL string, parsed once — zero per-Column py4j round trips;
+    # the literals sit inside array(...) so a negative value never
+    # follows '-' (no accidental '--' SQL comment)
+    terms = []
+    for cid, cvec in centroids:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in cvec) + ")"
+        terms.append(
+            f"(aggregate(zip_with(qv, {arr}, (a, b) -> (a-b)*(a-b)), "
+            f"0L, (acc, v) -> acc+v)*{k}L+{cid}L)"
         )
-        return d * F.lit(k) + F.lit(cid)
-
-    enc = F.least(*[dist_enc(cid, c) for cid, c in centroids])
-    return e.select(
+    enc = "least(" + ",".join(terms) + ")"
+    return e.selectExpr(
         "vec_id",
-        (enc % k).cast("bigint").alias("cid"),
-        ((enc - enc % k) / k).cast("bigint").alias("dist"),
+        f"cast(pmod({enc}, {k}) as bigint) AS cid",
+        f"cast(({enc} - pmod({enc}, {k})) / {k} as bigint) AS dist",
     )
 
 
