@@ -231,3 +231,27 @@ def test_plan_fingerprint_gate_matches_pins(spark, sf_dir):
             "conf.set",
         ):
             assert effect not in src, f"{name} builder gained {effect}"
+
+
+def test_graph_iterative_joins_carry_no_hard_broadcast_hints(spark, sf_dir):
+    """r13: graph_kcore's per-round degree joins and graph_adamic_adar's
+    term join used to hard-hint F.broadcast on NODE-grain relations —
+    graph-scale at 100 TB, and a hard hint can never be demoted. Both
+    now leave the strategy to stats/AQE (measured parity / -13% at
+    sf0.1). Pin the absence of the hazard at its source: the builders
+    must not invoke F.broadcast at all (kcore's hinted joins ran inside
+    eager-checkpoint build jobs, so no plan-string assertion on the
+    returned DataFrame could catch a regression there)."""
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.operators import graph as graph_mod
+
+    calls: list[int] = []
+    real = graph_mod.F.broadcast
+    graph_mod.F.broadcast = lambda df: (calls.append(1), real(df))[1]
+    try:
+        for name in ("graph_kcore", "graph_adamic_adar"):
+            df = registry.specs()[name].builder(spark, sf_dir)
+            assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+            assert not calls, f"{name} builder re-grew a hard broadcast hint"
+    finally:
+        graph_mod.F.broadcast = real
