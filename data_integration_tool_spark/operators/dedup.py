@@ -1355,8 +1355,17 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the pair relation is candidate-sized (banding keeps it
     near-linear; the star-cap bounds template blowups); two
-    broadcast-able doc_id->source joins tag it; the matrix rollup is
-    a bounded (<= sources^2/2) combinable agg."""
+    doc_id->source joins tag it; the matrix rollup is a bounded
+    (<= sources^2/2) combinable agg. r13: those two joins carried
+    hard F.broadcast hints on the doc_id->source map — DOC grain,
+    i.e. corpus-scale at 100 TB, and a hard hint can never be demoted
+    (the dedup_simhash r12 hazard class). Hints removed; the query is
+    heavy-tagged so it runs AQE-on, and the runtime planner promotes
+    the joins to broadcast off measured sizes when the doc map is
+    genuinely small and demotes them when it is not. Measured
+    in-process A/B (bench conf, min/med of 5): hint 1.21/1.32 s vs
+    hint-free 1.19/1.29 s — parity, the scale-safe form costs
+    nothing."""
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = dedup_minhash(spark, sf_dir).filter(~F.col("star_edge"))
     da = src.select(
@@ -1366,8 +1375,8 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
     )
     tagged = (
-        pairs.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
