@@ -621,7 +621,24 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is a map-only stage: the lateral never leaves the
     scan task and downstream sentence-grain operators shuffle on the
-    sentence keys they need."""
+    sentence keys they need.
+
+    r13: the final global sort used to sit directly on the lateral —
+    and a global sort's range-partitioner SAMPLES its child first, so
+    the Python UDTF executed TWICE per action (phase split: lateral
+    alone 0.81 s, full query 1.72 s). A lazy localCheckpoint under the
+    orderBy materializes the sentence relation once and lets both the
+    sampling pass and the sort read it back: 1.64/1.66 s -> 0.91/0.93 s
+    min/med of 5 under bench conf. The checkpoint bytes are the same
+    order as the sort's own exchange spill, so the scale posture is
+    unchanged — it exists to keep the corpus-scale Python pass from
+    running twice. (A precompiled-regex eval body measured at parity —
+    re's pattern cache already amortizes the compile — and the
+    DataFrame-orderBy siblings [applyInPandas/mapInPandas tails] all
+    measured within noise of +-7%: their Python is cheap relative to
+    the sort, or AQE already materializes the child stage. This UDTF
+    is the one query where the resample genuinely doubled a heavy
+    Python pass; scratch/r13o_sort_resample_ab.py.)"""
     from pyspark.sql.functions import udtf
 
     @udtf(
@@ -649,8 +666,8 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "documents").createOrReplaceTempView(
         "_udtf_sent_docs"
     )
-    return spark.sql(
+    lat = spark.sql(
         "SELECT s.* FROM _udtf_sent_docs,"
         " LATERAL sentence_split(doc_id, text) AS s"
-        " ORDER BY doc_id, sent_idx"
     )
+    return lat.localCheckpoint(eager=False).orderBy("doc_id", "sent_idx")
