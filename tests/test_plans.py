@@ -269,3 +269,18 @@ def test_udtf_sentence_split_checkpoints_under_the_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan
     assert "EvalPython" not in plan and "ArrowUDTF" not in plan, plan
+
+
+def test_pii_redact_projects_after_the_sort(spark, sf_dir):
+    """r13: the range-partitioned sort samples its child before sorting
+    — with the 4-regex projection underneath, the regex pass ran twice
+    per action (0.55 -> 0.25 s min-of-7 after reordering). Pin the
+    shape: the regex projection must sit ABOVE the Sort, so the
+    sampling pass only re-runs the cheap concat."""
+    from data_integration_tool_spark.operators.curation import pii_redact
+
+    df = pii_redact(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sort_at = plan.index("Sort")
+    regex_at = plan.index("regexp_replace")
+    assert regex_at < sort_at, plan[:800]
