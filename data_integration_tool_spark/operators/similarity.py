@@ -2467,10 +2467,27 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cell sums are order-free integers.
 
     Plan: 10 centroids collect as driver scalars (K·64 — the
-    sanctioned k-means pattern) and re-enter as broadcast literals in
-    ONE map-only F.least over array expressions (no explode, no
-    join); the contingency is a ≤ labels×10-group combinable agg;
-    everything after is cell-grain arithmetic."""
+    sanctioned k-means pattern) and re-enter as literals in ONE
+    map-only least() over array expressions (no explode, no join);
+    the contingency is a ≤ labels×10-group combinable agg; everything
+    after is cell-grain arithmetic.
+
+    r13 build+shape rework (the emb_kmeans_lloyd recipe, measured in
+    the same A/B — scratch/r13o_purity_ab.py): (1) the argmin encoding
+    is rendered as ONE SQL string parsed once instead of ~700 py4j
+    Column constructions (10×(64 lits + zip_with + aggregate)) — that
+    alone cut the bench-conf wall 2.17 → 1.16 s min; (2) the six
+    independent scalar subtrees (tot/marginals/purity/MI/entropies,
+    each a 2-phase agg over the checkpointed contingency, 12 Exchanges
+    + 5 BroadcastNestedLoopJoin attaches) fold into ONE linear window
+    pipeline over the cell-grain relation — marginals via
+    partitionBy(label)/partitionBy(cid) windows, per-marginal terms
+    counted once through rn=1 guards, then a single global agg. Same
+    pico-quantized terms at the same grains, so the integer sums are
+    unchanged (oracle-exact 3 SFs); cell grain is alphabet-bounded, so
+    the single-partition global window is scale-safe. 1.08/1.42 s
+    min/med after (was 2.17/2.66); no checkpoint needed — the argmin
+    scan now has exactly one reader."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2482,117 +2499,95 @@ def eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()  # driver-scalar: 10x64 centroid components
 
-    def dist_enc(cid: int, cvec: list) -> Column:
-        lit = F.array(*[F.lit(int(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+    # one SQL string, parsed once (the _kmeans_final r13 recipe);
+    # pmod == % here because the encodings are nonnegative
+    terms = []
+    for r in cents:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in r.qv) + ")"
+        terms.append(
+            f"(aggregate(zip_with(qv, {arr}, (a, b) -> (a-b)*(a-b)), "
+            f"0L, (acc, v) -> acc+v)*10L+{int(r.vec_id)}L)"
         )
-        return d * F.lit(10) + F.lit(cid)
-
-    enc = F.least(*[dist_enc(int(r.vec_id), list(r.qv)) for r in cents])
+    enc = "least(" + ",".join(terms) + ")"
     cont = (
-        e.select("label", (enc % 10).cast("bigint").alias("cid"))
+        e.selectExpr("label", f"cast(pmod({enc}, 10) as bigint) AS cid")
         .groupBy("label", "cid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
     )
-    # lazy is sufficient here: all six reading subtrees (tot, both
-    # marginals, purity, MI, entropies) share the ONE checkpointed RDD
-    # within the final job, so the argmin scan runs once either way
-    # (measured eager≈lazy at sf0.1, r11 A/B — the LPA lesson applies
-    # to re-DERIVED lineages, not to shared references of one
-    # checkpointed DataFrame)
-    cont = cont.localCheckpoint(eager=False)
-    tot = cont.agg(
+    frame = Window.unboundedPreceding, Window.unboundedFollowing
+    w_l = Window.partitionBy("label").orderBy("cid")
+    w_c = Window.partitionBy("cid").orderBy("label")
+    cells = cont.select(
+        "label",
+        "cid",
+        "n_cl",
+        F.sum("n_cl").over(w_l.rowsBetween(*frame)).alias("n_l"),
+        F.row_number().over(w_l).alias("rn_l"),
+        F.sum("n_cl").over(w_c.rowsBetween(*frame)).alias("n_c"),
+        F.max("n_cl").over(w_c.rowsBetween(*frame)).alias("mx"),
+        F.row_number().over(w_c).alias("rn_c"),
+    ).withColumn(
+        "n",
+        F.sum("n_cl").over(Window.partitionBy().rowsBetween(*frame)),
+    )
+    mi_t = F.floor(
+        F.col("n_cl").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_cl")
+            / (F.col("n_c").cast("double") * F.col("n_l"))
+        )
+        * F.lit(1000000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+
+    def ent_t(col: str) -> Column:
+        return F.floor(
+            -(F.col(col).cast("double") / F.col("n"))
+            * F.log(F.col(col).cast("double") / F.col("n"))
+            * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    scal = cells.agg(
         F.sum("n_cl").cast("bigint").alias("n"),
         F.countDistinct("label").cast("bigint").alias("n_labels"),
         F.countDistinct("cid").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("rn_c") == 1, F.col("mx")))
+        .cast("bigint")
+        .alias("pure_n"),
+        F.sum(mi_t).cast("bigint").alias("mi_pico"),
+        F.sum(F.when(F.col("rn_l") == 1, ent_t("n_l")))
+        .cast("bigint")
+        .alias("hl_pico"),
+        F.sum(F.when(F.col("rn_c") == 1, ent_t("n_c")))
+        .cast("bigint")
+        .alias("hc_pico"),
     )
-    marg_l = cont.groupBy("label").agg(
-        F.sum("n_cl").cast("bigint").alias("n_l")
-    )
-    marg_c = cont.groupBy("cid").agg(
-        F.sum("n_cl").cast("bigint").alias("n_c")
-    )
-    pur = (
-        cont.groupBy("cid")
-        .agg(F.max("n_cl").alias("mx"))
-        .agg(F.sum("mx").cast("bigint").alias("pure_n"))
-    )
-    mi = (
-        cont.join(marg_l, "label")
-        .join(F.broadcast(marg_c), "cid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.floor(
-                F.col("n_cl").cast("double")
-                / F.col("n")
-                * F.log(
-                    F.col("n").cast("double")
-                    * F.col("n_cl")
-                    / (F.col("n_c").cast("double") * F.col("n_l"))
-                )
-                * F.lit(1000000000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("t")
+    return scal.select(
+        "n",
+        "n_labels",
+        "n_clusters",
+        F.floor(
+            F.col("pure_n").cast("double") / F.col("n") * F.lit(1000000.0)
+            + F.lit(0.5)
         )
-        .agg(F.sum("t").cast("bigint").alias("mi_pico"))
-    )
-
-    def ent(marg: DataFrame, col: str, out: str) -> DataFrame:
-        return (
-            marg.crossJoin(F.broadcast(tot))
-            .select(
-                F.floor(
-                    -(F.col(col).cast("double") / F.col("n"))
-                    * F.log(F.col(col).cast("double") / F.col("n"))
-                    * F.lit(1000000000000.0)
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("t")
-            )
-            .agg(F.sum("t").cast("bigint").alias(out))
+        .cast("bigint")
+        .alias("purity_micro"),
+        F.floor(
+            F.col("mi_pico").cast("double") / F.lit(1000000.0) + F.lit(0.5)
         )
-
-    hl = ent(marg_l, "n_l", "hl_pico")
-    hc = ent(marg_c, "n_c", "hc_pico")
-    return (
-        tot.crossJoin(pur)
-        .crossJoin(mi)
-        .crossJoin(hl)
-        .crossJoin(hc)
-        .select(
-            "n",
-            "n_labels",
-            "n_clusters",
-            F.floor(
-                F.col("pure_n").cast("double") / F.col("n")
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("purity_micro"),
-            F.floor(
-                F.col("mi_pico").cast("double") / F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("mi_micro"),
-            F.floor(
-                F.col("mi_pico").cast("double")
-                / F.sqrt(
-                    F.col("hl_pico").cast("double") * F.col("hc_pico")
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("nmi_micro"),
+        .cast("bigint")
+        .alias("mi_micro"),
+        F.floor(
+            F.col("mi_pico").cast("double")
+            / F.sqrt(F.col("hl_pico").cast("double") * F.col("hc_pico"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("nmi_micro"),
     )
 
 
