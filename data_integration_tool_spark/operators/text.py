@@ -1594,7 +1594,21 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the position explode is the only data-sized stage (the
     text_ngram_freq shape — sequence + explode stays in codegen, no
     UDF); counts collapse to alphabet-bounded grain map-side; the
-    marginal join runs at that bounded grain."""
+    marginal join runs at that bounded grain.
+
+    r13 (scratch/r13o_bigram_ab.py, same-session A/B at bench confs):
+    (1) the tot broadcast subtree failed exchange reuse, so the
+    data-sized explode+partial-agg pipeline ran TWICE per action
+    (plans/r13: two Generate+Exchange pairs) — bg_counts now lazily
+    localCheckpoints (alphabet-bounded, ~1k rows/source at ANY corpus
+    size) and all four readers share the one materialization;
+    (2) the group keys of the data-sized aggregate are now an integer
+    bigram code ascii(c1)·256+ascii(c2) instead of 2-char/1-char
+    UTF8String keys — bijective on the pinned-ASCII fixture, so
+    counts at (source, code) grain equal counts at (source, bg, c1)
+    grain, while the per-character hash probe and the shuffle key
+    narrow to a long (guide §2.2). 1.80/1.85 → 1.42/1.57 s min/med
+    quiet, −36% med under load; oracle-exact 3 SFs."""
     d = load(spark, sf_dir, "documents").filter(
         F.substring(
             F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
@@ -1607,15 +1621,23 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("text") - F.lit(1))
         ).alias("i"),
         "text",
-    ).select(
+    ).selectExpr(
         "source",
-        F.expr("substr(text, i, 2)").alias("bg"),
-        F.expr("substr(text, i, 1)").alias("c1"),
+        "ascii(substr(text, i, 1)) * 256 + ascii(substr(text, i + 1, 1))"
+        " AS bgc",
     )
-    bg_counts = grams.groupBy("source", "bg", "c1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nab")
+    bg_counts = (
+        grams.groupBy("source", "bgc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .select(
+            "source",
+            "bgc",
+            (F.col("bgc") / 256).cast("int").alias("c1c"),
+            "nab",
+        )
+        .localCheckpoint(eager=False)
     )
-    c1_counts = bg_counts.groupBy("source", "c1").agg(
+    c1_counts = bg_counts.groupBy("source", "c1c").agg(
         F.sum("nab").cast("bigint").alias("na")
     )
     tot = bg_counts.groupBy("source").agg(
@@ -1623,7 +1645,7 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
     )
     terms = (
-        bg_counts.join(c1_counts, ["source", "c1"])
+        bg_counts.join(c1_counts, ["source", "c1c"])
         .join(F.broadcast(tot), "source")
         .select(
             "source",
