@@ -2077,7 +2077,13 @@ def decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = (
         grams.filter(~F.expr(_BENCH_PRED_SQL))
-        .select("doc_id", "source", "gram")
+        # doc_id determines source, and source is re-attached from the
+        # docs relation in `flags` — keeping it here only widened the
+        # query's biggest shuffle (the gram-grain distinct) with a dead
+        # string column (guide §2.2: project early). r13 A/B: 1.56 →
+        # 1.47 s min, value-identical (scratch/r13o_decon_report_ab.py;
+        # a fused countDistinct form measured SLOWER — Expand 2×).
+        .select("doc_id", "gram")
         .distinct()
         .join(F.broadcast(bench), F.col("gram") == F.col("bgram"), "left")
         .groupBy("doc_id")
