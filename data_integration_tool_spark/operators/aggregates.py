@@ -5162,10 +5162,22 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE combinable (lang, source) aggregate collapses the
     corpus to marginal-cell grain (L×S rows — tiny at any corpus
     size); all six rescale steps are window sums AT THAT GRAIN; the
-    output is cell-grain. One corpus-sized shuffle total."""
+    output is cell-grain. One corpus-sized shuffle total.
+
+    r13: the cell relation coalesces to ONE partition right after the
+    corpus aggregate (narrow, no shuffle) — SinglePartition satisfies
+    every partitionBy, so the six alternating half-step windows that
+    previously each paid an Exchange+Sort (≈13 sequential cell-grain
+    stage floors) now run exchange-free inside one task, as does the
+    residual branch. Bounded grain makes the single task scale-safe
+    (the eval_cluster_purity global-window argument). A/B 1.31/1.63 →
+    1.09/1.23 s min/med (scratch/r13o_raking_ab.py, value-identical;
+    oracle-exact 3 SFs)."""
     d = load(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .coalesce(1)
     )
     tot = F.broadcast(
         cells.agg(
