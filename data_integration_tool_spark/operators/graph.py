@@ -952,6 +952,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("pb"),
         )
         .distinct()
+        # r13: this was the ONLY graph operator without a checkpoint on
+        # its shared edge relation — the degree subtree and the moment
+        # join each re-derived the self-join+distinct. Lazy checkpoint,
+        # the graph_clustering_coeff/graph_triangles pattern. A/B
+        # 1.89/2.25 → 1.36/1.54 s min/med (scratch/r13o_assort_ab.py,
+        # value-identical; oracle-exact 3 SFs).
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))
