@@ -415,7 +415,13 @@ _FP_PINNED: tuple[tuple[str, int, int, int], ...] = (
     ("graph_triangles", 5, 1, 0),
     ("join_bloom_prefilter", 3, 3, 4),
     ("sample_poisson_bootstrap", 1, 0, 1),
-    ("text_char_bigram_entropy", 9, 3, 4),
+    # r13: -4 shuffles/-4 scans from the bg_counts lazy localCheckpoint
+    # (the alphabet-bounded counts materialize once; all four readers
+    # are Scan ExistingRDD, so the corpus scan+explode lives inside the
+    # checkpointed subtree and the outer plan fingerprint no longer
+    # sees it) — re-pinned deliberately, not a regression; verified
+    # SF-stable at sf0.001/0.01/0.1
+    ("text_char_bigram_entropy", 5, 3, 0),
 )
 
 
