@@ -2198,14 +2198,22 @@ def etl_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one month-grain combinable count + the batch-month scans;
     the anti-join orphan check broadcasts the batch-bounded key set
     or sort-merges at scale; gates are three 1-row folds UNION ALLed
-    with a 1-row verdict cross-join."""
+    with a 1-row verdict cross-join. r13: the month-grain counts and
+    the 3-row gates relation are LAZY localCheckpoints — the compiled
+    plan previously re-derived every subtree at each reference
+    (``latest`` rode 4 branches, ``gates`` fed both the output and the
+    verdict fold), totalling 24 lineitem scans; ``latest`` is now an
+    aggregate OVER the month-grain checkpoint instead of its own
+    corpus pass, and the checkpoints cut the plan to 3 lineitem + 1
+    orders scans — the guide §2.4 re-derivation fix, value-identical
+    (oracle-exact at 3 SFs)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").select("o_orderkey")
     mth = F.date_trunc("month", "l_shipdate")
-    latest = li.agg(F.max(mth).alias("mx"))
     monthly = li.groupBy(mth.alias("m")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
+    ).localCheckpoint(eager=False)
+    latest = monthly.agg(F.max("m").alias("mx"))
     hist = monthly.crossJoin(F.broadcast(latest)).filter(
         F.col("m") < F.col("mx")
     )
@@ -2266,7 +2274,7 @@ def etl_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("bound"),
         (F.col("nd") == 0).alias("pass"),
     )
-    gates = g1.unionAll(g2).unionAll(g3)
+    gates = g1.unionAll(g2).unionAll(g3).localCheckpoint(eager=False)
     verdict = gates.agg(
         F.when(F.min(F.col("pass").cast("int")) == 1, "publish")
         .otherwise("rollback")
