@@ -3863,7 +3863,11 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE join + combinable agg to nation grain (25 rows) is the
     only data-sized stage; totals, pseudo-values, deviations, and
     the final SE all run on that 25-row relation with 1-row
-    broadcast cross-joins."""
+    broadcast cross-joins. The nation-grain relation is a LAZY
+    localCheckpoint (r13): without it the compiled tree re-derived
+    the lineitem⋈supplier aggregate at every reference — tot, pseudo,
+    dsum, qterm and the final select each carried their own copy,
+    8 lineitem scans in the compiled plan."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     x = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
@@ -3883,6 +3887,7 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = grp.agg(
         F.count(F.lit(1)).cast("bigint").alias("ng"),
