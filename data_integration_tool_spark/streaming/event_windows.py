@@ -543,6 +543,10 @@ def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "vts")
         .agg(F.min("c_ts").alias("cts"))
+        # converted-view grain, referenced by BOTH the purchase
+        # semi-join and the step-2 count — lazy checkpoint so the
+        # view⋈click range join runs once per action, not twice (r13)
+        .localCheckpoint(eager=False)
     )
     vcp = vc.join(
         p,
@@ -3030,7 +3034,11 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (time-span cardinality, not rows); the 5 scales ride UNION ALL
     re-aggregations of that tiny series (incomplete tail blocks
     dropped — cnt = m); the 1-row fit broadcast-cross-joins back to
-    5-row scale grain."""
+    5-row scale grain. The daily series is a LAZY localCheckpoint
+    (r13): without it each of the 5 UNION legs plus the global-mean
+    aggregate re-derived the orders scan, the day rollup AND the
+    single-partition row-number window — 12 orders scans and 6 global
+    sorts in the compiled tree."""
     o = load(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
@@ -3047,6 +3055,7 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rn"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     tot = daily.agg(
         F.expr("CAST(sum(rev) DIV count(*) AS BIGINT)").alias("c")
@@ -3504,7 +3513,11 @@ def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: combinable daily rollup -> one ROWS window over the tiny
     series -> 7-row seasonal join-back -> two discrete quantiles over
     the series-length relation with 1-row broadcast-backs. Output is
-    anomaly-sized."""
+    anomaly-sized. detrended and resid are LAZY localCheckpoints
+    (r13): without them the compiled tree re-derived the orders scan,
+    daily rollup and trend window at every reference (seasonal + the
+    resid join, then med/madr/final over resid) — 8 orders scans and
+    as many global window sorts."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day"),
@@ -3534,7 +3547,7 @@ def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s7") / F.lit(7.0) * F.lit(1000000.0) + F.lit(0.5)
             ).cast("bigint")
         ).alias("det_micro"),
-    )
+    ).localCheckpoint(eager=False)
     seasonal = detrended.groupBy("dow").agg(
         F.floor(
             F.sum("det_micro").cast("double") / F.count(F.lit(1))
@@ -3549,7 +3562,7 @@ def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("det_micro") - F.col("seasonal_micro"))
         .cast("bigint")
         .alias("r_micro"),
-    )
+    ).localCheckpoint(eager=False)
     med = resid.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r_micro)")
         .cast("bigint")
