@@ -170,6 +170,11 @@ def plan_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = stats_parts[0]
     for p in stats_parts[1:]:
         stats = stats.unionAll(p)
+    # 7-row stats relation, referenced by BOTH join sides below — lazy
+    # checkpoint so the compiled plan carries one copy of the 7 table
+    # aggregates instead of re-deriving all 7 scans per side (r13;
+    # 14 scans -> 7 at any scale)
+    stats = stats.localCheckpoint(eager=False)
     joins = spark.createDataFrame(
         list(_JOINS), ["left_tbl", "right_tbl", "join_key"]
     )
