@@ -478,7 +478,13 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     vocab = df.orderBy(F.desc("df"), F.asc("token")).limit(40)
-    vt = toks.join(F.broadcast(vocab), "token")
+    # vocab-restricted posting list (≤40 tokens per doc), referenced by
+    # BOTH sides of the pair self-join — lazy checkpoint so the corpus
+    # tokenize+distinct+vocab join runs once per action instead of once
+    # per side (r13; 5 documents scans -> 2: one under vt, one under df)
+    vt = toks.join(F.broadcast(vocab), "token").localCheckpoint(
+        eager=False
+    )
     n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     a = vt.alias("a")
     b = vt.alias("b")
