@@ -3301,7 +3301,10 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = base.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
+    # 5-row segment moments, referenced by terms/tot/final — the lazy
+    # checkpoint cuts the compiled orders⋈customer derivations from 4
+    # to 2 (one under grp, one under terms; r13 re-derivation sweep)
     ratio = F.col("x").cast("double") * F.col("n") / F.col("s")
     terms = (
         base.join(F.broadcast(grp), "seg")
@@ -3413,7 +3416,10 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("s")
-    )
+    ).localCheckpoint(eager=False)
+    # supplier-grain revenue, referenced by tot/hhi/top4 — the lazy
+    # checkpoint keeps the corpus aggregate single in the compiled
+    # plan (r13 re-derivation sweep)
     tot = sup.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sup"),
         F.sum("s").cast("bigint").alias("stot"),
@@ -4868,6 +4874,10 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
         .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+        # user-grain covariate relation, referenced by the pooled and
+        # per-variant moment aggregates — lazy checkpoint so the events
+        # scan + user rollup compiles once (r13 re-derivation sweep)
+        .localCheckpoint(eager=False)
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

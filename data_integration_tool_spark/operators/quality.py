@@ -416,7 +416,10 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
             "med"
         )
-    )
+    ).localCheckpoint(eager=False)
+    # 5-row medians feed dev, which is referenced twice (mad + final):
+    # without the lazy checkpoint the sort-based grouped percentile
+    # re-ran per reference (r13 re-derivation sweep)
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
@@ -1288,7 +1291,10 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
+    # bucket-grain cumulative histogram, referenced by BOTH quartile
+    # selector legs — the lazy checkpoint keeps the corpus histogram
+    # pass single in the compiled plan (r13 re-derivation sweep)
     selectors = None
     for p_lbl, q in ((1, 0.25), (3, 0.75)):
         r = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
@@ -1819,6 +1825,10 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = li.groupBy(
         F.date_trunc("month", "l_shipdate").cast("date").alias("mth")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    # month-grain relation referenced by med + devs (and devs by madr +
+    # final) — lazy checkpoint so the corpus rollup compiles once, not
+    # 4x (r13 re-derivation sweep)
+    monthly = monthly.localCheckpoint(eager=False)
     med = monthly.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_rows)")
         .cast("bigint")

@@ -909,7 +909,10 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.sum("delta").over(w_cum).cast("bigint").alias("open_now"),
         F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
-    )
+    ).localCheckpoint(eager=False)
+    # day-grain sweep, referenced by idle + the peak TakeOrdered —
+    # the lazy checkpoint keeps the two corpus counts and the running
+    # window single in the compiled plan (r13 re-derivation sweep)
     idle = swept.agg(
         F.sum(F.when(F.col("open_now") == 0, 1).otherwise(0))
         .cast("bigint")

@@ -3377,7 +3377,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s7") / F.lit(7.0) * F.lit(1000000.0) + F.lit(0.5)
             ).cast("bigint")
         ).alias("det_micro"),
-    )
+    ).localCheckpoint(eager=False)
     seasonal = detrended.groupBy("dow").agg(
         F.floor(
             F.sum("det_micro").cast("double") / F.count(F.lit(1))
@@ -3403,7 +3403,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("seasonal_micro") / F.lit(1000000.0) + F.lit(0.5)
             ).cast("bigint")
         ).alias("tr"),
-    )
+    ).localCheckpoint(eager=False)
     ctr = units.agg(
         F.expr("CAST(sum(tr) DIV count(*) AS BIGINT)").alias("c")
     )
