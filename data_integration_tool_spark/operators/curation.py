@@ -1466,7 +1466,10 @@ def mixture_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bysrc = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
+    # source-grain counts feed tot/terms (and terms feeds fold/final)
+    # — the lazy checkpoint keeps the corpus rollup single in the
+    # compiled plan (r13 re-derivation sweep: 4 documents scans -> 1)
     tot = bysrc.agg(
         F.sum("n_docs").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("k"),
@@ -1819,7 +1822,10 @@ def sample_ess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bylang = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
+    # language-grain counts feed tot/weighted/ess/final — the lazy
+    # checkpoint keeps the corpus rollup single in the compiled plan
+    # (r13 re-derivation sweep: 4 documents scans -> 1)
     tot = F.broadcast(
         bylang.agg(
             F.sum("n_docs").cast("bigint").alias("total"),

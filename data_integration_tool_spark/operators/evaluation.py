@@ -705,7 +705,10 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         micro(p).alias("pm"),
         F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
-    )
+    ).localCheckpoint(eager=False)
+    # row-grain binned scores feed rowsum AND the bin rollup (which
+    # feeds tot/binsum) — lazy checkpoint so the score scan compiles
+    # once (r13 re-derivation sweep: 4 embeddings scans -> 1)
     rowsum = binned.agg(
         F.sum(
             F.floor(F.expr(_BR_ROW) * F.lit(1e12) + F.lit(0.5)).cast(

@@ -1640,6 +1640,11 @@ def etl_surrogate_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nk",
             F.row_number().over(Window.orderBy("nk")).alias("sk"),
         )
+        # dimension-grain keyed relation referenced by hwm, the
+        # arrivals anti-join and the output union — lazy checkpoint so
+        # the scan + global rank window compiles once (r13
+        # re-derivation sweep: 4 customer scans -> 2)
+        .localCheckpoint(eager=False)
     )
     hwm = existing.agg(
         F.coalesce(F.max("sk"), F.lit(0)).cast("bigint").alias("high_water")
@@ -1780,7 +1785,10 @@ def etl_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         ).alias("d_span"),
-    )
+    ).localCheckpoint(eager=False)
+    # 1-row bounds, cross-joined into BOTH cells() legs — the lazy
+    # checkpoint keeps the bounds scan single in the compiled plan
+    # (r13 re-derivation sweep: 4 orders scans -> 3)
 
     def cells(df: DataFrame, clamp: bool, out: str) -> DataFrame:
         zx = F.floor(
