@@ -1318,10 +1318,18 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot partitions with no force flag), plus forceOptimizeSkewedJoin
     because the demo's extra-shuffle guard would otherwise veto the
     split, and broadcast disabled so the tiny dim doesn't sidestep
-    the SMJ path under test. The fact side round-robins to 16 map
-    tasks first so the hot partition spans multiple map outputs —
-    AQE splits along map boundaries (single-file inputs at small SF
-    would otherwise leave nothing to split).
+    the SMJ path under test. The fact side spreads to 16 map tasks
+    first so the hot partition spans multiple map outputs — AQE
+    splits along map boundaries (single-file inputs at small SF
+    would otherwise leave nothing to split). The spread keys on
+    pmod(xxhash64(raw orderkey), 320) rather than round-robin (r13):
+    a keyless repartition(n) pays a per-task sort of its input
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5) so
+    retried tasks reproduce their row-to-partition assignment; a
+    deterministic hash key needs no sort, spreads the hot rows
+    identically (their RAW orderkeys are distinct), and is
+    retry-safe by construction. 20x partition count on the synthetic
+    key avoids the few-distinct-values collision skew (guide §2.5).
 
     The 5-group aggregate is collected once to finalize the adaptive
     plan and read the flags; re-emission via createDataFrame keeps
@@ -1334,6 +1342,9 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_orderkey"))
         .alias("k"),
         cents(F.col("l_extendedprice")).alias("rev"),
+        F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(320)).alias(
+            "spread"
+        ),
     )
     dim = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
@@ -1356,7 +1367,8 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for key, val in scoped.items():
             spark.conf.set(key, val)
         agg = (
-            f.repartition(16)
+            f.repartition(16, "spread")
+            .drop("spread")
             .join(dim, "k")
             .groupBy("o_orderpriority")
             .agg(
