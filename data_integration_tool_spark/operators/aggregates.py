@@ -923,7 +923,12 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
-    exact = o.groupBy("custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = o.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint(eager=False)
+    # key-grain exact counts are referenced by the output AND the probe
+    # fan-out below — lazy checkpoint so the distinct-key aggregation
+    # compiles once (r13 re-derivation sweep)
     # Probe positions fan out from the ALREADY-DISTINCT key relation
     # (cardinality = keys, not rows): hashing every input row twice and
     # distinct-ing d*rows pairs would add a full-size shuffle for the

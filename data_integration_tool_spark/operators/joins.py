@@ -325,7 +325,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", bucket.alias("bucket"), "ts", "event_id")
         .groupBy("user_id", "bucket")
         .agg(F.max(F.struct("ts", "event_id")).alias("top"))
-    )
+    ).localCheckpoint(eager=False)
+    # bucket-grain event rollup, referenced by the day grid AND the
+    # dense left join — lazy checkpoint so the event scan + rollup
+    # compiles once (r13 re-derivation sweep)
     days = (
         per_bucket.select("bucket")
         .union(ords.select(F.col("cutoff").alias("bucket")))
@@ -1480,7 +1483,10 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", bucket.alias("bucket"), "ts", "event_id")
         .groupBy("user_id", "bucket")
         .agg(F.max(F.struct("ts", "event_id")).alias("top"))
-    )
+    ).localCheckpoint(eager=False)
+    # bucket-grain event rollup, referenced by the day grid AND the
+    # dense left join — lazy checkpoint so the event scan + rollup
+    # compiles once (r13 re-derivation sweep)
     days = (
         per_bucket.select("bucket")
         .union(ords.select(F.col("cutoff").alias("bucket")))

@@ -1047,6 +1047,14 @@ def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # NOTE (r13 re-derivation sweep): each key histogram is referenced
+    # twice (histogram join + its own total), so the totals legs
+    # re-derive the key-grain aggregates. Lazy-checkpointing l and r
+    # was A/B'd and REJECTED: materializing two key-grain histograms
+    # (rows = distinct keys) costs more locally than the saved
+    # re-aggregation (0.60/0.82 -> 0.76/1.00 s min/med), and the
+    # re-derived legs are combinable partial aggs over pruned
+    # single-column scans — the cheap kind of second pass.
     l = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("lm")
     )

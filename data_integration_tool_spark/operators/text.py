@@ -315,6 +315,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # (doc, token)-grain counts feed BOTH the df rollup and the
+        # score join — lazy checkpoint so the corpus tokenize+explode
+        # compiles once (r13 re-derivation sweep)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
