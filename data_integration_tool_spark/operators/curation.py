@@ -653,6 +653,10 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "seg"),
         )
+        # segment-grain relation referenced by the boilerplate census
+        # AND the flag join-back — lazy checkpoint so the corpus
+        # split+posexplode compiles once (r13 re-derivation sweep)
+        .localCheckpoint(eager=False)
     )
     boiler = (
         segs.select("seg", "doc_id")

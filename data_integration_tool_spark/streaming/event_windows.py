@@ -3214,6 +3214,10 @@ def seq_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fv"))
+        # user-grain first-view, referenced by the purchase join AND
+        # the latency left join — lazy checkpoint so the events
+        # scan + rollup compiles once (r13 re-derivation sweep)
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
