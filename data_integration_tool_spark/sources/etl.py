@@ -1937,7 +1937,9 @@ def etl_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         ).alias("d_span"),
-    )
+    ).localCheckpoint(eager=False)
+    # 1-row bounds, cross-joined into keyed AND the probe grid — lazy
+    # checkpoint so the bounds scan compiles once (r13 sweep)
     keyed = o.crossJoin(F.broadcast(b)).select(
         "o_custkey",
         F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias("day_off"),
