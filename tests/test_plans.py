@@ -284,3 +284,30 @@ def test_pii_redact_projects_after_the_sort(spark, sf_dir):
     sort_at = plan.index("Sort")
     regex_at = plan.index("regexp_replace")
     assert regex_at < sort_at, plan[:800]
+
+
+def test_rederivation_fixes_keep_shared_subtrees_single(spark, sf_dir):
+    """r13 re-derivation sweep: builders that reference a relation from
+    N branches compile N copies of its subtree unless the shared
+    relation is checkpointed. Pin the fixed shapes by counting parquet
+    scans in the compiled plan (simple mode prints the full tree, so
+    duplicated subtrees show up as repeated scans). Ceilings, not
+    exact counts, so unrelated plan changes don't false-positive —
+    before the fixes these plans compiled 8-24 scans each."""
+    from data_integration_tool_spark.registry import specs
+
+    ceilings = {
+        "etl_wap_gate": 4,          # was 24 lineitem + 2 orders
+        "ts_hurst_exponent": 2,     # was 12 orders
+        "agg_jackknife_ratio": 2,   # was 8 lineitem + 8 supplier
+        "ts_anomaly_residual": 2,   # was 8 orders
+        "ts_seasonal_strength": 2,  # was 8 orders
+        "plan_join_strategy": 8,    # was 2 per table (14 total)
+        "text_boilerplate_strip": 2,  # was 3 documents
+    }
+    reg = specs()
+    for name, ceiling in ceilings.items():
+        df = reg[name].builder(spark, sf_dir)
+        plan = tuning.explain_str(df, mode="simple")
+        n = plan.count("Scan parquet")
+        assert n <= ceiling, f"{name}: {n} parquet scans (> {ceiling})"
