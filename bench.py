@@ -92,6 +92,7 @@ def main() -> None:
     detail = {
         "iters": iters,
         "sf": sf,
+        "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "runs": per_run,
     }
@@ -101,27 +102,45 @@ def main() -> None:
     # across rounds (bench_detail.json is overwritten on every run).
     # The round number comes from SPARK_GRAFT_ROUND when set; otherwise
     # it is inferred from the driver's BENCH_r{N}.json trail (the run
-    # happening now belongs to round max(N)+1). An existing archive for
-    # that round is never overwritten — re-runs within a round keep the
-    # first (driver-aligned) detail file intact.
+    # happening now belongs to round max(N)+1). The archive name is
+    # keyed on (round, cpus) — VERDICT r13 Next #2: the driver's 8-core
+    # r13 scaling leg ran after BENCH_r13.json existed, inferred round
+    # 14, and squatted the 32-core name bench_detail_r14.json, which
+    # would have silently skipped the real r14 archive and destroyed
+    # the round-over-round per-query comparison. Non-32-core legs now
+    # archive as bench_detail_r{N}_c{CPUS}.json. Builder-side legs set
+    # SPARK_GRAFT_BENCH_TAG to archive under an explicit leg name and
+    # stay out of the driver's slots entirely. An existing archive is
+    # never overwritten — re-runs within a round keep the first
+    # (driver-aligned) detail file intact.
     import glob as _glob
     import re as _re
 
-    round_env = os.environ.get("SPARK_GRAFT_ROUND")
-    if round_env and round_env.isdigit():
-        round_no = int(round_env)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag and _re.fullmatch(r"[\w.-]+", tag):
+        archive = os.path.join(repo_dir, f"bench_detail_{tag}.json")
     else:
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        round_no = max(rounds) + 1 if rounds else None
-    if round_no is not None and sf == 0.1:
-        archive = os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json")
-        if not os.path.exists(archive):
-            with open(archive, "w") as f:
-                json.dump(detail, f, indent=1)
+        round_env = os.environ.get("SPARK_GRAFT_ROUND")
+        if round_env and round_env.isdigit():
+            round_no = int(round_env)
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            round_no = max(rounds) + 1 if rounds else None
+        if round_no is None or sf != 0.1:
+            archive = None
+        elif CPUS == "32":
+            archive = os.path.join(repo_dir, f"bench_detail_r{round_no:02d}.json")
+        else:
+            archive = os.path.join(
+                repo_dir, f"bench_detail_r{round_no:02d}_c{CPUS}.json"
+            )
+    if archive is not None and not os.path.exists(archive):
+        with open(archive, "w") as f:
+            json.dump(detail, f, indent=1)
 
     summary = {
         "metric": "total_query_wall_sec",

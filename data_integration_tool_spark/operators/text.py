@@ -1633,7 +1633,18 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     ).selectExpr(
         "source",
+        # Integer bigram key: bijective with (c1, c2) ONLY while both
+        # codepoints are < 256 — ascii() returns the full codepoint, so
+        # a non-ASCII corpus would silently MERGE distinct bigrams
+        # (c1*256+c2 collides once c2 >= 256). Enforced in the plan via
+        # the dedup_simhash house guard (assert_true, null→0 good path):
+        # a non-ASCII corpus fails red instead of corrupting counts
+        # (VERDICT r13 Next #6).
         "ascii(substr(text, i, 1)) * 256 + ascii(substr(text, i + 1, 1))"
+        " + coalesce(CAST(assert_true("
+        "ascii(substr(text, i, 1)) < 256 AND ascii(substr(text, i + 1, 1))"
+        " < 256, 'text_char_bigram_entropy: non-ASCII codepoint breaks"
+        " the integer bigram-key bijection') AS INT), 0)"
         " AS bgc",
     )
     bg_counts = (

@@ -115,69 +115,69 @@ _loaded = False
 # after it. NEW r9 additions must land AFTER the r10 queue so the
 # never-rowed backlog drains deterministically.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r13 window (VERDICT r12 Next #5: freshness rotation) ----
-    # The never-rowed backlog is zero since r12; rotation's job is now
-    # keeping every green ≤10 rounds old. This window = the 50 stalest
-    # latest-green rows computed programmatically from CORRECTNESS_r{1..12}
-    # at r13 start: all 14 remaining r1 greens + 36 of the 39 r3 greens
-    # (deferred to r14: tpch_q7_volume_shipping, tpch_q8_market_share,
-    # tpch_q9_profit_by_nation_year — the alphabetical tail of the r3
-    # block). The 49-green r12 window (CORRECTNESS_r12.json) was cut from
-    # the head at r13 start.
-    # r1-green block (stalest):
-    "agg_arg_max",
-    "agg_histogram",
-    "agg_string_agg",
-    "limit_offset",
-    "pivot",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi",
-    "topk",
-    "win_first_last",
-    "win_ntile_cume",
-    "win_range_frame",
-    "win_share",
-    "win_sliding_rows",
-    # r3-green block (36 of 39):
-    "agg_collect",
-    "agg_weighted_avg",
-    "chunk_dedup",
-    "cluster_assign",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dim_date_generate",
-    "dq_profile",
-    "emb_centroids",
-    "etl_scd2_intervals",
-    "hist_equidepth",
-    "join_null_safe",
-    "pivot_dynamic",
-    "seasonal_index",
-    "sim_ann_ivf",
-    "sim_ann_ivf_batch",
-    "sim_knn_batch",
-    "sim_knn_exact",
-    "sim_pairs_threshold",
-    "skyline_pareto",
-    "text_fingerprint",
-    "text_ngram_freq",
-    "text_quality",
-    "text_stats",
-    "text_token_count",
-    "text_tokenize_tf",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
+    # ---- r14 window (VERDICT r13 Next #1: driver-proof the r13 plans) ----
+    # ZERO of the 41 operators whose plans changed in r13 had a driver
+    # hash row (the r13 window was rotated to the stalest greens BEFORE
+    # the optimization work landed). This window = the 42 r13-touched
+    # operators (the 41 from VERDICT r13 + plan_join_strategy, whose
+    # sweep fix lives in plans/advisor.py) + the 4 stalest greens
+    # (tpch_q6..q9, r3-era, deferred from the r13 rotation) + the 4
+    # next-stalest r4 greens to fill 50 (tools/staleness.py proposal).
+    # Operators touched in r14 are folded in at round close (final
+    # round: this is their only chance at a driver hash row).
+    # The 50-green r13 window (CORRECTNESS_r13.json) was cut from the
+    # head at r14 start.
+    "agg_concentration_hhi",
+    "agg_count_min",
+    "agg_cuped",
+    "agg_jackknife_ratio",
+    "agg_raking_ipf",
+    "agg_theil_index",
+    "anomaly_mad",
+    "decon_report",
+    "dedup_cross_source_matrix",
+    "dedup_simhash",
+    "dq_join_fanout",
+    "dq_outlier_iqr",
+    "dq_volume_anomaly",
+    "emb_kmeans_lloyd",
+    "etl_file_skipping_stats",
+    "etl_surrogate_key_plan",
+    "etl_wap_gate",
+    "etl_zorder_incremental",
+    "eval_brier_decomposition",
+    "eval_cluster_purity",
+    "funnel_3step",
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "graph_degree_assortativity",
+    "graph_kcore",
+    "join_asof",
+    "join_asof_tolerance",
+    "join_skew_aqe",
+    "mixture_kl_divergence",
+    "pii_redact",
+    "plan_join_strategy",
+    "sample_ess_reweight",
+    "seq_time_to_convert",
+    "text_boilerplate_strip",
+    "text_char_bigram_entropy",
+    "text_pmi_pairs",
+    "text_tfidf",
+    "ts_anomaly_residual",
+    "ts_hurst_exponent",
+    "ts_seasonal_strength",
+    "udtf_sentence_split",
+    "win_concurrency_sweep",
     "tpch_q6_forecast_revenue",
-    # ---- end of the 50-entry r13 window ----
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "agg_mode",
+    "agg_percentile_disc",
+    "agg_product",
+    "agg_regression",
+    # ---- end of the 50-entry r14 window ----
 )
 
 

@@ -236,25 +236,39 @@ def test_plan_fingerprint_gate_matches_pins(spark, sf_dir):
 def test_graph_iterative_joins_carry_no_hard_broadcast_hints(spark, sf_dir):
     """r13: graph_kcore's per-round degree joins and graph_adamic_adar's
     term join used to hard-hint F.broadcast on NODE-grain relations —
-    graph-scale at 100 TB, and a hard hint can never be demoted. Both
-    now leave the strategy to stats/AQE (measured parity / -13% at
-    sf0.1). Pin the absence of the hazard at its source: the builders
-    must not invoke F.broadcast at all (kcore's hinted joins ran inside
-    eager-checkpoint build jobs, so no plan-string assertion on the
-    returned DataFrame could catch a regression there)."""
+    graph-scale at 100 TB, and a hard hint can never be demoted.
+    adamic_adar leaves the strategy to stats/AQE (measured -13% at
+    sf0.1); kcore (r14, VERDICT r13 Next #3) hints deg ONLY under a
+    size guard on the round's materialized edge checkpoint — at graph
+    scale the guard fails and the joins stay AQE-driven. Pin both at
+    the source: adamic_adar must not invoke F.broadcast at all, and
+    kcore must not invoke it when the guard threshold is 0 (i.e. the
+    hint is provably conditional on the measured size, never hard).
+    (kcore's hinted joins run inside eager-checkpoint build jobs, so
+    no plan-string assertion on the returned DataFrame could catch a
+    regression there.)"""
     from data_integration_tool_spark import registry
     from data_integration_tool_spark.operators import graph as graph_mod
 
     calls: list[int] = []
     real = graph_mod.F.broadcast
     graph_mod.F.broadcast = lambda df: (calls.append(1), real(df))[1]
+    real_thresh = graph_mod._KCORE_BCAST_EDGE_BYTES
+    graph_mod._KCORE_BCAST_EDGE_BYTES = 0
     try:
         for name in ("graph_kcore", "graph_adamic_adar"):
             df = registry.specs()[name].builder(spark, sf_dir)
             assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
             assert not calls, f"{name} builder re-grew a hard broadcast hint"
+        # conditionality, other direction: at the test SF the guard
+        # passes and the hint IS applied — the size check is live, not
+        # dead code.
+        graph_mod._KCORE_BCAST_EDGE_BYTES = real_thresh
+        registry.specs()["graph_kcore"].builder(spark, sf_dir)
+        assert calls, "kcore size guard never fired at test SF"
     finally:
         graph_mod.F.broadcast = real
+        graph_mod._KCORE_BCAST_EDGE_BYTES = real_thresh
 
 
 def test_udtf_sentence_split_checkpoints_under_the_sort(spark, sf_dir):
