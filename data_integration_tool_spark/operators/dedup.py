@@ -56,6 +56,13 @@ def _tokens(col: str = "text"):
 # every intermediate stays below 2^61: DuckDB ERRORS on BIGINT overflow
 # (Spark wraps silently), so the bound is a correctness requirement of
 # the twin, not a style choice. h < 2^30, a,b < P = 2^31-1.
+# Size guard for dedup_components' per-round nbr_min broadcast (r14,
+# the graph_kcore finding): hint only while the previous round's
+# MATERIALIZED labels checkpoint (which bounds nbr_min) is under this
+# many bytes; at corpus scale the guard fails and the join stays
+# AQE-driven.
+_COMPONENTS_BCAST_MAX_BYTES = 64 << 20
+
 _MH_P = 2147483647  # 2^31 - 1 (prime)
 _MH_TOKEN_MOD = 1 << 30
 _BAND_MULT = 1000003  # band-hash fold multiplier; P·mult < 2^52
@@ -859,37 +866,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameters switch to pointer-jumping (label = label[label]) for
     O(log n) rounds — same loop shape.
     """
+    from .graph import _latest_ckpt_bytes
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+    # LAZY checkpoints in the loop (r14): the per-round convergence-sum
+    # action materializes the round's checkpoint, so each round is ONE
+    # job, not two — the trick dedup_semantic_clusters' label rounds
+    # already use; this loop predates it and still paid the eager
+    # checkpoint job PLUS the sum job per round.
     labels = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
         .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence check: labels only ever DECREASE, so the label sum is
     # a strictly decreasing potential — sum unchanged ⇔ fixpoint. One
     # cheap aggregate action per round instead of a join-and-count.
     prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]  # driver-scalar: convergence potential
+    labels_bytes = _latest_ckpt_bytes(spark)
     for _ in range(50):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # Size-guarded broadcast (r14, the graph_kcore finding): AQE
+        # promotes this left join to BHJ only AFTER the initial SMJ
+        # plan has shuffled the labels relation as a query stage — a
+        # wasted doc-grain shuffle per round. nbr_min is bounded by
+        # the labels relation whose materialized bytes the previous
+        # round's checkpoint just told us, so under the guard the
+        # hint is safe; past it (corpus-scale labels) the join stays
+        # AQE-driven.
+        nbrj = (
+            F.broadcast(nbr_min)
+            if 0 < labels_bytes < _COMPONENTS_BCAST_MAX_BYTES
+            else nbr_min
+        )
         labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            labels.join(nbrj, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component_id"), F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(F.sum("component_id")).collect()[0][0]  # driver-scalar: convergence potential
+        new_sum = labels.agg(F.sum("component_id")).collect()[0][0]  # driver-scalar: convergence potential (materializes the lazy checkpoint)
+        labels_bytes = _latest_ckpt_bytes(spark)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -708,7 +708,15 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     # row-grain binned scores feed rowsum AND the bin rollup (which
     # feeds tot/binsum) — lazy checkpoint so the score scan compiles
-    # once (r13 re-derivation sweep: 4 embeddings scans -> 1)
+    # once (r13 re-derivation sweep: 4 embeddings scans -> 1).
+    # Scale/recovery note (ADVICE r13 #2): binned is one row per
+    # scored input row, so the checkpoint materializes a row-grain
+    # relation at MEMORY_AND_DISK with lineage truncated — at 100x
+    # the bench SF, trade off against re-scanning (the saved work is
+    # a full input scan + projection per extra reader) per the
+    # SCALE.md §6k napkin; key-grain checkpoints are unambiguously
+    # safe, row-grain ones are a measured local win (quiet-host A/B
+    # r14: 0.64/0.79 vs 0.71/0.78 inlined).
     rowsum = binned.agg(
         F.sum(
             F.floor(F.expr(_BR_ROW) * F.lit(1e12) + F.lit(0.5)).cast(

@@ -317,7 +317,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         # (doc, token)-grain counts feed BOTH the df rollup and the
         # score join — lazy checkpoint so the corpus tokenize+explode
-        # compiles once (r13 re-derivation sweep)
+        # compiles once (r13 re-derivation sweep).
+        # Scale/recovery note (ADVICE r13 #2): (doc, token) grain is
+        # corpus-scale, so this materializes at MEMORY_AND_DISK with
+        # lineage truncated; the saved work per extra reader is a full
+        # corpus tokenize+explode+aggregate — see SCALE.md §6k for the
+        # loss-rate threshold where a durable materialization wins.
         .localCheckpoint(eager=False)
     )
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))

@@ -171,9 +171,11 @@ def plan_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in stats_parts[1:]:
         stats = stats.unionAll(p)
     # 7-row stats relation, referenced by BOTH join sides below — lazy
-    # checkpoint so the compiled plan carries one copy of the 7 table
-    # aggregates instead of re-deriving all 7 scans per side (r13;
-    # 14 scans -> 7 at any scale)
+    # checkpoint so the 7 table aggregates run once instead of once per
+    # side (r13). The compiled OUTER plan shows 0 parquet scans (the 7
+    # scans live inside the checkpointed subtree; the pre-fix plan
+    # showed 14 = 2 per table) — both counts are pinned in
+    # tests/test_plans.py (outer ≤1, inlined ≤14; ADVICE r13 #3).
     stats = stats.localCheckpoint(eager=False)
     joins = spark.createDataFrame(
         list(_JOINS), ["left_tbl", "right_tbl", "join_key"]

@@ -271,6 +271,54 @@ def test_graph_iterative_joins_carry_no_hard_broadcast_hints(spark, sf_dir):
         graph_mod._KCORE_BCAST_EDGE_BYTES = real_thresh
 
 
+def test_dedup_components_broadcast_is_size_guarded(spark, sf_dir):
+    """r14: dedup_components' per-round left join hints nbr_min ONLY
+    while the previous round's materialized labels checkpoint is under
+    the size guard (the graph_kcore finding: AQE promotes the join to
+    BHJ only after the initial plan has shuffled labels as a query
+    stage — one wasted doc-grain shuffle per round). Pin the
+    conditionality: threshold 0 ⇒ the builder never calls F.broadcast
+    (no hard hint on a corpus-scale relation); default threshold ⇒ the
+    hint fires at test SF (the guard is live). The builder executes its
+    convergence loop, so this also re-proves value stability under
+    both settings."""
+    from data_integration_tool_spark import registry
+    from data_integration_tool_spark.operators import dedup as dedup_mod
+
+    calls: list[int] = []
+    real_f = dedup_mod.F
+
+    class _FProxy:
+        """Counts F.broadcast calls made from dedup.py ONLY — patching
+        the shared functions module would also count the legitimate
+        bounded broadcast inside pair_blocks.tile_pair_blocks."""
+
+        def __getattr__(self, name):
+            if name == "broadcast":
+                return lambda df: (calls.append(1), real_f.broadcast(df))[1]
+            return getattr(real_f, name)
+
+    dedup_mod.F = _FProxy()
+    real_thresh = dedup_mod._COMPONENTS_BCAST_MAX_BYTES
+    dedup_mod._COMPONENTS_BCAST_MAX_BYTES = 0
+    try:
+        guarded_off = registry.specs()["dedup_components"].builder(
+            spark, sf_dir
+        ).collect()
+        assert not calls, "components re-grew a hard broadcast hint"
+        dedup_mod._COMPONENTS_BCAST_MAX_BYTES = real_thresh
+        guarded_on = registry.specs()["dedup_components"].builder(
+            spark, sf_dir
+        ).collect()
+        assert calls, "components size guard never fired at test SF"
+        assert sorted(map(tuple, guarded_off)) == sorted(
+            map(tuple, guarded_on)
+        )
+    finally:
+        dedup_mod.F = real_f
+        dedup_mod._COMPONENTS_BCAST_MAX_BYTES = real_thresh
+
+
 def test_udtf_sentence_split_checkpoints_under_the_sort(spark, sf_dir):
     """r13: the final global sort's range-partitioner samples its child
     before sorting it — with the lateral directly underneath, the
@@ -316,7 +364,11 @@ def test_rederivation_fixes_keep_shared_subtrees_single(spark, sf_dir):
         "agg_jackknife_ratio": 2,   # was 8 lineitem + 8 supplier
         "ts_anomaly_residual": 2,   # was 8 orders
         "ts_seasonal_strength": 2,  # was 8 orders
-        "plan_join_strategy": 8,    # was 2 per table (14 total)
+        # post-fix outer plan shows 0 scans (all 7 per-table stat scans
+        # live inside the checkpointed subtree — see the inlined test
+        # below, which still sees all 14); was 2 per table (14 total).
+        # ADVICE r13 #3: ceiling tightened from 8 to the real count.
+        "plan_join_strategy": 1,
         "text_boilerplate_strip": 2,  # was 3 documents
     }
     reg = specs()
@@ -325,3 +377,56 @@ def test_rederivation_fixes_keep_shared_subtrees_single(spark, sf_dir):
         plan = tuning.explain_str(df, mode="simple")
         n = plan.count("Scan parquet")
         assert n <= ceiling, f"{name}: {n} parquet scans (> {ceiling})"
+
+
+def test_checkpointed_subtrees_stay_single_when_inlined(spark, sf_dir):
+    """ADVICE r13 #1: a lazy localCheckpoint makes its subtree
+    INVISIBLE to the outer-plan scan guards (the outer plan prints the
+    checkpoint as a leaf), so a regression inside a checkpointed
+    subtree — e.g. a double corpus scan re-grown under bg_counts or a
+    stats relation — would no longer trip any gate. Re-count with
+    localCheckpoint no-op'd (the documented A/B monkeypatch on the
+    classic DataFrame): the inlined plan compiles every reader's copy
+    of the shared subtree, so the ceiling watches the work that
+    normally lives inside the checkpoint. Ceilings are the measured
+    inlined counts at sf0.01 (ceiling, not exact, so unrelated plan
+    changes don't false-positive); compile-only, nothing executes."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from data_integration_tool_spark.registry import specs
+
+    inlined_ceilings = {
+        "etl_wap_gate": 26,
+        "agg_jackknife_ratio": 16,
+        "plan_join_strategy": 14,
+        "ts_hurst_exponent": 12,
+        "ts_anomaly_residual": 8,
+        "agg_theil_index": 8,
+        "funnel_3step": 6,
+        "text_pmi_pairs": 5,
+        "text_char_bigram_entropy": 4,
+        "ts_seasonal_strength": 4,
+        "eval_brier_decomposition": 4,
+        "win_concurrency_sweep": 4,
+        "agg_cuped": 4,
+        "anomaly_mad": 4,
+        "etl_surrogate_key_plan": 4,
+        "dq_outlier_iqr": 4,
+        "text_boilerplate_strip": 3,
+        "text_tfidf": 3,
+        "agg_count_min": 3,
+        "seq_time_to_convert": 3,
+    }
+    reg = specs()
+    real = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        for name, ceiling in inlined_ceilings.items():
+            df = reg[name].builder(spark, sf_dir)
+            n = tuning.explain_str(df, mode="simple").count("Scan parquet")
+            assert n <= ceiling, (
+                f"{name}: {n} inlined parquet scans (> {ceiling}) — a "
+                "subtree inside the checkpoint re-grew a scan"
+            )
+    finally:
+        DataFrame.localCheckpoint = real

@@ -156,15 +156,21 @@ def run(names: list[str], iters: int) -> None:
         "overwrite"
     ).save()
     out = {}
+    failed = {}
     for name in names:
         benchconf.apply_query_conf(spark, name, heavy, aqe, cpus)
         runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            specs[name].builder(spark, SF1).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                specs[name].builder(spark, SF1).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # scale hazard surfaced loudly — record it
+            failed[name] = str(exc).split("\n")[0][:200]
+            print(f"{name:32s} FAILED: {failed[name]}", flush=True)
+            continue
         out[name] = runs
         print(
             f"{name:32s} {min(runs):7.2f}/{statistics.median(runs):7.2f}"
@@ -177,6 +183,7 @@ def run(names: list[str], iters: int) -> None:
         "iters": iters,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "runs": out,
+        "failed": failed,
         "total_min_sec": round(sum(min(v) for v in out.values()), 2),
     }
     path = os.path.join(REPO, "scratch", f"sf1_bench_c{cpus}.json")
