@@ -124,9 +124,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (tpch_q6..q9, r3-era, deferred from the r13 rotation) + the 4
     # next-stalest r4 greens to fill 50 (tools/staleness.py proposal).
     # Operators touched in r14 are folded in at round close (final
-    # round: this is their only chance at a driver hash row).
+    # round: this is their only chance at a driver hash row):
+    # dedup_components (lazy round checkpoints + size-guarded nbr_min
+    # broadcast) replaced the agg_regression fill; graph_kcore and
+    # text_char_bigram_entropy (also r14-touched) were already in.
     # The 50-green r13 window (CORRECTNESS_r13.json) was cut from the
     # head at r14 start.
+    "dedup_components",
     "agg_concentration_hhi",
     "agg_count_min",
     "agg_cuped",
@@ -176,7 +180,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_mode",
     "agg_percentile_disc",
     "agg_product",
-    "agg_regression",
     # ---- end of the 50-entry r14 window ----
 )
 
